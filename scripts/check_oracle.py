@@ -1,0 +1,37 @@
+#!/usr/bin/env python3
+"""Local simulation of the driver's DuckDB-oracle compare.
+
+Usage: python3 scripts/check_oracle.py [sfDir] [verifyOut]
+Runs after `sbt "runMain graft.Verify <sfDir> <verifyOut>"`.
+"""
+import duckdb, json, sys
+import pandas as pd
+
+sf = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
+out = sys.argv[2] if len(sys.argv) > 2 else '/tmp/verify_out'
+
+TABLES = ['region','nation','customer','supplier','part','orders',
+          'lineitem','events','documents','embeddings']
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"create view {t} as select * from read_parquet('{sf}/{t}.parquet')")
+
+oracle = json.load(open(f'{out}/oracle_sql.json'))
+fails = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        spark_df = pd.read_parquet(f'{out}/{name}')
+        duck_df = con.execute(sql).df()
+        cols = sorted(spark_df.columns)
+        s = spark_df[cols].sort_values(cols).reset_index(drop=True)
+        q = duck_df[sorted(duck_df.columns)].sort_values(sorted(duck_df.columns)).reset_index(drop=True)
+        pd.testing.assert_frame_equal(s, q, check_dtype=False, check_exact=True)
+        print(f"PASS  {name} rows={len(s)}")
+    except AssertionError as e:
+        fails += 1
+        print(f"FAIL  {name}\n  {str(e)[:400]}")
+    except Exception as e:
+        fails += 1
+        print(f"ERROR {name}: {e}")
+missing = set(oracle) ^ set()
+sys.exit(1 if fails else 0)

@@ -1,0 +1,211 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.{lit, sqrt}
+import org.apache.spark.sql.graft.shims
+import org.apache.spark.sql.types._
+
+/** Distance kernels as native Catalyst expressions with codegen.
+  *
+  * Semantics match the reference (`pkg/core/distance/distance_go.go:57-91`):
+  *   - `euclidean` is SQUARED L2 (no sqrt); the reference accumulates in
+  *     float32 then widens to double, which `wide = false` reproduces
+  *     bit-for-bit.
+  *   - `cosine` is `1 - dot(v1, v2)` over vectors that were normalized at
+  *     ingest/query time (`hnsw_index.go:3023`).
+  *   - `wide = true` accumulates in double — used where results are compared
+  *     against a double-precision oracle.
+  *
+  * The reference reaches for AVX assembly / Rust FFI for these loops
+  * (`distance_avo_amd64.go`, `native/compute/src/lib.rs`); the Spark
+  * equivalent is a `doGenCode` tight loop over `ArrayData` that stays inside
+  * whole-stage codegen — no boxing, no UDF serialization, JIT-vectorized.
+  * This is the hot inner loop of every brute-force k-NN scan, so it must not
+  * fall back to interpreted evaluation (higher-order functions like
+  * `zip_with`/`aggregate` are CodegenFallback — too slow here).
+  */
+abstract class VectorBinaryKernel extends BinaryExpression {
+  def wide: Boolean
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  /** Per-element term, e.g. diff*diff or product, over float vars x, y. */
+  protected def termCode(x: String, y: String): String
+  protected def termEval(x: Float, y: Float): Float
+  protected def termEvalD(x: Double, y: Double): Double
+  /** Final transform of the accumulated double sum. */
+  protected def finishCode(sum: String): String = sum
+  protected def finishEval(sum: Double): Double = sum
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"vectors must have the same length: $n vs ${b.numElements()}")
+    if (wide) {
+      var sum = 0d; var i = 0
+      while (i < n) { sum += termEvalD(a.getFloat(i), b.getFloat(i)); i += 1 }
+      finishEval(sum)
+    } else {
+      var sum = 0f; var i = 0
+      while (i < n) { sum += termEval(a.getFloat(i), b.getFloat(i)); i += 1 }
+      finishEval(sum.toDouble)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      val accT = if (wide) "double" else "float"
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException("vectors must have the same length");
+         |}
+         |$accT $sum = 0;
+         |for (int i = 0; i < $n; i++) {
+         |  $accT x = $a.getFloat(i);
+         |  $accT y = $b.getFloat(i);
+         |  $sum += ${termCode("x", "y")};
+         |}
+         |${ev.value} = ${finishCode(s"((double) $sum)")};
+       """.stripMargin
+    })
+}
+
+/** Squared Euclidean distance — `distance_go.go:58-72`. */
+case class EuclideanSqDistance(left: Expression, right: Expression, wide: Boolean = false)
+    extends VectorBinaryKernel {
+  override protected def termCode(x: String, y: String): String = s"($x - $y) * ($x - $y)"
+  override protected def termEval(x: Float, y: Float): Float = { val d = x - y; d * d }
+  override protected def termEvalD(x: Double, y: Double): Double = { val d = x - y; d * d }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "euclidean_sq"
+}
+
+/** Dot-product-as-distance for the cosine metric on normalized vectors —
+  * `distance_go.go:74-91`.
+  */
+case class CosineDistance(left: Expression, right: Expression, wide: Boolean = false)
+    extends VectorBinaryKernel {
+  override protected def termCode(x: String, y: String): String = s"$x * $y"
+  override protected def termEval(x: Float, y: Float): Float = x * y
+  override protected def termEvalD(x: Double, y: Double): Double = x * y
+  override protected def finishCode(sum: String): String = s"1.0d - $sum"
+  override protected def finishEval(sum: Double): Double = 1.0d - sum
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_distance"
+}
+
+/** Raw dot product (similarity kernel used by gardener clustering and as a
+  * building block for exact cosine similarity).
+  */
+case class DotProduct(left: Expression, right: Expression, wide: Boolean = false)
+    extends VectorBinaryKernel {
+  override protected def termCode(x: String, y: String): String = s"$x * $y"
+  override protected def termEval(x: Float, y: Float): Float = x * y
+  override protected def termEvalD(x: Double, y: Double): Double = x * y
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "dot_product"
+}
+
+/** L2-normalize a float vector — reference `normalize`
+  * (`pkg/core/hnsw/hnsw_index.go:3023`): zero vectors pass through
+  * unchanged. Norm accumulates in float32 like the reference.
+  */
+case class NormalizeVector(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var sum = 0f
+    var i = 0
+    while (i < n) { val x = a.getFloat(i); sum += x * x; i += 1 }
+    if (sum == 0f) a
+    else {
+      val inv = (1.0 / math.sqrt(sum.toDouble)).toFloat
+      val out = new Array[Any](n)
+      i = 0
+      while (i < n) { out(i) = a.getFloat(i) * inv; i += 1 }
+      new GenericArrayData(out)
+    }
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      val out = ctx.freshName("out")
+      val inv = ctx.freshName("inv")
+      s"""
+         |final int $n = $a.numElements();
+         |float $sum = 0f;
+         |for (int i = 0; i < $n; i++) { float x = $a.getFloat(i); $sum += x * x; }
+         |if ($sum == 0f) {
+         |  ${ev.value} = $a;
+         |} else {
+         |  float $inv = (float) (1.0 / java.lang.Math.sqrt((double) $sum));
+         |  float[] $out = new float[$n];
+         |  for (int i = 0; i < $n; i++) { $out[i] = $a.getFloat(i) * $inv; }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+         |}
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "normalize_vector"
+}
+
+/** Column-level API. */
+object VectorFunctions {
+  private def ex(c: Column): Expression = shims.expression(c)
+  private def co(e: Expression): Column = shims.column(e)
+
+  /** Squared L2 distance (the reference's `euclidean` metric). */
+  def euclideanSq(a: Column, b: Column): Column = co(EuclideanSqDistance(ex(a), ex(b)))
+
+  /** `1 - dot` over normalized vectors (the reference's `cosine` metric). */
+  def cosineDistance(a: Column, b: Column): Column = co(CosineDistance(ex(a), ex(b)))
+
+  def dotProduct(a: Column, b: Column): Column = co(DotProduct(ex(a), ex(b)))
+
+  /** Double-accumulated variants — for oracle-parity math. */
+  def euclideanSqWide(a: Column, b: Column): Column =
+    co(EuclideanSqDistance(ex(a), ex(b), wide = true))
+  def dotProductWide(a: Column, b: Column): Column =
+    co(DotProduct(ex(a), ex(b), wide = true))
+
+  /** Exact cosine SIMILARITY in double precision: dot/(|a||b|) — matches
+    * DuckDB's `list_cosine_similarity` formula for oracle checks.
+    */
+  def cosineSimilarityWide(a: Column, b: Column): Column =
+    dotProductWide(a, b) / (sqrt(dotProductWide(a, a)) * sqrt(dotProductWide(b, b)))
+
+  def normalize(v: Column): Column = co(NormalizeVector(ex(v)))
+
+  /** Distance column for a metric name, as the reference dispatches
+    * (`distance_go.go:133-147`). Cosine assumes pre-normalized inputs; use
+    * [[cosineDistanceFull]] when inputs are raw.
+    */
+  def distance(metric: String, a: Column, b: Column): Column = metric match {
+    case "euclidean" => euclideanSq(a, b)
+    case "cosine"    => cosineDistance(a, b)
+    case m => throw new IllegalArgumentException(s"unsupported metric: $m")
+  }
+
+  /** Cosine distance over raw (un-normalized) vectors: normalizes both sides
+    * first, as the reference does at ingest + query time.
+    */
+  def cosineDistanceFull(a: Column, b: Column): Column =
+    cosineDistance(normalize(a), normalize(b))
+
+  /** Score normalization `1/(1+distance)` — `search_utils.go:48-53`. */
+  def scoreFromDistance(d: Column): Column = lit(1.0) / (lit(1.0) + d)
+}

@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+import graft.filter.FilterDsl
+import graft.search.VectorSearch
+
+/** M0/M1 queries: filter DSL, projection/hydration, exact k-NN.
+  *
+  * Every query has a DuckDB oracle (SQL over the same parquet tables).
+  * Conventions for hash-stable parity:
+  *   - aggregate money math in DECIMAL (exact, order-independent), cast the
+  *     result to DOUBLE;
+  *   - distances computed in double on both sides, rounded to 6 decimals;
+  *   - ORDER BY a unique key everywhere;
+  *   - counts / ranks cast to BIGINT to match DuckDB's integer widths.
+  */
+object CoreQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Pricing-summary style aggregation (exercises partial aggregation +
+    // single shuffle on the group keys; decimal math for exactness).
+    "q1_agg" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val dec = DecimalType(18, 6)
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity").cast(dec)), 2).cast("double").as("sum_qty"),
+          round(sum(col("l_extendedprice").cast(dec)), 2).cast("double").as("sum_base_price"),
+          round(sum(col("l_extendedprice").cast(dec) *
+            (lit(1).cast(dec) - col("l_discount").cast(dec))), 2).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // F1: filter-DSL compiled to a Catalyst Column (OR of AND-blocks, no
+    // parens — reference core.go:1695). The predicate lands in PushedFilters.
+    "f1_filter_dsl" -> ((s, dir) => {
+      val part = Tables.part(s, dir)
+      val pred = FilterDsl.compile(
+        "p_size >= 30 AND p_type = 'ECONOMY' OR p_brand = 'Brand#7' AND p_size < 10",
+        part.schema)
+      part.filter(pred)
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // F4: != with the reference's missing-field semantics (numeric equality
+    // tried first for numeric-looking values — core.go:1879-1917).
+    "f4_neq_numeric" -> ((s, dir) => {
+      val part = Tables.part(s, dir)
+      val pred = FilterDsl.compile("p_size != 5 AND p_size <= 20", part.schema)
+      part.filter(pred)
+        .select(col("p_partkey"), col("p_size"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // F6: filter-only search with limit (VFilter — ops.go:1769); made
+    // deterministic by ordering on the key before the limit.
+    "f6_filter_limit" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val pred = FilterDsl.compile(
+        "o_orderstatus = 'O' AND o_totalprice > 150000", orders.schema)
+      orders.filter(pred)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+        .limit(50)
+    }),
+
+    // F7: hydration join — fetch full records for an id list (GetVectors,
+    // core.go:623). Broadcast hash join: the id list is tiny by contract.
+    "f7_hydrate" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val ids = emb.select(col("vec_id")).filter(col("vec_id") % 97 === 0)
+      emb.join(broadcast(ids), Seq("vec_id"))
+        .select(col("vec_id"), col("label"), size(col("embedding")).cast("long").as("dim"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // V2: batched exact k-NN, euclidean. dist = sqrt of the squared-L2 the
+    // engine ranks by, so the oracle can use list_distance.
+    "v2_knn_euclidean" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      VectorSearch.topKBatch(emb, q, k = 10, metric = "euclidean",
+          idCol = "vec_id", vecCol = "embedding", wide = true)
+        .select(col("qid"), col("vec_id").as("id"),
+          round(sqrt(col("distance")), 6).as("dist"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // V2 cosine: 1 - cosine similarity, double precision (oracle formula).
+    "v2_knn_cosine" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      VectorSearch.topKBatch(emb, q, k = 10, metric = "cosine",
+          idCol = "vec_id", vecCol = "embedding", wide = true)
+        .select(col("qid"), col("vec_id").as("id"),
+          round(col("distance"), 6).as("dist"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // V2 + F1: filtered k-NN — the allow-list path (bitmap pushed into
+    // traversal in the reference; a pre-scoring predicate here).
+    "v2_knn_filtered" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val pred = FilterDsl.compile("label >= 3 AND label != 7", emb.schema)
+      VectorSearch.topKBatch(emb, q, k = 5, metric = "cosine",
+          idCol = "vec_id", vecCol = "embedding", filter = Some(pred), wide = true)
+        .select(col("qid"), col("vec_id").as("id"),
+          round(col("distance"), 6).as("dist"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // H5: search-with-scores — 1/(1+d) absolute normalization
+    // (search_utils.go:48; deliberately not min-max).
+    "h5_search_scores" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      VectorSearch.topKBatch(emb, q, k = 20, metric = "cosine",
+          idCol = "vec_id", vecCol = "embedding", wide = true)
+        .select(col("qid"), col("vec_id").as("id"),
+          round(lit(1.0) / (lit(1.0) + col("distance")), 6).as("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "f1_filter_dsl" ->
+      """SELECT p_partkey, p_brand, p_type, p_size FROM part
+        |WHERE (p_size >= 30 AND p_type = 'ECONOMY') OR (p_brand = 'Brand#7' AND p_size < 10)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "f4_neq_numeric" ->
+      """SELECT p_partkey, p_size FROM part
+        |WHERE p_size <> 5 AND p_size <= 20
+        |ORDER BY p_partkey""".stripMargin,
+
+    "f6_filter_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'O' AND o_totalprice > 150000
+        |ORDER BY o_orderkey LIMIT 50""".stripMargin,
+
+    "f7_hydrate" ->
+      """SELECT vec_id, label, len(embedding) AS dim FROM embeddings
+        |WHERE vec_id % 97 = 0 ORDER BY vec_id""".stripMargin,
+
+    "v2_knn_euclidean" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q.qid, e.vec_id AS id,
+        |        list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) AS d
+        |      FROM embeddings e CROSS JOIN q),
+        |r AS (SELECT qid, id, d, row_number() OVER (PARTITION BY qid ORDER BY d, id) AS rank FROM s)
+        |SELECT qid, id, round(d, 6) AS dist, rank FROM r WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
+
+    "v2_knn_cosine" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q.qid, e.vec_id AS id,
+        |        1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) AS d
+        |      FROM embeddings e CROSS JOIN q),
+        |r AS (SELECT qid, id, d, row_number() OVER (PARTITION BY qid ORDER BY d, id) AS rank FROM s)
+        |SELECT qid, id, round(d, 6) AS dist, rank FROM r WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
+
+    "v2_knn_filtered" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3),
+        |s AS (SELECT q.qid, e.vec_id AS id,
+        |        1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) AS d
+        |      FROM embeddings e CROSS JOIN q
+        |      WHERE e.label >= 3 AND e.label <> 7),
+        |r AS (SELECT qid, id, d, row_number() OVER (PARTITION BY qid ORDER BY d, id) AS rank FROM s)
+        |SELECT qid, id, round(d, 6) AS dist, rank FROM r WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+
+    "h5_search_scores" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |s AS (SELECT q.qid, e.vec_id AS id,
+        |        1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) AS d
+        |      FROM embeddings e CROSS JOIN q),
+        |r AS (SELECT qid, id, d, row_number() OVER (PARTITION BY qid ORDER BY d, id) AS rank FROM s)
+        |SELECT qid, id, round(1.0 / (1.0 + d), 6) AS score, rank FROM r WHERE rank <= 20
+        |ORDER BY qid, rank""".stripMargin
+  )
+}

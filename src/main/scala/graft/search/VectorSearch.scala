@@ -1,0 +1,110 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Exact k-NN — the reference's correctness surface
+  * (`BruteForceIndex.SearchWithScores`, `pkg/core/vector_index.go:104`;
+  * HNSW is an approximation of exactly this ranking).
+  *
+  * Scale design:
+  *   - Single query: `orderBy(dist).limit(k)` plans as
+  *     `TakeOrderedAndProject` — per-partition top-k, merge on driver, NO
+  *     shuffle of the scored set.
+  *   - Batched queries: broadcast the (small) query table, cross-join against
+  *     the (huge) vector table so scoring is map-side only, then
+  *     `row_number over (partition by qid order by dist)` + `filter(rank<=k)`.
+  *     Spark ≥3.5 rewrites that into a partial `WindowGroupLimit` BEFORE the
+  *     exchange, so only ~k rows per (query, input-partition) are shuffled —
+  *     this survives a 1000-executor 100 TB scan.
+  *
+  * Ties broken by id ascending for determinism (the reference's sort is
+  * stable on insertion order; any fixed total order matches its recall
+  * oracle).
+  */
+object VectorSearch {
+
+  /** Distance column per metric over possibly-raw vectors. `normalized` says
+    * whether stored+query vectors were already normalized at ingest (the
+    * reference normalizes at insert AND query for cosine —
+    * `hnsw_index.go:3023`, `:410-417`).
+    */
+  def distCol(metric: String, v: Column, q: Column, normalized: Boolean = false): Column =
+    metric match {
+      case "euclidean"                 => euclideanSq(v, q)
+      case "cosine" if normalized      => cosineDistance(v, q)
+      case "cosine"                    => cosineDistance(normalize(v), normalize(q))
+      case m => throw new IllegalArgumentException(s"unsupported metric: $m")
+    }
+
+  /** Single-query exact top-k with optional allow-list filter pushed BELOW
+    * scoring (the reference pushes its bitmap into HNSW traversal; Catalyst
+    * pushes the predicate into the scan).
+    */
+  def topK(
+      vectors: DataFrame,
+      query: Seq[Float],
+      k: Int,
+      metric: String = "euclidean",
+      idCol: String = "id",
+      vecCol: String = "vector",
+      filter: Option[Column] = None): DataFrame = {
+    val q = lit(query.toArray).cast("array<float>")
+    val base = filter.fold(vectors)(vectors.filter)
+    base
+      .withColumn("distance", distCol(metric, col(vecCol), q))
+      .orderBy(col("distance"), col(idCol))
+      .limit(k)
+  }
+
+  /** Batched exact top-k: one row per (query id, neighbor rank).
+    *
+    * @param queries small DataFrame `(qid, qvec)` — broadcast.
+    * @param wide    double-precision accumulation (oracle parity).
+    */
+  def topKBatch(
+      vectors: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      metric: String = "euclidean",
+      idCol: String = "id",
+      vecCol: String = "vector",
+      qidCol: String = "qid",
+      qvecCol: String = "qvec",
+      filter: Option[Column] = None,
+      wide: Boolean = false): DataFrame = {
+    val base = filter.fold(vectors)(vectors.filter)
+    val d: Column = (metric, wide) match {
+      case ("euclidean", false) => euclideanSq(col(vecCol), col(qvecCol))
+      case ("euclidean", true)  => euclideanSqWide(col(vecCol), col(qvecCol))
+      case ("cosine", false)    => cosineDistance(normalize(col(vecCol)), normalize(col(qvecCol)))
+      case ("cosine", true)     => lit(1.0) - cosineSimilarityWide(col(vecCol), col(qvecCol))
+      case (m, _) => throw new IllegalArgumentException(s"unsupported metric: $m")
+    }
+    val scored = base.crossJoin(broadcast(queries))
+      .withColumn("distance", d)
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("distance"), col(idCol))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol), col("distance"), col("rank"))
+  }
+
+  /** H5 `VSearchWithScores` (`pkg/engine/ops.go:1276`): top-k plus the
+    * absolute score `1/(1+distance)` (`search_utils.go:48`). Decay is
+    * applied by the caller (fusion layer) so `now` stays a parameter.
+    */
+  def searchWithScores(
+      vectors: DataFrame,
+      query: Seq[Float],
+      k: Int,
+      metric: String = "euclidean",
+      idCol: String = "id",
+      vecCol: String = "vector",
+      filter: Option[Column] = None): DataFrame =
+    topK(vectors, query, k, metric, idCol, vecCol, filter)
+      .withColumn("score", scoreFromDistance(col("distance")))
+}

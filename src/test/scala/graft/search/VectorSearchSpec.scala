@@ -1,0 +1,113 @@
+package graft.search
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.VectorFunctions._
+
+/** Brute-force oracle property check, mirroring the reference's
+  * `clients/python/stress_test_recall.py` (NumPy exact neighbors) and
+  * `pkg/core/distance/distance_test.go` cross-checks.
+  */
+class VectorSearchSpec extends SparkSpec {
+
+  private val dim = 16
+  private val n = 200
+  private lazy val rnd = new scala.util.Random(42)
+  private lazy val data: Seq[(Long, Array[Float])] =
+    (0L until n).map(i => (i, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+
+  private lazy val df = {
+    import spark.implicits._
+    data.toDF("id", "vector")
+  }
+
+  private def bruteForce(q: Array[Float], k: Int, metric: String): Seq[Long] = {
+    def distE(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0f; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s.toDouble
+    }
+    def norm(a: Array[Float]): Array[Float] = {
+      var s = 0f; var i = 0
+      while (i < a.length) { s += a(i) * a(i); i += 1 }
+      if (s == 0f) a else { val inv = (1.0 / math.sqrt(s.toDouble)).toFloat; a.map(_ * inv) }
+    }
+    def distC(a: Array[Float], b: Array[Float]): Double = {
+      val (x, y) = (norm(a), norm(b))
+      var s = 0f; var i = 0
+      while (i < x.length) { s += x(i) * y(i); i += 1 }
+      1.0 - s.toDouble
+    }
+    val d: (Array[Float], Array[Float]) => Double =
+      if (metric == "euclidean") distE else distC
+    data.map { case (id, v) => (id, d(v, q)) }
+      .sortBy { case (id, dist) => (dist, id) }.take(k).map(_._1)
+  }
+
+  test("topK euclidean matches brute force") {
+    val q = data(7)._2
+    val got = VectorSearch.topK(df, q.toSeq, 10, "euclidean")
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(got == bruteForce(q, 10, "euclidean"))
+  }
+
+  test("topK cosine (normalize-at-query) matches brute force") {
+    val q = data(3)._2
+    val got = VectorSearch.topK(df, q.toSeq, 10, "cosine")
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(got == bruteForce(q, 10, "cosine"))
+  }
+
+  test("topKBatch matches per-query topK") {
+    import spark.implicits._
+    val queries = Seq((0L, data(0)._2), (5L, data(5)._2), (9L, data(9)._2))
+      .toDF("qid", "qvec")
+    val got = VectorSearch.topKBatch(df, queries, 5, "euclidean")
+      .select("qid", "id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .groupBy(_._1).map { case (q, rows) => q -> rows.sortBy(_._3).map(_._2).toSeq }
+    for ((qid, expect) <- Seq(0L, 5L, 9L).map(q => q -> bruteForce(data(q.toInt)._2, 5, "euclidean")))
+      assert(got(qid) == expect, s"qid=$qid")
+  }
+
+  test("filtered topK respects allow-list before scoring") {
+    val q = data(0)._2
+    val got = VectorSearch.topK(df, q.toSeq, 5, "euclidean",
+        filter = Some(col("id") % 2 === 0))
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val expect = data.filter(_._1 % 2 == 0).map { case (id, v) =>
+      var s = 0f; var i = 0
+      while (i < v.length) { val d = v(i) - q(i); s += d * d; i += 1 }
+      (id, s.toDouble)
+    }.sortBy { case (id, dist) => (dist, id) }.take(5).map(_._1)
+    assert(got == expect)
+  }
+
+  test("distance kernels: squared L2, cosine = 1 - dot, float accumulation") {
+    import spark.implicits._
+    val two = Seq((Array(1f, 2f, 3f), Array(2f, 4f, 6f))).toDF("a", "b")
+    val row = two.select(
+      euclideanSq(col("a"), col("b")),
+      dotProduct(col("a"), col("b")),
+      cosineDistance(normalize(col("a")), normalize(col("b")))).head
+    assert(row.getDouble(0) == (1f * 1f + 2f * 2f + 3f * 3f).toDouble)
+    assert(row.getDouble(1) == (2f + 8f + 18f).toDouble)
+    assert(math.abs(row.getDouble(2)) < 1e-6) // parallel vectors
+  }
+
+  test("normalize: zero vector passes through (hnsw_index.go:3023)") {
+    import spark.implicits._
+    val z = Seq(Tuple1(Array(0f, 0f))).toDF("v")
+      .select(normalize(col("v"))).head.getSeq[Float](0)
+    assert(z == Seq(0f, 0f))
+  }
+
+  test("batch knn plan uses WindowGroupLimit (partial top-k before shuffle)") {
+    import spark.implicits._
+    val queries = Seq((0L, data(0)._2)).toDF("qid", "qvec")
+    val plan = VectorSearch.topKBatch(df, queries, 5, "euclidean")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"plan missing WindowGroupLimit:\n$plan")
+  }
+}
