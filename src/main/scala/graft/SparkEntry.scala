@@ -15,7 +15,8 @@ object SparkEntry {
 
   private val packs: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (CoreQueries.queries, CoreQueries.oracleSql)
+      (CoreQueries.queries, CoreQueries.oracleSql),
+      (TextQueries.queries, TextQueries.oracleSql)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.text.{Analyzer, Bm25, Compressor}
+
+/** M2 queries: tokenizer, postings, BM25, context compression over the
+  * `documents` table.
+  *
+  * The documents vocabulary is a fixed 31-word set at every scale factor, so
+  * the full analyzer (tokenize → EN stopwords → Porter2-variant stem) is
+  * expressible in the DuckDB oracle as a CASE mapping — the oracle therefore
+  * exercises the real stemmer path, not a simplification.
+  */
+object TextQueries {
+
+  // Stems that differ from identity for the documents vocabulary.
+  private val stemCase =
+    """CASE tok WHEN 'customer' THEN 'custom' WHEN 'merge' THEN 'merg'
+      |  WHEN 'query' THEN 'queri' WHEN 'table' THEN 'tabl'
+      |  WHEN 'value' THEN 'valu' ELSE tok END""".stripMargin
+
+  private val stopList =
+    "('a','an','and','are','as','at','be','by','for','from','has','he','in'," +
+      "'is','it','its','of','on','that','the','to','was','were','will','with')"
+
+  private val analyzedCte =
+    s"""toks AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+       |  FROM documents
+       |),
+       |analyzed AS (
+       |  SELECT doc_id, $stemCase AS token FROM toks
+       |  WHERE tok NOT IN $stopList
+       |)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // T1: tokenizer — per-document raw token count.
+    "t1_tokenize" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      docs.select(col("doc_id"),
+          size(Analyzer.tokenizeCol(col("text"))).cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // T5: posting-list build — per-token document frequency and total tf.
+    "t5_postings" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Bm25.postings(docs, "doc_id", "text")
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
+        .orderBy(col("token"))
+    }),
+
+    // T6: BM25 ranking (k1=1.2 b=0.75, reference IDF) for a fixed query.
+    "t6_bm25" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Bm25.search(docs, "doc_id", "text", "table merge query", limit = 25)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // T8: context compression — safe-stopword removal, negations preserved.
+    "t8_compress" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      docs.select(col("doc_id"),
+          Compressor.compressCol(col("text")).as("compressed"))
+        .orderBy(col("doc_id"))
+        .limit(100)
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "t1_tokenize" ->
+      """SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t5_postings" ->
+      s"""WITH $analyzedCte,
+         |postings AS (SELECT doc_id, token, count(*) AS tf FROM analyzed GROUP BY 1, 2)
+         |SELECT token, count(*) AS df, sum(tf) AS total_tf
+         |FROM postings GROUP BY token ORDER BY token""".stripMargin,
+
+    "t6_bm25" ->
+      s"""WITH $analyzedCte,
+         |doclens AS (
+         |  SELECT d.doc_id, count(a.token) AS dl
+         |  FROM documents d LEFT JOIN analyzed a USING (doc_id) GROUP BY d.doc_id
+         |),
+         |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM doclens),
+         |postings AS (SELECT doc_id, token, count(*) AS tf FROM analyzed GROUP BY 1, 2),
+         |q AS (SELECT * FROM (VALUES ('tabl', 1), ('merg', 1), ('queri', 1)) AS t(token, qn)),
+         |dfreq AS (
+         |  SELECT p.token, count(*) AS df FROM postings p
+         |  JOIN (SELECT DISTINCT token FROM q) qt USING (token) GROUP BY p.token
+         |),
+         |scored AS (
+         |  SELECT p.doc_id,
+         |    sum(q.qn * ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5)) *
+         |        (p.tf * (1.2 + 1)) / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl))) AS score
+         |  FROM postings p
+         |  JOIN q USING (token) JOIN dfreq f USING (token)
+         |  JOIN doclens d USING (doc_id) CROSS JOIN stats s
+         |  GROUP BY p.doc_id
+         |)
+         |SELECT doc_id, round(score, 6) AS score FROM scored
+         |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+
+    // Documents text is lowercase, space-separated, punctuation-free, so the
+    // compressor reduces to dropping safe stopwords ('the' in this vocab;
+    // 'a' survives as an important word).
+    "t8_compress" ->
+      """SELECT doc_id,
+        |  array_to_string(list_filter(regexp_extract_all(text, '[a-z0-9_]+'),
+        |                              tok -> tok <> 'the'), ' ') AS compressed
+        |FROM documents ORDER BY doc_id LIMIT 100""".stripMargin
+  )
+}

@@ -1,0 +1,98 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** BM25 full-text scoring — reference `pkg/core/core.go:1955-2071`.
+  *
+  * k1 = 1.2, b = 0.75, IDF = ln(1 + (N - df + 0.5)/(df + 0.5));
+  * candidate set = union of query-token posting lists; score = sum over
+  * query tokens (duplicated query tokens count multiply).
+  *
+  * Derived tables (the reference maintains these incrementally on write —
+  * `core.go:1413-1462`; here they are one aggregation each and would be
+  * materialized/bucketed by `token` in a persistent deployment):
+  *   - postings(id, token, tf)
+  *   - doc_lengths(id, dl)      — post-analysis token count, zero included
+  *   - stats(total_docs, avg_dl)
+  *
+  * Scale shape: postings build is one shuffle on (id, token); scoring joins
+  * a broadcast query-token list against postings (map-side), then one
+  * aggregation on id. No driver-side loops.
+  */
+object Bm25 {
+  val k1 = 1.2
+  val b = 0.75
+
+  /** postings: one row per (id, token) with term frequency. */
+  def postings(docs: DataFrame, idCol: String, textCol: String,
+               lang: String = "english"): DataFrame =
+    Analyzer.tokensDF(docs.select(col(idCol), col(textCol)), textCol, lang)
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Per-document analyzed length, including zero-token docs
+    * (`stats.DocLengths[nodeID] = len(tokens)` even when 0).
+    */
+  def docLengths(docs: DataFrame, idCol: String, textCol: String,
+                 lang: String = "english"): DataFrame = {
+    val toks = Analyzer.tokensDF(docs.select(col(idCol), col(textCol)), textCol, lang)
+      .groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    docs.select(col(idCol)).join(toks, Seq(idCol), "left")
+      .na.fill(0L, Seq("dl"))
+  }
+
+  /** Score all documents matching `queryText`; returns (id, score) sorted
+    * descending (ties broken by id for determinism). Candidates = union of
+    * posting lists of the analyzed query tokens.
+    */
+  def search(docs: DataFrame, idCol: String, textCol: String, queryText: String,
+             lang: String = "english", limit: Int = Int.MaxValue): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val qTokens = Analyzer.analyze(queryText, lang)
+    if (qTokens.isEmpty) return spark.emptyDataFrame
+
+    // Repeated query tokens score multiply (ops iterate raw query tokens).
+    val q = qTokens.groupBy(identity).map { case (t, xs) => (t, xs.size) }
+      .toSeq.toDF("token", "qn")
+
+    val post = postings(docs, idCol, textCol, lang)
+    val dls = docLengths(docs, idCol, textCol, lang)
+    val stats = dls.agg(
+      count(lit(1)).as("total_docs"),
+      avg(col("dl")).as("avg_dl"))
+
+    // df(token) over the full postings, but only for query tokens.
+    val dfreq = post.join(broadcast(q.select("token")), Seq("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+
+    val idf = log(lit(1.0) +
+      (col("total_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfPart = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avg_dl")))
+
+    post
+      .join(broadcast(q), Seq("token"))
+      .join(broadcast(dfreq), Seq("token"))
+      .join(dls, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("term_score", col("qn") * idf * tfPart)
+      .groupBy(col(idCol))
+      .agg(sum(col("term_score")).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(limit)
+  }
+
+  /** Max-normalization of text scores for fusion —
+    * `normalizeTextScores` (`search_utils.go:55-69`).
+    */
+  def maxNormalized(scored: DataFrame, scoreCol: String = "score"): DataFrame = {
+    val mx = scored.agg(max(col(scoreCol)).as("_mx"))
+    scored.crossJoin(broadcast(mx))
+      .withColumn(scoreCol,
+        when(col("_mx") > 0, col(scoreCol) / col("_mx")).otherwise(col(scoreCol)))
+      .drop("_mx")
+  }
+}
