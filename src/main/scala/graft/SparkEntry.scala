@@ -16,7 +16,8 @@ object SparkEntry {
   private val packs: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (CoreQueries.queries, CoreQueries.oracleSql),
-      (TextQueries.queries, TextQueries.oracleSql)
+      (TextQueries.queries, TextQueries.oracleSql),
+      (FusionQueries.queries, FusionQueries.oracleSql)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,182 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.memory.MemoryOps
+import graft.search.{Decay, Fusion}
+
+/** M3 queries: hybrid fusion, time-decay models, reinforcement.
+  *
+  * A synthetic "memory index" view is derived deterministically from
+  * `documents ⋈ embeddings` (doc_id = vec_id) so decay metadata is
+  * reproducible in the DuckDB oracle:
+  *   _created_at    = 2024-01-01 + doc_id hours (unix secs)
+  *   _last_accessed = _created_at + (doc_id % 5) days
+  *   _pinned        = doc_id % 13 == 0
+  *   memory_layer   = [episodic, semantic, procedural][doc_id % 3]
+  *   _decay_model   = [exponential, linear, step, ebbinghaus][doc_id % 4]
+  *   _access_count  = doc_id % 7
+  *   now            = 2024-02-01 (1706745600)
+  */
+object FusionQueries {
+
+  val Now = 1706745600L // 2024-02-01T00:00:00Z
+  val Base = 1704067200L // 2024-01-01T00:00:00Z
+
+  private val memCfg = Decay.MemoryConfig(
+    enabled = true,
+    halfLifeSeconds = 604800.0,
+    model = "exponential",
+    layers = Map("episodic" -> 604800.0, "semantic" -> 2592000.0, "procedural" -> 0.0))
+
+  /** The synthetic memory table (Spark side). */
+  def memoryView(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .select(
+        col("doc_id"), col("text"), col("embedding"),
+        (lit(Base) + col("doc_id") * 3600).cast("double").as("_created_at"),
+        (lit(Base) + col("doc_id") * 3600 + (col("doc_id") % 5) * 86400)
+          .cast("double").as("_last_accessed"),
+        (col("doc_id") % 13 === 0).as("_pinned"),
+        element_at(array(lit("episodic"), lit("semantic"), lit("procedural")),
+          (col("doc_id") % 3 + 1).cast("int")).as("memory_layer"),
+        element_at(array(lit("exponential"), lit("linear"), lit("step"), lit("ebbinghaus")),
+          (col("doc_id") % 4 + 1).cast("int")).as("_decay_model"),
+        (col("doc_id") % 7).cast("double").as("_access_count"))
+  }
+
+  /** Shared SQL for the synthetic metadata (DuckDB side). */
+  private val memViewSql =
+    s"""mem AS (
+       |  SELECT d.doc_id, d.text, e.embedding,
+       |    CAST($Base + d.doc_id * 3600 AS DOUBLE) AS created_at,
+       |    CAST($Base + d.doc_id * 3600 + (d.doc_id % 5) * 86400 AS DOUBLE) AS last_accessed,
+       |    d.doc_id % 13 = 0 AS pinned,
+       |    ['episodic','semantic','procedural'][CAST(d.doc_id % 3 AS INT) + 1] AS layer,
+       |    ['exponential','linear','step','ebbinghaus'][CAST(d.doc_id % 4 AS INT) + 1] AS model,
+       |    CAST(d.doc_id % 7 AS DOUBLE) AS access_count
+       |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+       |)""".stripMargin
+
+  /** Decay factor SQL replicating search_utils.go:91-146 + ops.go:1099-1186. */
+  private val decaySql =
+    s"""CASE WHEN pinned THEN 1.0
+       |     WHEN greatest(created_at, last_accessed) <= 0 THEN 1.0
+       |     WHEN layer = 'procedural' THEN 1.0
+       |     ELSE (
+       |       CASE WHEN ($Now - greatest(created_at, last_accessed)) <= 0 THEN 1.0
+       |            ELSE (
+       |              CASE model
+       |                WHEN 'linear' THEN greatest(0.0, 1.0 - ($Now - greatest(created_at, last_accessed)) / hl)
+       |                WHEN 'step' THEN CASE WHEN ($Now - greatest(created_at, last_accessed)) < hl THEN 1.0 ELSE 0.0 END
+       |                WHEN 'ebbinghaus' THEN exp(-($Now - greatest(created_at, last_accessed)) / (hl * (1.0 + ln(1.0 + access_count))))
+       |                ELSE pow(2.0, -($Now - greatest(created_at, last_accessed)) / hl)
+       |              END)
+       |       END)
+       |END""".stripMargin
+
+  private val hlSql =
+    "CASE layer WHEN 'semantic' THEN 2592000.0 ELSE 604800.0 END"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // H3: all four decay models + pinning + per-layer half-life.
+    "h3_decay_models" -> ((s, dir) => {
+      val mem = memoryView(s, dir)
+      mem.select(col("doc_id"),
+          round(Decay.factor(memCfg, lit(Now.toDouble),
+            col("_created_at"), col("_last_accessed"), col("_pinned"),
+            col("memory_layer"), col("_decay_model"), col("_access_count")), 6)
+            .as("decay"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // H1: full hybrid fusion — vector top-k (1/(1+d)) ⨝ max-normalized BM25,
+    // alpha-weighted, decay-multiplied, top-k.
+    "h1_fusion_hybrid" -> ((s, dir) => {
+      val mem = memoryView(s, dir)
+      val qvec = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+        .head().getSeq[Float](1)
+      Fusion.searchWithFusion(
+          mem, "doc_id", "embedding", "text",
+          Some(qvec), "table merge query",
+          Fusion.FusionParams(alpha = 0.6, k = 15, metric = "cosine",
+            memory = memCfg, now = Now, wide = true))
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // H4: reinforcement — bump _last_accessed/_access_count for a hit set.
+    "h4_reinforce" -> ((s, dir) => {
+      val mem = memoryView(s, dir)
+      MemoryOps.reinforce(mem, "doc_id", col("doc_id") % 50 === 0, Now.toDouble)
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("_last_accessed"), col("_access_count"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  private def bm25Cte: String = TextQueries.analyzedOn("mem")
+
+  val oracleSql: Map[String, String] = Map(
+    "h3_decay_models" ->
+      s"""WITH $memViewSql,
+         |hl_t AS (SELECT *, $hlSql AS hl FROM mem)
+         |SELECT doc_id, round($decaySql, 6) AS decay FROM hl_t ORDER BY doc_id""".stripMargin,
+
+    "h1_fusion_hybrid" ->
+      s"""WITH $memViewSql,
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |vec AS (
+         |  SELECT doc_id,
+         |    1.0 - list_cosine_similarity(CAST(m.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) AS d
+         |  FROM mem m CROSS JOIN q
+         |),
+         |vtopk AS (
+         |  SELECT doc_id, 1.0 / (1.0 + d) AS vscore
+         |  FROM (SELECT doc_id, d, row_number() OVER (ORDER BY d, doc_id) AS rn FROM vec)
+         |  WHERE rn <= 15
+         |),
+         |${bm25Cte},
+         |doclens AS (
+         |  SELECT m.doc_id, count(a.token) AS dl
+         |  FROM mem m LEFT JOIN analyzed a USING (doc_id) GROUP BY m.doc_id
+         |),
+         |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM doclens),
+         |postings AS (SELECT doc_id, token, count(*) AS tf FROM analyzed GROUP BY 1, 2),
+         |qt AS (SELECT * FROM (VALUES ('tabl', 1), ('merg', 1), ('queri', 1)) AS t(token, qn)),
+         |dfreq AS (
+         |  SELECT p.token, count(*) AS df FROM postings p
+         |  JOIN (SELECT DISTINCT token FROM qt) x USING (token) GROUP BY p.token
+         |),
+         |bm25 AS (
+         |  SELECT p.doc_id,
+         |    sum(qt.qn * ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5)) *
+         |        (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS raw
+         |  FROM postings p JOIN qt USING (token) JOIN dfreq f USING (token)
+         |  JOIN doclens d USING (doc_id) CROSS JOIN stats s GROUP BY p.doc_id
+         |),
+         |tnorm AS (SELECT doc_id, raw / max(raw) OVER () AS tscore FROM bm25),
+         |fused AS (
+         |  SELECT coalesce(v.doc_id, t.doc_id) AS doc_id,
+         |    0.6 * coalesce(v.vscore, 0) + 0.4 * coalesce(t.tscore, 0) AS fscore
+         |  FROM vtopk v FULL OUTER JOIN tnorm t ON v.doc_id = t.doc_id
+         |),
+         |decayed AS (
+         |  SELECT f.doc_id, f.fscore * $decaySql AS score
+         |  FROM fused f JOIN (SELECT *, $hlSql AS hl FROM mem) USING (doc_id)
+         |)
+         |SELECT doc_id, round(score, 6) AS score FROM decayed
+         |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
+    "h4_reinforce" ->
+      s"""WITH $memViewSql
+         |SELECT doc_id,
+         |  CASE WHEN doc_id % 50 = 0 THEN CAST($Now AS DOUBLE) ELSE last_accessed END AS "_last_accessed",
+         |  CASE WHEN doc_id % 50 = 0 THEN access_count + 1 ELSE access_count END AS "_access_count"
+         |FROM mem WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin
+  )
+}

@@ -26,15 +26,20 @@ object TextQueries {
     "('a','an','and','are','as','at','be','by','for','from','has','he','in'," +
       "'is','it','its','of','on','that','the','to','was','were','will','with')"
 
-  private val analyzedCte =
+  /** `analyzed(doc_id, token)` CTE over any table with (doc_id, text) —
+    * tokenize → EN stopwords → stem (CASE over the fixed vocabulary).
+    */
+  def analyzedOn(table: String): String =
     s"""toks AS (
        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
-       |  FROM documents
+       |  FROM $table
        |),
        |analyzed AS (
        |  SELECT doc_id, $stemCase AS token FROM toks
        |  WHERE tok NOT IN $stopList
        |)""".stripMargin
+
+  private val analyzedCte = analyzedOn("documents")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // T1: tokenizer — per-document raw token count.

@@ -32,12 +32,15 @@ object VectorSearch {
     * reference normalizes at insert AND query for cosine —
     * `hnsw_index.go:3023`, `:410-417`).
     */
-  def distCol(metric: String, v: Column, q: Column, normalized: Boolean = false): Column =
-    metric match {
-      case "euclidean"                 => euclideanSq(v, q)
-      case "cosine" if normalized      => cosineDistance(v, q)
-      case "cosine"                    => cosineDistance(normalize(v), normalize(q))
-      case m => throw new IllegalArgumentException(s"unsupported metric: $m")
+  def distCol(metric: String, v: Column, q: Column, normalized: Boolean = false,
+              wide: Boolean = false): Column =
+    (metric, wide) match {
+      case ("euclidean", false)            => euclideanSq(v, q)
+      case ("euclidean", true)             => euclideanSqWide(v, q)
+      case ("cosine", false) if normalized => cosineDistance(v, q)
+      case ("cosine", false)               => cosineDistance(normalize(v), normalize(q))
+      case ("cosine", true)                => lit(1.0) - cosineSimilarityWide(v, q)
+      case (m, _) => throw new IllegalArgumentException(s"unsupported metric: $m")
     }
 
   /** Single-query exact top-k with optional allow-list filter pushed BELOW
@@ -51,11 +54,12 @@ object VectorSearch {
       metric: String = "euclidean",
       idCol: String = "id",
       vecCol: String = "vector",
-      filter: Option[Column] = None): DataFrame = {
+      filter: Option[Column] = None,
+      wide: Boolean = false): DataFrame = {
     val q = lit(query.toArray).cast("array<float>")
     val base = filter.fold(vectors)(vectors.filter)
     base
-      .withColumn("distance", distCol(metric, col(vecCol), q))
+      .withColumn("distance", distCol(metric, col(vecCol), q, normalized = false, wide = wide))
       .orderBy(col("distance"), col(idCol))
       .limit(k)
   }
