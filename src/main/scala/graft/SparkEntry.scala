@@ -17,7 +17,8 @@ object SparkEntry {
     Seq(
       (CoreQueries.queries, CoreQueries.oracleSql),
       (TextQueries.queries, TextQueries.oracleSql),
-      (FusionQueries.queries, FusionQueries.oracleSql)
+      (FusionQueries.queries, FusionQueries.oracleSql),
+      (GraphQueries.queries, GraphQueries.oracleSql)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,142 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Mirrors the reference's `rich_graph_test.go` (weights/props/time travel),
+  * `graph_filter_test.go` (BFS allow-lists), and `pathfinding` semantics.
+  */
+class GraphOpsSpec extends SparkSpec {
+
+  import GraphOps._
+
+  // chunk_1 -next-> chunk_2 -next-> chunk_3; chunks -parent-> doc_1;
+  // doc_1 -mentions-> ent_1; edge chunk_2->chunk_3 soft-deleted at t=150.
+  private lazy val edges: DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("chunk_1", "chunk_2", "next", 1.0f, null: String, 100L, null.asInstanceOf[java.lang.Long]),
+      ("chunk_2", "chunk_3", "next", 1.0f, null: String, 100L, java.lang.Long.valueOf(150L)),
+      ("chunk_1", "doc_1", "parent", 1.0f, null: String, 100L, null.asInstanceOf[java.lang.Long]),
+      ("chunk_2", "doc_1", "parent", 1.0f, null: String, 110L, null.asInstanceOf[java.lang.Long]),
+      ("doc_1", "ent_1", "mentions", 0.5f, """{"a":"b"}""", 120L, null.asInstanceOf[java.lang.Long])
+    ).toDF("src", "dst", "rel", "weight", "props", "created_at", "deleted_at")
+  }
+
+  test("time travel: active-at predicate (core/graph.go:350-362)") {
+    // t=0 → now: soft-deleted edge invisible
+    assert(edges.filter(activeAt(0L)).count() == 4)
+    // at t=120 the chunk_2->chunk_3 edge still existed (and all 5 are created)
+    assert(edges.filter(activeAt(120L)).count() == 5)
+    assert(edges.filter(activeAt(120L) && col("dst") === "chunk_3").count() == 1)
+    // at t=200 it's gone; at t=90 nothing exists yet
+    assert(edges.filter(activeAt(200L) && col("dst") === "chunk_3").count() == 0)
+    assert(edges.filter(activeAt(90L)).count() == 0)
+  }
+
+  test("in/out edges and relation grouping") {
+    assert(outEdges(edges, "chunk_1").count() == 2)
+    assert(inEdges(edges, "doc_1").count() == 2)
+    assert(inEdges(edges, "doc_1", Some("parent")).count() == 2)
+    val rels = relations(edges, "doc_1").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getSeq[String](2)).toMap
+    assert(rels(("mentions", "out")) == Seq("ent_1"))
+    assert(rels(("parent", "in")) == Seq("chunk_1", "chunk_2"))
+  }
+
+  test("dot-path traversal (ops.go:594-696)") {
+    import spark.implicits._
+    val roots = Seq("chunk_1").toDF("root")
+    val got = traverse(edges, roots, Seq("parent", "mentions"))
+      .select("node").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("ent_1"))
+    // time-travel traverse through the deleted edge
+    val nextNext = traverse(edges, Seq("chunk_1").toDF("root"), Seq("next", "next"), atTime = 120L)
+      .select("node").collect().map(_.getString(0)).toSeq
+    assert(nextNext == Seq("chunk_3"))
+    assert(traverse(edges, Seq("chunk_1").toDF("root"), Seq("next", "next"))
+      .isEmpty) // deleted now
+  }
+
+  test("BFS: depth caps, direction, minimal depth") {
+    import spark.implicits._
+    val got = bfs(edges, Seq("chunk_1").toDF("node"), direction = "out", maxDepth = 3)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == Map("chunk_1" -> 0, "chunk_2" -> 1, "doc_1" -> 1, "ent_1" -> 2))
+    val in = bfs(edges, Seq("doc_1").toDF("node"), direction = "in", maxDepth = 1)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(in == Map("doc_1" -> 0, "chunk_1" -> 1, "chunk_2" -> 1))
+    val depth1 = bfs(edges, Seq("chunk_1").toDF("node"), direction = "out", maxDepth = 1)
+    assert(!depth1.collect().map(_.getString(0)).contains("ent_1"))
+  }
+
+  test("shortest paths with hop counts and deterministic path choice") {
+    val got = shortestPaths(edges, "chunk_1", maxDepth = 4)
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getSeq[String](2))).toMap
+    assert(got("ent_1")._1 == 2)
+    assert(got("ent_1")._2 == Seq("chunk_1", "doc_1", "ent_1"))
+    // chunk_2->chunk_3 soft-deleted → unreachable at t=now
+    assert(!got.contains("chunk_3"))
+    val asOf120 = shortestPaths(edges, "chunk_1", maxDepth = 4, atTime = 120L)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(asOf120("chunk_3") == 2) // time travel restores the path
+    // bidirectional reachability via "both"
+    val both = shortestPaths(edges, "ent_1", maxDepth = 3, direction = "both")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(both("doc_1") == 1 && both("chunk_1") == 2)
+  }
+
+  test("subgraph extraction: members + induced active edges") {
+    val (nodes, sub) = subgraph(edges, "doc_1", depth = 1)
+    val members = nodes.collect().map(_.getString(0)).toSet
+    assert(members == Set("doc_1", "chunk_1", "chunk_2", "ent_1"))
+    // induced edges: chunk_1->chunk_2 (both members), parents, mentions — not chunk_2->chunk_3
+    val got = sub.select("src", "dst").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("chunk_1", "chunk_2"), ("chunk_1", "doc_1"),
+      ("chunk_2", "doc_1"), ("doc_1", "ent_1")))
+  }
+
+  test("link versioning: idempotent re-link vs changed weight (graph.go:112-182)") {
+    import spark.implicits._
+    val links = Seq(
+      ("chunk_1", "chunk_2", "next", 1.0f, null: String, 200L),     // identical → no-op
+      ("doc_1", "ent_1", "mentions", 0.9f, """{"a":"b"}""", 200L),  // weight change → new version
+      ("ent_1", "ent_2", "related", 1.0f, null: String, 200L)       // brand new
+    ).toDF("src", "dst", "rel", "weight", "props", "created_at")
+    val after = link(edges, links, now = 200L)
+    val active = after.filter(activeAt(0L))
+    assert(active.count() == 5) // 4 active before, mentions replaced, +1 new
+    val mentions = active.filter(col("rel") === "mentions")
+      .collect().map(r => r.getAs[Float]("weight"))
+    assert(mentions.toSeq == Seq(0.9f))
+    // old version is time-travel visible
+    val asOf150 = after.filter(activeAt(150L) && col("rel") === "mentions")
+      .collect().map(_.getAs[Float]("weight"))
+    assert(asOf150.toSeq == Seq(0.5f))
+    // idempotent link did not duplicate
+    assert(active.filter(col("src") === "chunk_1" && col("dst") === "chunk_2").count() == 1)
+  }
+
+  test("unlink soft/hard and vacuum retention") {
+    val soft = unlink(edges, "chunk_1", "chunk_2", "next", now = 300L)
+    assert(soft.filter(activeAt(0L)).count() == 3)
+    assert(soft.filter(activeAt(250L) && col("dst") === "chunk_2").count() == 1)
+    val hard = unlink(edges, "chunk_1", "chunk_2", "next", now = 300L, hard = true)
+    assert(hard.count() == 4)
+    // vacuum: purge tombstones older than cutoff 200 (the t=150 one goes)
+    assert(vacuum(edges, 200L).count() == 4)
+    assert(vacuum(edges, 100L).count() == 5)
+  }
+
+  test("auto-links derivation (ops.go:1699-1737)") {
+    import spark.implicits._
+    val t = Seq(("v1", "projA"), ("v2", null), ("v3", "projB"))
+      .toDF("id", "project")
+    val got = autoLinks(t, "id", "project", "part_of")
+      .select("src", "dst", "rel").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(("v1", "projA", "part_of"), ("v3", "projB", "part_of")))
+  }
+}
