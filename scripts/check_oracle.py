@@ -22,10 +22,13 @@ for name, sql in sorted(oracle.items()):
     try:
         spark_df = pd.read_parquet(f'{out}/{name}')
         duck_df = con.execute(sql).df()
+        # check_dtype=True mirrors the driver's dtype-sensitive hash: a
+        # DuckDB HUGEINT (object/float64) vs Spark BIGINT divergence must
+        # FAIL here — fix by CASTing in the oracle SQL, not by loosening.
         cols = sorted(spark_df.columns)
         s = spark_df[cols].sort_values(cols).reset_index(drop=True)
         q = duck_df[sorted(duck_df.columns)].sort_values(sorted(duck_df.columns)).reset_index(drop=True)
-        pd.testing.assert_frame_equal(s, q, check_dtype=False, check_exact=True)
+        pd.testing.assert_frame_equal(s, q, check_dtype=True, check_exact=True)
         print(f"PASS  {name} rows={len(s)}")
     except AssertionError as e:
         fails += 1
@@ -33,5 +36,17 @@ for name, sql in sorted(oracle.items()):
     except Exception as e:
         fails += 1
         print(f"ERROR {name}: {e}")
-missing = set(oracle) ^ set()
+
+# Asymmetry between declared oracles, produced result dirs, and query keys
+# means a broken/missing query — fail loudly (ADVICE r01).
+import os
+dirs = {d for d in os.listdir(out)
+        if os.path.isdir(os.path.join(out, d))}
+missing_results = set(oracle) - dirs
+extra_results = dirs - set(oracle)
+if missing_results:
+    fails += 1
+    print(f"MISSING results for declared oracles: {sorted(missing_results)}")
+if extra_results:
+    print(f"NOTE: queries without oracle SQL (rows-only check): {sorted(extra_results)}")
 sys.exit(1 if fails else 0)

@@ -1,24 +1,50 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Per-round benchmark. Methodology (VERDICT r01 §"What's wrong" #4/#5):
+  *   - the measured action is a `noop`-format write — materializes every
+  *     column, so deterministic UDF projections are not pruned away (a
+  *     `count()` lets Catalyst drop unreferenced projections);
+  *   - one full untimed warmup pass absorbs session/codegen/JIT startup;
+  *   - UTC pinned to match Verify (unix_timestamp determinism);
+  *   - the JSON line is printed to stdout AND written to
+  *     `$SPARK_GRAFT_BENCH_OUT` (default `bench_out.json` in the CWD) so the
+  *     driver can parse it out of sbt's [info]-prefixed stdout.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def execute(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+
+    val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    // Warmup: full pass, untimed (codegen + parquet footer caches + JIT).
+    qs.foreach { case (_, fn) => try execute(fn) catch { case _: Throwable => () } }
+
+    val results = qs.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try execute(fn) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val perQuery = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$perQuery,"sf":"$sfDir"}"""
+    Files.writeString(Paths.get(outPath), json + "\n")
+    println(json)
     spark.stop()
   }
 }

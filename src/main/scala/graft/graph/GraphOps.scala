@@ -91,18 +91,24 @@ object GraphOps {
       val a = edges.filter(activeAt(atTime))
       if (rels.isEmpty) a else a.filter(col("rel").isin(rels: _*))
     }
-    val hops: DataFrame = direction match {
+    // Cache the (from, to) projection once: every level joins against it,
+    // and recomputing the parquet scan + union per level is a repeated-full-
+    // scan multiplier at scale. Unpersisted after the loop — every returned
+    // row descends from an eagerly checkpointed frontier, not from `hops`.
+    val hops: DataFrame = (direction match {
       case "out"  => active.select(col("src").as("from"), col("dst").as("to"))
       case "in"   => active.select(col("dst").as("from"), col("src").as("to"))
       case _      => active.select(col("src").as("from"), col("dst").as("to"))
         .unionAll(active.select(col("dst").as("from"), col("src").as("to")))
-    }
+    }).persist()
     var visited = roots.select(col("node"), lit(0).as("depth"))
     var frontier = visited
     var d = 1
     while (d <= maxDepth && !frontier.isEmpty) {
       // localCheckpoint truncates lineage: avoids self-join ambiguity across
-      // iterations and keeps the plan linear in depth.
+      // iterations and keeps the plan linear in depth. (On a multi-executor
+      // cluster prefer reliable `checkpoint` — localCheckpoint state dies
+      // with a lost executor.)
       val next = frontier.join(hops, frontier("node") === hops("from"))
         .select(hops("to").as("node"), lit(d).as("depth"))
         .join(visited.select(col("node").as("seen")),
@@ -113,6 +119,7 @@ object GraphOps {
       frontier = next
       d += 1
     }
+    hops.unpersist(blocking = false)
     visited
   }
 
@@ -130,12 +137,13 @@ object GraphOps {
       val a = edges.filter(activeAt(atTime))
       if (rels.isEmpty) a else a.filter(col("rel").isin(rels: _*))
     }
-    val hops: DataFrame = direction match {
+    // Cached for the loop (see bfs); released after the last checkpoint.
+    val hops: DataFrame = (direction match {
       case "out"  => active.select(col("src").as("from"), col("dst").as("to"))
       case "in"   => active.select(col("dst").as("from"), col("src").as("to"))
       case _      => active.select(col("src").as("from"), col("dst").as("to"))
         .unionAll(active.select(col("dst").as("from"), col("src").as("to")))
-    }
+    }).persist()
     val spark = edges.sparkSession
     import spark.implicits._
     var best = Seq((from, 0, Seq(from))).toDF("node", "hops", "path")
@@ -159,6 +167,7 @@ object GraphOps {
       frontier = nextBest
       d += 1
     }
+    hops.unpersist(blocking = false)
     best
   }
 

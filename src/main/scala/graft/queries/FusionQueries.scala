@@ -98,11 +98,11 @@ object FusionQueries {
     // alpha-weighted, decay-multiplied, top-k.
     "h1_fusion_hybrid" -> ((s, dir) => {
       val mem = memoryView(s, dir)
-      val qvec = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
-        .head().getSeq[Float](1)
-      Fusion.searchWithFusion(
+      val qdf = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      Fusion.searchWithFusionDF(
           mem, "doc_id", "embedding", "text",
-          Some(qvec), "table merge query",
+          Some(qdf), "table merge query",
           Fusion.FusionParams(alpha = 0.6, k = 15, metric = "cosine",
             memory = memCfg, now = Now, wide = true))
         .select(col("doc_id"), round(col("score"), 6).as("score"))

@@ -151,8 +151,8 @@ object GraphQueries {
     "g3_time_travel" ->
       s"""WITH $edgeViewSql
          |SELECT rel,
-         |  sum(CASE WHEN ${activeSql("0")} THEN 1 ELSE 0 END) AS active_now,
-         |  sum(CASE WHEN ${activeSql(T0.toString)} THEN 1 ELSE 0 END) AS active_at_t
+         |  CAST(sum(CASE WHEN ${activeSql("0")} THEN 1 ELSE 0 END) AS BIGINT) AS active_now,
+         |  CAST(sum(CASE WHEN ${activeSql(T0.toString)} THEN 1 ELSE 0 END) AS BIGINT) AS active_at_t
          |FROM edges GROUP BY rel ORDER BY rel""".stripMargin,
 
     "g4_reverse" ->

@@ -85,7 +85,7 @@ object TextQueries {
     "t5_postings" ->
       s"""WITH $analyzedCte,
          |postings AS (SELECT doc_id, token, count(*) AS tf FROM analyzed GROUP BY 1, 2)
-         |SELECT token, count(*) AS df, sum(tf) AS total_tf
+         |SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
          |FROM postings GROUP BY token ORDER BY token""".stripMargin,
 
     "t6_bm25" ->

@@ -3,7 +3,7 @@ package graft.search
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.text.Bm25
+import graft.text.{Analyzer, Bm25}
 
 /** Hybrid search fusion — reference `searchWithFusion`
   * (`pkg/engine/ops.go:896-1211`).
@@ -25,7 +25,12 @@ import graft.text.Bm25
   *     corpus statistics are unaffected by the filter);
   *   - text-only queries (zero/absent query vector) return raw BM25 scores
   *     (`ops.go:976-996` — no normalization);
+  *   - a text query that analyzes to zero tokens (all stopwords) degrades
+  *     to vector-only, mirroring `FindIDsByTextSearch` returning nil;
   *   - alpha outside [0,1] falls back to 0.5.
+  *
+  * Query construction is fully lazy: the query vector is either a literal
+  * or a one-row DataFrame broadcast-joined in-plan — no driver action.
   */
 object Fusion {
 
@@ -35,11 +40,10 @@ object Fusion {
       metric: String = "cosine",
       memory: Decay.MemoryConfig = Decay.MemoryConfig(),
       now: Long = 0L,
-      wide: Boolean = false)
+      wide: Boolean = false,
+      lang: String = "english")
 
-  /** Hybrid search over a table carrying both a vector column and a text
-    * column (plus optional memory metadata columns, absent ones default).
-    */
+  /** Hybrid search with a driver-known query vector (literal in-plan). */
   def searchWithFusion(
       table: DataFrame,
       idCol: String,
@@ -49,38 +53,66 @@ object Fusion {
       textQuery: String,
       params: FusionParams,
       filter: Option[Column] = None): DataFrame = {
+    val spark = table.sparkSession
+    // Zero-vector queries mean "text only" (graph-entity placeholder rows —
+    // ops.go:320-334 materializes zero vectors for bare graph nodes).
+    val qdf = queryVec.filterNot(_.forall(_ == 0f)).map { v =>
+      spark.range(1).select(lit(v.toArray).cast("array<float>").as("qvec"))
+    }
+    searchWithFusionDF(table, idCol, vecCol, textCol, qdf, textQuery, params, filter)
+  }
+
+  /** Hybrid search with the query vector supplied as a one-row DataFrame
+    * `(qvec)` (e.g. selected from a vector table) — stays lazy end-to-end.
+    */
+  def searchWithFusionDF(
+      table: DataFrame,
+      idCol: String,
+      vecCol: String,
+      textCol: String,
+      queryVecDF: Option[DataFrame],
+      textQuery: String,
+      params: FusionParams,
+      filter: Option[Column] = None): DataFrame = {
 
     val alpha = if (params.alpha < 0 || params.alpha > 1) 0.5 else params.alpha
-    val isVectorEmpty = queryVec.forall(_.forall(_ == 0f))
+    val qTokens = Analyzer.analyze(textQuery, params.lang)
+
+    def textScored(): DataFrame = {
+      val scored = Bm25.searchPostings(
+        table.select(col(idCol)),
+        Bm25.postings(table, idCol, textCol, params.lang),
+        idCol, qTokens)
+      filter match {
+        case Some(pred) =>
+          scored.join(table.filter(pred).select(col(idCol)), Seq(idCol), "left_semi")
+        case None => scored
+      }
+    }
 
     // CASE A: text only — raw BM25 scores, allow-list post-filter, top-k.
-    if (isVectorEmpty) {
+    if (queryVecDF.isEmpty) {
       require(textQuery.nonEmpty, "empty hybrid query")
-      val scored = Bm25.search(table, idCol, textCol, textQuery)
-      val filtered = filter match {
-        case Some(pred) => scored.join(table.filter(pred).select(col(idCol)), Seq(idCol), "left_semi")
-        case None       => scored
-      }
-      return filtered.orderBy(col("score").desc, col(idCol)).limit(params.k)
+      return textScored().orderBy(col("score").desc, col(idCol)).limit(params.k)
         .select(col(idCol), col("score"))
     }
 
-    // CASE B: hybrid / vector.
-    val vecScores = VectorSearch.topK(
-        table, queryVec.get, params.k, params.metric, idCol, vecCol, filter,
-        wide = params.wide)
+    // CASE B: hybrid / vector. Broadcast the one-row query, score map-side,
+    // top-k via TakeOrderedAndProject (per-partition top-k, no full shuffle).
+    val base = filter.fold(table)(table.filter)
+    val vecScores = base
+      .crossJoin(broadcast(queryVecDF.get.select(col("qvec"))))
+      .withColumn("distance",
+        VectorSearch.distCol(params.metric, col(vecCol), col("qvec"), wide = params.wide))
+      .orderBy(col("distance"), col(idCol))
+      .limit(params.k)
       .select(col(idCol),
         (lit(1.0) / (lit(1.0) + col("distance"))).as("vscore"))
 
     val fusedBase =
-      if (textQuery.isEmpty) vecScores.withColumn("fused", col("vscore"))
+      if (qTokens.isEmpty) vecScores.withColumn("fused", col("vscore"))
       else {
-        val rawText = Bm25.search(table, idCol, textCol, textQuery)
-        val allowText = filter match {
-          case Some(pred) => rawText.join(table.filter(pred).select(col(idCol)), Seq(idCol), "left_semi")
-          case None       => rawText
-        }
-        val textScores = Bm25.maxNormalized(allowText).withColumnRenamed("score", "tscore")
+        val textScores = Bm25.maxNormalized(textScored()).withColumnRenamed("score", "tscore")
         vecScores.join(textScores, Seq(idCol), "full_outer")
           .withColumn("fused",
             lit(alpha) * coalesce(col("vscore"), lit(0.0)) +

@@ -78,7 +78,6 @@ object Analyzer {
   def tokensDF(docs: DataFrame, textCol: String, lang: String = "english"): DataFrame = {
     val stemmer = stemFn(lang)
     val stemUdf = udf((t: String) => stemmer(t))
-    val sw = stopWords(lang).toSeq.map(lit)
     docs
       .withColumn("_tok",
         explode(regexp_extract_all(lower(col(textCol)), lit(TokenPattern), lit(0))))

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** BM25 full-text scoring — reference `pkg/core/core.go:1955-2071`.
@@ -16,9 +16,14 @@ import org.apache.spark.sql.functions._
   *   - doc_lengths(id, dl)      — post-analysis token count, zero included
   *   - stats(total_docs, avg_dl)
   *
-  * Scale shape: postings build is one shuffle on (id, token); scoring joins
-  * a broadcast query-token list against postings (map-side), then one
-  * aggregation on id. No driver-side loops.
+  * Scale shape: the corpus is analyzed ONCE — doc lengths (`sum(tf)`) and
+  * per-query-token document frequencies both derive from the postings
+  * aggregate, so the tokenize/stem scan appears a single time and Catalyst's
+  * ReuseExchange serves the shared subtree to every consumer. Scoring joins a
+  * broadcast query-token list against postings (map-side), then one
+  * aggregation on id. For a persistent deployment call `searchPostings`
+  * directly with pre-materialized (token-bucketed) postings and skip the
+  * analysis scan entirely. No driver-side loops.
   */
 object Bm25 {
   val k1 = 1.2
@@ -31,35 +36,53 @@ object Bm25 {
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
 
-  /** Per-document analyzed length, including zero-token docs
-    * (`stats.DocLengths[nodeID] = len(tokens)` even when 0).
+  /** Per-document analyzed length derived from postings (`dl = sum(tf)`),
+    * including zero-token docs (`stats.DocLengths[nodeID] = len(tokens)`
+    * even when 0) via a left join against the full id set.
     */
-  def docLengths(docs: DataFrame, idCol: String, textCol: String,
-                 lang: String = "english"): DataFrame = {
-    val toks = Analyzer.tokensDF(docs.select(col(idCol), col(textCol)), textCol, lang)
-      .groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
-    docs.select(col(idCol)).join(toks, Seq(idCol), "left")
+  def docLengthsFromPostings(allIds: DataFrame, post: DataFrame,
+                             idCol: String): DataFrame =
+    allIds.join(post.groupBy(col(idCol)).agg(sum(col("tf")).as("dl")),
+        Seq(idCol), "left")
       .na.fill(0L, Seq("dl"))
-  }
+
+  /** Per-document analyzed length, including zero-token docs. */
+  def docLengths(docs: DataFrame, idCol: String, textCol: String,
+                 lang: String = "english"): DataFrame =
+    docLengthsFromPostings(docs.select(col(idCol)),
+      postings(docs, idCol, textCol, lang), idCol)
 
   /** Score all documents matching `queryText`; returns (id, score) sorted
     * descending (ties broken by id for determinism). Candidates = union of
     * posting lists of the analyzed query tokens.
     */
   def search(docs: DataFrame, idCol: String, textCol: String, queryText: String,
-             lang: String = "english", limit: Int = Int.MaxValue): DataFrame = {
-    val spark = docs.sparkSession
+             lang: String = "english", limit: Int = Int.MaxValue): DataFrame =
+    searchPostings(docs.select(col(idCol)),
+      postings(docs, idCol, textCol, lang), idCol,
+      Analyzer.analyze(queryText, lang), limit)
+
+  /** BM25 over pre-built postings — the deployment entry point (postings
+    * materialized + bucketed by token; only this plan runs per query batch).
+    *
+    * An empty analyzed query (e.g. all stopwords) returns a typed empty
+    * (id, score) result — mirrors `FindIDsByTextSearch` returning nil so
+    * hybrid fusion can degrade gracefully (`core.go:1965`).
+    */
+  def searchPostings(allIds: DataFrame, post: DataFrame, idCol: String,
+                     queryTokens: Seq[String],
+                     limit: Int = Int.MaxValue): DataFrame = {
+    val spark = allIds.sparkSession
     import spark.implicits._
 
-    val qTokens = Analyzer.analyze(queryText, lang)
-    if (qTokens.isEmpty) return spark.emptyDataFrame
+    if (queryTokens.isEmpty)
+      return allIds.limit(0).withColumn("score", lit(0.0))
 
     // Repeated query tokens score multiply (ops iterate raw query tokens).
-    val q = qTokens.groupBy(identity).map { case (t, xs) => (t, xs.size) }
+    val q = queryTokens.groupBy(identity).map { case (t, xs) => (t, xs.size) }
       .toSeq.toDF("token", "qn")
 
-    val post = postings(docs, idCol, textCol, lang)
-    val dls = docLengths(docs, idCol, textCol, lang)
+    val dls = docLengthsFromPostings(allIds, post, idCol)
     val stats = dls.agg(
       count(lit(1)).as("total_docs"),
       avg(col("dl")).as("avg_dl"))
