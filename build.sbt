@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to this process's stdout/stderr instead of
+// the sbt logger — the driver parses the bench JSON line from stdout and the
+// default LoggedOutput "[info] " prefix broke that (BENCH_r01/r02 parsed:null).
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

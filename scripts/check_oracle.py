@@ -47,6 +47,14 @@ extra_results = dirs - set(oracle)
 if missing_results:
     fails += 1
     print(f"MISSING results for declared oracles: {sorted(missing_results)}")
-if extra_results:
-    print(f"NOTE: queries without oracle SQL (rows-only check): {sorted(extra_results)}")
+for d in sorted(extra_results):
+    # No oracle SQL declared — still assert the minimal invariant the
+    # driver's weaker path relies on: readable parquet with >0 rows.
+    try:
+        n = len(pd.read_parquet(os.path.join(out, d)))
+        assert n > 0, "zero rows"
+        print(f"PASS  {d} rows={n} (no oracle SQL; rows>0 only)")
+    except Exception as e:
+        fails += 1
+        print(f"FAIL  {d} (no oracle SQL): {e}")
 sys.exit(1 if fails else 0)

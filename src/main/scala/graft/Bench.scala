@@ -15,7 +15,10 @@ import java.nio.file.{Files, Paths}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Default to the host's real core count — a hardcoded 32 oversubscribes
+    // smaller machines and makes timings non-comparable across hosts.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -35,14 +38,19 @@ object Bench {
 
     val results = qs.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try execute(fn) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      // A crashing query must not read as a speedup: record -1, not its
+      // fail-fast wall time (ADVICE r02).
+      val ok = try { execute(fn); true } catch { case _: Throwable => false }
+      val secs = (System.nanoTime() - t0) / 1e9
+      (name, if (ok) secs else -1.0, ok)
     }
-    val perQuery = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val perQuery = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$perQuery,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$perQuery,"failed":$failed,"cpus":$cpus,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outPath), json + "\n")
     println(json)
     spark.stop()

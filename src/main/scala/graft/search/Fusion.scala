@@ -99,9 +99,18 @@ object Fusion {
 
     // CASE B: hybrid / vector. Broadcast the one-row query, score map-side,
     // top-k via TakeOrderedAndProject (per-partition top-k, no full shuffle).
+    // Cardinality guard (in-plan, stays lazy): a zero-row query DF would
+    // silently degrade to (1-alpha)-scaled text scores and a multi-row one
+    // would duplicate ids — fail loudly instead. limit(2) bounds the check.
+    val qOne = queryVecDF.get.select(col("qvec")).limit(2)
+      .agg(count(lit(1)).as("qn"), first(col("qvec")).as("qvec"))
+      .select(col("qvec"),
+        assert_true(col("qn") === 1,
+          lit("queryVecDF must have exactly one row")).as("qchk"))
     val base = filter.fold(table)(table.filter)
     val vecScores = base
-      .crossJoin(broadcast(queryVecDF.get.select(col("qvec"))))
+      .crossJoin(broadcast(qOne))
+      .drop("qchk")
       .withColumn("distance",
         VectorSearch.distCol(params.metric, col(vecCol), col("qvec"), wide = params.wide))
       .orderBy(col("distance"), col(idCol))
@@ -110,7 +119,13 @@ object Fusion {
         (lit(1.0) / (lit(1.0) + col("distance"))).as("vscore"))
 
     val fusedBase =
-      if (qTokens.isEmpty) vecScores.withColumn("fused", col("vscore"))
+      // Pure-vector request (no text query at all): fused = vscore.
+      if (textQuery.isEmpty) vecScores.withColumn("fused", col("vscore"))
+      // Text query present but analyzes to zero tokens (all stopwords):
+      // the reference's Case B with nil text results scores alpha*vscore
+      // (ops.go:1078) — keep absolute scores aligned, ranking unchanged.
+      else if (qTokens.isEmpty)
+        vecScores.withColumn("fused", lit(alpha) * col("vscore"))
       else {
         val textScores = Bm25.maxNormalized(textScored()).withColumnRenamed("score", "tscore")
         vecScores.join(textScores, Seq(idCol), "full_outer")
