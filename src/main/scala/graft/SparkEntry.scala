@@ -18,7 +18,8 @@ object SparkEntry {
       (CoreQueries.queries, CoreQueries.oracleSql),
       (TextQueries.queries, TextQueries.oracleSql),
       (FusionQueries.queries, FusionQueries.oracleSql),
-      (GraphQueries.queries, GraphQueries.oracleSql)
+      (GraphQueries.queries, GraphQueries.oracleSql),
+      (OplogQueries.queries, OplogQueries.oracleSql)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

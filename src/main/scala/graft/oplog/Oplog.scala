@@ -1,0 +1,307 @@
+package graft.oplog
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Event-sourced mutation layer — the Spark analogue of the reference's
+  * AOF-first write path (SURVEY §1.3, §7.1).
+  *
+  * The reference journals every mutation as one of 11 RESP commands before
+  * touching RAM (`pkg/engine/ops.go:358-365`) and rebuilds full state by
+  * replaying the log (`pkg/engine/recovery.go:78-458`). Here the log is an
+  * append-only `oplog` DataFrame/table and "replay" is a pair of window-based
+  * folds producing the `vectors` and `edges` state views — snapshots
+  * (`pkg/core/core.go:182-305`) become compaction of the same log, and graph
+  * time travel falls out of the append-only edge versions.
+  *
+  * Scale notes: every fold is a shuffle keyed by (index_name, id) or the edge
+  * key — no driver-side iteration, no collect. At 100 TB the oplog would be a
+  * partitioned table bucketed by key; the folds below reuse that partitioning
+  * (one window shuffle each), and VDROP/VDEL side inputs are tiny broadcasts
+  * or key-joins that AQE resolves.
+  *
+  * Schema (one row per logical AOF command, `recovery.go:169-378`):
+  *   seq LONG       — total order (the AOF byte offset analogue)
+  *   ts LONG        — event time (== seq in the generated log)
+  *   op STRING      — VCREATE|VDROP|VADD|VMETA|VDEL|GLINK|GUNLINK|SET|DEL
+  *   index_name, id — vector-record coordinates (VADD/VMETA/VDEL)
+  *   vector, meta   — VADD payload; VMETA carries a partial meta overlay
+  *   src, dst, rel, weight — edge coordinates (GLINK/GUNLINK)
+  *
+  * Semantics replicated from the reference:
+  *   - VADD is an upsert that REPLACES metadata wholly (stale-metadata
+  *     overwrite test `pkg/core/core_test.go:349`);
+  *   - VMETA merges keys into current metadata (`VSetMetadata`);
+  *   - VDEL tombstones the node and cascades a soft delete over all its
+  *     edges (`pkg/engine/ops.go:401`); a later VADD revives the id as a
+  *     fresh record (edges stay deleted);
+  *   - GLINK is idempotent; a weight change soft-deletes the open version
+  *     and appends a new one (edge versioning, `pkg/core/graph.go:112-182`);
+  *   - GUNLINK soft-deletes the open version (`graph.go:187-240`);
+  *   - VDROP erases the index; a later VCREATE starts empty.
+  */
+object Oplog {
+
+  val MemIdx = "mem"
+
+  /** Uniform row shape for one op class. `base` provides the driving rows. */
+  private def opRows(
+      base: DataFrame,
+      seq: Column,
+      op: String,
+      index: String,
+      id: Column = lit(null).cast("string"),
+      vector: Column = lit(null).cast("array<float>"),
+      meta: Column = lit(null).cast("map<string,string>"),
+      src: Column = lit(null).cast("string"),
+      dst: Column = lit(null).cast("string"),
+      rel: Column = lit(null).cast("string"),
+      weight: Column = lit(null).cast("double")): DataFrame =
+    base.select(
+      seq.cast("long").as("seq"), seq.cast("long").as("ts"), lit(op).as("op"),
+      lit(index).as("index_name"), id.cast("string").as("id"),
+      vector.cast("array<float>").as("vector"),
+      meta.cast("map<string,string>").as("meta"),
+      src.cast("string").as("src"), dst.cast("string").as("dst"),
+      rel.cast("string").as("rel"), weight.cast("double").as("weight"))
+
+  /** Deterministic synthetic oplog over the `embeddings` table.
+    *
+    * seq = vec_id*100 + offset keeps per-entity histories ordered without
+    * needing a global count (works at any scale factor). Exercises: index
+    * create/drop, upsert-resets-meta, partial VMETA merge, delete, revive
+    * after delete, edge versioning, idempotent GLINK, unlink, and the VDEL
+    * edge cascade.
+    */
+  def generate(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val v = col("vec_id")
+    val idS = v.cast("string")
+    val one = s.range(1).toDF()
+
+    val stream = Seq(
+      opRows(one, lit(0), "VCREATE", MemIdx),
+      opRows(one, lit(1), "VCREATE", "tmp"),
+      // tmp gets 5 adds then is dropped — replay must erase them.
+      opRows(emb.filter(v < 5), v * 100 + 5, "VADD", "tmp", id = idS,
+        vector = col("embedding"),
+        meta = map(lit("label"), col("label").cast("string"))),
+      opRows(one, lit(999), "VDROP", "tmp"),
+      // Edge chain v -[next]-> v+1, then versioning/no-op/unlink variants.
+      opRows(emb, v * 100 + 10, "GLINK", MemIdx, src = idS,
+        dst = (v + 1).cast("string"), rel = lit("next"), weight = lit(1.0)),
+      opRows(emb.filter(v % 4 === 0), v * 100 + 11, "GLINK", MemIdx, src = idS,
+        dst = (v + 1).cast("string"), rel = lit("next"), weight = lit(2.0)),
+      // Identical weight re-link: idempotent no-op (graph.go:112-134).
+      opRows(emb.filter(v % 8 === 0), v * 100 + 12, "GLINK", MemIdx, src = idS,
+        dst = (v + 1).cast("string"), rel = lit("next"), weight = lit(2.0)),
+      opRows(emb.filter(v % 6 === 0), v * 100 + 13, "GUNLINK", MemIdx,
+        src = idS, dst = (v + 1).cast("string"), rel = lit("next")),
+      // Vector lifecycle.
+      opRows(emb, v * 100 + 20, "VADD", MemIdx, id = idS,
+        vector = col("embedding"),
+        meta = map(lit("label"), col("label").cast("string"),
+          lit("src"), lit("base"))),
+      opRows(emb.filter(v % 3 === 0), v * 100 + 21, "VMETA", MemIdx, id = idS,
+        meta = map(lit("status"), lit("hot"))),
+      // Re-add: metadata is wholly replaced (status from seq+21 is lost).
+      opRows(emb.filter(v % 10 === 0), v * 100 + 22, "VADD", MemIdx, id = idS,
+        vector = col("embedding"),
+        meta = map(lit("label"), col("label").cast("string"),
+          lit("src"), lit("re"))),
+      opRows(emb.filter(v % 5 === 0), v * 100 + 23, "VMETA", MemIdx, id = idS,
+        meta = map(lit("rev"), lit("2"))),
+      opRows(emb.filter(v % 17 === 0), v * 100 + 24, "VDEL", MemIdx, id = idS),
+      // Revive after delete: fresh record, cascaded edges stay deleted.
+      opRows(emb.filter(v % 34 === 0), v * 100 + 25, "VADD", MemIdx, id = idS,
+        vector = col("embedding"), meta = map(lit("src"), lit("revived"))))
+
+    stream.reduce(_ unionByName _)
+  }
+
+  /** Events surviving the last VDROP of their index (drop erases history). */
+  private def afterDrop(oplog: DataFrame): DataFrame = {
+    val drops = oplog.filter(col("op") === "VDROP")
+      .groupBy("index_name").agg(max("seq").as("drop_seq"))
+    oplog.join(broadcast(drops), Seq("index_name"), "left")
+      .filter(col("drop_seq").isNull || col("seq") > col("drop_seq"))
+      .drop("drop_seq")
+  }
+
+  /** S1 replay — vector-record state view.
+    *
+    * Output: (index_name, id, alive, vector, meta, add_seq, del_ts).
+    * One window shuffle on (index_name, id) + one on (index_name, id, key)
+    * for the metadata overlay merge.
+    */
+  def foldVectors(oplog: DataFrame): DataFrame = {
+    val ev = afterDrop(oplog)
+    val byId = Window.partitionBy("index_name", "id").orderBy(col("seq").desc)
+
+    val adds = ev.filter(col("op") === "VADD")
+      .withColumn("rn", row_number().over(byId)).filter(col("rn") === 1)
+      .select(col("index_name"), col("id"), col("seq").as("add_seq"),
+        col("vector"), col("meta").as("add_meta"))
+    val dels = ev.filter(col("op") === "VDEL")
+      .groupBy("index_name", "id")
+      .agg(max("seq").as("del_seq"), max("ts").as("del_ts"))
+    val base = adds.join(dels, Seq("index_name", "id"), "left")
+      .withColumn("alive", col("del_seq").isNull || col("add_seq") > col("del_seq"))
+
+    // Metadata = the surviving VADD's map overlaid by later VMETAs, per key.
+    val baseKv = base.select(col("index_name"), col("id"),
+      col("add_seq").as("mseq"), explode(col("add_meta")))
+    val overlayKv = ev.filter(col("op") === "VMETA")
+      .join(base.select("index_name", "id", "add_seq"), Seq("index_name", "id"))
+      .filter(col("seq") > col("add_seq"))
+      .select(col("index_name"), col("id"), col("seq").as("mseq"),
+        explode(col("meta")))
+    val byKey = Window.partitionBy("index_name", "id", "key")
+      .orderBy(col("mseq").desc)
+    val mergedMeta = baseKv.unionByName(overlayKv)
+      .withColumn("rn", row_number().over(byKey)).filter(col("rn") === 1)
+      .groupBy("index_name", "id")
+      .agg(map_from_entries(collect_list(struct(col("key"), col("value"))))
+        .as("meta"))
+
+    base.drop("add_meta", "del_seq")
+      .join(mergedMeta, Seq("index_name", "id"), "left")
+      .select(col("index_name"), col("id"), col("alive"), col("vector"),
+        col("meta"), col("add_seq"), col("del_ts"))
+  }
+
+  /** S1 replay — edge-version state view (append-only, time-travel-ready).
+    *
+    * Output: (index_name, src, dst, rel, weight, created_at, deleted_at).
+    * Closed versions are retained with their deleted_at (history IS the
+    * feature); `deleted_at IS NULL` = active edge.
+    */
+  def foldEdges(oplog: DataFrame): DataFrame = {
+    val ev = afterDrop(oplog).filter(col("op").isin("GLINK", "GUNLINK"))
+    val key = Seq("index_name", "src", "dst", "rel")
+    val byKey = Window.partitionBy(key.map(col): _*).orderBy("seq")
+
+    // An identical-weight GLINK straight after an (open) GLINK is a no-op.
+    // coalesce(..., false): the first event of a key has a NULL lag — the
+    // predicate must read "not a proven no-op", not "non-null and not no-op".
+    val effective = ev
+      .withColumn("prev_op", lag("op", 1).over(byKey))
+      .withColumn("prev_w", lag("weight", 1).over(byKey))
+      .filter(!coalesce(
+        col("op") === "GLINK" && col("prev_op") === "GLINK" &&
+          col("prev_w") === col("weight"), lit(false)))
+      .drop("prev_op", "prev_w")
+
+    // Each version is closed by the NEXT effective event on its key
+    // (superseding GLINK or GUNLINK).
+    val versions = effective
+      .withColumn("close_ts", lead("ts", 1).over(byKey))
+      .filter(col("op") === "GLINK")
+      .select(col("index_name"), col("src"), col("dst"), col("rel"),
+        col("weight"), col("ts").as("created_at"), col("close_ts"))
+
+    // VDEL cascade: the first delete of src or dst at/after creation closes
+    // an otherwise-open version (ops.go:401 cascade semantics).
+    val vdels = oplog.filter(col("op") === "VDEL")
+      .groupBy(col("index_name"), col("id").as("node"))
+      .agg(sort_array(collect_list(col("ts"))).as("del_ts_list"))
+    // get() (0-based) instead of element_at: returns null on empty arrays
+    // under ANSI mode instead of throwing.
+    def firstDelAfter(joined: Column): Column =
+      get(filter(joined, t => t >= col("created_at")), lit(0))
+
+    versions
+      .join(vdels.withColumnRenamed("node", "src")
+        .withColumnRenamed("del_ts_list", "src_dels"),
+        Seq("index_name", "src"), "left")
+      .join(vdels.withColumnRenamed("node", "dst")
+        .withColumnRenamed("del_ts_list", "dst_dels"),
+        Seq("index_name", "dst"), "left")
+      .withColumn("deleted_at",
+        least(col("close_ts"), firstDelAfter(col("src_dels")),
+          firstDelAfter(col("dst_dels"))))
+      .select(col("index_name"), col("src"), col("dst"), col("rel"),
+        col("weight"), col("created_at"), col("deleted_at"))
+  }
+
+  /** S12 — catalog state: per index, whether it exists and its bounds. */
+  def catalog(oplog: DataFrame): DataFrame =
+    oplog.filter(col("op").isin("VCREATE", "VDROP"))
+      .groupBy("index_name")
+      .agg(
+        max(when(col("op") === "VCREATE", col("seq"))).as("created_seq"),
+        max(when(col("op") === "VDROP", col("seq"))).as("dropped_seq"))
+      .withColumn("exists",
+        col("dropped_seq").isNull || col("created_seq") > col("dropped_seq"))
+
+  /** S2/S3 — snapshot: compact the log at `atSeq` into the minimal command
+    * stream reproducing live state (the reference's RewriteAOF,
+    * `recovery.go:573`: re-emit one command per live record). History before
+    * the snapshot point is dropped — exactly what snapshot+truncate loses.
+    */
+  def snapshot(oplog: DataFrame, atSeq: Long): DataFrame = {
+    val head = oplog.filter(col("seq") <= atSeq)
+    val vcreates = catalog(head).filter(col("exists"))
+      .select(col("created_seq").as("seq"), col("created_seq").as("ts"),
+        lit("VCREATE").as("op"), col("index_name"),
+        lit(null).cast("string").as("id"),
+        lit(null).cast("array<float>").as("vector"),
+        lit(null).cast("map<string,string>").as("meta"),
+        lit(null).cast("string").as("src"), lit(null).cast("string").as("dst"),
+        lit(null).cast("string").as("rel"),
+        lit(null).cast("double").as("weight"))
+    val vadds = foldVectors(head).filter(col("alive"))
+      .select(col("add_seq").as("seq"), col("add_seq").as("ts"),
+        lit("VADD").as("op"), col("index_name"), col("id"), col("vector"),
+        col("meta"), lit(null).cast("string").as("src"),
+        lit(null).cast("string").as("dst"), lit(null).cast("string").as("rel"),
+        lit(null).cast("double").as("weight"))
+    val glinks = foldEdges(head).filter(col("deleted_at").isNull)
+      .select(col("created_at").as("seq"), col("created_at").as("ts"),
+        lit("GLINK").as("op"), col("index_name"),
+        lit(null).cast("string").as("id"),
+        lit(null).cast("array<float>").as("vector"),
+        lit(null).cast("map<string,string>").as("meta"),
+        col("src"), col("dst"), col("rel"), col("weight"))
+    vcreates.unionByName(vadds).unionByName(glinks)
+  }
+
+  /** S13 — memory transfer: copy filter-matched live records of `from` plus
+    * their induced active subgraph into `to`, with an agent provenance node
+    * linked to every transferred record
+    * (`internal/server/http_handlers.go:271-319`).
+    * Returns (transferred nodes, transferred edges ∪ provenance edges).
+    */
+  def transfer(
+      vstate: DataFrame,
+      estate: DataFrame,
+      from: String,
+      to: String,
+      pred: Column,
+      agentId: String,
+      ts: Long): (DataFrame, DataFrame) = {
+    val sel = vstate.filter(col("index_name") === from && col("alive") && pred)
+    val ids = sel.select(col("id"))
+    val nodes = sel
+      .withColumn("index_name", lit(to))
+      .withColumn("meta", map_concat(
+        coalesce(col("meta"), map()),
+        map(lit("_transferred_from"), lit(from))))
+    val edgeCols = Seq("index_name", "src", "dst", "rel", "weight",
+      "created_at", "deleted_at").map(col)
+    val induced = estate
+      .filter(col("index_name") === from && col("deleted_at").isNull)
+      .join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+      .join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+      .withColumn("index_name", lit(to))
+      .select(edgeCols: _*)
+    val prov = ids.select(
+      lit(to).as("index_name"), lit(s"agent:$agentId").as("src"),
+      col("id").as("dst"), lit("transferred").as("rel"), lit(1.0).as("weight"),
+      lit(ts).as("created_at"), lit(null).cast("long").as("deleted_at"))
+    (nodes, induced.unionByName(prov))
+  }
+}

@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.oplog.Oplog
+
+/** S-layer queries: AOF-style oplog replay, soft-delete cascade, snapshot
+  * compaction, catalog, memory transfer (SURVEY §2.1).
+  *
+  * The oplog is generated deterministically from `embeddings`
+  * (see [[Oplog.generate]]), so the DuckDB oracle can compute the EXPECTED
+  * post-replay state analytically from the same modular-arithmetic rules —
+  * the oracle codifies the semantics, the Spark side actually folds the log.
+  */
+object OplogQueries {
+
+  /** Guard for the edge-cascade oracle: VDEL(v+1) only exists if v+1 is a
+    * real vec_id (the last chain edge points past the table).
+    */
+  private val maxV = "(SELECT max(vec_id) FROM embeddings)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1/S4/S5/S11/S12: full replay of the vector lifecycle — upsert resets
+    // metadata, VMETA merges, VDEL tombstones, revive-after-delete, VDROP.
+    "s1_replay" -> ((s, dir) => {
+      val oplog = Oplog.generate(s, dir)
+      Oplog.foldVectors(oplog)
+        .filter(col("index_name") === Oplog.MemIdx && col("alive"))
+        .select(col("id").cast("long").as("id"),
+          try_element_at(col("meta"), lit("src")).as("msrc"),
+          try_element_at(col("meta"), lit("status")).as("status"),
+          try_element_at(col("meta"), lit("rev")).as("rev"),
+          size(col("meta")).cast("long").as("n_meta"))
+        .orderBy(col("id"))
+    }),
+
+    // S11 + G1/G2 over the log: edge versioning, idempotent GLINK, unlink,
+    // and the VDEL soft-delete cascade.
+    "s11_delete_cascade" -> ((s, dir) => {
+      val oplog = Oplog.generate(s, dir)
+      val e = Oplog.foldEdges(oplog).filter(col("rel") === "next")
+      val key = Window.partitionBy("index_name", "src", "dst", "rel")
+      e.withColumn("n_versions", count(lit(1)).over(key))
+        .withColumn("rn",
+          row_number().over(key.orderBy(col("created_at").desc)))
+        .filter(col("rn") === 1)
+        .select(col("src").cast("long").as("src_id"),
+          col("dst").cast("long").as("dst_id"),
+          col("n_versions").cast("long").as("n_versions"),
+          col("weight").as("final_weight"),
+          col("deleted_at").cast("long").as("deleted_at"),
+          col("deleted_at").isNull.as("active"))
+        .orderBy(col("src_id"))
+    }),
+
+    // S2/S3: snapshot at mid-log + tail replay must reproduce live state.
+    "s2_snapshot_compact" -> ((s, dir) => {
+      val oplog = Oplog.generate(s, dir)
+      val snapAt = 1021L
+      val compact = Oplog.snapshot(oplog, snapAt)
+        .unionByName(oplog.filter(col("seq") > snapAt))
+      val vs = Oplog.foldVectors(compact)
+        .filter(col("index_name") === Oplog.MemIdx && col("alive"))
+        .agg(count(lit(1)).as("n_alive"))
+      val es = Oplog.foldEdges(compact)
+        .filter(col("deleted_at").isNull)
+        .agg(count(lit(1)).as("n_active_edges"),
+          round(sum(col("weight")), 2).as("active_weight"))
+      vs.crossJoin(es)
+    }),
+
+    // S12: catalog — created+dropped index states with live counts.
+    "s12_catalog" -> ((s, dir) => {
+      val oplog = Oplog.generate(s, dir)
+      val alive = Oplog.foldVectors(oplog).filter(col("alive"))
+        .groupBy("index_name").agg(count(lit(1)).as("n_alive"))
+      Oplog.catalog(oplog)
+        .join(alive, Seq("index_name"), "left")
+        .select(col("index_name"), col("exists"),
+          coalesce(col("n_alive"), lit(0L)).cast("long").as("n_alive"))
+        .orderBy(col("index_name"))
+    }),
+
+    // S13: transfer label-3 live memories + induced active subgraph into
+    // 'arch' with one provenance edge per record.
+    "s13_transfer" -> ((s, dir) => {
+      val oplog = Oplog.generate(s, dir)
+      val (nodes, edges) = Oplog.transfer(
+        Oplog.foldVectors(oplog), Oplog.foldEdges(oplog),
+        Oplog.MemIdx, "arch",
+        try_element_at(col("meta"), lit("label")) === "3",
+        "agent7", ts = 99999L)
+      val n = nodes.agg(count(lit(1)).as("n_nodes"))
+      val e = edges.filter(col("rel") === "next")
+        .agg(count(lit(1)).as("n_edges"))
+      val p = edges.filter(col("rel") === "transferred")
+        .agg(count(lit(1)).as("n_prov_edges"))
+      n.crossJoin(e).crossJoin(p)
+    })
+  )
+
+  /** Expected state encoded analytically (see Oplog.generate's seq layout:
+    * VADD @v*100+20, VMETA(status) @+21 if v%3=0, re-VADD @+22 if v%10=0,
+    * VMETA(rev) @+23 if v%5=0, VDEL @+24 if v%17=0, revive @+25 if v%34=0;
+    * GLINK @+10, reweight @+11 if v%4=0, no-op @+12 if v%8=0,
+    * GUNLINK @+13 if v%6=0).
+    */
+  private val vectorStateSql =
+    """vstate AS (
+      |  SELECT vec_id AS v, label,
+      |    (vec_id % 17 <> 0 OR vec_id % 34 = 0) AS alive,
+      |    CASE WHEN vec_id % 34 = 0 THEN 'revived'
+      |         WHEN vec_id % 10 = 0 THEN 're' ELSE 'base' END AS msrc,
+      |    CASE WHEN vec_id % 34 <> 0 AND vec_id % 3 = 0 AND vec_id % 10 <> 0
+      |         THEN 'hot' END AS status,
+      |    CASE WHEN vec_id % 34 <> 0 AND vec_id % 5 = 0 THEN '2' END AS rev
+      |  FROM embeddings
+      |)""".stripMargin
+
+  private val edgeStateSql =
+    s"""estate AS (
+       |  SELECT vec_id AS v,
+       |    CASE WHEN vec_id % 4 = 0 THEN 2 ELSE 1 END AS n_versions,
+       |    CASE WHEN vec_id % 4 = 0 THEN 2.0 ELSE 1.0 END AS final_weight,
+       |    CASE WHEN vec_id % 6 = 0 THEN vec_id * 100 + 13
+       |         WHEN vec_id % 17 = 0 THEN vec_id * 100 + 24
+       |         WHEN (vec_id + 1) % 17 = 0 AND vec_id + 1 <= $maxV
+       |           THEN (vec_id + 1) * 100 + 24
+       |         END AS deleted_at
+       |  FROM embeddings
+       |)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "s1_replay" ->
+      s"""WITH $vectorStateSql
+         |SELECT CAST(v AS BIGINT) AS id, msrc, status, rev,
+         |  CAST(CASE WHEN v % 34 = 0 THEN 1 ELSE 2 END
+         |       + CASE WHEN status IS NOT NULL THEN 1 ELSE 0 END
+         |       + CASE WHEN rev IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS n_meta
+         |FROM vstate WHERE alive ORDER BY id""".stripMargin,
+
+    "s11_delete_cascade" ->
+      s"""WITH $edgeStateSql
+         |SELECT CAST(v AS BIGINT) AS src_id, CAST(v + 1 AS BIGINT) AS dst_id,
+         |  CAST(n_versions AS BIGINT) AS n_versions, final_weight,
+         |  CAST(deleted_at AS BIGINT) AS deleted_at,
+         |  deleted_at IS NULL AS active
+         |FROM estate ORDER BY src_id""".stripMargin,
+
+    "s2_snapshot_compact" ->
+      s"""WITH $vectorStateSql, $edgeStateSql
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM vstate WHERE alive) AS n_alive,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM estate WHERE deleted_at IS NULL) AS n_active_edges,
+         |  (SELECT round(sum(final_weight), 2) FROM estate WHERE deleted_at IS NULL) AS active_weight""".stripMargin,
+
+    "s12_catalog" ->
+      s"""WITH $vectorStateSql
+         |SELECT 'mem' AS index_name, TRUE AS "exists",
+         |  (SELECT CAST(count(*) AS BIGINT) FROM vstate WHERE alive) AS n_alive
+         |UNION ALL
+         |SELECT 'tmp', FALSE, CAST(0 AS BIGINT)
+         |ORDER BY index_name""".stripMargin,
+
+    // Transferred nodes: alive, label=3, and NOT revived (revive replaces
+    // metadata, dropping the label key). Edges: active chain edges whose
+    // endpoints are both transferred.
+    "s13_transfer" ->
+      s"""WITH $vectorStateSql, $edgeStateSql,
+         |sel AS (
+         |  SELECT v FROM vstate
+         |  WHERE alive AND v % 34 <> 0 AND label = 3
+         |),
+         |ind AS (
+         |  SELECT e.v FROM estate e
+         |  JOIN sel s1 ON e.v = s1.v JOIN sel s2 ON e.v + 1 = s2.v
+         |  WHERE e.deleted_at IS NULL
+         |)
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM sel) AS n_nodes,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM ind) AS n_edges,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM sel) AS n_prov_edges""".stripMargin
+  )
+}

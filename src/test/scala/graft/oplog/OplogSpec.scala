@@ -1,0 +1,122 @@
+package graft.oplog
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Oplog fold semantics mirroring the reference's engine tests
+  * (`pkg/engine/engine_test.go` crash-survival per op,
+  * `pkg/core/core_test.go:349` stale-metadata overwrite,
+  * `recovery_cascade_test.go` delete cascade).
+  */
+class OplogSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("seq", LongType), StructField("ts", LongType),
+    StructField("op", StringType), StructField("index_name", StringType),
+    StructField("id", StringType),
+    StructField("vector", ArrayType(FloatType)),
+    StructField("meta", MapType(StringType, StringType)),
+    StructField("src", StringType), StructField("dst", StringType),
+    StructField("rel", StringType), StructField("weight", DoubleType)))
+
+  private def log(rows: Seq[Row]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+
+  private def vadd(seq: Long, id: String, meta: Map[String, String],
+      idx: String = "i"): Row =
+    Row(seq, seq, "VADD", idx, id, Seq(1f), meta, null, null, null, null)
+  private def vmeta(seq: Long, id: String, meta: Map[String, String]): Row =
+    Row(seq, seq, "VMETA", "i", id, null, meta, null, null, null, null)
+  private def vdel(seq: Long, id: String): Row =
+    Row(seq, seq, "VDEL", "i", id, null, null, null, null, null, null)
+  private def glink(seq: Long, s: String, d: String, w: Double): Row =
+    Row(seq, seq, "GLINK", "i", null, null, null, s, d, "r", w)
+  private def gunlink(seq: Long, s: String, d: String): Row =
+    Row(seq, seq, "GUNLINK", "i", null, null, null, s, d, "r", null)
+
+  test("VADD upsert wholly replaces metadata; VMETA merges keys") {
+    val st = Oplog.foldVectors(log(Seq(
+        vadd(1, "a", Map("k1" -> "v1", "k2" -> "v2")),
+        vmeta(2, "a", Map("k3" -> "v3", "k1" -> "v1b")),
+        vadd(3, "a", Map("k4" -> "v4")),        // reset: k1..k3 gone
+        vmeta(4, "a", Map("k5" -> "v5")))))
+      .collect().head
+    val meta = st.getMap[String, String](st.fieldIndex("meta")).toMap
+    assert(meta === Map("k4" -> "v4", "k5" -> "v5"))
+  }
+
+  test("VDEL tombstones; later VADD revives as a fresh record") {
+    val df = Oplog.foldVectors(log(Seq(
+      vadd(1, "a", Map("x" -> "1")), vdel(2, "a"),
+      vadd(1, "b", Map("x" -> "1")), vdel(2, "b"), vadd(3, "b", Map("y" -> "2")))))
+    val byId = df.collect().map(r => r.getString(1) -> r).toMap
+    assert(!byId("a").getBoolean(2))
+    assert(byId("b").getBoolean(2))
+    val meta = byId("b").getMap[String, String](byId("b").fieldIndex("meta")).toMap
+    assert(meta === Map("y" -> "2"))
+  }
+
+  test("VDROP erases index history; other indexes untouched") {
+    val rows = Seq(
+      vadd(1, "a", Map("x" -> "1"), idx = "gone"),
+      Row(2L, 2L, "VDROP", "gone", null, null, null, null, null, null, null),
+      vadd(3, "keep", Map("x" -> "1")))
+    val st = Oplog.foldVectors(log(rows)).collect()
+    assert(st.map(_.getString(0)).toSeq === Seq("i"))
+  }
+
+  test("GLINK idempotence, reweight versioning, unlink, VDEL cascade") {
+    val df = Oplog.foldEdges(log(Seq(
+      glink(1, "a", "b", 1.0),
+      glink(2, "a", "b", 1.0),        // identical: no-op
+      glink(3, "a", "b", 2.0),        // reweight: closes v1, opens v2
+      glink(10, "c", "d", 1.0),
+      gunlink(11, "c", "d"),          // explicit unlink
+      glink(20, "e", "f", 1.0),
+      vdel(25, "f"))))                // cascade via dst
+    val rows = df.collect().map(r =>
+      (r.getString(1), r.getString(2), r.getDouble(4), r.getLong(5),
+        Option(r.get(6)).map(_.asInstanceOf[Long])))
+    // ab: v1 closed at 3, v2 open
+    assert(rows.count(_._1 == "a") === 2)
+    assert(rows.find(t => t._1 == "a" && t._3 == 1.0).get._5 === Some(3L))
+    assert(rows.find(t => t._1 == "a" && t._3 == 2.0).get._5 === None)
+    // cd: closed by unlink at 11
+    assert(rows.find(_._1 == "c").get._5 === Some(11L))
+    // ef: closed by cascade at 25
+    assert(rows.find(_._1 == "e").get._5 === Some(25L))
+  }
+
+  test("cascade only applies to versions open at delete time") {
+    val df = Oplog.foldEdges(log(Seq(
+      glink(1, "a", "b", 1.0),
+      gunlink(2, "a", "b"),
+      vdel(5, "b"))))
+    assert(df.collect().head.getLong(6) === 2L) // unlink wins, not the VDEL
+  }
+
+  test("snapshot + tail replay == full replay (live state)") {
+    val oplog = Oplog.generate(spark, sf("sf0.001"))
+    for (cut <- Seq(500L, 1021L, 5000L)) {
+      val compact = Oplog.snapshot(oplog, cut)
+        .unionByName(oplog.filter(col("seq") > cut))
+      def live(o: DataFrame) = {
+        val v = Oplog.foldVectors(o).filter(col("alive"))
+          .select("index_name", "id")
+        val e = Oplog.foldEdges(o).filter(col("deleted_at").isNull)
+          .select("index_name", "src", "dst", "rel", "weight")
+        (v, e)
+      }
+      val (fv, fe) = live(oplog)
+      val (cv, ce) = live(compact)
+      assert(fv.exceptAll(cv).isEmpty && cv.exceptAll(fv).isEmpty,
+        s"vector state diverged at cut=$cut")
+      assert(fe.exceptAll(ce).isEmpty && ce.exceptAll(fe).isEmpty,
+        s"edge state diverged at cut=$cut")
+    }
+  }
+}
