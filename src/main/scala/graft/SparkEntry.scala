@@ -19,7 +19,8 @@ object SparkEntry {
       (TextQueries.queries, TextQueries.oracleSql),
       (FusionQueries.queries, FusionQueries.oracleSql),
       (GraphQueries.queries, GraphQueries.oracleSql),
-      (OplogQueries.queries, OplogQueries.oracleSql)
+      (OplogQueries.queries, OplogQueries.oracleSql),
+      (EpistemicQueries.queries, EpistemicQueries.oracleSql)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
