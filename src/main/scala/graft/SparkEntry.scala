@@ -20,7 +20,8 @@ object SparkEntry {
       (FusionQueries.queries, FusionQueries.oracleSql),
       (GraphQueries.queries, GraphQueries.oracleSql),
       (OplogQueries.queries, OplogQueries.oracleSql),
-      (EpistemicQueries.queries, EpistemicQueries.oracleSql)
+      (EpistemicQueries.queries, EpistemicQueries.oracleSql),
+      (GardenerQueries.queries, GardenerQueries.oracleSql)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

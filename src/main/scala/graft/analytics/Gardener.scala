@@ -1,0 +1,198 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Background cognitive analytics ("Gardener") — the reference's periodic
+  * OLAP workload (`pkg/cognitive/gardener.go`), re-expressed as Spark batch
+  * aggregations. The reference cursor-pages 100-500 nodes per cycle and
+  * point-reads edges per node; here each detector is ONE grouped aggregation
+  * over the mentions/edge view — the shape that actually scales (a single
+  * shuffle on the entity key, partial aggregation map-side).
+  *
+  * All detectors take `now` as a parameter (never the wall clock) so runs
+  * are deterministic and replayable — SURVEY §7.4 risk 5.
+  */
+object Gardener {
+
+  /** Sentiment lexicon (`sentiment_lexicon.go`): ±1 per word CONTAINED in
+    * the content (substring semantics, not token match — faithful to
+    * `strings.Contains` in `detectSentimentShifts`, gardener.go:2607-2616).
+    */
+  final case class Lexicon(positive: Seq[String], negative: Seq[String])
+  val DefaultLexicon: Lexicon = Lexicon(
+    positive = Seq("good", "great", "love", "win"),
+    negative = Seq("bad", "fail", "awful"))
+
+  def sentimentScore(content: Column, lex: Lexicon = DefaultLexicon): Column = {
+    val c = lower(content)
+    val pos = lex.positive.map(w => when(c.contains(w), 1.0).otherwise(0.0)).reduce(_ + _)
+    val neg = lex.negative.map(w => when(c.contains(w), 1.0).otherwise(0.0)).reduce(_ + _)
+    pos - neg
+  }
+
+  /** C4 — importance shifts (`detectImportanceShifts`, gardener.go:1471-1542):
+    * entities with ≥ minTotal incoming mentions; spike when recent-window
+    * mentions exceed minRecent AND double all prior history. Confidence
+    * min(1, recent/10) for spiking entities.
+    * `mentions`: (entity, created_at).
+    */
+  def importanceShifts(
+      mentions: DataFrame,
+      now: Long,
+      recentSecs: Long = 3L * 86400,
+      minTotal: Long = 5,
+      minRecent: Long = 5,
+      ratio: Double = 2.0): DataFrame = {
+    val cutoff = now - recentSecs
+    mentions.groupBy(col("entity"))
+      .agg(
+        sum(when(col("created_at") > cutoff, 1L).otherwise(0L)).as("recent"),
+        sum(when(col("created_at") <= cutoff, 1L).otherwise(0L)).as("old"))
+      .filter(col("recent") + col("old") >= minTotal)
+      .withColumn("spike",
+        col("recent") > minRecent && col("recent") > col("old") * ratio)
+      .withColumn("confidence",
+        when(col("spike"), least(lit(1.0), col("recent") / 10.0)))
+  }
+
+  /** C5 — sentiment shifts (gardener.go:2568-2676): per entity, average
+    * lexicon sentiment of mentioning contents in the recent window vs all
+    * before; shift when |Δ| ≥ threshold with evidence on both sides.
+    * `mentions`: (entity, created_at, content).
+    */
+  def sentimentShifts(
+      mentions: DataFrame,
+      now: Long,
+      lex: Lexicon = DefaultLexicon,
+      windowSecs: Long = 14L * 86400,
+      minTotal: Long = 4,
+      threshold: Double = 1.5): DataFrame = {
+    val cutoff = now - windowSecs
+    val scored = mentions.withColumn("s", sentimentScore(col("content"), lex))
+    scored.groupBy(col("entity"))
+      .agg(
+        sum(when(col("created_at") < cutoff, 1L).otherwise(0L)).as("past_n"),
+        sum(when(col("created_at") >= cutoff, 1L).otherwise(0L)).as("recent_n"),
+        avg(when(col("created_at") < cutoff, col("s"))).as("avg_past"),
+        avg(when(col("created_at") >= cutoff, col("s"))).as("avg_recent"))
+      .filter(col("past_n") + col("recent_n") >= minTotal)
+      .withColumn("delta", col("avg_recent") - col("avg_past"))
+      .withColumn("shifted",
+        col("past_n") > 0 && col("recent_n") > 0 && abs(col("delta")) >= threshold)
+      .withColumn("direction",
+        when(!col("shifted"), lit(null).cast("string"))
+          .when(col("delta") < 0, "negative").otherwise("positive"))
+      .withColumn("confidence",
+        when(col("shifted"), least(lit(1.0), (abs(col("delta")) / 3.0) *
+          least(lit(1.0), (col("past_n") + col("recent_n")) / 8.0))))
+  }
+
+  /** C6 — centrality shifts (gardener.go:2677-2754): degree now vs degree
+    * as-of `pastTs` (time-travel count on the append-only edge view); flag
+    * when degree more than `factor`-tripled from a nonzero base.
+    * `edges`: (node, created_at, deleted_at) — pre-exploded to one row per
+    * (edge, endpoint) so in+out degree is one count.
+    */
+  def centralityShifts(
+      edges: DataFrame,
+      now: Long,
+      pastTs: Long,
+      minDegree: Long = 10,
+      factor: Double = 3.0): DataFrame = {
+    def activeAt(t: Long): Column =
+      col("created_at") <= t &&
+        (col("deleted_at").isNull || col("deleted_at") > t)
+    edges.groupBy(col("node"))
+      .agg(
+        sum(when(activeAt(now), 1L).otherwise(0L)).as("deg_now"),
+        sum(when(activeAt(pastTs), 1L).otherwise(0L)).as("deg_past"))
+      .filter(col("deg_now") >= minDegree)
+      .withColumn("shifted",
+        col("deg_past") > 0 && col("deg_now") > col("deg_past") * factor)
+      .withColumn("confidence",
+        when(col("shifted"),
+          least(lit(1.0), col("deg_now") / col("deg_past") / 5.0)))
+  }
+
+  /** C7 — forgetting patterns (gardener.go:2755-2817): historically
+    * significant entities (≥ minMentions) with zero mentions in the idle
+    * window. Confidence min(1, total/10).
+    * `mentions`: (entity, created_at).
+    */
+  def forgettingPatterns(
+      mentions: DataFrame,
+      now: Long,
+      idleSecs: Long = 30L * 86400,
+      minMentions: Long = 5): DataFrame =
+    mentions.groupBy(col("entity"))
+      .agg(count(lit(1)).as("total"), max(col("created_at")).as("last_mention"))
+      .filter(col("total") >= minMentions)
+      .withColumn("forgotten", col("last_mention") <= now - idleSecs)
+      .withColumn("confidence",
+        when(col("forgotten"), least(lit(1.0), col("total") / 10.0)))
+
+  /** C10 — session summarization, deterministic path
+    * (`SummarizeSession` gardener.go:1563-1728 + the compiler's `computed`
+    * fields, `deterministic.go:180`): per session — memory count, bounds,
+    * duration minutes, dominant topic (ties broken alphabetically).
+    * `mem`: (session_id, created_at, topic).
+    */
+  def sessionSummaries(mem: DataFrame): DataFrame = {
+    val stats = mem.groupBy(col("session_id"))
+      .agg(count(lit(1)).as("n_memories"),
+        min(col("created_at")).as("start_ts"),
+        max(col("created_at")).as("end_ts"))
+      .withColumn("duration_minutes",
+        (col("end_ts") - col("start_ts")) / 60.0)
+    val topTopic = mem.groupBy(col("session_id"), col("topic")).count()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("session_id")
+          .orderBy(col("count").desc, col("topic"))))
+      .filter(col("rn") === 1)
+      .select(col("session_id"), col("topic").as("top_topic"))
+    stats.join(topTopic, Seq("session_id"))
+  }
+
+  /** C11 — deterministic user profiling
+    * (`generateDeterministicProfileUpdate`, gardener.go:2078-2203):
+    * interaction count → confidence min(1, n/50); preference extraction by
+    * keyword containment over the user's interaction text, with the
+    * reference's priority chains (short > long > medium, etc.).
+    * `inter`: (user_id, content). Containment is evaluated per interaction
+    * and OR-reduced — equivalent to the reference's joined-text Contains for
+    * non-boundary-spanning keywords, without building giant strings.
+    */
+  def profiles(inter: DataFrame): DataFrame = {
+    def anyContains(words: Seq[String]): Column =
+      max(words.map(w => when(lower(col("content")).contains(w), 1).otherwise(0))
+        .reduce(greatest(_, _)))
+    inter.groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_interactions"),
+        anyContains(Seq("breve", "conciso", "short", "sintetico")).as("k_short"),
+        anyContains(Seq("lungo", "verbose", "long", "dettagliato")).as("k_long"),
+        anyContains(Seq("medio", "medium")).as("k_medium"),
+        anyContains(Seq("italiano", "italian")).as("k_it"),
+        anyContains(Seq("english")).as("k_en"),
+        anyContains(Seq("tecnico", "technical")).as("k_tech"),
+        anyContains(Seq("verbose", "dettagliato", "lungo")).as("k_verbose"),
+        anyContains(Seq("conciso", "breve", "sintetico")).as("k_concise"),
+        anyContains(Seq("rust")).as("k_rust"),
+        anyContains(Seq("python")).as("k_python"))
+      .select(
+        col("user_id"), col("n_interactions"),
+        least(lit(1.0), col("n_interactions") / 50.0).as("confidence"),
+        when(col("k_short") === 1, "short")
+          .when(col("k_long") === 1, "long")
+          .when(col("k_medium") === 1, "medium").as("response_length"),
+        when(col("k_it") === 1, "it")
+          .when(col("k_en") === 1, "en").as("language"),
+        when(col("k_tech") === 1, "technical")
+          .when(col("k_verbose") === 1, "verbose")
+          .when(col("k_concise") === 1, "concise").as("style"),
+        (col("k_rust") === 1).as("knows_rust"),
+        (col("k_python") === 1).as("knows_python"))
+  }
+}

@@ -1,6 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
 
 /** Loaders for the driver-generated parquet tables (see TESTDATA.md).
   *
@@ -25,7 +26,17 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = load(s, d, "events")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which vanilla Spark rejects
+    * ([PARQUET_TYPE_ILLEGAL]); read it as raw long nanos and expose
+    * `ts_sec` (floored unix seconds) alongside. DuckDB's `floor(epoch(ts))`
+    * matches `ts div 1e9` exactly for positive timestamps.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts_sec", expr("ts div 1000000000"))
+  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

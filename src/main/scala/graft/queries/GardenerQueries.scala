@@ -1,0 +1,257 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Gardener
+import graft.core.Tables
+
+/** C4-C7, C10, C11 queries: gardener detectors over a memory view derived
+  * from the `events` table.
+  *
+  * Each event is a memory `ev:<id>` mentioning entity `u:<user_id>` at
+  * `unix_timestamp(ts)`, with deterministic synthetic content (sentiment and
+  * profile keywords keyed off event_type and user_id) so the DuckDB oracle
+  * can replicate the text analysis exactly. `now` = 2024-02-01 (events span
+  * 2024-01-01..01-30).
+  */
+object GardenerQueries {
+
+  val Now: Long = FusionQueries.Now // 2024-02-01
+  val Jan2: Long = 1704153600L      // 2024-01-02 — the "30 days ago" point
+
+  /** Mentions view: (entity=user_id, created_at, content). */
+  def mentions(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val uid = col("user_id")
+    val base = when(col("event_type") === "error", "bad fail in the build")
+      .when(col("event_type") === "purchase", "love this great product win")
+      .when(col("event_type") === "signup", "signup went good")
+      .when(col("event_type") === "click", "click on dashboard")
+      .otherwise("view of the report")
+    val style = when(uid % 3 === 0, " conciso breve")
+      .when(uid % 3 === 1, " verbose dettagliato")
+      .otherwise(" medium technical")
+    val langS = when(uid % 5 === 0, " italiano")
+      .when(uid % 5 === 1, " english").otherwise("")
+    val expR = when(uid % 4 === 0, " rust").otherwise("")
+    val expP = when(uid % 7 === 0, " python").otherwise("")
+    ev.select(
+      uid.cast("long").as("entity"),
+      col("ts_sec").as("created_at"),
+      concat(base, style, langS, expR, expP).as("content"),
+      col("event_type"),
+      col("event_id"))
+  }
+
+  /** Shared DuckDB CTE mirroring [[mentions]]. */
+  private val mentionsSql =
+    """mentions AS (
+      |  SELECT CAST(user_id AS BIGINT) AS entity,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS created_at,
+    (CASE event_type
+      |       WHEN 'error' THEN 'bad fail in the build'
+      |       WHEN 'purchase' THEN 'love this great product win'
+      |       WHEN 'signup' THEN 'signup went good'
+      |       WHEN 'click' THEN 'click on dashboard'
+      |       ELSE 'view of the report' END ||
+      |     CASE WHEN user_id % 3 = 0 THEN ' conciso breve'
+      |          WHEN user_id % 3 = 1 THEN ' verbose dettagliato'
+      |          ELSE ' medium technical' END ||
+      |     CASE WHEN user_id % 5 = 0 THEN ' italiano'
+      |          WHEN user_id % 5 = 1 THEN ' english' ELSE '' END ||
+      |     CASE WHEN user_id % 4 = 0 THEN ' rust' ELSE '' END ||
+      |     CASE WHEN user_id % 7 = 0 THEN ' python' ELSE '' END) AS content,
+      |    event_type, event_id
+      |  FROM events
+      |)""".stripMargin
+
+  private val sentimentSql =
+    """(CASE WHEN content LIKE '%good%' THEN 1.0 ELSE 0.0 END
+      | + CASE WHEN content LIKE '%great%' THEN 1.0 ELSE 0.0 END
+      | + CASE WHEN content LIKE '%love%' THEN 1.0 ELSE 0.0 END
+      | + CASE WHEN content LIKE '%win%' THEN 1.0 ELSE 0.0 END
+      | - CASE WHEN content LIKE '%bad%' THEN 1.0 ELSE 0.0 END
+      | - CASE WHEN content LIKE '%fail%' THEN 1.0 ELSE 0.0 END
+      | - CASE WHEN content LIKE '%awful%' THEN 1.0 ELSE 0.0 END)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // C4: recent-vs-history mention counts with the spike heuristic.
+    "c4_importance_shifts" -> ((s, dir) => {
+      Gardener.importanceShifts(mentions(s, dir), Now)
+        .select(col("entity"), col("recent"), col("old"), col("spike"),
+          round(col("confidence"), 6).as("confidence"))
+        .orderBy(col("entity"))
+    }),
+
+    // C5: two-period lexicon sentiment per entity.
+    "c5_sentiment_shifts" -> ((s, dir) => {
+      Gardener.sentimentShifts(mentions(s, dir), Now)
+        .select(col("entity"), col("past_n"), col("recent_n"),
+          round(col("avg_past"), 6).as("avg_past"),
+          round(col("avg_recent"), 6).as("avg_recent"),
+          round(col("delta"), 6).as("delta"), col("shifted"))
+        .orderBy(col("entity"))
+    }),
+
+    // C6: time-travel degree comparison (now vs Jan 2).
+    "c6_centrality_shifts" -> ((s, dir) => {
+      val edges = mentions(s, dir).select(
+        col("entity").as("node"), col("created_at"),
+        lit(null).cast("long").as("deleted_at"))
+      Gardener.centralityShifts(edges, Now, Jan2)
+        .select(col("node"), col("deg_now"), col("deg_past"), col("shifted"),
+          round(col("confidence"), 6).as("confidence"))
+        .orderBy(col("node"))
+    }),
+
+    // C7: significant entities idle for 2+ days before `now`.
+    "c7_forgetting" -> ((s, dir) => {
+      Gardener.forgettingPatterns(mentions(s, dir), Now, idleSecs = 2L * 86400)
+        .select(col("entity"), col("total"), col("last_mention"),
+          col("forgotten"), round(col("confidence"), 6).as("confidence"))
+        .orderBy(col("entity"))
+    }),
+
+    // C10: session = (user, day); counts, bounds, duration, dominant topic.
+    "c10_sessions" -> ((s, dir) => {
+      val m = mentions(s, dir).filter(col("entity") < 20)
+        .select(
+          concat(col("entity"), lit(":"),
+            date_format(to_utc_timestamp(timestamp_seconds(col("created_at")), "UTC"),
+              "yyyy-MM-dd")).as("session_id"),
+          col("created_at"), col("event_type").as("topic"))
+      Gardener.sessionSummaries(m)
+        .select(col("session_id"), col("n_memories"),
+          col("start_ts"), col("end_ts"),
+          round(col("duration_minutes"), 4).as("duration_minutes"),
+          col("top_topic"))
+        .orderBy(col("session_id"))
+    }),
+
+    // C11: deterministic keyword-based profiles.
+    "c11_profiles" -> ((s, dir) => {
+      val inter = mentions(s, dir).filter(col("entity") < 30)
+        .select(col("entity").as("user_id"), col("content"))
+      Gardener.profiles(inter)
+        .select(col("user_id"), col("n_interactions"),
+          round(col("confidence"), 6).as("confidence"),
+          col("response_length"), col("language"), col("style"),
+          col("knows_rust"), col("knows_python"))
+        .orderBy(col("user_id"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "c4_importance_shifts" ->
+      s"""WITH $mentionsSql,
+         |agg AS (
+         |  SELECT entity,
+         |    CAST(sum(CASE WHEN created_at > $Now - 3*86400 THEN 1 ELSE 0 END) AS BIGINT) AS recent,
+         |    CAST(sum(CASE WHEN created_at <= $Now - 3*86400 THEN 1 ELSE 0 END) AS BIGINT) AS old
+         |  FROM mentions GROUP BY entity)
+         |SELECT entity, recent, old,
+         |  (recent > 5 AND recent > old * 2.0) AS spike,
+         |  round(CASE WHEN recent > 5 AND recent > old * 2.0
+         |        THEN least(1.0, recent / 10.0) END, 6) AS confidence
+         |FROM agg WHERE recent + old >= 5 ORDER BY entity""".stripMargin,
+
+    "c5_sentiment_shifts" ->
+      s"""WITH $mentionsSql,
+         |scored AS (SELECT entity, created_at, $sentimentSql AS s FROM mentions),
+         |agg AS (
+         |  SELECT entity,
+         |    CAST(sum(CASE WHEN created_at < $Now - 14*86400 THEN 1 ELSE 0 END) AS BIGINT) AS past_n,
+         |    CAST(sum(CASE WHEN created_at >= $Now - 14*86400 THEN 1 ELSE 0 END) AS BIGINT) AS recent_n,
+         |    avg(CASE WHEN created_at < $Now - 14*86400 THEN s END) AS avg_past,
+         |    avg(CASE WHEN created_at >= $Now - 14*86400 THEN s END) AS avg_recent
+         |  FROM scored GROUP BY entity)
+         |SELECT entity, past_n, recent_n,
+         |  round(avg_past, 6) AS avg_past, round(avg_recent, 6) AS avg_recent,
+         |  round(avg_recent - avg_past, 6) AS delta,
+         |  (past_n > 0 AND recent_n > 0 AND abs(avg_recent - avg_past) >= 1.5) AS shifted
+         |FROM agg WHERE past_n + recent_n >= 4 ORDER BY entity""".stripMargin,
+
+    "c6_centrality_shifts" ->
+      s"""WITH $mentionsSql,
+         |agg AS (
+         |  SELECT entity AS node,
+         |    CAST(sum(CASE WHEN created_at <= $Now THEN 1 ELSE 0 END) AS BIGINT) AS deg_now,
+         |    CAST(sum(CASE WHEN created_at <= $Jan2 THEN 1 ELSE 0 END) AS BIGINT) AS deg_past
+         |  FROM mentions GROUP BY entity)
+         |SELECT node, deg_now, deg_past,
+         |  (deg_past > 0 AND deg_now > deg_past * 3.0) AS shifted,
+         |  round(CASE WHEN deg_past > 0 AND deg_now > deg_past * 3.0
+         |        THEN least(1.0, deg_now / deg_past / 5.0) END, 6) AS confidence
+         |FROM agg WHERE deg_now >= 10 ORDER BY node""".stripMargin,
+
+    "c7_forgetting" ->
+      s"""WITH $mentionsSql,
+         |agg AS (
+         |  SELECT entity, CAST(count(*) AS BIGINT) AS total,
+         |    max(created_at) AS last_mention
+         |  FROM mentions GROUP BY entity)
+         |SELECT entity, total, last_mention,
+         |  (last_mention <= $Now - 2*86400) AS forgotten,
+         |  round(CASE WHEN last_mention <= $Now - 2*86400
+         |        THEN least(1.0, total / 10.0) END, 6) AS confidence
+         |FROM agg WHERE total >= 5 ORDER BY entity""".stripMargin,
+
+    "c10_sessions" ->
+      s"""WITH $mentionsSql,
+         |mem AS (
+         |  SELECT entity || ':' || strftime(to_timestamp(created_at), '%Y-%m-%d') AS session_id,
+         |    created_at, event_type AS topic
+         |  FROM mentions WHERE entity < 20),
+         |stats AS (
+         |  SELECT session_id, CAST(count(*) AS BIGINT) AS n_memories,
+         |    min(created_at) AS start_ts, max(created_at) AS end_ts
+         |  FROM mem GROUP BY session_id),
+         |top AS (
+         |  SELECT session_id, topic AS top_topic FROM (
+         |    SELECT session_id, topic,
+         |      row_number() OVER (PARTITION BY session_id
+         |                         ORDER BY count(*) DESC, topic) AS rn
+         |    FROM mem GROUP BY session_id, topic)
+         |  WHERE rn = 1)
+         |SELECT s.session_id, n_memories, start_ts, end_ts,
+         |  round((end_ts - start_ts) / 60.0, 4) AS duration_minutes, top_topic
+         |FROM stats s JOIN top USING (session_id)
+         |ORDER BY session_id""".stripMargin,
+
+    "c11_profiles" ->
+      s"""WITH $mentionsSql,
+         |inter AS (SELECT entity AS user_id, content FROM mentions WHERE entity < 30),
+         |agg AS (
+         |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_interactions,
+         |    max(CASE WHEN content LIKE '%breve%' OR content LIKE '%conciso%'
+         |             OR content LIKE '%short%' OR content LIKE '%sintetico%'
+         |        THEN 1 ELSE 0 END) AS k_short,
+         |    max(CASE WHEN content LIKE '%lungo%' OR content LIKE '%verbose%'
+         |             OR content LIKE '%long%' OR content LIKE '%dettagliato%'
+         |        THEN 1 ELSE 0 END) AS k_long,
+         |    max(CASE WHEN content LIKE '%medio%' OR content LIKE '%medium%'
+         |        THEN 1 ELSE 0 END) AS k_medium,
+         |    max(CASE WHEN content LIKE '%italiano%' OR content LIKE '%italian%'
+         |        THEN 1 ELSE 0 END) AS k_it,
+         |    max(CASE WHEN content LIKE '%english%' THEN 1 ELSE 0 END) AS k_en,
+         |    max(CASE WHEN content LIKE '%tecnico%' OR content LIKE '%technical%'
+         |        THEN 1 ELSE 0 END) AS k_tech,
+         |    max(CASE WHEN content LIKE '%verbose%' OR content LIKE '%dettagliato%'
+         |             OR content LIKE '%lungo%' THEN 1 ELSE 0 END) AS k_verbose,
+         |    max(CASE WHEN content LIKE '%conciso%' OR content LIKE '%breve%'
+         |             OR content LIKE '%sintetico%' THEN 1 ELSE 0 END) AS k_concise,
+         |    max(CASE WHEN content LIKE '%rust%' THEN 1 ELSE 0 END) AS k_rust,
+         |    max(CASE WHEN content LIKE '%python%' THEN 1 ELSE 0 END) AS k_python
+         |  FROM inter GROUP BY user_id)
+         |SELECT user_id, n_interactions,
+         |  round(least(1.0, n_interactions / 50.0), 6) AS confidence,
+         |  CASE WHEN k_short = 1 THEN 'short' WHEN k_long = 1 THEN 'long'
+         |       WHEN k_medium = 1 THEN 'medium' END AS response_length,
+         |  CASE WHEN k_it = 1 THEN 'it' WHEN k_en = 1 THEN 'en' END AS language,
+         |  CASE WHEN k_tech = 1 THEN 'technical' WHEN k_verbose = 1 THEN 'verbose'
+         |       WHEN k_concise = 1 THEN 'concise' END AS style,
+         |  k_rust = 1 AS knows_rust, k_python = 1 AS knows_python
+         |FROM agg ORDER BY user_id""".stripMargin
+  )
+}
