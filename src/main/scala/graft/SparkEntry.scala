@@ -21,7 +21,8 @@ object SparkEntry {
       (GraphQueries.queries, GraphQueries.oracleSql),
       (OplogQueries.queries, OplogQueries.oracleSql),
       (EpistemicQueries.queries, EpistemicQueries.oracleSql),
-      (GardenerQueries.queries, GardenerQueries.oracleSql)
+      (GardenerQueries.queries, GardenerQueries.oracleSql),
+      (DedupQueries.queries, DedupQueries.oracleSql)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,164 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Large-scale training-data deduplication operators — the LLM-pipeline
+  * extension layer (SURVEY §7.2 M9, builder brief). The reference's
+  * redundancy clustering (`pkg/cognitive/gardener.go:781-940`) and knowledge
+  * gaps (`:2295-2429`) both reduce to the same primitive built here: a
+  * bucketed similarity self-join that NEVER goes all-pairs.
+  *
+  * Scale design:
+  *   - every candidate-generation step is a groupBy/join on a bucket key
+  *     (band signature, hyperplane bucket, content hash) — the quadratic
+  *     blow-up is confined to within-bucket pairs;
+  *   - hashes are explicit modular arithmetic over a polynomial string hash,
+  *     so results are engine-independent (same numbers in Spark and the
+  *     DuckDB oracle) and stable across partitionings — no global dense-rank
+  *     vocabulary (a single-partition window would not survive 100 TB);
+  *   - HOF lambdas (interpreted, not codegen) only touch per-row short
+  *     arrays; the joins/aggregations around them stay in Tungsten.
+  */
+object Dedup {
+
+  /** 2^31 - 1 (prime) — modulus for all string/permutation hashing. */
+  val P = 2147483647L
+
+  /** Polynomial rolling hash over the characters of `s`:
+    * fold(acc*31 + code(c)) mod P. Matches the DuckDB oracle's
+    * list_reduce over ord() exactly.
+    */
+  def polyHash(s: Column): Column =
+    aggregate(
+      transform(split(s, ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, x) => (acc * 31 + x) % P)
+
+  /** Exact dedup groups: content-hash the normalized text, group, keep the
+    * smallest id as survivor. Returns (keeper, n, ids) for groups of ≥ 2.
+    */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("id"), sha2(col(textCol), 256).as("h"))
+      .groupBy(col("h"))
+      .agg(min(col("id")).as("keeper"), count(lit(1)).as("n"),
+        concat_ws(",", sort_array(collect_list(col("id")))).as("ids"))
+      .filter(col("n") >= 2)
+      .drop("h")
+
+  /** Distinct word n-gram shingles per document: (id, shingle). */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val words = split(col(textCol), " ")
+    df.select(col(idCol).cast("long").as("id"),
+        explode(array_distinct(
+          transform(sequence(lit(0), size(words) - n),
+            i => concat_ws(" ", slice(words, i + 1, lit(n)))))).as("shingle"))
+  }
+
+  /** MinHash permutation constants (i, a, b) — fixed literals shared with
+    * the oracle. h_i(x) = (a_i * x + b_i) mod P.
+    */
+  def permConstants(numPerms: Int): Seq[(Int, Long, Long)] =
+    (0 until numPerms).map(i => (i, 377424577L + i * 97L, 285451301L + i * 131L))
+
+  /** MinHash signatures: (id, i, minh) — min over the doc's shingle hashes
+    * under each permutation. One shuffle on (id, i).
+    */
+  def minhashSigs(sh: DataFrame, numPerms: Int = 12): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
+    val perms = broadcast(permConstants(numPerms).toDF("i", "a", "b"))
+    sh.withColumn("x", polyHash(col("shingle")))
+      .crossJoin(perms)
+      .groupBy(col("id"), col("i"))
+      .agg(min((col("a") * col("x") + col("b")) % P).as("minh"))
+  }
+
+  /** LSH banding (r rows per band): docs agreeing on a whole band are
+    * candidates. Returns distinct (id1, id2) with id1 < id2 — the join is on
+    * the band signature, never all-pairs.
+    */
+  def lshCandidatePairs(sigs: DataFrame, rowsPerBand: Int = 2): DataFrame = {
+    val banded = sigs
+      .withColumn("band", (col("i") / rowsPerBand).cast("int"))
+      .withColumn("slot", col("i") % rowsPerBand)
+      .groupBy(col("id"), col("band"))
+      .agg(concat_ws(",", transform(
+        array_sort(collect_list(struct(col("slot"), col("minh")))),
+        e => e.getField("minh").cast("string"))).as("sig"))
+    val l = banded.select(col("band"), col("sig"), col("id").as("id1"))
+    val r = banded.select(col("band"), col("sig"), col("id").as("id2"))
+    l.join(r, Seq("band", "sig")).filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  /** Exact n-gram Jaccard over a pair list: |A∩B| / |A∪B| via a shingle
+    * join — only the candidate pairs are scored.
+    */
+  def jaccardOnPairs(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(sh.select(col("id").as("id1"), col("shingle")), Seq("id1"))
+      .join(sh.select(col("id").as("id2"), col("shingle")), Seq("id2", "shingle"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("id1", "id2"), "left")
+      .join(sizes.select(col("id").as("id1"), col("sz").as("sz1")), Seq("id1"))
+      .join(sizes.select(col("id").as("id2"), col("sz").as("sz2")), Seq("id2"))
+      .withColumn("jaccard",
+        coalesce(col("inter"), lit(0L)) /
+          (col("sz1") + col("sz2") - coalesce(col("inter"), lit(0L))))
+  }
+
+  /** SimHash over word tokens weighted by term frequency: per bit j of the
+    * permuted token hash, sum ±tf; bit set where the sum is positive.
+    * Returns (id, simhash) with `bits` meaningful low bits.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
+    val tf = df
+      .select(col(idCol).cast("long").as("id"), explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .withColumn("h", (polyHash(col("tok")) * 377424577L + 285451301L) % 65536L)
+    val bitSums = (0 until bits).map { j =>
+      sum(col("tf") * (shiftright(col("h"), j) % 2 * 2 - 1)).as(s"s$j")
+    }
+    val hashCol = (0 until bits).map { j =>
+      when(col(s"s$j") > 0, 1L << j).otherwise(0L)
+    }.reduce(_ + _)
+    tf.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), hashCol.as("simhash"))
+  }
+
+  /** Deterministic hyperplane sign bucket for an embedding: 2^planes coarse
+    * buckets; plane j weight at dim d is ((131j + 31d) mod 17) - 8. The
+    * bucket key is what makes the near-dup join scale: candidates only meet
+    * within a bucket.
+    */
+  def hyperplaneBucket(vec: Column, planes: Int = 8): Column =
+    (0 until planes).map { j =>
+      val dot = aggregate(
+        zip_with(vec.cast("array<double>"),
+          sequence(lit(0), size(vec) - 1).cast("array<double>"),
+          (x, d) => x * ((lit(131.0 * j) + lit(31.0) * d) % 17 - 8)),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot > 0, 1L << j).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** Embedding cosine near-dup join: bucket by hyperplane signs, exact
+    * cosine within buckets, keep pairs ≥ threshold.
+    */
+  def cosineNearDups(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int = 8): DataFrame = {
+    val b = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", hyperplaneBucket(col("v"), planes))
+    val l = b.select(col("bucket"), col("id").as("id1"), col("v").as("v1"))
+    val r = b.select(col("bucket"), col("id").as("id2"), col("v").as("v2"))
+    l.join(r, Seq("bucket")).filter(col("id1") < col("id2"))
+      .withColumn("sim", VectorFunctions.cosineSimilarityWide(col("v1"), col("v2")))
+      .filter(col("sim") >= threshold)
+      .select(col("id1"), col("id2"), col("sim"))
+  }
+}

@@ -1,0 +1,241 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.dedup.Dedup
+
+/** Dedup / similarity-join queries (LLM-pipeline extension, SURVEY §7.2 M9).
+  *
+  * The corpus view plants known duplicates so every detector has positives:
+  *   - doc_id % 7 == 0  → exact twin at id+100000 (identical text);
+  *   - doc_id % 11 == 0 → near twin at id+200000 (last word dropped).
+  * Embedding corpus: vec_id % 13 == 0 → perturbed twin at id+100000
+  * (first component +0.05).
+  */
+object DedupQueries {
+
+  /** Corpus with planted exact + near duplicates. */
+  def corpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val words = split(col("text"), " ")
+    d.unionByName(
+        d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      .unionByName(
+        d.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat_ws(" ", slice(words, lit(1), size(words) - 1)).as("text")))
+  }
+
+  private val corpusSql =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000,
+      |    array_to_string(list_slice(str_split(text, ' '), 1,
+      |                               len(str_split(text, ' ')) - 1), ' ')
+      |  FROM documents WHERE doc_id % 11 = 0
+      |)""".stripMargin
+
+  /** Polynomial string hash — DuckDB side of [[Dedup.polyHash]]. */
+  private def phSql(e: String): String =
+    s"list_reduce([CAST(0 AS BIGINT)] || list_transform(str_split($e, ''), " +
+      s"c -> CAST(ord(c) AS BIGINT)), (acc, x) -> (acc * 31 + x) % 2147483647)"
+
+  private val shinglesSql =
+    """sh AS (
+      |  SELECT DISTINCT doc_id AS id, shingle FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(range(1, len(str_split(text, ' ')) - 1),
+      |        i -> array_to_string(list_slice(str_split(text, ' '), i, i + 2), ' '))) AS shingle
+      |    FROM corpus)
+      |)""".stripMargin
+
+  private val permsSql =
+    "perms AS (SELECT i, 377424577 + i * 97 AS a, 285451301 + i * 131 AS b FROM range(12) t(i))"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: content hash → groups → keep-smallest-id survivor.
+    "d1_exact_dedup" -> ((s, dir) => {
+      Dedup.exactDupGroups(corpus(s, dir), "doc_id", "text")
+        .select(col("keeper"), col("n"), col("ids"))
+        .orderBy(col("keeper"))
+    }),
+
+    // MinHash-LSH near-dup: 12 perms, 6 bands × 2 rows; candidates from
+    // band-signature buckets only, then exact 3-gram Jaccard ≥ 0.5.
+    "d2_minhash_lsh" -> ((s, dir) => {
+      val sh = Dedup.shingles(corpus(s, dir), "doc_id", "text")
+      val pairs = Dedup.lshCandidatePairs(Dedup.minhashSigs(sh))
+      Dedup.jaccardOnPairs(pairs, sh)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // SimHash: 16-bit tf-weighted signatures; hamming distance between each
+    // original and its planted twin (0 for exact, small for near).
+    "d3_simhash" -> ((s, dir) => {
+      val h = Dedup.simhash(corpus(s, dir), "doc_id", "text")
+      val twins = h.select(col("id").as("id2"), col("simhash").as("h2"))
+        .filter(col("id2") >= 100000)
+        .withColumn("id", when(col("id2") >= 200000, col("id2") - 200000)
+          .otherwise(col("id2") - 100000))
+      h.join(twins, Seq("id"))
+        .select(col("id").as("d1"), col("id2").as("d2"),
+          bit_count(col("simhash").bitwiseXOR(col("h2"))).cast("long").as("hamming"))
+        .withColumn("near_dup", col("hamming") <= 3)
+        .orderBy(col("d1"), col("d2"))
+    }),
+
+    // Exact n-gram Jaccard on an explicit pair list (adjacent doc ids) —
+    // the verification primitive standalone.
+    "d4_ngram_jaccard" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val sh = Dedup.shingles(docs, "doc_id", "text")
+      val pairs = docs.filter(col("doc_id") < 50)
+        .select(col("doc_id").cast("long").as("id1"),
+          (col("doc_id") + 1).cast("long").as("id2"))
+      Dedup.jaccardOnPairs(pairs, sh)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id1"))
+    }),
+
+    // Embedding cosine near-dup: hyperplane-sign buckets (2^8), exact cosine
+    // within buckets only, sim ≥ 0.9.
+    "d5_cosine_neardup" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val twins = e.filter(col("vec_id") % 13 === 0).select(
+        (col("vec_id") + 100000).as("vec_id"),
+        concat(
+          array((element_at(col("embedding"), 1) + lit(0.05f))),
+          slice(col("embedding"), lit(2), size(col("embedding")) - 1)).as("embedding"))
+      val all = e.select(col("vec_id"), col("embedding")).unionByName(twins)
+      Dedup.cosineNearDups(all, "vec_id", "embedding", threshold = 0.9)
+        .select(col("id1"), col("id2"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("id1"), col("id2"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      s"""WITH $corpusSql,
+         |g AS (
+         |  SELECT sha256(text) AS h, min(doc_id) AS keeper,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    array_to_string(list_sort(list(doc_id)), ',') AS ids
+         |  FROM corpus GROUP BY sha256(text))
+         |SELECT CAST(keeper AS BIGINT) AS keeper, n, ids FROM g
+         |WHERE n >= 2 ORDER BY keeper""".stripMargin,
+
+    "d2_minhash_lsh" ->
+      s"""WITH $corpusSql, $shinglesSql, $permsSql,
+         |hx AS (SELECT id, shingle, ${phSql("shingle")} AS x FROM sh),
+         |sig AS (
+         |  SELECT id, i, min((a * x + b) % 2147483647) AS minh
+         |  FROM hx CROSS JOIN perms GROUP BY id, i),
+         |banded AS (
+         |  SELECT id, i // 2 AS band,
+         |    array_to_string(list(CAST(minh AS VARCHAR) ORDER BY i % 2), ',') AS sig
+         |  FROM sig GROUP BY id, i // 2),
+         |cand AS (
+         |  SELECT DISTINCT l.id AS id1, r.id AS id2
+         |  FROM banded l JOIN banded r ON l.band = r.band AND l.sig = r.sig
+         |  WHERE l.id < r.id),
+         |sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY id),
+         |inter AS (
+         |  SELECT c.id1, c.id2, CAST(count(*) AS BIGINT) AS n
+         |  FROM cand c
+         |  JOIN sh a ON a.id = c.id1 JOIN sh b ON b.id = c.id2 AND b.shingle = a.shingle
+         |  GROUP BY c.id1, c.id2),
+         |j AS (
+         |  SELECT c.id1, c.id2,
+         |    coalesce(i.n, 0) * 1.0 / (s1.sz + s2.sz - coalesce(i.n, 0)) AS jaccard
+         |  FROM cand c
+         |  LEFT JOIN inter i ON i.id1 = c.id1 AND i.id2 = c.id2
+         |  JOIN sizes s1 ON s1.id = c.id1 JOIN sizes s2 ON s2.id = c.id2)
+         |SELECT CAST(id1 AS BIGINT) AS id1, CAST(id2 AS BIGINT) AS id2,
+         |  round(jaccard, 6) AS jaccard
+         |FROM j WHERE jaccard >= 0.5 ORDER BY id1, id2""".stripMargin,
+
+    "d3_simhash" ->
+      s"""WITH $corpusSql,
+         |tf AS (
+         |  SELECT doc_id AS id, tok, CAST(count(*) AS BIGINT) AS tf FROM (
+         |    SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM corpus)
+         |  GROUP BY doc_id, tok),
+         |hx AS (SELECT id, tf, (${phSql("tok")} * 377424577 + 285451301) % 65536 AS h FROM tf),
+         |bits AS (
+         |  SELECT id,
+         |${(0 until 16).map(j => s"    sum(tf * (((h >> $j) % 2) * 2 - 1)) AS s$j").mkString(",\n")}
+         |  FROM hx GROUP BY id),
+         |sh AS (
+         |  SELECT id,
+         |    ${(0 until 16).map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")} AS simhash
+         |  FROM bits),
+         |twins AS (
+         |  SELECT CASE WHEN id >= 200000 THEN id - 200000 ELSE id - 100000 END AS id,
+         |         id AS id2, simhash AS h2
+         |  FROM sh WHERE id >= 100000)
+         |SELECT CAST(sh.id AS BIGINT) AS d1, CAST(t.id2 AS BIGINT) AS d2,
+         |  CAST(bit_count(xor(sh.simhash, t.h2)) AS BIGINT) AS hamming,
+         |  bit_count(xor(sh.simhash, t.h2)) <= 3 AS near_dup
+         |FROM sh JOIN twins t ON sh.id = t.id
+         |ORDER BY d1, d2""".stripMargin,
+
+    "d4_ngram_jaccard" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+         |$shinglesSql,
+         |pairs AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS id1, CAST(doc_id + 1 AS BIGINT) AS id2
+         |  FROM documents WHERE doc_id < 50),
+         |sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY id),
+         |inter AS (
+         |  SELECT p.id1, p.id2, CAST(count(*) AS BIGINT) AS n
+         |  FROM pairs p
+         |  JOIN sh a ON a.id = p.id1 JOIN sh b ON b.id = p.id2 AND b.shingle = a.shingle
+         |  GROUP BY p.id1, p.id2)
+         |SELECT p.id1, p.id2,
+         |  round(coalesce(i.n, 0) * 1.0 / (s1.sz + s2.sz - coalesce(i.n, 0)), 6) AS jaccard
+         |FROM pairs p
+         |LEFT JOIN inter i ON i.id1 = p.id1 AND i.id2 = p.id2
+         |JOIN sizes s1 ON s1.id = p.id1 JOIN sizes s2 ON s2.id = p.id2
+         |ORDER BY 1""".stripMargin,
+
+    "d5_cosine_neardup" ->
+      """WITH ecorpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000,
+        |    [embedding[1] + CAST(0.05 AS FLOAT)] || embedding[2:]
+        |  FROM embeddings WHERE vec_id % 13 = 0
+        |),
+        |dots AS (
+        |  SELECT vec_id, j,
+        |    sum(e * (((131 * j + 31 * (pos - 1)) % 17) - 8)) AS dot
+        |  FROM (
+        |    SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS e,
+        |           generate_subscripts(embedding, 1) AS pos
+        |    FROM ecorpus) CROSS JOIN range(8) t(j)
+        |  GROUP BY vec_id, j),
+        |buckets AS (
+        |  SELECT vec_id, CAST(sum(CASE WHEN dot > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM dots GROUP BY vec_id),
+        |pairs AS (
+        |  SELECT l.vec_id AS id1, r.vec_id AS id2
+        |  FROM buckets l JOIN buckets r ON l.bucket = r.bucket AND l.vec_id < r.vec_id),
+        |sims AS (
+        |  SELECT p.id1, p.id2,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                           CAST(b.embedding AS DOUBLE[])) AS sim
+        |  FROM pairs p
+        |  JOIN ecorpus a ON a.vec_id = p.id1 JOIN ecorpus b ON b.vec_id = p.id2)
+        |SELECT CAST(id1 AS BIGINT) AS id1, CAST(id2 AS BIGINT) AS id2,
+        |  round(sim, 6) AS sim
+        |FROM sims WHERE sim >= 0.9 ORDER BY id1, id2""".stripMargin
+  )
+}
