@@ -49,8 +49,47 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
+
+    // ANN section: batched-QPS exact vs KMeans-IVF + recall@10 — the honest
+    // comparable to the reference's HNSW QPS (BASELINE.md: batched
+    // throughput at equal recall is the metric for a batch engine).
+    val ann = try {
+      import org.apache.spark.sql.functions._
+      import graft.search.{Ivf, VectorSearch}
+      val emb = graft.core.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id").cast("long").as("id"), col("embedding").as("vector"))
+        .cache()
+      emb.count()
+      val queries = emb.filter(col("id") < 1000)
+        .select(col("id").as("qid"), col("vector").as("qvec")).cache()
+      val nq = queries.count()
+      val cents = Ivf.trainKMeans(emb, k = 32, iters = 3)
+      val assigned = Ivf.assign(emb, cents).cache()
+      assigned.count()
+      def timeIt(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val exact = VectorSearch.topKBatch(emb, queries, k = 10, metric = "cosine",
+        idCol = "id", vecCol = "vector", wide = true).cache()
+      val exactSec = timeIt(exact.count())
+      // nProbe sweep: uniform random embeddings are the no-structure worst
+      // case for IVF, so report the whole recall/throughput tradeoff curve
+      // rather than one point (real corpora cluster; recall at fixed nProbe
+      // is higher there).
+      val sweep = Seq(4, 8, 16, 32).map { np =>
+        val approx = Ivf.search(assigned, cents, queries, k = 10, nProbe = np).cache()
+        val sec = timeIt(approx.count())
+        val recall = Ivf.recallAt(approx, exact, 10)
+        approx.unpersist()
+        s"""{"n_probe":$np,"sec":$sec,"qps":${nq / sec},"recall_at_10":$recall}"""
+      }.mkString("[", ",", "]")
+      emb.unpersist(); queries.unpersist(); assigned.unpersist()
+      exact.unpersist()
+      s""","ann":{"n_queries":$nq,"n_centroids":32,"exact_sec":$exactSec,"exact_qps":${nq / exactSec},"ivf":$sweep}"""
+    } catch { case _: Throwable => "" }
+
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$perQuery,"failed":$failed,"cpus":$cpus,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$perQuery,"failed":$failed,"cpus":$cpus$ann,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outPath), json + "\n")
     println(json)
     spark.stop()

@@ -22,7 +22,8 @@ object SparkEntry {
       (OplogQueries.queries, OplogQueries.oracleSql),
       (EpistemicQueries.queries, EpistemicQueries.oracleSql),
       (GardenerQueries.queries, GardenerQueries.oracleSql),
-      (DedupQueries.queries, DedupQueries.oracleSql)
+      (DedupQueries.queries, DedupQueries.oracleSql),
+      (AnnQueries.queries, AnnQueries.oracleSql)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

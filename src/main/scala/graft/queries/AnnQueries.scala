@@ -1,0 +1,68 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.search.Ivf
+
+/** V1 — IVF partition-pruned ANN (the scale strategy replacing HNSW).
+  *
+  * The oracle entry uses sampled centroids (vec_id % 100 == 0) so the whole
+  * protocol — assignment argmin, centroid ranking, nProbe bucket pruning,
+  * exact rerank — is deterministic and DuckDB-replicable. The KMeans-trained
+  * variant (recall/throughput tradeoff) is exercised by IvfSpec and the
+  * bench's ANN section.
+  */
+object AnnQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v1_ivf_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").cast("long").as("cid"), col("embedding").as("cvec"))
+      val assigned = Ivf.assign(
+        emb.select(col("vec_id").cast("long").as("id"), col("embedding").as("vector")),
+        cents, "id", "vector")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").cast("long").as("qid"), col("embedding").as("qvec"))
+      Ivf.search(assigned, cents, q, k = 10, nProbe = 2)
+        .select(col("qid"), col("id"),
+          round(col("distance"), 6).as("dist"), col("rank").cast("long").as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    })
+  )
+
+  private def cosSql(a: String, b: String): String =
+    s"1.0 - list_cosine_similarity(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
+
+  val oracleSql: Map[String, String] = Map(
+    "v1_ivf_ann" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 100 = 0),
+         |assigned AS (
+         |  SELECT vec_id AS id, embedding, cid AS bucket FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "c.cvec")}, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN cents c)
+         |  WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |probes AS (
+         |  SELECT qid, qv, cid AS bucket FROM (
+         |    SELECT q.qid, q.qv, c.cid,
+         |      row_number() OVER (PARTITION BY q.qid
+         |        ORDER BY ${cosSql("q.qv", "c.cvec")}, c.cid) AS rn
+         |    FROM q CROSS JOIN cents c)
+         |  WHERE rn <= 2),
+         |cand AS (
+         |  SELECT p.qid, a.id, ${cosSql("a.embedding", "p.qv")} AS d
+         |  FROM assigned a JOIN probes p ON a.bucket = p.bucket),
+         |r AS (SELECT qid, id, d,
+         |        row_number() OVER (PARTITION BY qid ORDER BY d, id) AS rank
+         |      FROM cand)
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(id AS BIGINT) AS id,
+         |  round(d, 6) AS dist, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+  )
+}

@@ -56,10 +56,16 @@ object OplogQueries {
     }),
 
     // S2/S3: snapshot at mid-log + tail replay must reproduce live state.
+    // The snapshot is genuinely SAVED (parquet write) and LOADED — that is
+    // the S2 operator itself, and it keeps the replay plan shallow instead
+    // of re-deriving the whole pre-snapshot fold tree twice.
     "s2_snapshot_compact" -> ((s, dir) => {
       val oplog = Oplog.generate(s, dir)
       val snapAt = 1021L
-      val compact = Oplog.snapshot(oplog, snapAt)
+      val snapPath = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+        s"/graft_snapshot_${math.abs(dir.hashCode)}"
+      Oplog.snapshot(oplog, snapAt).write.mode("overwrite").parquet(snapPath)
+      val compact = s.read.parquet(snapPath)
         .unionByName(oplog.filter(col("seq") > snapAt))
       val vs = Oplog.foldVectors(compact)
         .filter(col("index_name") === Oplog.MemIdx && col("alive"))

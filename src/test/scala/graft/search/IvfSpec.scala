@@ -1,0 +1,64 @@
+package graft.search
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** IVF ANN properties mirrored from the reference's recall oracle
+  * (`clients/python/stress_test_recall.py`: exact neighbors vs index
+  * results, average recall must clear a bar).
+  */
+class IvfSpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sf())
+    .select(col("vec_id").cast("long").as("id"), col("embedding").as("vector"))
+
+  private lazy val queries = emb.filter(col("id") < 20)
+    .select(col("id").as("qid"), col("vector").as("qvec"))
+
+  test("full probe (nProbe = numCentroids) reproduces exact top-k") {
+    val cents = emb.filter(col("id") % 100 === 0)
+      .select(col("id").as("cid"), col("vector").as("cvec"))
+    val assigned = Ivf.assign(emb, cents)
+    val nCents = cents.count().toInt
+    val approx = Ivf.search(assigned, cents, queries, k = 10, nProbe = nCents)
+    val exact = VectorSearch.topKBatch(emb, queries, k = 10, metric = "cosine",
+      idCol = "id", vecCol = "vector", wide = true)
+    assert(Ivf.recallAt(approx, exact, 10) === 1.0)
+  }
+
+  test("KMeans IVF with nProbe=8/16 reaches recall@10 >= 0.9") {
+    val cents = Ivf.trainKMeans(emb, k = 16, iters = 3)
+    val assigned = Ivf.assign(emb, cents)
+    val approx = Ivf.search(assigned, cents, queries, k = 10, nProbe = 8)
+    val exact = VectorSearch.topKBatch(emb, queries, k = 10, metric = "cosine",
+      idCol = "id", vecCol = "vector", wide = true)
+    val recall = Ivf.recallAt(approx, exact, 10)
+    assert(recall >= 0.9, s"recall@10 = $recall")
+  }
+
+  test("every vector lands in exactly one bucket") {
+    val cents = Ivf.trainKMeans(emb, k = 8, iters = 2)
+    val assigned = Ivf.assign(emb, cents)
+    assert(assigned.count() === emb.count())
+    assert(assigned.select("id").distinct().count() === emb.count())
+    val buckets = assigned.select("bucket").distinct().collect().map(_.getLong(0))
+    assert(buckets.forall(b => b >= 1 && b <= 8))
+  }
+
+  test("search never returns a vector from an unprobed bucket") {
+    val cents = emb.filter(col("id") % 100 === 0)
+      .select(col("id").as("cid"), col("vector").as("cvec"))
+    val assigned = Ivf.assign(emb, cents)
+    val res = Ivf.search(assigned, cents, queries, k = 10, nProbe = 1)
+    // With nProbe=1 every result must share the query's own best bucket.
+    val withBucket = res.join(assigned.select(col("id"), col("bucket")), Seq("id"))
+    val qBucket = Ivf.assign(
+      queries.select(col("qid").as("id"), col("qvec").as("vector")), cents)
+      .select(col("id").as("qid"), col("bucket").as("qbucket"))
+    val bad = withBucket.join(qBucket, Seq("qid"))
+      .filter(col("bucket") =!= col("qbucket")).count()
+    assert(bad === 0)
+  }
+}
