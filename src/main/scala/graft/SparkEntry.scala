@@ -23,7 +23,8 @@ object SparkEntry {
       (EpistemicQueries.queries, EpistemicQueries.oracleSql),
       (GardenerQueries.queries, GardenerQueries.oracleSql),
       (DedupQueries.queries, DedupQueries.oracleSql),
-      (AnnQueries.queries, AnnQueries.oracleSql)
+      (AnnQueries.queries, AnnQueries.oracleSql),
+      (RagQueries.queries, RagQueries.oracleSql)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
