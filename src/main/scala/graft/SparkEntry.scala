@@ -24,7 +24,8 @@ object SparkEntry {
       (GardenerQueries.queries, GardenerQueries.oracleSql),
       (DedupQueries.queries, DedupQueries.oracleSql),
       (AnnQueries.queries, AnnQueries.oracleSql),
-      (RagQueries.queries, RagQueries.oracleSql)
+      (RagQueries.queries, RagQueries.oracleSql),
+      (TextPipelineQueries.queries, TextPipelineQueries.oracleSql)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.text.TextPipeline
+
+/** X1-X4: training-data text pipeline queries over `documents`.
+  *
+  * For language ID, per-language stopwords are injected into the content
+  * keyed off the table's `lang` column (the raw synthetic text is all
+  * English vocabulary), so the detector has real multilingual signal and
+  * `lang` becomes usable ground truth.
+  */
+object TextPipelineQueries {
+
+  /** lang-keyed stopword injection, ×3 so the injected language outscores
+    * the English base-vocabulary hits.
+    */
+  private def injected(lang: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val phrase = when(lang === "es", "el los de y una")
+      .when(lang === "de", "der die das und ein")
+      .when(lang === "fr", "le la les et une")
+      .when(lang === "zh", "de0 shi4 le0 zai4 he2")
+      .otherwise("the of and is a")
+    concat(text, lit(" "), phrase, lit(" "), phrase, lit(" "), phrase)
+  }
+
+  private val injectedSql =
+    """injected AS (
+      |  SELECT doc_id, lang,
+      |    text || ' ' || repeat(CASE lang
+      |      WHEN 'es' THEN 'el los de y una'
+      |      WHEN 'de' THEN 'der die das und ein'
+      |      WHEN 'fr' THEN 'le la les et une'
+      |      WHEN 'zh' THEN 'de0 shi4 le0 zai4 he2'
+      |      ELSE 'the of and is a' END || ' ', 3) AS content
+      |  FROM documents
+      |)""".stripMargin
+
+  private val stop25 = Seq("a", "an", "and", "are", "as", "at", "be", "by",
+    "for", "from", "has", "he", "in", "is", "it", "its", "of", "on", "that",
+    "the", "to", "was", "were", "will", "with")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // X1: stopword-profile language ID, checked against the lang column.
+    "x1_langid" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          injected(col("lang"), col("text")).as("content"))
+      TextPipeline.langScores(docs, "doc_id", "content")
+        .filter(col("rn") === 1)
+        .join(docs.select(col("doc_id").as("id"), col("lang").as("truth")), Seq("id"))
+        .select(col("id").cast("long").as("doc_id"),
+          col("lang").as("predicted"), col("score"), col("truth"),
+          (col("lang") === col("truth")).as("correct"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // X2: quality scoring — Gopher-style rule composite.
+    "x2_quality" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
+      val sig = TextPipeline.qualitySignals(col("text"), stop25).toMap
+      docs.select(col("doc_id"),
+          sig("n_words").as("n_words"),
+          round(sig("mean_word_len"), 6).as("mean_word_len"),
+          round(sig("stop_ratio"), 6).as("stop_ratio"),
+          round(sig("uniq_ratio"), 6).as("uniq_ratio"),
+          round(sig("quality"), 2).as("quality"),
+          (sig("quality") >= 0.75).as("pass"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // X3: token counting — whitespace, pre-tokenizer regex, BPE estimate.
+    "x3_token_counts" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
+      val tc = TextPipeline.tokenCounts(col("text")).toMap
+      docs.select(col("doc_id"), tc("ws_tokens").as("ws_tokens"),
+          tc("re_tokens").as("re_tokens"), tc("est_bpe").as("est_bpe"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // X4: rolling-hash fingerprint over word 4-gram shingles.
+    "x4_fingerprint" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("text"))
+      TextPipeline.fingerprint(docs, "doc_id", "text")
+        .select(col("id").cast("long").as("doc_id"), col("fingerprint"),
+          col("n_shingles"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  private def scoreSql(words: Seq[String]): String =
+    s"len(list_filter(str_split(content, ' '), t -> list_contains(" +
+      words.map(w => s"'$w'").mkString("[", ",", "]") + ", t)))"
+
+  val oracleSql: Map[String, String] = Map(
+    "x1_langid" ->
+      s"""WITH $injectedSql,
+         |scores AS (
+         |  SELECT doc_id, injected.lang AS truth, l.lang, CAST(
+         |    CASE l.lang
+         |      WHEN 'en' THEN ${scoreSql(Seq("the", "of", "and", "is", "a"))}
+         |      WHEN 'es' THEN ${scoreSql(Seq("el", "los", "de", "y", "una"))}
+         |      WHEN 'de' THEN ${scoreSql(Seq("der", "die", "das", "und", "ein"))}
+         |      WHEN 'fr' THEN ${scoreSql(Seq("le", "la", "les", "et", "une"))}
+         |      ELSE ${scoreSql(Seq("de0", "shi4", "le0", "zai4", "he2"))}
+         |    END AS BIGINT) AS score
+         |  FROM injected CROSS JOIN (
+         |    SELECT unnest(['en','es','de','fr','zh']) AS lang) l),
+         |best AS (
+         |  SELECT * FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY score DESC, lang) AS rn FROM scores)
+         |  WHERE rn = 1)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang AS predicted, score,
+         |  truth, lang = truth AS correct
+         |FROM best ORDER BY doc_id""".stripMargin,
+
+    "x2_quality" ->
+      s"""WITH sig AS (
+         |  SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+         |  WHERE doc_id < 300),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_words,
+         |    list_sum(list_transform(toks, t -> CAST(length(t) AS DOUBLE))) / len(toks) AS mean_word_len,
+         |    len(list_filter(toks, t -> list_contains(
+         |      ${stop25.map(w => s"'$w'").mkString("[", ",", "]")}, t))) * 1.0 / len(toks) AS stop_ratio,
+         |    len(list_distinct(toks)) * 1.0 / len(toks) AS uniq_ratio
+         |  FROM sig),
+         |q AS (
+         |  SELECT *,
+         |    (CASE WHEN n_words BETWEEN 40 AND 100000 THEN 0.25 ELSE 0.0 END
+         |     + CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 0.25 ELSE 0.0 END
+         |     + CASE WHEN stop_ratio >= 0.05 THEN 0.25 ELSE 0.0 END
+         |     + CASE WHEN uniq_ratio >= 0.3 THEN 0.25 ELSE 0.0 END) AS quality
+         |  FROM m)
+         |SELECT doc_id, n_words, round(mean_word_len, 6) AS mean_word_len,
+         |  round(stop_ratio, 6) AS stop_ratio, round(uniq_ratio, 6) AS uniq_ratio,
+         |  round(quality, 2) AS quality, quality >= 0.75 AS pass
+         |FROM q ORDER BY doc_id""".stripMargin,
+
+    "x3_token_counts" ->
+      """SELECT doc_id,
+        |  CAST(len(str_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS BIGINT) AS re_tokens,
+        |  CAST(list_sum(list_transform(str_split(text, ' '),
+        |       t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS est_bpe
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,
+
+    "x4_fingerprint" ->
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id AS id, shingle FROM (
+         |    SELECT doc_id,
+         |      unnest(list_transform(range(1, len(str_split(text, ' ')) - 2),
+         |        i -> array_to_string(list_slice(str_split(text, ' '), i, i + 3), ' '))) AS shingle
+         |    FROM documents WHERE doc_id < 300)),
+         |h AS (
+         |  SELECT id, list_reduce([CAST(0 AS BIGINT)] ||
+         |    list_transform(str_split(shingle, ''), c -> CAST(ord(c) AS BIGINT)),
+         |    (acc, x) -> (acc * 31 + x) % 2147483647) AS h
+         |  FROM sh)
+         |SELECT CAST(id AS BIGINT) AS doc_id, min(h) AS fingerprint,
+         |  CAST(count(*) AS BIGINT) AS n_shingles
+         |FROM h GROUP BY id ORDER BY doc_id""".stripMargin
+  )
+}
