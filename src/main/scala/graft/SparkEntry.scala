@@ -25,7 +25,8 @@ object SparkEntry {
       (DedupQueries.queries, DedupQueries.oracleSql),
       (AnnQueries.queries, AnnQueries.oracleSql),
       (RagQueries.queries, RagQueries.oracleSql),
-      (TextPipelineQueries.queries, TextPipelineQueries.oracleSql)
+      (TextPipelineQueries.queries, TextPipelineQueries.oracleSql),
+      (StreamQueries.queries, StreamQueries.oracleSql)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

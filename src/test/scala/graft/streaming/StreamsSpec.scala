@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** E1-E4: the streaming surface runs the same transforms as the batch
+  * oracle queries — these tests assert stream == batch on the same files,
+  * incremental file-source processing, and the adaptive trigger rule.
+  */
+class StreamsSpec extends SparkSpec {
+
+  private def tempDir(name: String): String = {
+    val d = Files.createTempDirectory(name)
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  test("streaming windowed agg (complete mode) equals batch agg") {
+    val dir = tempDir("events-stream")
+    Files.copy(Paths.get(sf() + "/events.parquet"),
+      Paths.get(dir, "part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    // Tables.events sets the nanosAsLong conf the stream schema relies on.
+    val batch = Streams.eventWindowAgg(Tables.events(spark, sf()))
+
+    val q = Streams.eventWindowAgg(Streams.eventsStream(spark, dir))
+      .writeStream.format("memory").queryName("ewin")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("ewin")
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("file source processes incrementally (maxFilesPerTrigger=1)") {
+    val dir = tempDir("docs-stream")
+    val docs = Tables.documents(spark, sf()).filter(col("doc_id") < 20)
+      .select(col("doc_id"), col("text"))
+    // Two separate files → at least two micro-batches.
+    docs.filter(col("doc_id") < 10).coalesce(1).write
+      .mode("overwrite").parquet(dir + "/b1")
+    docs.filter(col("doc_id") >= 10).coalesce(1).write
+      .mode("overwrite").parquet(dir + "/b2")
+
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "*.parquet")
+      .option("recursiveFileLookup", "true")
+      .parquet(dir)
+
+    var batches = 0
+    var rows = 0L
+    val q = Streams.vectorize(stream)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches += 1
+        rows += df.count()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val expected = Streams.vectorize(docs).count()
+    assert(rows === expected)
+    assert(batches >= 2, s"expected incremental batches, got $batches")
+  }
+
+  test("vectorizer output is deterministic and chains prev links") {
+    val docs = Tables.documents(spark, sf()).filter(col("doc_id") < 5)
+      .select(col("doc_id"), col("text"))
+    val a = Streams.vectorize(docs).orderBy("chunk_id").collect()
+    val b = Streams.vectorize(docs).orderBy("chunk_id").collect()
+    assert(a.sameElements(b))
+    val first = a.filter(_.getAs[Long]("chunk_index") == 0L)
+    assert(first.forall(_.getAs[String]("prev_chunk") == null))
+    val rest = a.filter(_.getAs[Long]("chunk_index") > 0L)
+    assert(rest.forall(r => r.getAs[String]("prev_chunk") != null))
+  }
+
+  test("adaptive think scheduler: threshold AND min-interval must both hold") {
+    val s = Streams.ThinkScheduler(writeThreshold = 50, minIntervalMs = 30000)
+    assert(!s.shouldThink(49, 0, 31000))   // not enough writes
+    assert(!s.shouldThink(50, 0, 29999))   // too soon
+    assert(s.shouldThink(50, 0, 30000))
+    assert(s.shouldThink(500, 100000, 130000))
+  }
+}
