@@ -26,7 +26,8 @@ object SparkEntry {
       (AnnQueries.queries, AnnQueries.oracleSql),
       (RagQueries.queries, RagQueries.oracleSql),
       (TextPipelineQueries.queries, TextPipelineQueries.oracleSql),
-      (StreamQueries.queries, StreamQueries.oracleSql)
+      (StreamQueries.queries, StreamQueries.oracleSql),
+      (MiscQueries.queries, MiscQueries.oracleSql)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

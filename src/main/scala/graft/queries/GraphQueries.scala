@@ -52,7 +52,7 @@ object GraphQueries {
     placed.unionByName(contains).unionByName(supplied)
   }
 
-  private val edgeViewSql =
+  private[queries] val edgeViewSql =
     """edges AS (
       |  SELECT 'cust:' || o_custkey AS src, 'ord:' || o_orderkey AS dst,
       |         'placed' AS rel, 1.0 AS weight,

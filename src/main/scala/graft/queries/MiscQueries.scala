@@ -1,0 +1,341 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.filter.FilterDsl
+import graft.functions.VectorFunctions
+import graft.graph.GraphOps
+import graft.multimodal.Multimodal
+import graft.oplog.Oplog
+import graft.search.Fusion
+import graft.text.TextPipeline
+
+/** The hybrid-plumbing leftovers (VERDICT r1 item 10) + the multimodal
+  * binary-column pipeline: F5 CONTAINS routed into fusion, T7 text-field
+  * auto-detect, F8 valid-id scan, F9 cursor pagination, G5 all-relations,
+  * G7 graph-filtered search, G11 1-hop connections + broken-link detection,
+  * G13 search + relation hydration, G14 UI sample, V11 distance-to-node,
+  * M1 multimodal feature extraction.
+  */
+object MiscQueries {
+
+  private def cosSql(a: String, b: String): String =
+    s"1.0 - list_cosine_similarity(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
+
+  private val memSql =
+    """mem AS (
+      |  SELECT d.doc_id, d.text, d.source, e.embedding
+      |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      |)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // F5: CONTAINS(text,...) extracted from the filter DSL and routed into
+    // hybrid fusion; the residual boolean filter becomes the allow-list.
+    "f5_contains_fusion" -> ((s, dir) => {
+      val mem = FusionQueries.memoryView(s, dir)
+      val raw = "CONTAINS(text,'table merge query') AND doc_id < 400"
+      val (boolFilter, textQuery, field) = FilterDsl.parseHybridFilter(raw)
+      require(field == "text")
+      val pred = FilterDsl.compile(boolFilter, mem.schema)
+      val qdf = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      Fusion.searchWithFusionDF(mem, "doc_id", "embedding", "text",
+          Some(qdf), textQuery,
+          Fusion.FusionParams(alpha = 0.5, k = 15, metric = "cosine", wide = true),
+          filter = Some(pred))
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // T7: text-field auto-detect over two schemas (priority order).
+    "t7_text_field" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val renamed = docs.withColumnRenamed("text", "page_content")
+      Seq(
+        ("documents", TextPipeline.detectTextField(docs.schema).orNull),
+        ("renamed", TextPipeline.detectTextField(renamed.schema).orNull))
+        .toDF("tbl", "detected").orderBy(col("tbl"))
+    }),
+
+    // F8: valid-id scan over the replayed oplog state (non-deleted only).
+    "f8_valid_ids" -> ((s, dir) => {
+      Oplog.foldVectors(Oplog.generate(s, dir))
+        .filter(col("index_name") === Oplog.MemIdx && col("alive") &&
+          col("id").cast("long") < 50)
+        .select(col("id").cast("long").as("id"))
+        .orderBy(col("id"))
+    }),
+
+    // F9: cursor pagination — stable id-ordered page after a cursor.
+    "f9_cursor_page" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .filter(col("doc_id") > 40)
+        .orderBy(col("doc_id"))
+        .limit(20)
+        .select(col("doc_id"), col("source"),
+          max(col("doc_id")).over(Window.partitionBy()).as("next_cursor"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // G5: all relations of part:1, both directions, sorted targets.
+    "g5_relations" -> ((s, dir) => {
+      val e = GraphQueries.edgeView(s, dir)
+      GraphOps.relations(e, "part:1")
+        .select(col("rel"), col("direction"),
+          size(col("targets")).cast("long").as("n"),
+          concat_ws(",", slice(col("targets"), 1, 5)).as("first_targets"))
+        .orderBy(col("rel"), col("direction"))
+    }),
+
+    // G7: graph allow-list (BFS over cites, depth ≤ 3) ∩ k-NN search.
+    "g7_graph_filtered_search" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cites = docs.select(
+        col("doc_id").cast("string").as("src"),
+        (col("doc_id") + 3).cast("string").as("dst"),
+        lit("cites").as("rel"), lit(1L).as("created_at"),
+        lit(null).cast("long").as("deleted_at"))
+      import s.implicits._
+      val allowed = GraphOps.bfs(cites, Seq("0").toDF("node"),
+          rels = Seq("cites"), direction = "out", maxDepth = 3)
+        .select(col("node").cast("long").as("doc_id"))
+      val mem = RagQueries.ragView(s, dir).join(allowed, Seq("doc_id"))
+      val q = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      mem.crossJoin(broadcast(q))
+        .withColumn("d", lit(1.0) -
+          VectorFunctions.cosineSimilarityWide(col("embedding"), col("qvec")))
+        .orderBy(col("d"), col("doc_id"))
+        .limit(10)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          round(col("d"), 6).as("dist"))
+    }),
+
+    // G11: 1-hop hydrated connections + broken-link detection (the
+    // self-repair scan: active edge whose target is not alive).
+    "g11_connections" -> ((s, dir) => {
+      val oplog = Oplog.generate(s, dir)
+      val alive = Oplog.foldVectors(oplog)
+        .filter(col("index_name") === Oplog.MemIdx && col("alive"))
+        .select(col("id").as("dst"), lit(true).as("dst_alive"))
+      Oplog.foldEdges(oplog)
+        .filter(col("rel") === "next" && col("deleted_at").isNull &&
+          col("src").cast("long") < 20)
+        .join(alive, Seq("dst"), "left")
+        .select(col("src").cast("long").as("src_id"),
+          col("dst").cast("long").as("dst_id"),
+          coalesce(col("dst_alive"), lit(false)).as("dst_alive"))
+        .orderBy(col("src_id"))
+    }),
+
+    // G13: top-k search + relation hydration of each result.
+    "g13_search_hydrate" -> ((s, dir) => {
+      val mem = RagQueries.ragView(s, dir)
+      val q = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      val top = mem.crossJoin(broadcast(q))
+        .withColumn("d", lit(1.0) -
+          VectorFunctions.cosineSimilarityWide(col("embedding"), col("qvec")))
+        .orderBy(col("d"), col("doc_id"))
+        .limit(5)
+        .select(col("doc_id").cast("long").as("doc_id"))
+      val cites = Tables.documents(s, dir).select(
+        col("doc_id").cast("long").as("src"),
+        (col("doc_id") + 3).cast("long").as("dst"))
+      top.join(cites, top("doc_id") === cites("src"))
+        .join(mem.select(col("doc_id").as("dst"), col("source").as("target_source")),
+          Seq("dst"))
+        .select(col("doc_id"), lit("cites").as("rel"),
+          col("dst").as("target"), col("target_source"))
+        .orderBy(col("doc_id"), col("target"))
+    }),
+
+    // G14: deterministic UI sample — first 25 nodes + induced edges.
+    "g14_ui_sample" -> ((s, dir) => {
+      val nodes = RagQueries.ragView(s, dir).filter(col("doc_id") < 25)
+        .select(col("doc_id").cast("long").as("doc_id"))
+      val cites = Tables.documents(s, dir).select(
+        col("doc_id").cast("long").as("src"),
+        (col("doc_id") + 3).cast("long").as("dst"))
+      val induced = cites
+        .join(nodes.withColumnRenamed("doc_id", "src"), Seq("src"), "left_semi")
+        .join(nodes.withColumnRenamed("doc_id", "dst"), Seq("dst"), "left_semi")
+      nodes.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(induced.agg(count(lit(1)).as("n_edges")))
+    }),
+
+    // V11: distance from stored nodes to an ad-hoc query, both metrics.
+    "v11_distance_to_node" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      emb.filter(col("vec_id").between(1, 10))
+        .crossJoin(broadcast(q))
+        .select(col("vec_id").cast("long").as("id"),
+          round(sqrt(VectorFunctions.euclideanSqWide(col("embedding"), col("qvec"))), 6)
+            .as("euclidean"),
+          round(lit(1.0) -
+            VectorFunctions.cosineSimilarityWide(col("embedding"), col("qvec")), 6)
+            .as("cosine"))
+        .orderBy(col("id"))
+    }),
+
+    // M1: multimodal binary-column pipeline — payload → mapPartitions
+    // decode stub → typed features.
+    "m1_multimodal" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id").cast("long"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+      Multimodal.extractFeatures(media)
+        .select(col("doc_id"), col("n_bytes"), col("phash"),
+          col("width"), col("height"), col("channels"), col("format"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "f5_contains_fusion" ->
+      s"""WITH $memSql,
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |vec AS (
+         |  SELECT doc_id, ${cosSql("m.embedding", "q.qv")} AS d
+         |  FROM mem m CROSS JOIN q WHERE m.doc_id < 400),
+         |vtopk AS (
+         |  SELECT doc_id, 1.0 / (1.0 + d) AS vscore
+         |  FROM (SELECT doc_id, d, row_number() OVER (ORDER BY d, doc_id) AS rn FROM vec)
+         |  WHERE rn <= 15),
+         |${TextQueries.analyzedOn("mem")},
+         |doclens AS (
+         |  SELECT m.doc_id, count(a.token) AS dl
+         |  FROM mem m LEFT JOIN analyzed a USING (doc_id) GROUP BY m.doc_id),
+         |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM doclens),
+         |postings AS (SELECT doc_id, token, count(*) AS tf FROM analyzed GROUP BY 1, 2),
+         |qt AS (SELECT * FROM (VALUES ('tabl', 1), ('merg', 1), ('queri', 1)) AS t(token, qn)),
+         |dfreq AS (
+         |  SELECT p.token, count(*) AS df FROM postings p
+         |  JOIN (SELECT DISTINCT token FROM qt) x USING (token) GROUP BY p.token),
+         |bm25 AS (
+         |  SELECT p.doc_id,
+         |    sum(qt.qn * ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5)) *
+         |        (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS raw
+         |  FROM postings p JOIN qt USING (token) JOIN dfreq f USING (token)
+         |  JOIN doclens d USING (doc_id) CROSS JOIN stats s GROUP BY p.doc_id),
+         |filtered AS (SELECT * FROM bm25 WHERE doc_id < 400),
+         |tnorm AS (SELECT doc_id, raw / max(raw) OVER () AS tscore FROM filtered),
+         |fused AS (
+         |  SELECT coalesce(v.doc_id, t.doc_id) AS doc_id,
+         |    0.5 * coalesce(v.vscore, 0) + 0.5 * coalesce(t.tscore, 0) AS score
+         |  FROM vtopk v FULL OUTER JOIN tnorm t ON v.doc_id = t.doc_id)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id, round(score, 6) AS score
+         |FROM fused ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
+    "t7_text_field" ->
+      """SELECT * FROM (VALUES ('documents', 'text'), ('renamed', 'page_content'))
+        |AS t(tbl, detected) ORDER BY tbl""".stripMargin,
+
+    "f8_valid_ids" ->
+      """SELECT CAST(vec_id AS BIGINT) AS id FROM embeddings
+        |WHERE (vec_id % 17 <> 0 OR vec_id % 34 = 0) AND vec_id < 50
+        |ORDER BY id""".stripMargin,
+
+    "f9_cursor_page" ->
+      """WITH page AS (
+        |  SELECT doc_id, source FROM documents WHERE doc_id > 40
+        |  ORDER BY doc_id LIMIT 20)
+        |SELECT doc_id, source, max(doc_id) OVER () AS next_cursor
+        |FROM page ORDER BY doc_id""".stripMargin,
+
+    "g5_relations" ->
+      s"""WITH ${GraphQueries.edgeViewSql},
+         |act AS (SELECT * FROM edges WHERE deleted_at IS NULL OR deleted_at = 0),
+         |rels AS (
+         |  SELECT rel, 'out' AS direction, dst AS other FROM act WHERE src = 'part:1'
+         |  UNION ALL
+         |  SELECT rel, 'in', src FROM act WHERE dst = 'part:1')
+         |SELECT rel, direction, CAST(count(*) AS BIGINT) AS n,
+         |  array_to_string(list_slice(list_sort(list(other)), 1, 5), ',') AS first_targets
+         |FROM rels GROUP BY rel, direction ORDER BY rel, direction""".stripMargin,
+
+    "g7_graph_filtered_search" ->
+      s"""WITH $memSql,
+         |d0 AS (SELECT 0 AS id),
+         |d1 AS (SELECT id + 3 AS id FROM d0),
+         |d2 AS (SELECT id + 3 AS id FROM d1),
+         |d3 AS (SELECT id + 3 AS id FROM d2),
+         |allow AS (
+         |  SELECT DISTINCT id FROM (
+         |    SELECT id FROM d0 UNION ALL SELECT id FROM d1
+         |    UNION ALL SELECT id FROM d2 UNION ALL SELECT id FROM d3)
+         |  WHERE id IN (SELECT doc_id FROM documents)),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |scored AS (
+         |  SELECT m.doc_id, ${cosSql("m.embedding", "q.qv")} AS d
+         |  FROM mem m JOIN allow a ON m.doc_id = a.id CROSS JOIN q)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id, round(d, 6) AS dist
+         |FROM (SELECT *, row_number() OVER (ORDER BY d, doc_id) AS rn FROM scored)
+         |WHERE rn <= 10""".stripMargin,
+
+    "g11_connections" ->
+      """WITH mx AS (SELECT max(vec_id) AS m FROM embeddings),
+        |active AS (
+        |  SELECT vec_id AS src_id, vec_id + 1 AS dst_id FROM embeddings, mx
+        |  WHERE vec_id < 20
+        |    AND NOT (vec_id % 6 = 0 OR vec_id % 17 = 0
+        |             OR ((vec_id + 1) % 17 = 0 AND vec_id + 1 <= mx.m)))
+        |SELECT CAST(src_id AS BIGINT) AS src_id, CAST(dst_id AS BIGINT) AS dst_id,
+        |  (dst_id <= (SELECT m FROM mx)
+        |   AND (dst_id % 17 <> 0 OR dst_id % 34 = 0)) AS dst_alive
+        |FROM active ORDER BY src_id""".stripMargin,
+
+    "g13_search_hydrate" ->
+      s"""WITH $memSql,
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |scored AS (
+         |  SELECT m.doc_id, ${cosSql("m.embedding", "q.qv")} AS d
+         |  FROM mem m CROSS JOIN q),
+         |top AS (
+         |  SELECT doc_id FROM (SELECT doc_id, row_number() OVER (ORDER BY d, doc_id) AS rn
+         |                      FROM scored) WHERE rn <= 5)
+         |SELECT CAST(t.doc_id AS BIGINT) AS doc_id, 'cites' AS rel,
+         |  CAST(t.doc_id + 3 AS BIGINT) AS target, m.source AS target_source
+         |FROM top t JOIN mem m ON m.doc_id = t.doc_id + 3
+         |ORDER BY doc_id, target""".stripMargin,
+
+    "g14_ui_sample" ->
+      s"""WITH $memSql,
+         |nodes AS (SELECT doc_id FROM mem WHERE doc_id < 25),
+         |induced AS (
+         |  SELECT d.doc_id FROM documents d
+         |  JOIN nodes a ON d.doc_id = a.doc_id
+         |  JOIN nodes b ON d.doc_id + 3 = b.doc_id)
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM induced) AS n_edges""".stripMargin,
+
+    "v11_distance_to_node" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT CAST(vec_id AS BIGINT) AS id,
+        |  round(list_distance(CAST(embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 6) AS euclidean,
+        |  round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 6) AS cosine
+        |FROM embeddings CROSS JOIN q
+        |WHERE vec_id BETWEEN 1 AND 10 ORDER BY id""".stripMargin,
+
+    "m1_multimodal" ->
+      """WITH h AS (
+        |  SELECT doc_id, length(text) AS n_bytes,
+        |    list_reduce([CAST(0 AS BIGINT)] ||
+        |      list_transform(str_split(text, ''), c -> CAST(ord(c) AS BIGINT)),
+        |      (acc, x) -> (acc * 31 + x) % 2147483647) AS ph
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+        |  ph AS phash,
+        |  CAST(64 + ph % 512 AS INT) AS width,
+        |  CAST(64 + (ph // 512) % 512 AS INT) AS height,
+        |  CAST(3 AS INT) AS channels,
+        |  CASE WHEN ph % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+        |FROM h ORDER BY doc_id""".stripMargin
+  )
+}

@@ -13,6 +13,16 @@ import graft.dedup.Dedup
   */
 object TextPipeline {
 
+  /** T7 — text-field auto-detect (`detectTextFieldForIndex`,
+    * `pkg/engine/ops.go:1662-1698`): first candidate present in the schema,
+    * in the reference's priority order.
+    */
+  val TextFieldCandidates: Seq[String] =
+    Seq("content", "text", "page_content", "body", "description")
+
+  def detectTextField(schema: org.apache.spark.sql.types.StructType): Option[String] =
+    TextFieldCandidates.find(schema.fieldNames.contains)
+
   /** Stopword profiles for the n-gram/stopword language-ID heuristic. */
   val LangProfiles: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "of", "and", "is", "a"),
