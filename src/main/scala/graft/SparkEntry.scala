@@ -27,7 +27,9 @@ object SparkEntry {
       (RagQueries.queries, RagQueries.oracleSql),
       (TextPipelineQueries.queries, TextPipelineQueries.oracleSql),
       (StreamQueries.queries, StreamQueries.oracleSql),
-      (MiscQueries.queries, MiscQueries.oracleSql)
+      (MiscQueries.queries, MiscQueries.oracleSql),
+      (CompilerQueries.queries, CompilerQueries.oracleSql),
+      (ClusterQueries.queries, ClusterQueries.oracleSql)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,108 @@
+package graft.compiler
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Gardener
+
+/** Knowledge compiler — deterministic core (`pkg/compiler/`): template-driven
+  * aggregation of a node set into artifact fields, plus versioned artifact
+  * storage with history pruning.
+  *
+  * K1 source queries reuse the graph/search operators (GraphOps.bfs /
+  * VectorSearch); this module is K2 (field compile), K4 (artifact store),
+  * K7 (templates). Every field is one aggregation over the NodeInfo set —
+  * at scale, compiling N artifacts is one grouped aggregation per field
+  * keyed by entity, not N jobs.
+  */
+object Compiler {
+
+  /** K7 — built-in template field definitions (`template.go:5-272`):
+    * field → (source, type). The deterministic sources are compiled below;
+    * llm sources fall back to best-effort snippets
+    * (`deterministic.go:242-270`).
+    */
+  val EntityCardTemplate: Seq[(String, String)] = Seq(
+    "name" -> "metadata",
+    "node_count" -> "computed",
+    "relation_count" -> "computed",
+    "last_activity" -> "computed",
+    "duration_minutes" -> "computed",
+    "top_entities" -> "graph",
+    "relation_types" -> "graph",
+    "core_facts" -> "graph",
+    "sentiment" -> "graph")
+
+  /** K2 — compile the deterministic fields of a template over a NodeInfo
+    * set: (id, content, created_at, pinned, relation_count, relation_types:
+    * array<string>, rank). Returns one row per field:
+    * (field, value, confidence).
+    *
+    * Field semantics from `deterministic.go:11-270`:
+    *   - metadata `name`: first node (by rank) with the key; content
+    *     fallback at confidence 0.8;
+    *   - computed: node_count / total relation_count at 1.0, last_activity
+    *     (max created, RFC3339) at 0.9, duration_minutes at 0.8;
+    *   - graph: top-10 entities by relation count (ties by id — the
+    *     reference's unstable sort made deterministic), distinct sorted
+    *     relation types at 0.9, pinned core facts at 0.95, lexicon
+    *     sentiment.
+    */
+  def compileEntityCard(nodes: DataFrame): DataFrame = {
+    def row(field: String, value: Column, conf: Double): DataFrame =
+      nodes.agg(value.cast("string").as("value"))
+        .select(lit(field).as("field"), col("value"),
+          when(col("value").isNotNull, lit(conf)).otherwise(lit(0.0))
+            .as("confidence"))
+
+    val name = row("name",
+      min(when(col("content").isNotNull && col("content") =!= "",
+        struct(col("rank"), col("content")))).getField("content"), 0.8)
+    val nodeCount = row("node_count", count(lit(1)), 1.0)
+    val relCount = row("relation_count",
+      sum(col("relation_count")).cast("long"), 1.0)
+    val lastActivity = row("last_activity",
+      date_format(timestamp_seconds(max(col("created_at"))),
+        "yyyy-MM-dd'T'HH:mm:ss'Z'"), 0.9)
+    val duration = row("duration_minutes",
+      when(count(lit(1)) >= 2,
+        round((max(col("created_at")) - min(col("created_at"))) / 60.0, 4)), 0.8)
+    val topEntities = row("top_entities",
+      concat_ws(",", transform(
+        slice(array_sort(collect_list(
+          struct((-col("relation_count")).as("neg"), col("id")))), 1, 10),
+        e => e.getField("id"))), 0.8)
+    val relationTypes = row("relation_types",
+      concat_ws(",", array_sort(array_distinct(
+        flatten(collect_list(col("relation_types")))))), 0.9)
+    val coreFacts = row("core_facts",
+      concat_ws(" | ", sort_array(collect_list(
+        when(col("pinned"), col("content"))))), 0.95)
+    val sentiment = row("sentiment",
+      round(avg(Gardener.sentimentScore(col("content"))), 6), 0.8)
+
+    Seq(name, nodeCount, relCount, lastActivity, duration,
+      topEntities, relationTypes, coreFacts, sentiment)
+      .reduce(_ unionByName _)
+  }
+
+  /** K4 — artifact version pruning (`store.go:201-260`): the current
+    * version always survives; stale versions are kept newest-first up to
+    * maxVersions-1. artifacts: (name, version, status, compiled_at).
+    * Returns the input + kept flag.
+    */
+  def pruneVersions(artifacts: DataFrame, maxVersions: Int): DataFrame = {
+    val staleRank = row_number().over(
+      Window.partitionBy(col("name"), col("status"))
+        .orderBy(col("compiled_at").desc, col("version").desc))
+    artifacts
+      .withColumn("stale_rank",
+        when(col("status") === "stale", staleRank))
+      .withColumn("kept",
+        col("status") === "current" ||
+          col("stale_rank") <= maxVersions - 1)
+      .withColumn("kept", coalesce(col("kept"), lit(false)))
+      .drop("stale_rank")
+  }
+}

@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.compiler.Compiler
+import graft.core.Tables
+
+/** K1/K2/K4/K7 queries: knowledge compiler deterministic core.
+  *
+  * NodeInfo set for the entity card: every 40th document, with content =
+  * first 40 chars, pinned = doc_id%13==0, relation counts from the
+  * doc -cites-> doc+3 graph.
+  */
+object CompilerQueries {
+
+  val Base: Long = FusionQueries.Base
+
+  /** K1 — the source-query NodeInfo set (graph_query flavor: the node set
+    * with relation counts/types attached, `pkg/compiler/query.go:12-147`).
+    */
+  def nodeInfo(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val maxDoc = Window.partitionBy()
+    docs.withColumn("max_doc", max(col("doc_id")).over(maxDoc))
+      .filter(col("doc_id") % 40 === 0)
+      .select(
+        concat(lit("doc:"), col("doc_id")).as("id"),
+        col("doc_id").as("rank"),
+        substring(col("text"), 1, 40).as("content"),
+        (lit(Base) + col("doc_id") * 3600).cast("long").as("created_at"),
+        (col("doc_id") % 13 === 0).as("pinned"),
+        (when(col("doc_id") + 3 <= col("max_doc"), 1).otherwise(0) +
+          when(col("doc_id") >= 3, 1).otherwise(0)).cast("long").as("relation_count"),
+        filter(array(
+          when(col("doc_id") + 3 <= col("max_doc"), "cites"),
+          when(col("doc_id") >= 3, "cited_by")), x => x.isNotNull)
+          .as("relation_types"))
+  }
+
+  private val nodeInfoSql =
+    s"""ni AS (
+       |  SELECT 'doc:' || doc_id AS id, doc_id AS rank,
+       |    substr(text, 1, 40) AS content,
+       |    CAST($Base + doc_id * 3600 AS BIGINT) AS created_at,
+       |    doc_id % 13 = 0 AS pinned,
+       |    CAST((CASE WHEN doc_id + 3 <= (SELECT max(doc_id) FROM documents) THEN 1 ELSE 0 END
+       |     + CASE WHEN doc_id >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS relation_count,
+       |    list_filter([
+       |      CASE WHEN doc_id + 3 <= (SELECT max(doc_id) FROM documents) THEN 'cites' END,
+       |      CASE WHEN doc_id >= 3 THEN 'cited_by' END], x -> x IS NOT NULL) AS relation_types
+       |  FROM documents WHERE doc_id % 40 = 0
+       |)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // K1: the source-query node set itself.
+    "k1_source_query" -> ((s, dir) => {
+      nodeInfo(s, dir)
+        .select(col("id"), col("relation_count"),
+          concat_ws(",", col("relation_types")).as("relation_types"),
+          col("pinned"), col("created_at"))
+        .orderBy(col("rank"))
+    }),
+
+    // K2/K7: deterministic entity-card compile — one row per template field.
+    "k2_compile_fields" -> ((s, dir) => {
+      Compiler.compileEntityCard(nodeInfo(s, dir))
+        .select(col("field"), col("value"), round(col("confidence"), 2).as("confidence"))
+        .orderBy(col("field"))
+    }),
+
+    // K4: artifact versioning — current survives, newest 2 stale kept.
+    "k4_artifact_versions" -> ((s, dir) => {
+      val arts = Tables.documents(s, dir).filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id"),
+          explode(sequence(lit(0L),
+            expr("doc_id div 100") % 5 + 1)).as("version"))
+        .select(concat(lit("card:"), col("doc_id")).as("name"),
+          col("version").cast("long").as("version"),
+          (lit(Base) + col("version") * 1000).as("compiled_at"))
+        .withColumn("status",
+          when(col("version") === max(col("version"))
+            .over(Window.partitionBy("name")), "current").otherwise("stale"))
+      Compiler.pruneVersions(arts, maxVersions = 3)
+        .select(col("name"), col("version"), col("status"), col("kept"))
+        .orderBy(col("name"), col("version"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "k1_source_query" ->
+      s"""WITH $nodeInfoSql
+         |SELECT id, relation_count,
+         |  array_to_string(relation_types, ',') AS relation_types,
+         |  pinned, created_at
+         |FROM ni ORDER BY rank""".stripMargin,
+
+    "k2_compile_fields" ->
+      s"""WITH $nodeInfoSql,
+         |f AS (
+         |  SELECT 'name' AS field,
+         |    (SELECT content FROM ni WHERE content IS NOT NULL AND content <> ''
+         |     ORDER BY rank LIMIT 1) AS value, 0.8 AS confidence
+         |  UNION ALL
+         |  SELECT 'node_count', CAST((SELECT count(*) FROM ni) AS VARCHAR), 1.0
+         |  UNION ALL
+         |  SELECT 'relation_count', CAST((SELECT sum(relation_count) FROM ni) AS VARCHAR), 1.0
+         |  UNION ALL
+         |  SELECT 'last_activity',
+         |    (SELECT strftime(make_timestamp(max(created_at) * 1000000),
+         |                     '%Y-%m-%dT%H:%M:%SZ') FROM ni), 0.9
+         |  UNION ALL
+         |  SELECT 'duration_minutes',
+         |    (SELECT CASE WHEN count(*) >= 2
+         |       THEN CAST(round((max(created_at) - min(created_at)) / 60.0, 4) AS VARCHAR)
+         |       END FROM ni), 0.8
+         |  UNION ALL
+         |  SELECT 'top_entities',
+         |    (SELECT array_to_string(list_slice(
+         |       list(id ORDER BY relation_count DESC, id), 1, 10), ',') FROM ni), 0.8
+         |  UNION ALL
+         |  SELECT 'relation_types',
+         |    (SELECT array_to_string(list_sort(list_distinct(flatten(list(relation_types)))), ',')
+         |     FROM ni), 0.9
+         |  UNION ALL
+         |  SELECT 'core_facts',
+         |    (SELECT array_to_string(list_sort(list(content) FILTER (WHERE pinned)), ' | ')
+         |     FROM ni), 0.95
+         |  UNION ALL
+         |  SELECT 'sentiment', (SELECT CAST(round(avg(
+         |    (CASE WHEN content LIKE '%good%' THEN 1.0 ELSE 0.0 END
+         |     + CASE WHEN content LIKE '%great%' THEN 1.0 ELSE 0.0 END
+         |     + CASE WHEN content LIKE '%love%' THEN 1.0 ELSE 0.0 END
+         |     + CASE WHEN content LIKE '%win%' THEN 1.0 ELSE 0.0 END
+         |     - CASE WHEN content LIKE '%bad%' THEN 1.0 ELSE 0.0 END
+         |     - CASE WHEN content LIKE '%fail%' THEN 1.0 ELSE 0.0 END
+         |     - CASE WHEN content LIKE '%awful%' THEN 1.0 ELSE 0.0 END)), 6) AS VARCHAR)
+         |    FROM ni), 0.8)
+         |SELECT field, value,
+         |  CASE WHEN value IS NULL THEN 0.0 ELSE confidence END AS confidence
+         |FROM f ORDER BY field""".stripMargin,
+
+    "k4_artifact_versions" ->
+      s"""WITH arts AS (
+         |  SELECT 'card:' || doc_id AS name, CAST(v AS BIGINT) AS version,
+         |    $Base + v * 1000 AS compiled_at,
+         |    CASE WHEN v = (doc_id // 100) % 5 + 1 THEN 'current' ELSE 'stale' END AS status,
+         |    (doc_id // 100) % 5 + 1 AS maxv
+         |  FROM documents, unnest(generate_series(0, (doc_id // 100) % 5 + 1)) t(v)
+         |  WHERE doc_id % 100 = 0)
+         |SELECT name, version, status,
+         |  (status = 'current' OR version >= maxv - 2) AS kept
+         |FROM arts ORDER BY name, version""".stripMargin
+  )
+}
