@@ -29,7 +29,8 @@ object SparkEntry {
       (StreamQueries.queries, StreamQueries.oracleSql),
       (MiscQueries.queries, MiscQueries.oracleSql),
       (CompilerQueries.queries, CompilerQueries.oracleSql),
-      (ClusterQueries.queries, ClusterQueries.oracleSql)
+      (ClusterQueries.queries, ClusterQueries.oracleSql),
+      (SourceQueries.queries, SourceQueries.oracleSql)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -45,7 +45,7 @@ object GardenerQueries {
   }
 
   /** Shared DuckDB CTE mirroring [[mentions]]. */
-  private val mentionsSql =
+  private[queries] val mentionsSql =
     """mentions AS (
       |  SELECT CAST(user_id AS BIGINT) AS entity,
       |    CAST(floor(epoch(ts)) AS BIGINT) AS created_at,

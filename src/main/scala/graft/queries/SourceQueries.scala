@@ -1,0 +1,249 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.search.Quantizer
+
+/** S6/S7/S9 + V9/V10 + C8 queries: bulk import with dimension validation,
+  * export round-trip, document loaders, int8 quantization, precision
+  * migration, and the contradiction detector's deterministic candidate
+  * surface (the LLM judge is stubbed — graft.llm.StubLlm).
+  */
+object SourceQueries {
+
+  private def cosSql(a: String, b: String): String =
+    s"1.0 - list_cosine_similarity(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
+
+  private val absMaxSql =
+    """am AS (
+      |  SELECT CAST(v AS DOUBLE) AS absmax FROM (
+      |    SELECT v, row_number() OVER (ORDER BY v) AS rn, count(*) OVER () AS cnt
+      |    FROM (SELECT abs(unnest(embedding)) AS v FROM embeddings))
+      |  WHERE rn = CAST(floor(cnt * 0.999) AS BIGINT) + 1
+      |)""".stripMargin
+
+  private val codeSql =
+    "greatest(-127, least(127, CAST(round(CAST(e AS DOUBLE) / absmax * 127.0, 0) AS BIGINT)))"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S6: bulk import — direct table build (AOF bypass) with the VAdd
+    // dimension validation (ops.go:338-348): rows whose vector dimension
+    // differs from the index's are rejected.
+    "s6_bulk_import" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val bad = emb.filter(col("vec_id") < 3).select(
+        (col("vec_id") + 400000).as("vec_id"),
+        slice(col("embedding"), lit(1), lit(32)).as("embedding"))
+      val batch = emb.select(col("vec_id"), col("embedding")).unionByName(bad)
+      val expected = emb.filter(col("vec_id") === 0)
+        .select(size(col("embedding")).as("dim"))
+      batch.crossJoin(broadcast(expected))
+        .withColumn("ok", size(col("embedding")) === col("dim"))
+        .agg(sum(when(col("ok"), 1L).otherwise(0L)).as("n_imported"),
+          sum(when(!col("ok"), 1L).otherwise(0L)).as("n_rejected"))
+    }),
+
+    // S7: export round-trip — alive state written as JSON, read back.
+    "s7_export" -> ((s, dir) => {
+      val alive = Tables.embeddings(s, dir)
+        .filter(col("vec_id") % 17 =!= 0)
+        .select(col("vec_id").cast("long").as("id"),
+          col("label").cast("long").as("label"))
+      val path = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+        s"/graft_export_${math.abs(dir.hashCode)}"
+      alive.write.mode("overwrite").json(path)
+      s.read.json(path)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("label")).cast("long").as("label_sum"))
+    }),
+
+    // S9: document loaders — files on disk, binaryFile source, loader
+    // dispatch by extension (txt/md; the reference's PDF/DOCX parsers are
+    // external codecs — stubbed the same way as multimodal decode).
+    "s9_loaders" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 10)
+        .select(col("doc_id"), col("text")).collect()
+      val path = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft_docs_${math.abs(dir.hashCode)}")
+      java.nio.file.Files.createDirectories(path)
+      docs.foreach { r =>
+        val id = r.getLong(0)
+        val ext = if (id % 2 == 0) "txt" else "md"
+        java.nio.file.Files.writeString(
+          path.resolve(s"doc_$id.$ext"), r.getString(1))
+      }
+      s.read.format("binaryFile").load(path.toString + "/*")
+        .select(
+          regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
+          when(col("path").endsWith(".md"), "markdown")
+            .when(col("path").endsWith(".txt"), "text")
+            .otherwise("cli_stub").as("loader"),
+          length(decode(col("content"), "UTF-8")).cast("long").as("n_chars"))
+        .orderBy(col("file"))
+    }),
+
+    // V9: int8 scalar quantization — codes + reconstruction error.
+    "v9_quantize" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val am = Quantizer.train(emb, "embedding")
+      Quantizer.quantizeVectors(
+          emb.filter(col("vec_id") < 20), "embedding", am)
+        .select(col("vec_id").cast("long").as("id"),
+          aggregate(col("qcodes"), lit(0L), (a, q) => a + q).as("qsum"),
+          array_min(col("qcodes")).as("qmin"),
+          array_max(col("qcodes")).as("qmax"),
+          round(sqrt(aggregate(
+            zip_with(col("embedding").cast("array<double>"),
+              Quantizer.dequantized(col("qcodes"), col("absmax")),
+              (x, d) => (x - d) * (x - d)),
+            lit(0.0), (a, x) => a + x)), 6).as("recon_err"))
+        .orderBy(col("id"))
+    }),
+
+    // V10: precision migration — top-10 overlap between exact-float and
+    // int8-dequantized cosine ranking per query (the recall cost of the
+    // compressed index, `DB.Compress` ops.go:1604).
+    "v10_precision_migration" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val am = Quantizer.train(emb, "embedding")
+      val deq = Quantizer.quantizeVectors(emb, "embedding", am)
+        .select(col("vec_id").cast("long").as("id"),
+          col("embedding"),
+          Quantizer.dequantized(col("qcodes"), col("absmax")).as("dvec"))
+      def top10(vecCol: String, qvecCol: String, qids: DataFrame): DataFrame = {
+        val q = qids.select(col("id").as("qid"), col(vecCol).as("qv"))
+        deq.crossJoin(broadcast(q))
+          .withColumn("d", lit(1.0) - (
+            aggregate(zip_with(col(qvecCol).cast("array<double>"),
+              col("qv").cast("array<double>"), (x, y) => x * y),
+              lit(0.0), (a, x) => a + x) /
+              (sqrt(aggregate(transform(col(qvecCol).cast("array<double>"),
+                x => x * x), lit(0.0), (a, x) => a + x)) *
+                sqrt(aggregate(transform(col("qv").cast("array<double>"),
+                  x => x * x), lit(0.0), (a, x) => a + x)))))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("qid").orderBy(col("d"), col("id"))))
+          .filter(col("rn") <= 10)
+          .select(col("qid"), col("id"))
+      }
+      val qids = deq.filter(col("id") < 5)
+      val exact = top10("embedding", "embedding", qids)
+      val quant = top10("dvec", "dvec", qids)
+      exact.join(quant, Seq("qid", "id"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_overlap"))
+        .orderBy(col("qid"))
+    }),
+
+    // C8: contradiction candidates — entities with both strongly positive
+    // and strongly negative recent mentions; the most recent of each side
+    // becomes a contradicts edge (LLM judge stubbed deterministically).
+    "c8_contradictions" -> ((s, dir) => {
+      val m = GardenerQueries.mentions(s, dir)
+        .withColumn("sscore",
+          graft.analytics.Gardener.sentimentScore(col("content")))
+        .filter(col("created_at") >= GardenerQueries.Now - 14L * 86400)
+      m.groupBy(col("entity"))
+        .agg(
+          max(when(col("sscore") >= 2,
+            struct(col("created_at"), col("event_id")))).as("pos"),
+          max(when(col("sscore") <= -2,
+            struct(col("created_at"), col("event_id")))).as("neg"))
+        .filter(col("pos").isNotNull && col("neg").isNotNull)
+        .select(col("entity"),
+          col("pos.event_id").cast("long").as("pos_mem"),
+          col("neg.event_id").cast("long").as("neg_mem"),
+          lit("contradicts").as("rel"))
+        .orderBy(col("entity"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "s6_bulk_import" ->
+      """WITH batch AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 400000, embedding[1:32] FROM embeddings WHERE vec_id < 3),
+        |dim AS (SELECT len(embedding) AS d FROM embeddings WHERE vec_id = 0)
+        |SELECT CAST(sum(CASE WHEN len(embedding) = dim.d THEN 1 ELSE 0 END) AS BIGINT) AS n_imported,
+        |       CAST(sum(CASE WHEN len(embedding) <> dim.d THEN 1 ELSE 0 END) AS BIGINT) AS n_rejected
+        |FROM batch CROSS JOIN dim""".stripMargin,
+
+    "s7_export" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(label) AS BIGINT) AS label_sum
+        |FROM embeddings WHERE vec_id % 17 <> 0""".stripMargin,
+
+    "s9_loaders" ->
+      """SELECT 'doc_' || doc_id || CASE WHEN doc_id % 2 = 0 THEN '.txt' ELSE '.md' END AS file,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'text' ELSE 'markdown' END AS loader,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents WHERE doc_id < 10 ORDER BY file""".stripMargin,
+
+    "v9_quantize" ->
+      s"""WITH $absMaxSql,
+         |ex AS (
+         |  SELECT vec_id, unnest(embedding) AS e, generate_subscripts(embedding, 1) AS pos
+         |  FROM embeddings WHERE vec_id < 20),
+         |q AS (
+         |  SELECT vec_id, pos, CAST(e AS DOUBLE) AS x,
+         |    $codeSql AS qc, absmax
+         |  FROM ex CROSS JOIN am)
+         |SELECT CAST(vec_id AS BIGINT) AS id,
+         |  CAST(sum(qc) AS BIGINT) AS qsum,
+         |  CAST(min(qc) AS BIGINT) AS qmin, CAST(max(qc) AS BIGINT) AS qmax,
+         |  round(sqrt(sum((x - qc / 127.0 * absmax) * (x - qc / 127.0 * absmax))), 6) AS recon_err
+         |FROM q GROUP BY vec_id ORDER BY id""".stripMargin,
+
+    "v10_precision_migration" ->
+      s"""WITH $absMaxSql,
+         |deq AS (
+         |  SELECT vec_id AS id, embedding,
+         |    list_transform(embedding,
+         |      e -> $codeSql / 127.0 * absmax) AS dvec
+         |  FROM embeddings CROSS JOIN am),
+         |qs AS (SELECT id AS qid, embedding AS qe, dvec AS qd FROM deq WHERE id < 5),
+         |exact AS (
+         |  SELECT qid, id FROM (
+         |    SELECT q.qid, d.id, row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY ${cosSql("d.embedding", "q.qe")}, d.id) AS rn
+         |    FROM deq d CROSS JOIN qs q) WHERE rn <= 10),
+         |quant AS (
+         |  SELECT qid, id FROM (
+         |    SELECT q.qid, d.id, row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY ${cosSql("d.dvec", "q.qd")}, d.id) AS rn
+         |    FROM deq d CROSS JOIN qs q) WHERE rn <= 10)
+         |SELECT CAST(e.qid AS BIGINT) AS qid, CAST(count(*) AS BIGINT) AS n_overlap
+         |FROM exact e JOIN quant u ON e.qid = u.qid AND e.id = u.id
+         |GROUP BY e.qid ORDER BY qid""".stripMargin,
+
+    "c8_contradictions" -> {
+      val mentionsAgg =
+        s"""scored AS (
+           |  SELECT entity, event_id, created_at,
+           |    (CASE WHEN content LIKE '%good%' THEN 1.0 ELSE 0.0 END
+           |     + CASE WHEN content LIKE '%great%' THEN 1.0 ELSE 0.0 END
+           |     + CASE WHEN content LIKE '%love%' THEN 1.0 ELSE 0.0 END
+           |     + CASE WHEN content LIKE '%win%' THEN 1.0 ELSE 0.0 END
+           |     - CASE WHEN content LIKE '%bad%' THEN 1.0 ELSE 0.0 END
+           |     - CASE WHEN content LIKE '%fail%' THEN 1.0 ELSE 0.0 END
+           |     - CASE WHEN content LIKE '%awful%' THEN 1.0 ELSE 0.0 END) AS s
+           |  FROM mentions
+           |  WHERE created_at >= ${GardenerQueries.Now} - 14 * 86400)""".stripMargin
+      s"""WITH ${GardenerQueries.mentionsSql},
+         |$mentionsAgg,
+         |agg AS (
+         |  SELECT entity,
+         |    max(CASE WHEN s >= 2 THEN struct_pack(created_at := created_at, event_id := event_id) END) AS pos,
+         |    max(CASE WHEN s <= -2 THEN struct_pack(created_at := created_at, event_id := event_id) END) AS neg
+         |  FROM scored GROUP BY entity)
+         |SELECT entity, CAST(pos.event_id AS BIGINT) AS pos_mem,
+         |  CAST(neg.event_id AS BIGINT) AS neg_mem, 'contradicts' AS rel
+         |FROM agg WHERE pos IS NOT NULL AND neg IS NOT NULL
+         |ORDER BY entity""".stripMargin
+    }
+  )
+}
