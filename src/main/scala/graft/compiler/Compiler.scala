@@ -87,6 +87,47 @@ object Compiler {
       .reduce(_ unionByName _)
   }
 
+  /** K5 — staleness watcher math (`pkg/compiler/watcher.go:55-58,304-350`):
+    * staleness grows 0.3 per source-change event and 0.05 per hour since
+    * compile; importance = min(10, usage·e^(-recencyHours/168)·0.3
+    * [+1 if > 5 sources]); the recompile threshold shrinks for important
+    * artifacts (×0.5 above 8, ×0.7 above 5) and doubles for barely-used
+    * ones (usage < 10). Recompile when staleness ≥ threshold. The event
+    * feed plugs in as a streaming foreachBatch (E1) or a batch join.
+    */
+  object Staleness {
+    val IncrementOnChange = 0.3
+    val GrowthPerHour = 0.05
+    val BaseThreshold = 1.0
+
+    def importance(usageCount: Column, recencyHours: Column, nSources: Column): Column =
+      least(lit(10.0),
+        usageCount * exp(-recencyHours / 168.0) * 0.3 +
+          when(nSources > 5, 1.0).otherwise(0.0))
+
+    def threshold(imp: Column, usageCount: Column): Column =
+      when(imp > 8.0, BaseThreshold * 0.5)
+        .when(imp > 5.0, BaseThreshold * 0.7)
+        .when(usageCount < 10, BaseThreshold * 2.0)
+        .otherwise(BaseThreshold)
+
+    /** artifacts: (name, staleness, usage_count, recency_hours,
+      * hours_since_compile, n_sources) joined with per-artifact change
+      * counts → updated staleness + recompile decision.
+      */
+    def update(artifacts: DataFrame, changes: DataFrame): DataFrame = {
+      val imp = importance(col("usage_count"), col("recency_hours"), col("n_sources"))
+      artifacts.join(changes, Seq("name"), "left")
+        .withColumn("n_changes", coalesce(col("n_changes"), lit(0L)))
+        .withColumn("staleness",
+          col("staleness") + col("n_changes") * IncrementOnChange +
+            col("hours_since_compile") * GrowthPerHour)
+        .withColumn("importance", imp)
+        .withColumn("threshold", threshold(col("importance"), col("usage_count")))
+        .withColumn("needs_recompile", col("staleness") >= col("threshold"))
+    }
+  }
+
   /** K4 — artifact version pruning (`store.go:201-260`): the current
     * version always survives; stale versions are kept newest-first up to
     * maxVersions-1. artifacts: (name, version, status, compiled_at).

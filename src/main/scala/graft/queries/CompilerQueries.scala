@@ -70,6 +70,30 @@ object CompilerQueries {
         .orderBy(col("field"))
     }),
 
+    // K5: staleness watcher — change events bump staleness; importance-
+    // weighted thresholds decide recompilation.
+    "k5_staleness" -> ((s, dir) => {
+      val arts = Tables.documents(s, dir).filter(col("doc_id") % 40 === 0)
+        .select(concat(lit("card:"), col("doc_id")).as("name"),
+          (col("doc_id") % 150).cast("long").as("entity"),
+          lit(0.0).as("staleness"),
+          (col("doc_id") % 37).cast("long").as("usage_count"),
+          (col("doc_id") % 30).cast("double").as("recency_hours"),
+          (col("doc_id") % 11).cast("double").as("hours_since_compile"),
+          (col("doc_id") % 7).cast("long").as("n_sources"))
+      val changes = GardenerQueries.mentions(s, dir)
+        .filter(col("created_at") > GardenerQueries.Now - 3L * 86400)
+        .groupBy(col("entity")).agg(count(lit(1)).as("n_changes"))
+        .join(arts.select(col("name"), col("entity")), Seq("entity"))
+        .select(col("name"), col("n_changes"))
+      Compiler.Staleness.update(arts, changes)
+        .select(col("name"), col("n_changes"),
+          round(col("importance"), 6).as("importance"),
+          round(col("threshold"), 2).as("threshold"),
+          round(col("staleness"), 6).as("staleness"), col("needs_recompile"))
+        .orderBy(col("name"))
+    }),
+
     // K4: artifact versioning — current survives, newest 2 stale kept.
     "k4_artifact_versions" -> ((s, dir) => {
       val arts = Tables.documents(s, dir).filter(col("doc_id") % 100 === 0)
@@ -140,6 +164,39 @@ object CompilerQueries {
          |SELECT field, value,
          |  CASE WHEN value IS NULL THEN 0.0 ELSE confidence END AS confidence
          |FROM f ORDER BY field""".stripMargin,
+
+    "k5_staleness" ->
+      s"""WITH ${GardenerQueries.mentionsSql},
+         |arts AS (
+         |  SELECT 'card:' || doc_id AS name,
+         |    CAST(doc_id % 150 AS BIGINT) AS entity,
+         |    CAST(doc_id % 37 AS BIGINT) AS usage_count,
+         |    CAST(doc_id % 30 AS DOUBLE) AS recency_hours,
+         |    CAST(doc_id % 11 AS DOUBLE) AS hours_since_compile,
+         |    CAST(doc_id % 7 AS BIGINT) AS n_sources
+         |  FROM documents WHERE doc_id % 40 = 0),
+         |ch AS (
+         |  SELECT a.name, CAST(count(*) AS BIGINT) AS n_changes
+         |  FROM mentions m JOIN arts a ON m.entity = a.entity
+         |  WHERE m.created_at > ${GardenerQueries.Now} - 3 * 86400
+         |  GROUP BY a.name),
+         |upd AS (
+         |  SELECT a.name, coalesce(ch.n_changes, 0) AS n_changes,
+         |    least(10.0, a.usage_count * exp(-a.recency_hours / 168.0) * 0.3
+         |      + CASE WHEN a.n_sources > 5 THEN 1.0 ELSE 0.0 END) AS importance,
+         |    a.usage_count,
+         |    coalesce(ch.n_changes, 0) * 0.3 + a.hours_since_compile * 0.05 AS staleness
+         |  FROM arts a LEFT JOIN ch ON a.name = ch.name),
+         |thr AS (
+         |  SELECT *, CASE WHEN importance > 8.0 THEN 0.5
+         |                 WHEN importance > 5.0 THEN 0.7
+         |                 WHEN usage_count < 10 THEN 2.0
+         |                 ELSE 1.0 END AS threshold
+         |  FROM upd)
+         |SELECT name, n_changes, round(importance, 6) AS importance,
+         |  round(threshold, 2) AS threshold, round(staleness, 6) AS staleness,
+         |  staleness >= threshold AS needs_recompile
+         |FROM thr ORDER BY name""".stripMargin,
 
     "k4_artifact_versions" ->
       s"""WITH arts AS (
