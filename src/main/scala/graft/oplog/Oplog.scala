@@ -227,6 +227,35 @@ object Oplog {
         col("weight"), col("created_at"), col("deleted_at"))
   }
 
+  /** Write-path validations the reference's engine enforces at the API
+    * boundary (mirrored from `testdata/api_contracts.json` regressions):
+    *   - `duplicate_add`: VADD for an id that is already alive at that seq
+    *     (the engine 409s; legal logs re-add only after VDEL);
+    *   - `self_link`: GLINK with src == dst (rejected);
+    *   - `duplicate_create`: VCREATE for an index that already exists.
+    * Returns (seq, op, index_name, violation) — empty on a legal log.
+    */
+  def violations(oplog: DataFrame): DataFrame = {
+    val byId = Window.partitionBy("index_name", "id").orderBy("seq")
+    val addsDels = oplog.filter(col("op").isin("VADD", "VDEL"))
+      .withColumn("prev_op", lag("op", 1).over(byId))
+    val dupAdds = addsDels
+      .filter(col("op") === "VADD" && col("prev_op") === "VADD")
+      .select(col("seq"), col("op"), col("index_name"),
+        lit("duplicate_add").as("violation"))
+    val selfLinks = oplog
+      .filter(col("op") === "GLINK" && col("src") === col("dst"))
+      .select(col("seq"), col("op"), col("index_name"),
+        lit("self_link").as("violation"))
+    val byIdx = Window.partitionBy("index_name").orderBy("seq")
+    val dupCreates = oplog.filter(col("op").isin("VCREATE", "VDROP"))
+      .withColumn("prev_op", lag("op", 1).over(byIdx))
+      .filter(col("op") === "VCREATE" && col("prev_op") === "VCREATE")
+      .select(col("seq"), col("op"), col("index_name"),
+        lit("duplicate_create").as("violation"))
+    dupAdds.unionByName(selfLinks).unionByName(dupCreates)
+  }
+
   /** S12 — catalog state: per index, whether it exists and its bounds. */
   def catalog(oplog: DataFrame): DataFrame =
     oplog.filter(col("op").isin("VCREATE", "VDROP"))
