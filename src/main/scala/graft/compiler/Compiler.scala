@@ -87,6 +87,27 @@ object Compiler {
       .reduce(_ unionByName _)
   }
 
+  /** K3 — LLM-field fallback (`compileBestEffort`, deterministic.go:242-270):
+    * without a model, collect raw content snippets at confidence 0.4 —
+    * array fields get all snippets (rank order), string fields the first.
+    * The LLM path itself sits behind graft.llm.LlmClient.
+    */
+  def bestEffort(nodes: DataFrame, fieldType: String): DataFrame = {
+    val snippets = nodes.filter(col("content").isNotNull && col("content") =!= "")
+    val value = fieldType match {
+      case "array" =>
+        snippets.agg(concat_ws("|", transform(
+          array_sort(collect_list(struct(col("rank"), col("content")))),
+          e => e.getField("content"))).as("value"))
+      case _ =>
+        snippets.agg(min(struct(col("rank"), col("content")))
+          .getField("content").as("value"))
+    }
+    value.select(col("value").cast("string"),
+      when(col("value").isNotNull && col("value") =!= "", lit(0.4))
+        .otherwise(lit(0.0)).as("confidence"))
+  }
+
   /** K5 — staleness watcher math (`pkg/compiler/watcher.go:55-58,304-350`):
     * staleness grows 0.3 per source-change event and 0.05 per hour since
     * compile; importance = min(10, usage·e^(-recencyHours/168)·0.3

@@ -151,6 +151,90 @@ object Epistemic {
         col("state"))
   }
 
+  /** C12 (deterministic core) — BATCHED belief assessment: the per-seed
+    * pillars of [[beliefState]] computed for a whole seed set in ONE plan.
+    * The reference loops `VBeliefState` per reflection
+    * (`resolveVolatileBeliefs`, gardener.go:3277); here every stage is a
+    * window/groupBy keyed by seed, so assessing 10 or 10 million beliefs is
+    * the same job shape. Returns one row per seed with confidence, state,
+    * and the resolution action (volatile → consolidate, contested →
+    * escalate, else none).
+    */
+  def beliefStateBatch(
+      nodes: DataFrame,
+      edges: DataFrame,
+      seeds: DataFrame, // (seed, qvec)
+      k: Int,
+      now: Double,
+      w: Weights = Weights(),
+      th: Thresholds = Thresholds()): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
+    val cand = nodes.crossJoin(broadcast(seeds))
+      .withColumn("d",
+        lit(1.0) - VectorFunctions.cosineSimilarityWide(col("vector"), col("qvec")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("seed").orderBy(col("d"), col("id"))))
+      .filter(col("rn") <= k && !col("is_historical"))
+      .select(col("seed"), col("id"), col("vector").cast("array<double>").as("v"),
+        col("created_at"), col("access_count"))
+      .persist()
+
+    val centroid = cand.select(col("seed"), posexplode(col("v")))
+      .groupBy("seed", "pos").agg(avg(col("col")).as("c"))
+      .groupBy("seed")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        e => e.getField("c")).as("centroid"))
+    val varAgg = cand.join(centroid, Seq("seed"))
+      .withColumn("dc", clampedCosDist(col("v"), col("centroid")))
+      .groupBy("seed").agg(avg(col("dc") * col("dc")).as("variance"),
+        count(lit(1)).as("n"))
+    val pairAgg = cand.alias("a")
+      .join(cand.alias("b"),
+        col("a.seed") === col("b.seed") && col("a.id") < col("b.id"))
+      .groupBy(col("a.seed").as("seed"))
+      .agg(max(clampedCosDist(col("a.v"), col("b.v"))).as("maxvar"))
+    val stab = cand.withColumn("age", lit(now) - col("created_at"))
+      .groupBy("seed")
+      .agg(avg(stabilityCol("ebbinghaus", col("age"), col("access_count")))
+        .as("stability"))
+    val activeNeg = edges.filter(
+      col("rel").isin("contradicts", "invalidates") &&
+        col("created_at") <= now &&
+        (col("deleted_at").isNull || col("deleted_at") > now))
+    val fric = cand.select(col("seed"), col("id"))
+      .join(activeNeg, cand("id") === activeNeg("dst"), "left")
+      .groupBy("seed")
+      .agg(sum(when(col("rel") === "contradicts", 1L).otherwise(0L)).as("contradictions"),
+        sum(when(col("rel") === "invalidates", 1L).otherwise(0L)).as("invalidations"))
+      .withColumn("friction", greatest(lit(0.0),
+        lit(1.0) - col("contradictions") * ContradictionWeight -
+          col("invalidations") * InvalidationWeight))
+
+    varAgg
+      .join(pairAgg, Seq("seed"), "left")
+      .join(stab, Seq("seed"))
+      .join(fric, Seq("seed"))
+      .withColumn("consensus",
+        when(col("n") === 1, lit(1.0))
+          .when(coalesce(col("maxvar"), lit(0.0)) < 1e-10, lit(1.0))
+          .otherwise(lit(1.0) -
+            least(col("variance") / (col("maxvar") * col("maxvar")), lit(1.0))))
+      .withColumn("confidence", greatest(lit(0.0), least(lit(1.0),
+        col("consensus") * w.consensus + col("stability") * w.stability +
+          col("friction") * w.friction)))
+      .withColumn("state",
+        when((col("contradictions") > 0 || col("invalidations") > 0) &&
+          col("confidence") < th.crystallized, lit("contested"))
+          .when(col("confidence") >= th.crystallized, lit("crystallized"))
+          .when(col("confidence") <= th.volatile, lit("volatile"))
+          .otherwise(lit("stable")))
+      .withColumn("action",
+        when(col("state") === "volatile", "consolidate")
+          .when(col("state") === "contested", "escalate")
+          .otherwise("none"))
+  }
+
   /** H7 — per-node friction: the effect of `invalidates`/`contradicts`
     * in-edges (`CalculateFriction` applied per target). Feeding new
     * invalidation edges in (`POST /graph/actions/invalidate`) lowers the

@@ -94,6 +94,23 @@ object EpistemicQueries {
         .orderBy(col("id"))
     }),
 
+    // C12: batched volatile-belief resolution — belief state per seed in
+    // one plan, with the consolidate/escalate/none action.
+    "c12_volatile_beliefs" -> ((s, dir) => {
+      val seeds = Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+        .select(col("vec_id").cast("long").as("seed"), col("embedding").as("qvec"))
+      Epistemic.beliefStateBatch(
+          nodesView(s, dir), frictionEdges(s, dir), seeds, k = 5, now = Now.toDouble)
+        .select(col("seed"), col("n").cast("long").as("n_sources"),
+          round(col("consensus"), 6).as("consensus"),
+          round(col("stability"), 6).as("stability"),
+          round(col("friction"), 6).as("friction"),
+          col("contradictions"), col("invalidations"),
+          round(col("confidence"), 6).as("confidence"),
+          col("state"), col("action"))
+        .orderBy(col("seed"))
+    }),
+
     // H8: evolution chains — follow superseded_by from each original node;
     // the chain head (max pos) is the current record, the rest historical.
     "h8_evolution_chain" -> ((s, dir) => {
@@ -183,6 +200,74 @@ object EpistemicQueries {
          |       WHEN confidence <= 0.40 THEN 'volatile'
          |       ELSE 'stable' END AS state
          |FROM conf""".stripMargin,
+
+    "c12_volatile_beliefs" ->
+      s"""WITH $nodesSql, $fedgesSql,
+         |seeds AS (SELECT vec_id AS seed, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT s.seed, n.id, CAST(n.embedding AS DOUBLE[]) AS v,
+         |    n.created_at, n.access_count, n.hist,
+         |    1.0 - list_cosine_similarity(CAST(n.embedding AS DOUBLE[]),
+         |                                 CAST(s.qv AS DOUBLE[])) AS d
+         |  FROM nodes n CROSS JOIN seeds s),
+         |cand AS (
+         |  SELECT seed, id, v, created_at, access_count FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY seed ORDER BY d, id) AS rn
+         |    FROM scored)
+         |  WHERE rn <= 5 AND NOT hist),
+         |cent AS (
+         |  SELECT seed, list(avg_e ORDER BY pos) AS c FROM (
+         |    SELECT seed, pos, avg(e) AS avg_e FROM (
+         |      SELECT seed, unnest(v) AS e, generate_subscripts(v, 1) AS pos FROM cand)
+         |    GROUP BY seed, pos) GROUP BY seed),
+         |vr AS (
+         |  SELECT seed, avg(dc * dc) AS variance, count(*) AS n FROM (
+         |    SELECT cand.seed,
+         |      1.0 - greatest(0.0, least(1.0, list_cosine_similarity(cand.v, cent.c))) AS dc
+         |    FROM cand JOIN cent USING (seed)) GROUP BY seed),
+         |pr AS (
+         |  SELECT a.seed,
+         |    max(1.0 - greatest(0.0, least(1.0, list_cosine_similarity(a.v, b.v)))) AS maxvar
+         |  FROM cand a JOIN cand b ON a.seed = b.seed AND a.id < b.id GROUP BY a.seed),
+         |st AS (
+         |  SELECT seed, avg(exp(-($Now - created_at) /
+         |    (2592000.0 * (1.0 + ln(1.0 + access_count))))) AS stability
+         |  FROM cand GROUP BY seed),
+         |fr AS (
+         |  SELECT cand.seed,
+         |    CAST(count(CASE WHEN f.rel = 'contradicts'
+         |      AND (f.deleted_at IS NULL OR f.deleted_at > $Now) THEN 1 END) AS BIGINT) AS contr,
+         |    CAST(count(CASE WHEN f.rel = 'invalidates'
+         |      AND (f.deleted_at IS NULL OR f.deleted_at > $Now) THEN 1 END) AS BIGINT) AS inval
+         |  FROM cand LEFT JOIN fedges f ON f.dst = cand.id GROUP BY cand.seed),
+         |calc AS (
+         |  SELECT vr.seed, vr.n,
+         |    CASE WHEN vr.n = 1 THEN 1.0
+         |         WHEN coalesce(pr.maxvar, 0) < 1e-10 THEN 1.0
+         |         ELSE 1.0 - least(vr.variance / (pr.maxvar * pr.maxvar), 1.0) END AS consensus,
+         |    st.stability,
+         |    greatest(0.0, 1.0 - fr.contr * 0.20 - fr.inval * 0.50) AS friction,
+         |    fr.contr, fr.inval
+         |  FROM vr LEFT JOIN pr ON vr.seed = pr.seed
+         |  JOIN st ON vr.seed = st.seed JOIN fr ON vr.seed = fr.seed),
+         |conf AS (
+         |  SELECT *, greatest(0.0, least(1.0,
+         |    consensus * 0.40 + stability * 0.30 + friction * 0.30)) AS confidence
+         |  FROM calc),
+         |fin AS (
+         |  SELECT *, CASE
+         |    WHEN (contr > 0 OR inval > 0) AND confidence < 0.85 THEN 'contested'
+         |    WHEN confidence >= 0.85 THEN 'crystallized'
+         |    WHEN confidence <= 0.40 THEN 'volatile'
+         |    ELSE 'stable' END AS state
+         |  FROM conf)
+         |SELECT CAST(seed AS BIGINT) AS seed, CAST(n AS BIGINT) AS n_sources,
+         |  round(consensus, 6) AS consensus, round(stability, 6) AS stability,
+         |  round(friction, 6) AS friction, contr AS contradictions,
+         |  inval AS invalidations, round(confidence, 6) AS confidence, state,
+         |  CASE state WHEN 'volatile' THEN 'consolidate'
+         |             WHEN 'contested' THEN 'escalate' ELSE 'none' END AS action
+         |FROM fin ORDER BY seed""".stripMargin,
 
     "h7_invalidation" ->
       s"""WITH $fedgesSql,
