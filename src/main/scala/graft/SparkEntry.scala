@@ -33,9 +33,11 @@ object SparkEntry {
       (SourceQueries.queries, SourceQueries.oracleSql)
     )
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Hybrid fusion is the reference's flagship read path (SURVEY §3.1).
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("v2_knn_cosine")(spark, "/root/testdata/sf0.001")
+    queries("h1_fusion_hybrid")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

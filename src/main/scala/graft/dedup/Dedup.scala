@@ -65,16 +65,21 @@ object Dedup {
     (0 until numPerms).map(i => (i, 377424577L + i * 97L, 285451301L + i * 131L))
 
   /** MinHash signatures: (id, i, minh) — min over the doc's shingle hashes
-    * under each permutation. One shuffle on (id, i).
+    * under each permutation. All permutations are computed as parallel
+    * aggregates in ONE grouped pass (map-side partial min), so the shuffle
+    * carries one row per document instead of numPerms× the shingle set —
+    * the difference between shuffling 12B and 1B rows at corpus scale.
     */
   def minhashSigs(sh: DataFrame, numPerms: Int = 12): DataFrame = {
-    val spark = sh.sparkSession
-    import spark.implicits._
-    val perms = broadcast(permConstants(numPerms).toDF("i", "a", "b"))
-    sh.withColumn("x", polyHash(col("shingle")))
-      .crossJoin(perms)
-      .groupBy(col("id"), col("i"))
-      .agg(min((col("a") * col("x") + col("b")) % P).as("minh"))
+    val aggs = permConstants(numPerms).map { case (i, a, b) =>
+      min((lit(a) * col("x") + lit(b)) % P).as(s"mh$i")
+    }
+    val wide = sh.withColumn("x", polyHash(col("shingle")))
+      .groupBy(col("id"))
+      .agg(aggs.head, aggs.tail: _*)
+    wide.select(col("id"),
+        posexplode(array((0 until numPerms).map(i => col(s"mh$i")): _*)))
+      .select(col("id"), col("pos").cast("int").as("i"), col("col").as("minh"))
   }
 
   /** LSH banding (r rows per band): docs agreeing on a whole band are
