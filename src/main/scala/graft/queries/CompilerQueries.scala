@@ -185,7 +185,11 @@ object CompilerQueries {
          |    least(10.0, a.usage_count * exp(-a.recency_hours / 168.0) * 0.3
          |      + CASE WHEN a.n_sources > 5 THEN 1.0 ELSE 0.0 END) AS importance,
          |    a.usage_count,
-         |    coalesce(ch.n_changes, 0) * 0.3 + a.hours_since_compile * 0.05 AS staleness
+         |    -- CAST AS DOUBLE: a bare 0.3 is DECIMAL in DuckDB (exact
+         |    -- arithmetic) while Spark computes in double — a staleness sum
+         |    -- landing exactly on a threshold would flip needs_recompile.
+         |    coalesce(ch.n_changes, 0) * CAST(0.3 AS DOUBLE)
+         |      + a.hours_since_compile * CAST(0.05 AS DOUBLE) AS staleness
          |  FROM arts a LEFT JOIN ch ON a.name = ch.name),
          |thr AS (
          |  SELECT *, CASE WHEN importance > 8.0 THEN 0.5
