@@ -22,6 +22,16 @@ import graft.text.TextPipeline
   */
 object MiscQueries {
 
+  /** Italian vocabulary (from the stemmer golden set) and its stems. */
+  val ItVocab: Seq[String] = Seq(
+    "casa", "gatto", "tavolo", "strada", "parlare", "vedere", "finire",
+    "velocemente", "nazionale", "operatore", "trovarlo", "banchi", "funghi",
+    "gioia", "aiuola", "chiodo")
+  val ItStems: Seq[String] = Seq(
+    "cas", "gatt", "tav", "strad", "parl", "ved", "fin",
+    "veloc", "nazion", "oper", "trov", "banch", "fungh",
+    "gioi", "aiu", "chiod")
+
   private def cosSql(a: String, b: String): String =
     s"1.0 - list_cosine_similarity(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
 
@@ -166,6 +176,46 @@ object MiscQueries {
         .join(nodes.withColumnRenamed("doc_id", "dst"), Seq("dst"), "left_semi")
       nodes.agg(count(lit(1)).as("n_nodes"))
         .crossJoin(induced.agg(count(lit(1)).as("n_edges")))
+    }),
+
+    // T4: Italian analyzer pipeline end-to-end (tokenize → IT stopwords →
+    // Snowball-Italian stem) over a deterministic Italian corpus.
+    "t4_analyze_italian" -> ((s, dir) => {
+      val vocab = MiscQueries.ItVocab.map(lit(_))
+      def w(off: Int) = element_at(array(vocab: _*),
+        ((col("vec_id") + off) % 16 + 1).cast("int"))
+      val corpus = Tables.embeddings(s, dir).filter(col("vec_id") < 100)
+        .select(col("vec_id").cast("long").as("id"),
+          concat_ws(" ", w(0), w(3), w(7), lit("il e la")).as("text"))
+      graft.text.Analyzer.tokensDF(corpus, "text", "italian")
+        .groupBy(col("id"))
+        .agg(concat_ws(" ", sort_array(collect_list(col("token")))).as("stems"))
+        .orderBy(col("id"))
+    }),
+
+    // G8 guided expansion: BFS where a neighbor is admitted only if its
+    // vector is within `thr` of the guide vector (graph.go:296-390's
+    // guided subgraph) — pruning a branch cuts everything behind it.
+    "g8_guided_subgraph" -> ((s, dir) => {
+      val mem = RagQueries.ragView(s, dir)
+      val guide = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+        .select(col("embedding").as("gvec"))
+      val admitted = mem.crossJoin(broadcast(guide))
+        .filter(lit(1.0) -
+          VectorFunctions.cosineSimilarityWide(col("embedding"), col("gvec")) <= 1.0)
+        .select(col("doc_id").cast("string").as("adm"))
+      val cites = Tables.documents(s, dir).select(
+          col("doc_id").cast("string").as("src"),
+          (col("doc_id") + 3).cast("string").as("dst"),
+          lit("cites").as("rel"), lit(1L).as("created_at"),
+          lit(null).cast("long").as("deleted_at"))
+        .join(admitted, col("dst") === col("adm"), "left_semi")
+      import s.implicits._
+      GraphOps.bfs(cites, Seq("0").toDF("node"),
+          rels = Seq("cites"), direction = "out", maxDepth = 3)
+        .select(col("node").cast("long").as("node"),
+          col("depth").cast("long").as("depth"))
+        .orderBy(col("node"))
     }),
 
     // V11: distance from stored nodes to an ad-hoc query, both metrics.
@@ -314,6 +364,41 @@ object MiscQueries {
          |  JOIN nodes b ON d.doc_id + 3 = b.doc_id)
          |SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
          |       (SELECT CAST(count(*) AS BIGINT) FROM induced) AS n_edges""".stripMargin,
+
+    "t4_analyze_italian" -> {
+      val stemList = ItStems.map(s => s"'$s'").mkString("[", ",", "]")
+      s"""WITH v AS (SELECT vec_id FROM embeddings WHERE vec_id < 100),
+         |stems AS (
+         |  SELECT vec_id AS id, $stemList AS sl,
+         |    [CAST(vec_id % 16 AS INT) + 1, CAST((vec_id + 3) % 16 AS INT) + 1,
+         |     CAST((vec_id + 7) % 16 AS INT) + 1] AS idx
+         |  FROM v)
+         |SELECT CAST(id AS BIGINT) AS id,
+         |  array_to_string(list_sort([sl[idx[1]], sl[idx[2]], sl[idx[3]]]), ' ') AS stems
+         |FROM stems ORDER BY id""".stripMargin
+    },
+
+    "g8_guided_subgraph" ->
+      s"""WITH $memSql,
+         |g AS (SELECT embedding AS gvec FROM embeddings WHERE vec_id = 0),
+         |adm AS (
+         |  SELECT m.doc_id FROM mem m CROSS JOIN g
+         |  WHERE ${cosSql("m.embedding", "g.gvec")} <= 1.0),
+         |e AS (
+         |  SELECT d.doc_id AS src, d.doc_id + 3 AS dst FROM documents d
+         |  JOIN adm ON adm.doc_id = d.doc_id + 3),
+         |d0 AS (SELECT 0 AS node),
+         |d1 AS (SELECT e.dst AS node FROM e JOIN d0 ON e.src = d0.node),
+         |d2 AS (SELECT e.dst AS node FROM e JOIN d1 ON e.src = d1.node),
+         |d3 AS (SELECT e.dst AS node FROM e JOIN d2 ON e.src = d2.node),
+         |lv AS (
+         |  SELECT node, 0 AS depth FROM d0
+         |  UNION ALL SELECT node, 1 FROM d1
+         |  UNION ALL SELECT node, 2 FROM d2
+         |  UNION ALL SELECT node, 3 FROM d3),
+         |mn AS (SELECT node, min(depth) AS depth FROM lv GROUP BY node)
+         |SELECT CAST(node AS BIGINT) AS node, CAST(depth AS BIGINT) AS depth
+         |FROM mn ORDER BY node""".stripMargin,
 
     "v11_distance_to_node" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

@@ -99,11 +99,12 @@ object OplogQueries {
         try_element_at(col("meta"), lit("label")) === "3",
         "agent7", ts = 99999L)
       val n = nodes.agg(count(lit(1)).as("n_nodes"))
-      val e = edges.filter(col("rel") === "next")
-        .agg(count(lit(1)).as("n_edges"))
-      val p = edges.filter(col("rel") === "transferred")
-        .agg(count(lit(1)).as("n_prov_edges"))
-      n.crossJoin(e).crossJoin(p)
+      // One pass over the edge output for both counts — two separate
+      // filter+count branches would evaluate the whole edge fold twice.
+      val e = edges.agg(
+        sum(when(col("rel") === "next", 1L).otherwise(0L)).as("n_edges"),
+        sum(when(col("rel") === "transferred", 1L).otherwise(0L)).as("n_prov_edges"))
+      n.crossJoin(e)
     })
   )
 
