@@ -65,6 +65,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("cartesian"))
   }
 
+  test("IVF buckets partition-prune when stored as a partitioned table") {
+    // The 100 TB deployment story: vectors written partitioned by their
+    // IVF bucket, so probing nProbe buckets reads nProbe/k of the files.
+    val emb = graft.core.Tables.embeddings(spark, sf())
+      .select(col("vec_id").cast("long").as("id"), col("embedding").as("vector"))
+    val cents = emb.filter(col("id") % 100 === 0)
+      .select(col("id").as("cid"), col("vector").as("cvec"))
+    val dir = java.nio.file.Files.createTempDirectory("ivf-part").toString
+    graft.search.Ivf.assign(emb, cents)
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    val probe = spark.read.parquet(dir).filter(col("bucket").isin(0L, 100L))
+    val p = plan(probe)
+    assert(p.contains("PartitionFilters") && p.contains("bucket"),
+      p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+    // Only the probed buckets' rows come back (partition discovery may
+    // re-infer the column as int — normalize).
+    val buckets = probe.select(col("bucket").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(buckets.subsetOf(Set(0L, 100L)))
+  }
+
   test("distance kernels stay inside whole-stage codegen") {
     val emb = graft.core.Tables.embeddings(spark, sf())
     val df = graft.search.VectorSearch.topK(emb, Seq.fill(64)(0.1f), k = 5,
