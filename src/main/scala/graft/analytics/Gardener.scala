@@ -133,6 +133,25 @@ object Gardener {
       .withColumn("confidence",
         when(col("forgotten"), least(lit(1.0), col("total") / 10.0)))
 
+  /** C9 (deterministic core) — repeated failures
+    * (`detectRepeatedFailures`, gardener.go:2818-2870): failed agent
+    * actions in the recent window, grouped by action key; ≥ minFailures of
+    * the same action is a pattern (the LLM diagnosis step is stubbed —
+    * graft.llm.LlmClient).
+    * `failures`: (action, created_at).
+    */
+  def repeatedFailures(
+      failures: DataFrame,
+      now: Long,
+      windowSecs: Long = 24L * 3600,
+      minFailures: Long = 3): DataFrame =
+    failures
+      .filter(col("created_at") >= now - windowSecs)
+      .groupBy(col("action"))
+      .agg(count(lit(1)).as("n_failures"),
+        max(col("created_at")).as("last_failure"))
+      .filter(col("n_failures") >= minFailures)
+
   /** C10 — session summarization, deterministic path
     * (`SummarizeSession` gardener.go:1563-1728 + the compiler's `computed`
     * fields, `deterministic.go:180`): per session — memory count, bounds,

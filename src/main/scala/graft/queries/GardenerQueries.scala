@@ -113,6 +113,21 @@ object GardenerQueries {
         .orderBy(col("entity"))
     }),
 
+    // C9 (deterministic): error events as failed agent actions, keyed by
+    // the props payload — ≥3 of the same action in the window is a pattern.
+    // Window widened to 72h (the data ends a day before `now`).
+    "c9_repeated_failures" -> ((s, dir) => {
+      val failures = Tables.events(s, dir)
+        .filter(col("event_type") === "error")
+        .select(
+          concat(lit("act:"),
+            regexp_extract(col("props"), "\\d+", 0).cast("long") % 10).as("action"),
+          col("ts_sec").as("created_at"))
+      Gardener.repeatedFailures(failures, Now, windowSecs = 72L * 3600)
+        .select(col("action"), col("n_failures"), col("last_failure"))
+        .orderBy(col("action"))
+    }),
+
     // C10: session = (user, day); counts, bounds, duration, dominant topic.
     "c10_sessions" -> ((s, dir) => {
       val m = mentions(s, dir).filter(col("entity") < 20)
@@ -196,6 +211,16 @@ object GardenerQueries {
          |  round(CASE WHEN last_mention <= $Now - 2*86400
          |        THEN least(1.0, total / 10.0) END, 6) AS confidence
          |FROM agg WHERE total >= 5 ORDER BY entity""".stripMargin,
+
+    "c9_repeated_failures" ->
+      s"""WITH f AS (
+         |  SELECT 'act:' || (CAST(regexp_extract(props, '\\d+', 0) AS BIGINT) % 10) AS action,
+         |    CAST(floor(epoch(ts)) AS BIGINT) AS created_at
+         |  FROM events WHERE event_type = 'error')
+         |SELECT action, CAST(count(*) AS BIGINT) AS n_failures,
+         |  max(created_at) AS last_failure
+         |FROM f WHERE created_at >= $Now - 72 * 3600
+         |GROUP BY action HAVING count(*) >= 3 ORDER BY action""".stripMargin,
 
     "c10_sessions" ->
       s"""WITH $mentionsSql,
