@@ -25,7 +25,7 @@ object FusionQueries {
   val Now = 1706745600L // 2024-02-01T00:00:00Z
   val Base = 1704067200L // 2024-01-01T00:00:00Z
 
-  private val memCfg = Decay.MemoryConfig(
+  private[queries] val memCfg = Decay.MemoryConfig(
     enabled = true,
     halfLifeSeconds = 604800.0,
     model = "exponential",
@@ -50,7 +50,7 @@ object FusionQueries {
   }
 
   /** Shared SQL for the synthetic metadata (DuckDB side). */
-  private val memViewSql =
+  private[queries] val memViewSql =
     s"""mem AS (
        |  SELECT d.doc_id, d.text, e.embedding,
        |    CAST($Base + d.doc_id * 3600 AS DOUBLE) AS created_at,
@@ -63,7 +63,7 @@ object FusionQueries {
        |)""".stripMargin
 
   /** Decay factor SQL replicating search_utils.go:91-146 + ops.go:1099-1186. */
-  private val decaySql =
+  private[queries] val decaySql =
     s"""CASE WHEN pinned THEN 1.0
        |     WHEN greatest(created_at, last_accessed) <= 0 THEN 1.0
        |     WHEN layer = 'procedural' THEN 1.0
@@ -79,7 +79,7 @@ object FusionQueries {
        |       END)
        |END""".stripMargin
 
-  private val hlSql =
+  private[queries] val hlSql =
     "CASE layer WHEN 'semantic' THEN 2592000.0 ELSE 604800.0 END"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -178,6 +178,44 @@ object MiscQueries {
         .crossJoin(induced.agg(count(lit(1)).as("n_edges")))
     }),
 
+    // The FLAGSHIP read path composed end-to-end (SURVEY §3.1 trace):
+    // hybrid filter with CONTAINS extraction → metadata allow-list AND
+    // graph BFS allow-list → parallel vector+BM25 branches → alpha fusion
+    // → time-decay → top-k → relation hydration. One Catalyst plan.
+    "h9_full_pipeline" -> ((s, dir) => {
+      val mem = FusionQueries.memoryView(s, dir)
+      val raw = "CONTAINS(text,'table merge query') AND doc_id < 450"
+      val (boolFilter, textQuery, _) = FilterDsl.parseHybridFilter(raw)
+      val metaPred = FilterDsl.compile(boolFilter, mem.schema)
+      // Graph allow-list: docs within 3 cites-hops of doc 0 or doc 1.
+      val cites = Tables.documents(s, dir).select(
+        col("doc_id").cast("string").as("src"),
+        (col("doc_id") + 3).cast("string").as("dst"),
+        lit("cites").as("rel"), lit(1L).as("created_at"),
+        lit(null).cast("long").as("deleted_at"))
+      import s.implicits._
+      val allowed = GraphOps.bfs(cites, Seq("0", "1").toDF("node"),
+          rels = Seq("cites"), direction = "out", maxDepth = 3)
+        .select(col("node").cast("long").as("doc_id"))
+      val qdf = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      val top = Fusion.searchWithFusionDF(mem, "doc_id", "embedding", "text",
+        Some(qdf), textQuery,
+        Fusion.FusionParams(alpha = 0.6, k = 5, metric = "cosine",
+          memory = FusionQueries.memCfg, now = FusionQueries.Now, wide = true),
+        filter = Some(metaPred), allowList = Some(allowed))
+      // Relation hydration: expand each hit one cites-hop, hydrating the
+      // target's source when it exists in the memory view.
+      top
+        .withColumn("target", col("doc_id") + 3)
+        .join(RagQueries.ragView(s, dir)
+            .select(col("doc_id").as("target"), col("source").as("target_source")),
+          Seq("target"), "left")
+        .select(col("doc_id"), round(col("score"), 6).as("score"),
+          col("target"), col("target_source"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // T4: Italian analyzer pipeline end-to-end (tokenize → IT stopwords →
     // Snowball-Italian stem) over a deterministic Italian corpus.
     "t4_analyze_italian" -> ((s, dir) => {
@@ -364,6 +402,61 @@ object MiscQueries {
          |  JOIN nodes b ON d.doc_id + 3 = b.doc_id)
          |SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
          |       (SELECT CAST(count(*) AS BIGINT) FROM induced) AS n_edges""".stripMargin,
+
+    "h9_full_pipeline" ->
+      s"""WITH ${FusionQueries.memViewSql},
+         |allow AS (
+         |  SELECT DISTINCT id FROM (
+         |    SELECT unnest([0, 1]) AS id
+         |    UNION ALL SELECT unnest([3, 4]) UNION ALL SELECT unnest([6, 7])
+         |    UNION ALL SELECT unnest([9, 10]))
+         |  WHERE id IN (SELECT doc_id FROM documents)),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |vec AS (
+         |  SELECT doc_id,
+         |    1.0 - list_cosine_similarity(CAST(m.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) AS d
+         |  FROM mem m CROSS JOIN q
+         |  WHERE m.doc_id < 450 AND m.doc_id IN (SELECT id FROM allow)),
+         |vtopk AS (
+         |  SELECT doc_id, 1.0 / (1.0 + d) AS vscore
+         |  FROM (SELECT doc_id, d, row_number() OVER (ORDER BY d, doc_id) AS rn FROM vec)
+         |  WHERE rn <= 5),
+         |${TextQueries.analyzedOn("mem")},
+         |doclens AS (
+         |  SELECT m.doc_id, count(a.token) AS dl
+         |  FROM mem m LEFT JOIN analyzed a USING (doc_id) GROUP BY m.doc_id),
+         |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM doclens),
+         |postings AS (SELECT doc_id, token, count(*) AS tf FROM analyzed GROUP BY 1, 2),
+         |qt AS (SELECT * FROM (VALUES ('tabl', 1), ('merg', 1), ('queri', 1)) AS t(token, qn)),
+         |dfreq AS (
+         |  SELECT p.token, count(*) AS df FROM postings p
+         |  JOIN (SELECT DISTINCT token FROM qt) x USING (token) GROUP BY p.token),
+         |bm25 AS (
+         |  SELECT p.doc_id,
+         |    sum(qt.qn * ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5)) *
+         |        (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS raw
+         |  FROM postings p JOIN qt USING (token) JOIN dfreq f USING (token)
+         |  JOIN doclens d USING (doc_id) CROSS JOIN stats s GROUP BY p.doc_id),
+         |filtered AS (
+         |  SELECT * FROM bm25
+         |  WHERE doc_id < 450 AND doc_id IN (SELECT id FROM allow)),
+         |tnorm AS (SELECT doc_id, raw / max(raw) OVER () AS tscore FROM filtered),
+         |fused AS (
+         |  SELECT coalesce(v.doc_id, t.doc_id) AS doc_id,
+         |    0.6 * coalesce(v.vscore, 0) + 0.4 * coalesce(t.tscore, 0) AS fscore
+         |  FROM vtopk v FULL OUTER JOIN tnorm t ON v.doc_id = t.doc_id),
+         |decayed AS (
+         |  SELECT f.doc_id, f.fscore * ${FusionQueries.decaySql} AS score
+         |  FROM fused f JOIN (SELECT *, ${FusionQueries.hlSql} AS hl FROM mem) USING (doc_id)),
+         |top AS (
+         |  SELECT doc_id, score FROM decayed ORDER BY score DESC, doc_id LIMIT 5)
+         |SELECT t.doc_id, round(t.score, 6) AS score,
+         |  CAST(t.doc_id + 3 AS BIGINT) AS target, m.source AS target_source
+         |FROM top t LEFT JOIN (
+         |  SELECT d.doc_id, d.source FROM documents d
+         |  JOIN embeddings e ON d.doc_id = e.vec_id) m
+         |  ON m.doc_id = t.doc_id + 3
+         |ORDER BY score DESC, t.doc_id""".stripMargin,
 
     "t4_analyze_italian" -> {
       val stemList = ItStems.map(s => s"'$s'").mkString("[", ",", "]")

@@ -65,6 +65,11 @@ object Fusion {
   /** Hybrid search with the query vector supplied as a one-row DataFrame
     * `(qvec)` (e.g. selected from a vector table) — stays lazy end-to-end.
     */
+  /** @param allowList optional id allow-list DataFrame (one `idCol` column)
+    *   — the reference's graph-filter ∩ bitmap intersection
+    *   (`ops.go:941-962`): restricts the VECTOR branch before scoring and
+    *   the TEXT branch after (corpus statistics stay unfiltered).
+    */
   def searchWithFusionDF(
       table: DataFrame,
       idCol: String,
@@ -73,21 +78,26 @@ object Fusion {
       queryVecDF: Option[DataFrame],
       textQuery: String,
       params: FusionParams,
-      filter: Option[Column] = None): DataFrame = {
+      filter: Option[Column] = None,
+      allowList: Option[DataFrame] = None): DataFrame = {
 
     val alpha = if (params.alpha < 0 || params.alpha > 1) 0.5 else params.alpha
     val qTokens = Analyzer.analyze(textQuery, params.lang)
+
+    def allowed(df: DataFrame): DataFrame =
+      allowList.fold(df)(a => df.join(a.select(col(idCol)), Seq(idCol), "left_semi"))
 
     def textScored(): DataFrame = {
       val scored = Bm25.searchPostings(
         table.select(col(idCol)),
         Bm25.postings(table, idCol, textCol, params.lang),
         idCol, qTokens)
-      filter match {
+      val metaFiltered = filter match {
         case Some(pred) =>
           scored.join(table.filter(pred).select(col(idCol)), Seq(idCol), "left_semi")
         case None => scored
       }
+      allowed(metaFiltered)
     }
 
     // CASE A: text only — raw BM25 scores, allow-list post-filter, top-k.
@@ -107,7 +117,7 @@ object Fusion {
       .select(col("qvec"),
         assert_true(col("qn") === 1,
           lit("queryVecDF must have exactly one row")).as("qchk"))
-    val base = filter.fold(table)(table.filter)
+    val base = allowed(filter.fold(table)(table.filter))
     val vecScores = base
       .crossJoin(broadcast(qOne))
       .drop("qchk")
