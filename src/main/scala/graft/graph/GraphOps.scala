@@ -106,7 +106,9 @@ object GraphOps {
     var d = 1
     while (d <= maxDepth && !frontier.isEmpty) {
       // localCheckpoint truncates lineage: avoids self-join ambiguity across
-      // iterations and keeps the plan linear in depth. (On a multi-executor
+      // iterations and keeps the plan linear in depth; lazy (eager=false) so the
+      // per-level isEmpty probe is the one materializing action, not a second
+      // job on top of an eager checkpoint. (On a multi-executor
       // cluster prefer reliable `checkpoint` — localCheckpoint state dies
       // with a lost executor.)
       val next = frontier.join(hops, frontier("node") === hops("from"))
@@ -114,7 +116,7 @@ object GraphOps {
         .join(visited.select(col("node").as("seen")),
           col("node") === col("seen"), "left_anti")
         .distinct()
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
       visited = visited.unionAll(next)
       frontier = next
       d += 1
@@ -162,7 +164,7 @@ object GraphOps {
       val w = Window.partitionBy(col("node")).orderBy(concat_ws("\t", col("path")))
       val nextBest = next.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).drop("rn")
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
       best = best.unionAll(nextBest)
       frontier = nextBest
       d += 1
