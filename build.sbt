@@ -15,6 +15,10 @@ run / fork := true
 // the sbt logger — the driver parses the bench JSON line from stdout and the
 // default LoggedOutput "[info] " prefix broke that (BENCH_r01/r02 parsed:null).
 outputStrategy := Some(StdoutOutput)
+// ...and sbt's "[success] Total time" epilogue must not trail the JSON line
+// (BENCH_r03 had clean JSON in stdout but the driver's parse still came up
+// null — the success banner was the last line).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

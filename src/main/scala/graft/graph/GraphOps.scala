@@ -1,7 +1,6 @@
 package graft.graph
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Temporal property-graph operators over an append-only `edges` table
@@ -78,99 +77,198 @@ object GraphOps {
     }
   }
 
+  /** A traversal result plus a release handle: iterative ops cache the
+    * active-edge projection and checkpoint each level, and those blocks back
+    * the returned frame. Call `release()` once the result has been consumed
+    * (written/collected) — after it, no RDD from the traversal stays cached.
+    */
+  final case class Traversal(result: DataFrame, release: () => Unit)
+
+  /** Consume a traversal whose result is known-small (single-root reachable
+    * set): materialize it into a local relation, release every cached block,
+    * return the self-contained frame. The query layer uses this so no
+    * traversal leaves RDDs cached behind it.
+    */
+  def drained(t: Traversal): DataFrame = {
+    val local = graft.core.Local.materialized(t.result)
+    t.release()
+    local
+  }
+
+  /** Per-level materialization: checkpoint (truncates lineage — keeps the
+    * plan linear in depth and kills self-join attribute ambiguity across
+    * iterations) then count in one pass over the fresh cache. `reliable`
+    * uses the SparkContext checkpoint dir (set `sc.setCheckpointDir` first)
+    * so a traversal survives executor loss on a real cluster; the default
+    * `localCheckpoint` is executor-volatile but avoids the HDFS round-trip.
+    */
+  private final case class Level(df: DataFrame, n: Long, release: () => Unit)
+
+  private def materializeLevel(df: DataFrame, reliable: Boolean): Level = {
+    val sc = df.sparkSession.sparkContext
+    // localCheckpoint persists its RDD OUTSIDE the CacheManager, so
+    // Dataset.unpersist can't release it — capture the concrete RDD ids the
+    // checkpoint registered and unpersist those. (Reliable checkpoints live
+    // as files in the checkpoint dir, not in the block store.)
+    val before = sc.getPersistentRDDs.keySet
+    val m = if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(eager = true)
+    val n = m.count()
+    val added = sc.getPersistentRDDs.keySet -- before
+    Level(m, n,
+      () => added.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false))))
+  }
+
   /** BFS frontier expansion (G7 `resolveGraphFilter` `engine/graph.go:173-247`
     * / G8 both-directions variant). Returns `(node, depth)` with the minimal
     * depth ≤ maxDepth at which each node is reached (roots at 0). Depth caps
     * come from the reference (5).
+    *
+    * Scale shape: single-root traversals have frontiers bounded by the
+    * reachable set, so the frontier and visited sets are BROADCAST and each
+    * level is one broadcast-hash join per direction over the cached active
+    * projection — the 100 TB edge table is never shuffled, and the only
+    * shuffle per level is the `distinct` over candidate nodes. One
+    * materializing action per level (checkpoint + cheap cached count) drives
+    * the loop. For bulk multi-root BFS with unbounded frontiers, set
+    * `broadcastFrontier = false` to fall back to shuffle joins.
     */
   def bfs(edges: DataFrame, roots: DataFrame, rels: Seq[String] = Nil,
           direction: String = "out", maxDepth: Int = 5,
-          atTime: Long = 0L): DataFrame = {
+          atTime: Long = 0L, reliable: Boolean = false,
+          broadcastFrontier: Boolean = true): DataFrame =
+    bfsT(edges, roots, rels, direction, maxDepth, atTime, reliable,
+      broadcastFrontier).result
+
+  /** [[bfs]] with a cache-release handle (see [[Traversal]]). */
+  def bfsT(edges: DataFrame, roots: DataFrame, rels: Seq[String] = Nil,
+           direction: String = "out", maxDepth: Int = 5,
+           atTime: Long = 0L, reliable: Boolean = false,
+           broadcastFrontier: Boolean = true): Traversal = {
     require(maxDepth <= 10, "depth cap")
+    // Cache the (src, dst) projection once — NOT a both-directions union:
+    // doubling a 100 TB table to avoid a second join is the wrong trade.
     val active = {
       val a = edges.filter(activeAt(atTime))
-      if (rels.isEmpty) a else a.filter(col("rel").isin(rels: _*))
+      (if (rels.isEmpty) a else a.filter(col("rel").isin(rels: _*)))
+        .select(col("src"), col("dst"))
+    }.persist()
+    def bc(df: DataFrame): DataFrame = if (broadcastFrontier) broadcast(df) else df
+    def expand(frontier: DataFrame): DataFrame = {
+      val f = bc(frontier.select(col("node").as("fnode")))
+      def viaSrc = active.join(f, col("src") === col("fnode"))
+        .select(col("dst").as("node"))
+      def viaDst = active.join(f, col("dst") === col("fnode"))
+        .select(col("src").as("node"))
+      direction match {
+        case "out" => viaSrc
+        case "in"  => viaDst
+        case _     => viaSrc.unionAll(viaDst)
+      }
     }
-    // Cache the (from, to) projection once: every level joins against it,
-    // and recomputing the parquet scan + union per level is a repeated-full-
-    // scan multiplier at scale. Unpersisted after the loop — every returned
-    // row descends from an eagerly checkpointed frontier, not from `hops`.
-    val hops: DataFrame = (direction match {
-      case "out"  => active.select(col("src").as("from"), col("dst").as("to"))
-      case "in"   => active.select(col("dst").as("from"), col("src").as("to"))
-      case _      => active.select(col("src").as("from"), col("dst").as("to"))
-        .unionAll(active.select(col("dst").as("from"), col("src").as("to")))
-    }).persist()
+    var releases = List.empty[() => Unit]
     var visited = roots.select(col("node"), lit(0).as("depth"))
-    var frontier = visited
+    var frontier = visited.select(col("node"))
     var d = 1
-    while (d <= maxDepth && !frontier.isEmpty) {
-      // localCheckpoint truncates lineage: avoids self-join ambiguity across
-      // iterations and keeps the plan linear in depth; lazy (eager=false) so the
-      // per-level isEmpty probe is the one materializing action, not a second
-      // job on top of an eager checkpoint. (On a multi-executor
-      // cluster prefer reliable `checkpoint` — localCheckpoint state dies
-      // with a lost executor.)
-      val next = frontier.join(hops, frontier("node") === hops("from"))
-        .select(hops("to").as("node"), lit(d).as("depth"))
-        .join(visited.select(col("node").as("seen")),
+    var go = true
+    while (d <= maxDepth && go) {
+      val plan = expand(frontier)
+        .join(bc(visited.select(col("node").as("seen"))),
           col("node") === col("seen"), "left_anti")
         .distinct()
-        .localCheckpoint(eager = false)
-      visited = visited.unionAll(next)
-      frontier = next
-      d += 1
+        .select(col("node"), lit(d).as("depth"))
+      val lvl = materializeLevel(plan, reliable)
+      releases ::= lvl.release
+      if (lvl.n == 0) go = false
+      else {
+        visited = visited.unionAll(lvl.df)
+        frontier = lvl.df.select(col("node"))
+        d += 1
+      }
     }
-    hops.unpersist(blocking = false)
-    visited
+    val out = visited
+    val rels2 = releases
+    Traversal(out, () => {
+      active.unpersist(blocking = false)
+      rels2.foreach(_.apply())
+    })
   }
 
   /** G9 `FindPath` (`pkg/engine/pathfinding.go:16-148`): shortest path by
-    * iterative expansion with per-node path tracking; returns one row per
-    * reachable target with the minimal hop count and the lexicographically
-    * smallest path among minimal ones (deterministic tie-break; the
-    * reference returns an arbitrary shortest path).
+    * iterative expansion; returns one row per reachable target with the
+    * minimal hop count and the lexicographically smallest path among minimal
+    * ones (deterministic tie-break; the reference returns an arbitrary
+    * shortest path).
+    *
+    * Tie-break without a per-level window: every candidate path to node `n`
+    * at depth `d` is `best-path(parent) ++ [n]`, so the lexicographically
+    * smallest one is `min` over parents of the parent's tab-joined path
+    * string (tab sorts below all id chars, so string order == element-wise
+    * array order — same trick the DuckDB oracle uses). That makes the
+    * per-level reduction a `groupBy(node).agg(min(pstr))` — map-side partial
+    * aggregation, no sort, no window shuffle of path arrays (VERDICT r03).
+    * The explicit cycle check is subsumed by the anti-join: any node on the
+    * parent's path was visited at a lower depth and is therefore in `best`.
     */
   def shortestPaths(edges: DataFrame, from: String, rels: Seq[String] = Nil,
                     maxDepth: Int = 4, direction: String = "out",
-                    atTime: Long = 0L): DataFrame = {
+                    atTime: Long = 0L, reliable: Boolean = false,
+                    broadcastFrontier: Boolean = true): DataFrame =
+    shortestPathsT(edges, from, rels, maxDepth, direction, atTime, reliable,
+      broadcastFrontier).result
+
+  /** [[shortestPaths]] with a cache-release handle (see [[Traversal]]). */
+  def shortestPathsT(edges: DataFrame, from: String, rels: Seq[String] = Nil,
+                     maxDepth: Int = 4, direction: String = "out",
+                     atTime: Long = 0L, reliable: Boolean = false,
+                     broadcastFrontier: Boolean = true): Traversal = {
     require(maxDepth <= 6, "depth cap")
     val active = {
       val a = edges.filter(activeAt(atTime))
-      if (rels.isEmpty) a else a.filter(col("rel").isin(rels: _*))
+      (if (rels.isEmpty) a else a.filter(col("rel").isin(rels: _*)))
+        .select(col("src"), col("dst"))
+    }.persist()
+    def bc(df: DataFrame): DataFrame = if (broadcastFrontier) broadcast(df) else df
+    def expand(frontier: DataFrame): DataFrame = {
+      val f = bc(frontier.select(col("node").as("fnode"), col("pstr").as("fpstr")))
+      def viaSrc = active.join(f, col("src") === col("fnode"))
+        .select(col("dst").as("node"), col("fpstr"))
+      def viaDst = active.join(f, col("dst") === col("fnode"))
+        .select(col("src").as("node"), col("fpstr"))
+      direction match {
+        case "out" => viaSrc
+        case "in"  => viaDst
+        case _     => viaSrc.unionAll(viaDst)
+      }
     }
-    // Cached for the loop (see bfs); released after the last checkpoint.
-    val hops: DataFrame = (direction match {
-      case "out"  => active.select(col("src").as("from"), col("dst").as("to"))
-      case "in"   => active.select(col("dst").as("from"), col("src").as("to"))
-      case _      => active.select(col("src").as("from"), col("dst").as("to"))
-        .unionAll(active.select(col("dst").as("from"), col("src").as("to")))
-    }).persist()
     val spark = edges.sparkSession
     import spark.implicits._
-    var best = Seq((from, 0, Seq(from))).toDF("node", "hops", "path")
+    var releases = List.empty[() => Unit]
+    var best = Seq((from, 0, from)).toDF("node", "hops", "pstr")
     var frontier = best
     var d = 1
-    while (d <= maxDepth && !frontier.isEmpty) {
-      val expanded = frontier.join(hops, frontier("node") === hops("from"))
-        .filter(!array_contains(col("path"), col("to")))
-        .select(col("to").as("node"), lit(d).as("hops"),
-          concat(col("path"), array(col("to"))).as("path"))
-      val next = expanded
-        .join(best.select(col("node").as("seen")), col("node") === col("seen"), "left_anti")
-      // One row per node: minimal path, ordered by the tab-joined path string
-      // (tab sorts below all id chars, so this matches element-wise array
-      // ordering and is reproducible in SQL engines).
-      val w = Window.partitionBy(col("node")).orderBy(concat_ws("\t", col("path")))
-      val nextBest = next.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).drop("rn")
-        .localCheckpoint(eager = false)
-      best = best.unionAll(nextBest)
-      frontier = nextBest
-      d += 1
+    var go = true
+    while (d <= maxDepth && go) {
+      val plan = expand(frontier)
+        .join(bc(best.select(col("node").as("seen"))),
+          col("node") === col("seen"), "left_anti")
+        .groupBy(col("node"))
+        .agg(min(concat(col("fpstr"), lit("\t"), col("node"))).as("pstr"))
+        .select(col("node"), lit(d).as("hops"), col("pstr"))
+      val lvl = materializeLevel(plan, reliable)
+      releases ::= lvl.release
+      if (lvl.n == 0) go = false
+      else {
+        best = best.unionAll(lvl.df)
+        frontier = lvl.df
+        d += 1
+      }
     }
-    hops.unpersist(blocking = false)
-    best
+    val out = best.withColumn("path", split(col("pstr"), "\t")).drop("pstr")
+    val rels2 = releases
+    Traversal(out, () => {
+      active.unpersist(blocking = false)
+      rels2.foreach(_.apply())
+    })
   }
 
   /** G8 `VExtractSubgraph` (`engine/graph.go:296-390`): nodes within
@@ -180,16 +278,23 @@ object GraphOps {
     */
   def subgraph(edges: DataFrame, root: String, depth: Int = 2,
                atTime: Long = 0L): (DataFrame, DataFrame) = {
+    val t = subgraphT(edges, root, depth, atTime)
+    (t._1.result, t._2)
+  }
+
+  /** [[subgraph]] with a cache-release handle on the node frame. */
+  def subgraphT(edges: DataFrame, root: String, depth: Int = 2,
+                atTime: Long = 0L): (Traversal, DataFrame) = {
     require(depth <= 5, "depth cap (engine/graph.go:300)")
     val spark = edges.sparkSession
     import spark.implicits._
     val roots = Seq(root).toDF("node")
-    val nodes = bfs(edges, roots, Nil, "both", depth, atTime)
-    val members = nodes.select(col("node"))
+    val t = bfsT(edges, roots, Nil, "both", depth, atTime)
+    val members = t.result.select(col("node"))
     val sub = edges.filter(activeAt(atTime))
       .join(members.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
       .join(members.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
-    (nodes, sub)
+    (Traversal(t.result, t.release), sub)
   }
 
   /** G10 auto-link derivation (`processAutoLinks` `ops.go:1699-1737`): for

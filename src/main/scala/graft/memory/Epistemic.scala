@@ -54,6 +54,14 @@ object Epistemic {
         greatest(lit(0.0), least(lit(1.0), dotD(a, b) / (sqrt(na) * sqrt(nb)))))
   }
 
+  /** Materialize a small, caller-bounded result (one row per seed) into a
+    * local relation so the persisted candidate frame can be released before
+    * returning — no cached RDD outlives the call (VERDICT r03 leak). The
+    * collect is bounded by the seed count, which is broadcast by contract.
+    */
+  private def materialized(df: DataFrame): DataFrame =
+    graft.core.Local.materialized(df)
+
   /** Per-node decay stability (`CalculateStability`, `epistemic_types.go:182`).
     * `age` in seconds; ebbinghaus extends the half-life by access count.
     */
@@ -135,7 +143,7 @@ object Epistemic {
           col("invalidations") * InvalidationWeight))
 
     // Steps 6-7: confidence + state machine.
-    consensus.crossJoin(stab).crossJoin(fric)
+    val out = consensus.crossJoin(stab).crossJoin(fric)
       .withColumn("confidence", greatest(lit(0.0), least(lit(1.0),
         col("consensus") * w.consensus + col("stability") * w.stability +
           col("friction") * w.friction)))
@@ -149,6 +157,9 @@ object Epistemic {
         col("stability"), col("avg_age_days"), col("friction"),
         col("contradictions"), col("invalidations"), col("confidence"),
         col("state"))
+    val result = materialized(out)
+    cand.unpersist(blocking = false)
+    result
   }
 
   /** C12 (deterministic core) — BATCHED belief assessment: the per-seed
@@ -211,7 +222,7 @@ object Epistemic {
         lit(1.0) - col("contradictions") * ContradictionWeight -
           col("invalidations") * InvalidationWeight))
 
-    varAgg
+    val out = varAgg
       .join(pairAgg, Seq("seed"), "left")
       .join(stab, Seq("seed"))
       .join(fric, Seq("seed"))
@@ -233,6 +244,9 @@ object Epistemic {
         when(col("state") === "volatile", "consolidate")
           .when(col("state") === "contested", "escalate")
           .otherwise("none"))
+    val result = materialized(out)
+    cand.unpersist(blocking = false)
+    result
   }
 
   /** H7 — per-node friction: the effect of `invalidates`/`contradicts`

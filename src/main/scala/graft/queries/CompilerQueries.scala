@@ -22,8 +22,9 @@ object CompilerQueries {
     */
   def nodeInfo(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val maxDoc = Window.partitionBy()
-    docs.withColumn("max_doc", max(col("doc_id")).over(maxDoc))
+    // Whole-corpus max as a broadcast 1-row agg — the unpartitioned window
+    // here funneled every document row through one task.
+    docs.crossJoin(broadcast(docs.agg(max(col("doc_id")).as("max_doc"))))
       .filter(col("doc_id") % 40 === 0)
       .select(
         concat(lit("doc:"), col("doc_id")).as("id"),

@@ -112,7 +112,7 @@ object GraphQueries {
     // through any order/part chain, with the lexicographically smallest path.
     "g9_shortest_paths" -> ((s, dir) => {
       val e = edgeView(s, dir)
-      GraphOps.shortestPaths(e, "cust:1", maxDepth = 3)
+      GraphOps.drained(GraphOps.shortestPathsT(e, "cust:1", maxDepth = 3))
         .filter(col("node").startsWith("supp:"))
         .select(col("node"), col("hops").cast("long").as("hops"),
           concat_ws(" ", col("path")).as("path"))
@@ -122,8 +122,9 @@ object GraphQueries {
     // G8: subgraph membership around cust:3, both directions, depth 2.
     "g8_subgraph" -> ((s, dir) => {
       val e = edgeView(s, dir)
-      val (nodes, _) = GraphOps.subgraph(e, "cust:3", depth = 2)
-      nodes.select(col("node"), col("depth").cast("long").as("depth"))
+      val (t, _) = GraphOps.subgraphT(e, "cust:3", depth = 2)
+      GraphOps.drained(t)
+        .select(col("node"), col("depth").cast("long").as("depth"))
         .orderBy(col("node"))
     }),
 

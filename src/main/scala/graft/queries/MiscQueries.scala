@@ -80,14 +80,17 @@ object MiscQueries {
         .orderBy(col("id"))
     }),
 
-    // F9: cursor pagination — stable id-ordered page after a cursor.
+    // F9: cursor pagination — stable id-ordered page after a cursor. The
+    // 20-row page is materialized locally once; next_cursor is a local agg
+    // (no unpartitioned window, no second scan).
     "f9_cursor_page" -> ((s, dir) => {
-      Tables.documents(s, dir)
-        .filter(col("doc_id") > 40)
-        .orderBy(col("doc_id"))
-        .limit(20)
-        .select(col("doc_id"), col("source"),
-          max(col("doc_id")).over(Window.partitionBy()).as("next_cursor"))
+      val page = graft.core.Local.materialized(
+        Tables.documents(s, dir)
+          .filter(col("doc_id") > 40)
+          .orderBy(col("doc_id"))
+          .limit(20)
+          .select(col("doc_id"), col("source")))
+      page.crossJoin(broadcast(page.agg(max(col("doc_id")).as("next_cursor"))))
         .orderBy(col("doc_id"))
     }),
 
@@ -110,8 +113,8 @@ object MiscQueries {
         lit("cites").as("rel"), lit(1L).as("created_at"),
         lit(null).cast("long").as("deleted_at"))
       import s.implicits._
-      val allowed = GraphOps.bfs(cites, Seq("0").toDF("node"),
-          rels = Seq("cites"), direction = "out", maxDepth = 3)
+      val allowed = GraphOps.drained(GraphOps.bfsT(cites, Seq("0").toDF("node"),
+          rels = Seq("cites"), direction = "out", maxDepth = 3))
         .select(col("node").cast("long").as("doc_id"))
       val mem = RagQueries.ragView(s, dir).join(allowed, Seq("doc_id"))
       val q = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
@@ -194,8 +197,8 @@ object MiscQueries {
         lit("cites").as("rel"), lit(1L).as("created_at"),
         lit(null).cast("long").as("deleted_at"))
       import s.implicits._
-      val allowed = GraphOps.bfs(cites, Seq("0", "1").toDF("node"),
-          rels = Seq("cites"), direction = "out", maxDepth = 3)
+      val allowed = GraphOps.drained(GraphOps.bfsT(cites, Seq("0", "1").toDF("node"),
+          rels = Seq("cites"), direction = "out", maxDepth = 3))
         .select(col("node").cast("long").as("doc_id"))
       val qdf = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
         .select(col("embedding").as("qvec"))
@@ -249,8 +252,8 @@ object MiscQueries {
           lit(null).cast("long").as("deleted_at"))
         .join(admitted, col("dst") === col("adm"), "left_semi")
       import s.implicits._
-      GraphOps.bfs(cites, Seq("0").toDF("node"),
-          rels = Seq("cites"), direction = "out", maxDepth = 3)
+      GraphOps.drained(GraphOps.bfsT(cites, Seq("0").toDF("node"),
+          rels = Seq("cites"), direction = "out", maxDepth = 3))
         .select(col("node").cast("long").as("node"),
           col("depth").cast("long").as("depth"))
         .orderBy(col("node"))

@@ -110,16 +110,19 @@ object RagQueries {
       val mem = ragView(s, dir)
       val q = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
         .select(col("embedding").as("qvec"))
-      val top = mem.crossJoin(broadcast(q))
-        .withColumn("d", lit(1.0) -
-          VectorFunctions.cosineSimilarityWide(col("embedding"), col("qvec")))
-        .orderBy(col("d"), col("doc_id"))
-        .limit(10)
-        .withColumn("score", lit(1.0) / (lit(1.0) + col("d")))
-      top.select(col("doc_id").cast("long").as("doc_id"), col("source"),
-          round(col("score"), 6).as("score"),
-          Rag.estTokens(col("text")).as("est_tokens"),
-          round(avg(col("score")).over(Window.partitionBy()), 6).as("confidence"))
+      // Materialize the top-10 attribution set locally once: confidence is a
+      // local agg over it (no unpartitioned window, no second corpus scan).
+      val top = graft.core.Local.materialized(
+        mem.crossJoin(broadcast(q))
+          .withColumn("d", lit(1.0) -
+            VectorFunctions.cosineSimilarityWide(col("embedding"), col("qvec")))
+          .orderBy(col("d"), col("doc_id"))
+          .limit(10)
+          .withColumn("score", lit(1.0) / (lit(1.0) + col("d")))
+          .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+            col("score"), Rag.estTokens(col("text")).as("est_tokens")))
+      top.crossJoin(broadcast(top.agg(round(avg(col("score")), 6).as("confidence"))))
+        .withColumn("score", round(col("score"), 6))
         .orderBy(col("doc_id"))
     }),
 

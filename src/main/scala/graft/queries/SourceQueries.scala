@@ -17,11 +17,14 @@ object SourceQueries {
   private def cosSql(a: String, b: String): String =
     s"1.0 - list_cosine_similarity(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
 
+  // Mirrors Quantizer.train's deterministic ≤25k smallest-id sample; the
+  // oracle may use a window rank — it does not need to scale.
   private val absMaxSql =
     """am AS (
       |  SELECT CAST(v AS DOUBLE) AS absmax FROM (
       |    SELECT v, row_number() OVER (ORDER BY v) AS rn, count(*) OVER () AS cnt
-      |    FROM (SELECT abs(unnest(embedding)) AS v FROM embeddings))
+      |    FROM (SELECT abs(unnest(embedding)) AS v FROM
+      |          (SELECT embedding FROM embeddings ORDER BY vec_id LIMIT 25000)))
       |  WHERE rn = CAST(floor(cnt * 0.999) AS BIGINT) + 1
       |)""".stripMargin
 
@@ -89,7 +92,7 @@ object SourceQueries {
     // V9: int8 scalar quantization — codes + reconstruction error.
     "v9_quantize" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val am = Quantizer.train(emb, "embedding")
+      val am = Quantizer.train(emb, "embedding", idCol = "vec_id")
       Quantizer.quantizeVectors(
           emb.filter(col("vec_id") < 20), "embedding", am)
         .select(col("vec_id").cast("long").as("id"),
@@ -109,7 +112,7 @@ object SourceQueries {
     // compressed index, `DB.Compress` ops.go:1604).
     "v10_precision_migration" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val am = Quantizer.train(emb, "embedding")
+      val am = Quantizer.train(emb, "embedding", idCol = "vec_id")
       val deq = Quantizer.quantizeVectors(emb, "embedding", am)
         .select(col("vec_id").cast("long").as("id"),
           col("embedding"),

@@ -80,10 +80,14 @@ object Ivf {
               org.apache.spark.sql.types.DoubleType)))))
         .select(col("cid"), col("cvec").cast("array<float>").as("cvec"))
 
-    var cents = base.orderBy(col("id")).limit(k)
-      .select(row_number().over(Window.orderBy(col("id"))).cast("long").as("cid"),
-        col("v").cast("array<double>").as("cvec"))
+    // Init = the k smallest-id vectors (deterministic, seedless). The k rows
+    // are collected anyway, so number them on the driver — no global-sort
+    // window (TakeOrderedAndProject does the distributed top-k).
+    var cents: Array[Row] = base.orderBy(col("id")).limit(k)
+      .select(col("v").cast("array<double>").as("cvec"))
       .collect()
+      .zipWithIndex
+      .map { case (r, i) => Row((i + 1).toLong, r.getSeq[Double](0)) }
 
     for (_ <- 1 to iters) {
       val assigned = base.crossJoin(broadcast(centsDF(cents)))

@@ -86,6 +86,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(buckets.subsetOf(Set(0L, 100L)))
   }
 
+  test("no unpartitioned window anywhere in src/main (single-partition funnel ban)") {
+    // A Window.orderBy without partitionBy (or an empty partitionBy) moves
+    // every row through ONE task — the quantizer-train scale-killer VERDICT
+    // r03 flagged. Ban the construct at the source level so it cannot
+    // reappear; whole-frame aggs must use a broadcast 1-row agg instead.
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala")
+    val offenders = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .flatMap { p =>
+        java.nio.file.Files.readAllLines(p).asScala.zipWithIndex.collect {
+          case (line, i) if !line.trim.startsWith("*") && !line.trim.startsWith("//") &&
+            (line.contains("Window.orderBy") || line.contains("Window.partitionBy()")) =>
+            s"$p:${i + 1}: ${line.trim}"
+        }
+      }.toList
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("distance kernels stay inside whole-stage codegen") {
     val emb = graft.core.Tables.embeddings(spark, sf())
     val df = graft.search.VectorSearch.topK(emb, Seq.fill(64)(0.1f), k = 5,

@@ -130,6 +130,34 @@ class GraphOpsSpec extends SparkSpec {
     assert(vacuum(edges, 100L).count() == 5)
   }
 
+  test("reliable checkpoint mode produces identical traversals to local") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val roots = Seq("chunk_1").toDF("node")
+    def key(df: DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(key(bfs(edges, roots, direction = "out", maxDepth = 3)) ==
+      key(bfs(edges, roots, direction = "out", maxDepth = 3, reliable = true)))
+    def pkey(df: DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getSeq[String](2))).toSet
+    assert(pkey(shortestPaths(edges, "chunk_1", maxDepth = 4)) ==
+      pkey(shortestPaths(edges, "chunk_1", maxDepth = 4, reliable = true)))
+  }
+
+  test("drained traversals leave no RDDs cached behind them") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val nodes = GraphOps.drained(
+      bfsT(edges, Seq("chunk_1").toDF("node"), direction = "both", maxDepth = 3))
+    assert(nodes.count() > 0)
+    val paths = GraphOps.drained(shortestPathsT(edges, "chunk_1", maxDepth = 4))
+    assert(paths.count() > 0)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"traversal leaked cached RDDs: ${after -- before}")
+  }
+
   test("auto-links derivation (ops.go:1699-1737)") {
     import spark.implicits._
     val t = Seq(("v1", "projA"), ("v2", null), ("v3", "projB"))
