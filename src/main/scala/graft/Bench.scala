@@ -31,7 +31,10 @@ object Bench {
     def execute(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
-    val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Optional args = query-name filter for quick spot-timing during
+    // development (skips the ANN section); no args = the full driver run.
+    val qs0 = SparkEntry.queries.toSeq.sortBy(_._1)
+    val qs = if (args.isEmpty) qs0 else qs0.filter { case (n, _) => args.contains(n) }
 
     // Warmup: full pass, untimed (codegen + parquet footer caches + JIT).
     qs.foreach { case (_, fn) => try execute(fn) catch { case _: Throwable => () } }
@@ -53,7 +56,7 @@ object Bench {
     // ANN section: batched-QPS exact vs KMeans-IVF + recall@10 — the honest
     // comparable to the reference's HNSW QPS (BASELINE.md: batched
     // throughput at equal recall is the metric for a batch engine).
-    val ann = try {
+    val ann = if (args.nonEmpty) "" else try {
       import org.apache.spark.sql.functions._
       import graft.search.{Ivf, VectorSearch}
       val emb = graft.core.Tables.embeddings(spark, sfDir)

@@ -118,19 +118,33 @@ object GraphOps {
       () => added.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false))))
   }
 
+  /** Nodes whose frontier/visited sets fit on the driver are traversed
+    * INLINE: each level is one job — an `InSet` filter over the cached
+    * active projection (the Spark analogue of the reference's in-memory
+    * pointer walk, which also holds frontier + visited in one process).
+    * Levels above this cardinality flip to the distributed join path.
+    */
+  val InlineFrontierLimit = 8192
+
   /** BFS frontier expansion (G7 `resolveGraphFilter` `engine/graph.go:173-247`
     * / G8 both-directions variant). Returns `(node, depth)` with the minimal
     * depth ≤ maxDepth at which each node is reached (roots at 0). Depth caps
     * come from the reference (5).
     *
-    * Scale shape: single-root traversals have frontiers bounded by the
-    * reachable set, so the frontier and visited sets are BROADCAST and each
-    * level is one broadcast-hash join per direction over the cached active
-    * projection — the 100 TB edge table is never shuffled, and the only
-    * shuffle per level is the `distinct` over candidate nodes. One
-    * materializing action per level (checkpoint + cheap cached count) drives
-    * the loop. For bulk multi-root BFS with unbounded frontiers, set
-    * `broadcastFrontier = false` to fall back to shuffle joins.
+    * Scale shape, two regimes:
+    *   - **inline** (frontier ∧ visited ≤ [[InlineFrontierLimit]], the
+    *     single-root case): per level ONE job scanning the cached active
+    *     projection with an `InSet` predicate — no join, no broadcast
+    *     exchange, no checkpoint; the reachable set lives on the driver,
+    *     like the reference's own BFS state.
+    *   - **distributed** (a level overflows, or multi-root bulk BFS): per
+    *     level a checkpoint-materialized frame; frontier and visited are
+    *     broadcast-joined against the cached active projection — the
+    *     100 TB edge table is never shuffled; the only shuffle is the
+    *     `distinct` over candidates. Set `broadcastFrontier = false` for
+    *     genuinely unbounded frontiers (shuffle joins).
+    * The traversal starts inline and degrades to distributed mid-flight on
+    * overflow, re-expanding the overflowing level distributively.
     */
   def bfs(edges: DataFrame, roots: DataFrame, rels: Seq[String] = Nil,
           direction: String = "out", maxDepth: Int = 5,
@@ -145,6 +159,8 @@ object GraphOps {
            atTime: Long = 0L, reliable: Boolean = false,
            broadcastFrontier: Boolean = true): Traversal = {
     require(maxDepth <= 10, "depth cap")
+    val spark = edges.sparkSession
+    import spark.implicits._
     // Cache the (src, dst) projection once — NOT a both-directions union:
     // doubling a 100 TB table to avoid a second join is the wrong trade.
     val active = {
@@ -152,9 +168,56 @@ object GraphOps {
       (if (rels.isEmpty) a else a.filter(col("rel").isin(rels: _*)))
         .select(col("src"), col("dst"))
     }.persist()
+
+    // One-scan inline expansion: a row emits dst when src is in the
+    // frontier set and/or src when dst is (direction-dependent).
+    def inlineExpand(frontier: Seq[String]): DataFrame = {
+      def inF(c: Column) = c.isin(frontier: _*)
+      val picks = direction match {
+        case "out" => array(when(inF(col("src")), col("dst")))
+        case "in"  => array(when(inF(col("dst")), col("src")))
+        case _     => array(when(inF(col("src")), col("dst")),
+          when(inF(col("dst")), col("src")))
+      }
+      active.select(explode(filter(picks, x => x.isNotNull)).as("node"))
+    }
+
+    // Inline regime. Roots beyond the limit go straight to distributed.
+    val rootNodes = roots.select(col("node")).limit(InlineFrontierLimit + 1)
+      .as[String].collect()
+    var inlineLevels = List.empty[(Seq[String], Int)]
+    var visitedSet = rootNodes.toSet
+    var frontier = rootNodes.toSeq.sorted
+    var d = 1
+    var done = false
+    var overflow = rootNodes.length > InlineFrontierLimit
+    while (d <= maxDepth && !done && !overflow && frontier.nonEmpty) {
+      val next = inlineExpand(frontier)
+        .filter(!col("node").isin(visitedSet.toSeq: _*))
+        .distinct()
+        .limit(InlineFrontierLimit + 1)
+        .as[String].collect()
+      if (next.isEmpty) done = true
+      else if (next.length > InlineFrontierLimit ||
+        visitedSet.size + next.length > 4 * InlineFrontierLimit) overflow = true
+      else {
+        inlineLevels ::= ((next.toSeq, d))
+        visitedSet ++= next
+        frontier = next.toSeq.sorted
+        d += 1
+      }
+    }
+    val inlineVisited = ((rootNodes.toSeq, 0) :: inlineLevels.reverse)
+      .map { case (ns, dep) => ns.toDF("node").select(col("node"), lit(dep).as("depth")) }
+      .reduce(_ unionAll _)
+    if (!overflow)
+      return Traversal(inlineVisited, () => active.unpersist(blocking = false))
+
+    // Distributed regime, seeded with whatever the inline phase covered
+    // (re-expands the level that overflowed).
     def bc(df: DataFrame): DataFrame = if (broadcastFrontier) broadcast(df) else df
-    def expand(frontier: DataFrame): DataFrame = {
-      val f = bc(frontier.select(col("node").as("fnode")))
+    def expand(fr: DataFrame): DataFrame = {
+      val f = bc(fr.select(col("node").as("fnode")))
       def viaSrc = active.join(f, col("src") === col("fnode"))
         .select(col("dst").as("node"))
       def viaDst = active.join(f, col("dst") === col("fnode"))
@@ -166,12 +229,13 @@ object GraphOps {
       }
     }
     var releases = List.empty[() => Unit]
-    var visited = roots.select(col("node"), lit(0).as("depth"))
-    var frontier = visited.select(col("node"))
-    var d = 1
+    var visited = if (rootNodes.length > InlineFrontierLimit)
+      roots.select(col("node"), lit(0).as("depth")) else inlineVisited
+    var frontierDF = if (rootNodes.length > InlineFrontierLimit)
+      roots.select(col("node")) else frontier.toDF("node")
     var go = true
     while (d <= maxDepth && go) {
-      val plan = expand(frontier)
+      val plan = expand(frontierDF)
         .join(bc(visited.select(col("node").as("seen"))),
           col("node") === col("seen"), "left_anti")
         .distinct()
@@ -181,7 +245,7 @@ object GraphOps {
       if (lvl.n == 0) go = false
       else {
         visited = visited.unionAll(lvl.df)
-        frontier = lvl.df.select(col("node"))
+        frontierDF = lvl.df.select(col("node"))
         d += 1
       }
     }
@@ -222,14 +286,74 @@ object GraphOps {
                      atTime: Long = 0L, reliable: Boolean = false,
                      broadcastFrontier: Boolean = true): Traversal = {
     require(maxDepth <= 6, "depth cap")
+    val spark = edges.sparkSession
+    import spark.implicits._
     val active = {
       val a = edges.filter(activeAt(atTime))
       (if (rels.isEmpty) a else a.filter(col("rel").isin(rels: _*)))
         .select(col("src"), col("dst"))
     }.persist()
+
+    // Inline regime (see [[bfs]]): the frontier is a driver-side
+    // node → best-path-string map, looked up through a map literal; each
+    // level is one scan of the cached active projection. A single-source
+    // shortest-path always starts here (frontier = 1 node).
+    def inlineExpand(frontier: Map[String, String]): DataFrame = {
+      val keys = frontier.keys.toSeq.sorted
+      def inF(c: Column) = c.isin(keys: _*)
+      val pmap = map(frontier.toSeq.sortBy(_._1)
+        .flatMap { case (n, p) => Seq(lit(n), lit(p)) }: _*)
+      def pick(hit: Column, emit: Column) =
+        when(inF(hit), struct(emit.as("node"),
+          concat(element_at(pmap, hit), lit("\t"), emit).as("pstr")))
+      val picks = direction match {
+        case "out" => array(pick(col("src"), col("dst")))
+        case "in"  => array(pick(col("dst"), col("src")))
+        case _     => array(pick(col("src"), col("dst")), pick(col("dst"), col("src")))
+      }
+      active.select(explode(filter(picks, x => x.isNotNull)).as("e"))
+        .select(col("e.node").as("node"), col("e.pstr").as("pstr"))
+    }
+
+    var inlineLevels = List.empty[(Seq[(String, String)], Int)]
+    var bestSet = Set(from)
+    var frontier = Map(from -> from)
+    var d = 1
+    var done = false
+    var overflow = false
+    while (d <= maxDepth && !done && !overflow && frontier.nonEmpty) {
+      val next = inlineExpand(frontier)
+        .filter(!col("node").isin(bestSet.toSeq: _*))
+        .groupBy(col("node"))
+        .agg(min(col("pstr")).as("pstr"))
+        .limit(InlineFrontierLimit + 1)
+        .as[(String, String)].collect()
+      if (next.isEmpty) done = true
+      else if (next.length > InlineFrontierLimit ||
+        bestSet.size + next.length > 4 * InlineFrontierLimit) overflow = true
+      else {
+        inlineLevels ::= ((next.toSeq, d))
+        bestSet ++= next.map(_._1)
+        frontier = next.toMap
+        d += 1
+      }
+    }
+    val inlineBest = ((Seq((from, from)), 0) :: inlineLevels.reverse)
+      .map { case (ps, dep) => ps.toDF("node", "pstr")
+        .select(col("node"), lit(dep).as("hops"), col("pstr")) }
+      .reduce(_ unionAll _)
+    def finish(bestDF: DataFrame, release: () => Unit): Traversal =
+      Traversal(bestDF.withColumn("path", split(col("pstr"), "\t")).drop("pstr"),
+        release)
+    if (!overflow)
+      return finish(inlineBest, () => active.unpersist(blocking = false))
+
+    // Distributed regime, seeded with the inline-covered prefix; re-expands
+    // the level that overflowed. Tie-break stays a map-side min over path
+    // strings (see Scaladoc).
     def bc(df: DataFrame): DataFrame = if (broadcastFrontier) broadcast(df) else df
-    def expand(frontier: DataFrame): DataFrame = {
-      val f = bc(frontier.select(col("node").as("fnode"), col("pstr").as("fpstr")))
+    def expand(fr: DataFrame): DataFrame = {
+      val f = bc(fr.select(col("node").as("fnode"), col("pstr").as("fpstr")))
       def viaSrc = active.join(f, col("src") === col("fnode"))
         .select(col("dst").as("node"), col("fpstr"))
       def viaDst = active.join(f, col("dst") === col("fnode"))
@@ -240,15 +364,12 @@ object GraphOps {
         case _     => viaSrc.unionAll(viaDst)
       }
     }
-    val spark = edges.sparkSession
-    import spark.implicits._
     var releases = List.empty[() => Unit]
-    var best = Seq((from, 0, from)).toDF("node", "hops", "pstr")
-    var frontier = best
-    var d = 1
+    var best = inlineBest
+    var frontierDF = frontier.toSeq.toDF("node", "pstr")
     var go = true
     while (d <= maxDepth && go) {
-      val plan = expand(frontier)
+      val plan = expand(frontierDF)
         .join(bc(best.select(col("node").as("seen"))),
           col("node") === col("seen"), "left_anti")
         .groupBy(col("node"))
@@ -259,13 +380,12 @@ object GraphOps {
       if (lvl.n == 0) go = false
       else {
         best = best.unionAll(lvl.df)
-        frontier = lvl.df
+        frontierDF = lvl.df.select(col("node"), col("pstr"))
         d += 1
       }
     }
-    val out = best.withColumn("path", split(col("pstr"), "\t")).drop("pstr")
     val rels2 = releases
-    Traversal(out, () => {
+    finish(best, () => {
       active.unpersist(blocking = false)
       rels2.foreach(_.apply())
     })
