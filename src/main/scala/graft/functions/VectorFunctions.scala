@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.{lit, sqrt}
 import org.apache.spark.sql.graft.shims
@@ -163,6 +163,77 @@ case class NormalizeVector(child: Expression) extends UnaryExpression {
   override def prettyName: String = "normalize_vector"
 }
 
+/** V9-int8-domain cosine distance over quantized codes with PRECOMPUTED
+  * norms — the reference's int8 search path: integer dot
+  * (`pkg/core/distance/distance_go.go:106-115`), norm scaling + clamping
+  * (`pkg/core/hnsw/hnsw_index.go:301-320`), norms stored as
+  * `float32(sqrt(Σq²))` (`hnsw_index.go:3339` computeInt8Norm).
+  *
+  * Codes are `array<tinyint>`; the dot stays in 32-bit integers (exact while
+  * dim·127² < 2³¹, i.e. any realistic dim) and only the final scale touches
+  * floating point. This is the memory-bandwidth story of int8 at 100 TB:
+  * 4× fewer bytes per vector through the scan, one int multiply-add per
+  * component, and no per-pair norm recomputation. Zero norm → max distance
+  * 1.0, as the reference defines.
+  */
+case class Int8CosineDistance(first: Expression, second: Expression,
+    third: Expression, fourth: Expression) extends QuaternaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = children.exists(_.nullable)
+
+  override def nullSafeEval(c1: Any, c2: Any, n1: Any, n2: Any): Any = {
+    val a = c1.asInstanceOf[ArrayData]
+    val b = c2.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"int8 vectors must have the same length: $n vs ${b.numElements()}")
+    var sum = 0
+    var i = 0
+    while (i < n) { sum += a.getByte(i).toInt * b.getByte(i).toInt; i += 1 }
+    val na = n1.asInstanceOf[Float]
+    val nb = n2.asInstanceOf[Float]
+    if (na == 0f || nb == 0f) 1.0
+    else {
+      var sim = sum.toDouble / (na.toDouble * nb.toDouble)
+      if (sim > 1.0) sim = 1.0
+      if (sim < -1.0) sim = -1.0
+      1.0 - sim
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, na, nb) => {
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      val sim = ctx.freshName("sim")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException("int8 vectors must have the same length");
+         |}
+         |int $sum = 0;
+         |for (int i = 0; i < $n; i++) {
+         |  $sum += ((int) $a.getByte(i)) * ((int) $b.getByte(i));
+         |}
+         |if ($na == 0f || $nb == 0f) {
+         |  ${ev.value} = 1.0d;
+         |} else {
+         |  double $sim = ((double) $sum) / (((double) $na) * ((double) $nb));
+         |  if ($sim > 1.0d) $sim = 1.0d;
+         |  if ($sim < -1.0d) $sim = -1.0d;
+         |  ${ev.value} = 1.0d - $sim;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
+  override def prettyName: String = "int8_cosine_distance"
+}
+
 /** Column-level API. */
 object VectorFunctions {
   private def ex(c: Column): Expression = shims.expression(c)
@@ -189,6 +260,13 @@ object VectorFunctions {
     dotProductWide(a, b) / (sqrt(dotProductWide(a, a)) * sqrt(dotProductWide(b, b)))
 
   def normalize(v: Column): Column = co(NormalizeVector(ex(v)))
+
+  /** Int8-domain cosine distance: quantized codes + precomputed float norms
+    * (see [[Int8CosineDistance]]).
+    */
+  def int8CosineDistance(codesA: Column, codesB: Column,
+                         normA: Column, normB: Column): Column =
+    co(Int8CosineDistance(ex(codesA), ex(codesB), ex(normA), ex(normB)))
 
   /** Distance column for a metric name, as the reference dispatches
     * (`distance_go.go:133-147`). Cosine assumes pre-normalized inputs; use

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.search.Ivf
+import graft.functions.VectorFunctions
+import graft.search.{Ivf, Quantizer}
 
 /** V1 — IVF partition-pruned ANN (the scale strategy replacing HNSW).
   *
@@ -29,6 +30,29 @@ object AnnQueries {
       Ivf.search(assigned, cents, q, k = 10, nProbe = 2)
         .select(col("qid"), col("id"),
           round(col("distance"), 6).as("dist"), col("rank").cast("long").as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // V12 — search IN the int8 domain (quantized codes + precomputed norms;
+    // the reference's int8-cosine support matrix). The query vectors are
+    // quantized with the same trained quantizer, exactly like searchInternal
+    // does before descending the index.
+    "v12_int8_search" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir)
+      val am = Quantizer.train(emb, "embedding", idCol = "vec_id")
+      val codes = Quantizer.quantizeInt8(emb, "embedding", am)
+        .select(col("vec_id").cast("long").as("id"), col("qcodes"), col("qnorm"))
+      val q = codes.filter(col("id") < 5)
+        .select(col("id").as("qid"), col("qcodes").as("qqc"), col("qnorm").as("qn"))
+      codes.crossJoin(broadcast(q))
+        .withColumn("d", VectorFunctions.int8CosineDistance(
+          col("qcodes"), col("qqc"), col("qnorm"), col("qn")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("d"), col("id"))))
+        .filter(col("rank") <= 10)
+        .select(col("qid"), col("id"), round(col("d"), 6).as("dist"),
+          col("rank").cast("long").as("rank"))
         .orderBy(col("qid"), col("rank"))
     })
   )
@@ -58,6 +82,31 @@ object AnnQueries {
          |cand AS (
          |  SELECT p.qid, a.id, ${cosSql("a.embedding", "p.qv")} AS d
          |  FROM assigned a JOIN probes p ON a.bucket = p.bucket),
+         |r AS (SELECT qid, id, d,
+         |        row_number() OVER (PARTITION BY qid ORDER BY d, id) AS rank
+         |      FROM cand)
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(id AS BIGINT) AS id,
+         |  round(d, 6) AS dist, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    "v12_int8_search" ->
+      s"""WITH ${SourceQueries.absMaxSql},
+         |codes AS (
+         |  SELECT vec_id AS id,
+         |    list_transform(embedding, e -> ${SourceQueries.codeSql}) AS qc
+         |  FROM embeddings CROSS JOIN am),
+         |norms AS (
+         |  SELECT id, qc,
+         |    CAST(sqrt(CAST(list_sum(list_transform(qc, x -> x * x)) AS DOUBLE)) AS REAL) AS qn
+         |  FROM codes),
+         |q AS (SELECT id AS qid, qc AS qqc, qn AS qnn FROM norms WHERE id < 5),
+         |cand AS (
+         |  SELECT q.qid, n.id,
+         |    CASE WHEN n.qn = 0 OR q.qnn = 0 THEN 1.0
+         |         ELSE 1.0 - greatest(-1.0, least(1.0,
+         |           list_inner_product(n.qc, q.qqc) /
+         |           (CAST(n.qn AS DOUBLE) * CAST(q.qnn AS DOUBLE)))) END AS d
+         |  FROM norms n CROSS JOIN q),
          |r AS (SELECT qid, id, d,
          |        row_number() OVER (PARTITION BY qid ORDER BY d, id) AS rank
          |      FROM cand)

@@ -19,7 +19,7 @@ object SourceQueries {
 
   // Mirrors Quantizer.train's deterministic ≤25k smallest-id sample; the
   // oracle may use a window rank — it does not need to scale.
-  private val absMaxSql =
+  private[queries] val absMaxSql =
     """am AS (
       |  SELECT CAST(v AS DOUBLE) AS absmax FROM (
       |    SELECT v, row_number() OVER (ORDER BY v) AS rn, count(*) OVER () AS cnt
@@ -28,7 +28,7 @@ object SourceQueries {
       |  WHERE rn = CAST(floor(cnt * 0.999) AS BIGINT) + 1
       |)""".stripMargin
 
-  private val codeSql =
+  private[queries] val codeSql =
     "greatest(-127, least(127, CAST(round(CAST(e AS DOUBLE) / absmax * 127.0, 0) AS BIGINT)))"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

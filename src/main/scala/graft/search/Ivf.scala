@@ -109,7 +109,8 @@ object Ivf {
   /** IVF search: probe the nProbe nearest centroid buckets per query, exact
     * cosine rerank inside. `assigned` is the (id, vector, bucket) table —
     * at deployment, a table partitioned by bucket so the probe join becomes
-    * partition pruning.
+    * partition pruning. `normalized = true` uses the one-dot codegen kernel
+    * (vectors pre-normalized at ingest, as the reference does for cosine).
     */
   def search(
       assigned: DataFrame,
@@ -118,22 +119,289 @@ object Ivf {
       k: Int,
       nProbe: Int,
       idCol: String = "id",
-      vecCol: String = "vector"): DataFrame = {
-    // Rank centroids per query — queries × centroids is tiny.
-    val probes = queries.crossJoin(broadcast(centroids))
+      vecCol: String = "vector",
+      normalized: Boolean = false): DataFrame = {
+    def d(v: org.apache.spark.sql.Column, q: org.apache.spark.sql.Column) =
+      if (normalized) VectorFunctions.cosineDistance(v, q) else dist(v, q)
+    // Rank centroids per query — queries × centroids is tiny. Drop BOTH
+    // vectors before the ranking window (they'd ride the shuffle: 100-d
+    // qvec + cvec per candidate row is ~100× the (qid, cid, cd) triple) and
+    // re-attach qvec to the nProbe survivors from the tiny query frame.
+    val ranked = queries.crossJoin(broadcast(centroids))
       .withColumn("cd", dist(col("qvec"), col("cvec")))
+      .select(col("qid"), col("cid"), col("cd"))
       .withColumn("crank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cd"), col("cid"))))
       .filter(col("crank") <= nProbe)
-      .select(col("qid"), col("qvec"), col("cid").as("bucket"))
+      .select(col("qid"), col("cid").as("bucket"))
+    val probes = ranked
+      .join(broadcast(queries.select(col("qid"), col("qvec"))), Seq("qid"))
+      .select(col("qid"), col("qvec"), col("bucket"))
     // Probe only the selected buckets (partition pruning at scale), rerank.
     val cand = assigned.join(broadcast(probes), Seq("bucket"))
-      .withColumn("distance", dist(col(vecCol), col("qvec")))
+      .withColumn("distance", d(col(vecCol), col("qvec")))
     cand
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("distance"), col(idCol))))
       .filter(col("rank") <= k)
       .select(col("qid"), col(idCol), col("distance"), col("rank"))
+  }
+
+  /** Batch-serving IVF search: probe selection runs ON THE DRIVER against
+    * the in-memory centroid arrays (exactly where HNSW's graph descent
+    * happens), so the distributed plan is a single broadcast join over the
+    * probed buckets + partial top-k — no probe-ranking stages, no extra
+    * broadcasts. Use for driver-bounded query batches (serving); use
+    * [[search]] when the query set is itself cluster-resident. Assumes
+    * cosine over normalized vectors (the ANN module's metric).
+    */
+  def searchBatchedLocal(
+      assigned: DataFrame,
+      cents: Array[Array[Float]],
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int,
+      idCol: String = "id",
+      vecCol: String = "vector"): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val inv = invNorms(cents)
+    val qrows = queries.select(col("qid"), col("qvec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val probeRows = qrows.flatMap { case (qid, qv) =>
+      // Top-nProbe centroids by cosine (dot × centroid inverse norm; the
+      // query norm is constant per query). Ties → lower cid, like search().
+      val scored = cents.indices.map { c =>
+        val cv = cents(c)
+        var dot = 0.0; var j = 0
+        while (j < cv.length) { dot += cv(j).toDouble * qv(j); j += 1 }
+        (-dot * inv(c), c.toLong)
+      }.sorted.take(nProbe)
+      scored.map { case (_, cid) => (qid, qv.toSeq, cid) }
+    }.toSeq
+    val probes = probeRows.toDF("qid", "qvec", "bucket")
+      .select(col("qid"), col("qvec").cast("array<float>").as("qvec"), col("bucket"))
+    val cand = assigned.join(broadcast(probes), Seq("bucket"))
+      .withColumn("distance",
+        VectorFunctions.cosineDistance(col(vecCol), col("qvec")))
+    cand
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("distance"), col(idCol))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col(idCol), col("distance"), col("rank"))
+  }
+
+  /** Serving layout: the assigned table decoded to primitive rows, ready to
+    * cache — repeated batched searches then skip Tungsten row decode and run
+    * pure float kernels ([[searchBatchedFast]]). The distributed analogue of
+    * the reference holding its index arena in RAM; at cluster scale each
+    * executor caches its partitions.
+    */
+  def servingIndex(assigned: DataFrame, idCol: String = "id",
+                   vecCol: String = "vector"): org.apache.spark.rdd.RDD[(Long, Array[Float], Long)] = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    assigned
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"),
+        col("bucket").cast("long"))
+      .as[(Long, Array[Float], Long)]
+      .rdd
+  }
+
+  /** Batch-serving IVF search over a cached [[servingIndex]]: driver-side
+    * probe selection (like [[searchBatchedLocal]]) + ONE tight
+    * mapPartitions pass — each partition keeps a bounded per-query top-k
+    * (insertion into a k-sized sorted pair array, ties by id) and only
+    * nPartitions×k rows per query leave the executors; a final tiny window
+    * merges them. This is the reference's AVX-kernel-over-arena hot loop
+    * re-expressed per-partition; it exists because the join+window plan pays
+    * a fixed multi-stage cost that dwarfs the actual math at serving batch
+    * sizes. Cosine over normalized vectors, float accumulation — identical
+    * arithmetic to [[graft.functions.VectorFunctions.cosineDistance]].
+    */
+  def searchBatchedFast(
+      index: org.apache.spark.rdd.RDD[(Long, Array[Float], Long)],
+      cents: Array[Array[Float]],
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val inv = invNorms(cents)
+    val qrows = queries.select(col("qid"), col("qvec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val nq = qrows.length
+    val qids = qrows.map(_._1)
+    val qvecs = qrows.map(_._2)
+    // bucket → indices of the queries probing it (null = unprobed).
+    val bucketQs = new Array[Array[Int]](cents.length)
+    qrows.zipWithIndex.foreach { case ((_, qv), qi) =>
+      val probed = cents.indices.map { c =>
+        val cv = cents(c)
+        var dot = 0.0; var j = 0
+        while (j < cv.length) { dot += cv(j).toDouble * qv(j); j += 1 }
+        (-dot * inv(c), c)
+      }.sorted.take(nProbe)
+      probed.foreach { case (_, c) =>
+        bucketQs(c) = if (bucketQs(c) == null) Array(qi) else bucketQs(c) :+ qi
+      }
+    }
+    val bc = spark.sparkContext.broadcast((qids, qvecs, bucketQs))
+    val partials = index.mapPartitions { it =>
+      val (ids, qvs, bq) = bc.value
+      val n = ids.length
+      val heapD = Array.fill(n)(Array.fill(k)(Double.MaxValue))
+      val heapI = Array.fill(n)(Array.fill(k)(Long.MaxValue))
+      def insert(qi: Int, d: Double, id: Long): Unit = {
+        val hd = heapD(qi); val hi = heapI(qi)
+        val last = k - 1
+        if (d > hd(last) || (d == hd(last) && id > hi(last))) return
+        var j = last
+        while (j > 0 && (hd(j - 1) > d || (hd(j - 1) == d && hi(j - 1) > id))) {
+          hd(j) = hd(j - 1); hi(j) = hi(j - 1); j -= 1
+        }
+        hd(j) = d; hi(j) = id
+      }
+      it.foreach { case (id, v, b) =>
+        val qs = if (b < bq.length) bq(b.toInt) else null
+        if (qs != null) {
+          var i = 0
+          while (i < qs.length) {
+            val qi = qs(i)
+            val qv = qvs(qi)
+            var dot = 0f; var j = 0
+            while (j < qv.length) { dot += v(j) * qv(j); j += 1 }
+            insert(qi, 1.0d - dot, id)
+            i += 1
+          }
+        }
+      }
+      (0 until n).iterator.flatMap { qi =>
+        val hd = heapD(qi); val hi = heapI(qi)
+        (0 until k).iterator.takeWhile(hd(_) < Double.MaxValue)
+          .map(j => (ids(qi), hi(j), hd(j)))
+      }
+    }
+    partials.toDF("qid", "id", "distance")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("distance"), col("id"))))
+      .filter(col("rank") <= k)
+  }
+
+  // ---------------------------------------------------------------------
+  // √N-scale build path: primitive-array KMeans + assignment.
+  // ---------------------------------------------------------------------
+
+  /** Argmax of cosine similarity (dot × centroid inverse norm; the row
+    * vector's norm is constant across centroids). Ties → lower centroid id;
+    * zero-norm centroids never win.
+    */
+  private def bestBucket(cents: Array[Array[Float]], invNorms: Array[Float],
+                         v: Array[Float]): Int = {
+    var best = 0
+    var bestScore = Float.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      var dot = 0f
+      var j = 0
+      while (j < cv.length) { dot += cv(j) * v(j); j += 1 }
+      val s = dot * invNorms(c)
+      if (s > bestScore) { bestScore = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private def invNorms(cents: Array[Array[Float]]): Array[Float] =
+    cents.map { cv =>
+      var s = 0.0; var j = 0
+      while (j < cv.length) { s += cv(j).toDouble * cv(j); j += 1 }
+      if (s == 0.0) 0f else (1.0 / math.sqrt(s)).toFloat
+    }
+
+  /** Lloyd's KMeans for LARGE k (√N-scale centroid counts): per-partition
+    * primitive-array argmin with cluster-sum accumulators, merged on the
+    * driver — the execution shape Spark ML's own KMeans uses. The
+    * crossJoin/groupBy variant ([[trainKMeans]]) is kept for the small-k
+    * oracle-checkable path; at k ≈ 640 it would push hundreds of millions
+    * of Tungsten rows per iteration where this runs tight float loops.
+    * Deterministic: init = the k smallest-id vectors; means in double;
+    * empty clusters keep their previous center. Returns raw centroid arrays
+    * (index = bucket id) for [[assignFast]] / [[centroidsDF]].
+    */
+  def trainKMeansArrays(
+      vectors: DataFrame,
+      k: Int,
+      iters: Int = 3,
+      idCol: String = "id",
+      vecCol: String = "vector"): Array[Array[Float]] = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val base = vectors
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+    var cents: Array[Array[Float]] = base.orderBy(col(idCol)).limit(k)
+      .collect().sortBy(_._1).map(_._2)
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast((cents, invNorms(cents)))
+      val stats = base.rdd.mapPartitions { it =>
+        val (cs, inv) = bc.value
+        val kk = cs.length
+        val d = if (kk == 0) 0 else cs(0).length
+        val sums = Array.ofDim[Double](kk, d)
+        val counts = new Array[Long](kk)
+        it.foreach { case (_, v) =>
+          val b = bestBucket(cs, inv, v)
+          counts(b) += 1
+          var j = 0
+          while (j < d) { sums(b)(j) += v(j); j += 1 }
+        }
+        Iterator.tabulate(kk)(b => (b, (counts(b), sums(b))))
+      }.reduceByKey { (a: (Long, Array[Double]), b: (Long, Array[Double])) =>
+        var j = 0
+        while (j < a._2.length) { a._2(j) += b._2(j); j += 1 }
+        (a._1 + b._1, a._2)
+      }.collect()
+      val prev = cents
+      cents = cents.clone()
+      stats.foreach { case (b, (cnt, sum)) =>
+        if (cnt > 0) cents(b) = sum.map(x => (x / cnt).toFloat) else cents(b) = prev(b)
+      }
+      bc.destroy()
+    }
+    cents
+  }
+
+  /** (cid, cvec) centroid frame from raw arrays — bucket id = array index. */
+  def centroidsDF(spark: org.apache.spark.sql.SparkSession,
+                  cents: Array[Array[Float]]): DataFrame = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (cv, i) => (i.toLong, cv) }.toSeq
+      .toDF("cid", "cvec")
+  }
+
+  /** Assign every vector its nearest centroid with the primitive-array
+    * argmax — one pass, no candidate-row explosion. Output matches
+    * [[assign]]: (idCol, vecCol, bucket).
+    */
+  def assignFast(
+      vectors: DataFrame,
+      cents: Array[Array[Float]],
+      idCol: String = "id",
+      vecCol: String = "vector"): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast((cents, invNorms(cents)))
+    vectors.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val (cs, inv) = bc.value
+        it.map { case (id, v) => (id, v, bestBucket(cs, inv, v).toLong) }
+      }
+      .toDF(idCol, vecCol, "bucket")
   }
 
   /** Recall@k of an approximate result against the exact result — the

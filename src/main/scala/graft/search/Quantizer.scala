@@ -60,4 +60,19 @@ object Quantizer {
   /** Dequantized vector (array<double>) from codes. */
   def dequantized(qcodes: Column, absMax: Column): Column =
     transform(qcodes, q => dequant(q, absMax))
+
+  /** The int8 STORAGE layout the reference's int8 index keeps: codes packed
+    * as `array<tinyint>` (4× smaller than float32 through every scan) plus
+    * the precomputed `float32(sqrt(Σq²))` norm (`computeInt8Norm`,
+    * `hnsw_index.go:3339`) so search never recomputes self-dots. Pair with
+    * [[graft.functions.VectorFunctions.int8CosineDistance]] to search in the
+    * quantized domain.
+    */
+  def quantizeInt8(df: DataFrame, vecCol: String, absMaxDF: DataFrame): DataFrame =
+    quantizeVectors(df, vecCol, absMaxDF)
+      .withColumn("qcodes", col("qcodes").cast("array<tinyint>"))
+      .withColumn("qnorm",
+        sqrt(aggregate(col("qcodes"), lit(0L),
+          (acc, q) => acc + q.cast("long") * q.cast("long")).cast("double"))
+          .cast("float"))
 }

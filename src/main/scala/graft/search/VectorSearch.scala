@@ -79,11 +79,13 @@ object VectorSearch {
       qidCol: String = "qid",
       qvecCol: String = "qvec",
       filter: Option[Column] = None,
-      wide: Boolean = false): DataFrame = {
+      wide: Boolean = false,
+      normalized: Boolean = false): DataFrame = {
     val base = filter.fold(vectors)(vectors.filter)
     val d: Column = (metric, wide) match {
-      case ("euclidean", false) => euclideanSq(col(vecCol), col(qvecCol))
-      case ("euclidean", true)  => euclideanSqWide(col(vecCol), col(qvecCol))
+      case ("euclidean", false)            => euclideanSq(col(vecCol), col(qvecCol))
+      case ("euclidean", true)             => euclideanSqWide(col(vecCol), col(qvecCol))
+      case ("cosine", false) if normalized => cosineDistance(col(vecCol), col(qvecCol))
       case ("cosine", false)    => cosineDistance(normalize(col(vecCol)), normalize(col(qvecCol)))
       case ("cosine", true)     => lit(1.0) - cosineSimilarityWide(col(vecCol), col(qvecCol))
       case (m, _) => throw new IllegalArgumentException(s"unsupported metric: $m")

@@ -47,6 +47,28 @@ class IvfSpec extends SparkSpec {
     assert(buckets.forall(b => b >= 1 && b <= 8))
   }
 
+  test("fast serving paths agree with the DataFrame plan (ids per rank)") {
+    // Normalized corpus: the fast paths assume cosine over normalized
+    // vectors, like the reference's ingest-time normalization.
+    import graft.functions.VectorFunctions
+    val nemb = emb.select(col("id"), VectorFunctions.normalize(col("vector")).as("vector"))
+    val nq = nemb.filter(col("id") < 20)
+      .select(col("id").as("qid"), col("vector").as("qvec"))
+    val cents = Ivf.trainKMeansArrays(nemb, k = 16, iters = 2)
+    val centsDF = Ivf.centroidsDF(spark, cents)
+    val assigned = Ivf.assignFast(nemb, cents)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("qid"), col("rank"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val viaPlan = Ivf.search(assigned, centsDF, nq, k = 5, nProbe = 4,
+      normalized = true)
+    val viaLocal = Ivf.searchBatchedLocal(assigned, cents, nq, k = 5, nProbe = 4)
+    val viaFast = Ivf.searchBatchedFast(Ivf.servingIndex(assigned), cents, nq,
+      k = 5, nProbe = 4)
+    assert(key(viaLocal) == key(viaPlan))
+    assert(key(viaFast) == key(viaPlan))
+  }
+
   test("search never returns a vector from an unprobed bucket") {
     val cents = emb.filter(col("id") % 100 === 0)
       .select(col("id").as("cid"), col("vector").as("cvec"))

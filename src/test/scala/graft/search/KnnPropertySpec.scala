@@ -87,6 +87,34 @@ class KnnPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: int8 kernel == driver reference formula (dot/norms/clamp)") {
+    import graft.functions.VectorFunctions
+    forAll(Gen.listOfN(2, Gen.listOfN(8, Gen.chooseNum(-127, 127)))) { vs =>
+      val Seq(a, b) = vs.map(_.map(_.toByte))
+      def norm(v: Seq[Byte]): Float =
+        math.sqrt(v.map(x => x.toLong * x.toLong).sum.toDouble).toFloat
+      val expect = {
+        val dot = a.zip(b).map { case (x, y) => x.toInt * y.toInt }.sum
+        val (na, nb) = (norm(a), norm(b))
+        if (na == 0f || nb == 0f) 1.0
+        else 1.0 - math.max(-1.0, math.min(1.0, dot.toDouble / (na.toDouble * nb.toDouble)))
+      }
+      val df = Seq((a, b)).toDF("a", "b")
+        .select(col("a").cast("array<tinyint>").as("a"),
+          col("b").cast("array<tinyint>").as("b"))
+        .select(VectorFunctions.int8CosineDistance(col("a"), col("b"),
+          lit(norm(a)), lit(norm(b))).as("d"))
+      assert(df.collect().head.getDouble(0) == expect)
+    }
+    // zero-norm vector → max distance 1.0 (hnsw_index.go:309-311)
+    val z = Seq((Seq.fill(4)(0.toByte), Seq[Byte](1, 2, 3, 4))).toDF("a", "b")
+      .select(col("a").cast("array<tinyint>").as("a"),
+        col("b").cast("array<tinyint>").as("b"))
+      .select(graft.functions.VectorFunctions.int8CosineDistance(
+        col("a"), col("b"), lit(0f), lit(math.sqrt(30.0).toFloat)).as("d"))
+    assert(z.collect().head.getDouble(0) == 1.0)
+  }
+
   test("property: quantizer round-trip error bounded by half a code step") {
     forAll(Gen.listOfN(12, Gen.chooseNum(-3.0f, 3.0f))) { values =>
       whenever(values.exists(_ != 0f)) {
