@@ -62,6 +62,11 @@ abstract class VectorBinaryKernel extends BinaryExpression {
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
       val sum = ctx.freshName("sum")
+      // Loop/term vars MUST be fresh: fixed names collide when another
+      // generated loop encloses this kernel (Janino forbids shadowing).
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
       val accT = if (wide) "double" else "float"
       s"""
          |final int $n = $a.numElements();
@@ -69,10 +74,10 @@ abstract class VectorBinaryKernel extends BinaryExpression {
          |  throw new IllegalArgumentException("vectors must have the same length");
          |}
          |$accT $sum = 0;
-         |for (int i = 0; i < $n; i++) {
-         |  $accT x = $a.getFloat(i);
-         |  $accT y = $b.getFloat(i);
-         |  $sum += ${termCode("x", "y")};
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $accT $x = $a.getFloat($i);
+         |  $accT $y = $b.getFloat($i);
+         |  $sum += ${termCode(x, y)};
          |}
          |${ev.value} = ${finishCode(s"((double) $sum)")};
        """.stripMargin
@@ -145,16 +150,19 @@ case class NormalizeVector(child: Expression) extends UnaryExpression {
       val sum = ctx.freshName("sum")
       val out = ctx.freshName("out")
       val inv = ctx.freshName("inv")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val x = ctx.freshName("x")
       s"""
          |final int $n = $a.numElements();
          |float $sum = 0f;
-         |for (int i = 0; i < $n; i++) { float x = $a.getFloat(i); $sum += x * x; }
+         |for (int $i = 0; $i < $n; $i++) { float $x = $a.getFloat($i); $sum += $x * $x; }
          |if ($sum == 0f) {
          |  ${ev.value} = $a;
          |} else {
          |  float $inv = (float) (1.0 / java.lang.Math.sqrt((double) $sum));
          |  float[] $out = new float[$n];
-         |  for (int i = 0; i < $n; i++) { $out[i] = $a.getFloat(i) * $inv; }
+         |  for (int $j = 0; $j < $n; $j++) { $out[$j] = $a.getFloat($j) * $inv; }
          |  ${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
          |}
        """.stripMargin
@@ -207,14 +215,15 @@ case class Int8CosineDistance(first: Expression, second: Expression,
       val n = ctx.freshName("n")
       val sum = ctx.freshName("sum")
       val sim = ctx.freshName("sim")
+      val i = ctx.freshName("i")
       s"""
          |final int $n = $a.numElements();
          |if ($n != $b.numElements()) {
          |  throw new IllegalArgumentException("int8 vectors must have the same length");
          |}
          |int $sum = 0;
-         |for (int i = 0; i < $n; i++) {
-         |  $sum += ((int) $a.getByte(i)) * ((int) $b.getByte(i));
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $sum += ((int) $a.getByte($i)) * ((int) $b.getByte($i));
          |}
          |if ($na == 0f || $nb == 0f) {
          |  ${ev.value} = 1.0d;

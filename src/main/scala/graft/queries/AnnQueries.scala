@@ -33,6 +33,27 @@ object AnnQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // V1-stored: the same IVF search served from the bucket-partitioned
+    // parquet layout (probe join → partition pruning at scale) — shares
+    // v1's oracle, proving the layout round-trips losslessly.
+    "v1_ivf_stored" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").cast("long").as("cid"), col("embedding").as("cvec"))
+      val assigned = Layouts.stored(s, dir, "ivf_assigned", Seq("bucket")) {
+        Ivf.assign(
+          emb.select(col("vec_id").cast("long").as("id"),
+            col("embedding").as("vector")),
+          cents, "id", "vector")
+      }.select(col("id"), col("vector"), col("bucket").cast("long").as("bucket"))
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").cast("long").as("qid"), col("embedding").as("qvec"))
+      Ivf.search(assigned, cents, q, k = 10, nProbe = 2)
+        .select(col("qid"), col("id"),
+          round(col("distance"), 6).as("dist"), col("rank").cast("long").as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // V12 — search IN the int8 domain (quantized codes + precomputed norms;
     // the reference's int8-cosine support matrix). The query vectors are
     // quantized with the same trained quantizer, exactly like searchInternal
@@ -60,8 +81,7 @@ object AnnQueries {
   private def cosSql(a: String, b: String): String =
     s"1.0 - list_cosine_similarity(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
 
-  val oracleSql: Map[String, String] = Map(
-    "v1_ivf_ann" ->
+  private lazy val v1Sql =
       s"""WITH cents AS (
          |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 100 = 0),
          |assigned AS (
@@ -87,7 +107,13 @@ object AnnQueries {
          |      FROM cand)
          |SELECT CAST(qid AS BIGINT) AS qid, CAST(id AS BIGINT) AS id,
          |  round(d, 6) AS dist, CAST(rank AS BIGINT) AS rank
-         |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+         |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "v1_ivf_ann" -> v1Sql,
+
+    // Identical results by construction — the stored layout is lossless.
+    "v1_ivf_stored" -> v1Sql,
 
     "v12_int8_search" ->
       s"""WITH ${SourceQueries.absMaxSql},

@@ -109,6 +109,26 @@ object FusionQueries {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // H1-stored: same fusion, text branch served from the materialized
+    // token-clustered postings of the memory view — shares h1's oracle.
+    "h1_fusion_stored" -> ((s, dir) => {
+      val mem = memoryView(s, dir)
+      val post = Layouts.stored(s, dir, "postings_mem") {
+        graft.text.Bm25.postings(memoryView(s, dir), "doc_id", "text")
+          .repartition(col("token"))
+      }
+      val qdf = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      Fusion.searchWithFusionDF(
+          mem, "doc_id", "embedding", "text",
+          Some(qdf), "table merge query",
+          Fusion.FusionParams(alpha = 0.6, k = 15, metric = "cosine",
+            memory = memCfg, now = Now, wide = true),
+          prebuiltPostings = Some(post))
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // H4: reinforcement — bump _last_accessed/_access_count for a hit set.
     "h4_reinforce" -> ((s, dir) => {
       val mem = memoryView(s, dir)
@@ -121,56 +141,61 @@ object FusionQueries {
 
   private def bm25Cte: String = TextQueries.analyzedOn("mem")
 
+  private lazy val h1Sql =
+    s"""WITH $memViewSql,
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |vec AS (
+       |  SELECT doc_id,
+       |    1.0 - list_cosine_similarity(CAST(m.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) AS d
+       |  FROM mem m CROSS JOIN q
+       |),
+       |vtopk AS (
+       |  SELECT doc_id, 1.0 / (1.0 + d) AS vscore
+       |  FROM (SELECT doc_id, d, row_number() OVER (ORDER BY d, doc_id) AS rn FROM vec)
+       |  WHERE rn <= 15
+       |),
+       |${bm25Cte},
+       |doclens AS (
+       |  SELECT m.doc_id, count(a.token) AS dl
+       |  FROM mem m LEFT JOIN analyzed a USING (doc_id) GROUP BY m.doc_id
+       |),
+       |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM doclens),
+       |postings AS (SELECT doc_id, token, count(*) AS tf FROM analyzed GROUP BY 1, 2),
+       |qt AS (SELECT * FROM (VALUES ('tabl', 1), ('merg', 1), ('queri', 1)) AS t(token, qn)),
+       |dfreq AS (
+       |  SELECT p.token, count(*) AS df FROM postings p
+       |  JOIN (SELECT DISTINCT token FROM qt) x USING (token) GROUP BY p.token
+       |),
+       |bm25 AS (
+       |  SELECT p.doc_id,
+       |    sum(qt.qn * ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5)) *
+       |        (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS raw
+       |  FROM postings p JOIN qt USING (token) JOIN dfreq f USING (token)
+       |  JOIN doclens d USING (doc_id) CROSS JOIN stats s GROUP BY p.doc_id
+       |),
+       |tnorm AS (SELECT doc_id, raw / max(raw) OVER () AS tscore FROM bm25),
+       |fused AS (
+       |  SELECT coalesce(v.doc_id, t.doc_id) AS doc_id,
+       |    0.6 * coalesce(v.vscore, 0) + 0.4 * coalesce(t.tscore, 0) AS fscore
+       |  FROM vtopk v FULL OUTER JOIN tnorm t ON v.doc_id = t.doc_id
+       |),
+       |decayed AS (
+       |  SELECT f.doc_id, f.fscore * $decaySql AS score
+       |  FROM fused f JOIN (SELECT *, $hlSql AS hl FROM mem) USING (doc_id)
+       |)
+       |SELECT doc_id, round(score, 6) AS score FROM decayed
+       |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "h3_decay_models" ->
       s"""WITH $memViewSql,
          |hl_t AS (SELECT *, $hlSql AS hl FROM mem)
          |SELECT doc_id, round($decaySql, 6) AS decay FROM hl_t ORDER BY doc_id""".stripMargin,
 
-    "h1_fusion_hybrid" ->
-      s"""WITH $memViewSql,
-         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-         |vec AS (
-         |  SELECT doc_id,
-         |    1.0 - list_cosine_similarity(CAST(m.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) AS d
-         |  FROM mem m CROSS JOIN q
-         |),
-         |vtopk AS (
-         |  SELECT doc_id, 1.0 / (1.0 + d) AS vscore
-         |  FROM (SELECT doc_id, d, row_number() OVER (ORDER BY d, doc_id) AS rn FROM vec)
-         |  WHERE rn <= 15
-         |),
-         |${bm25Cte},
-         |doclens AS (
-         |  SELECT m.doc_id, count(a.token) AS dl
-         |  FROM mem m LEFT JOIN analyzed a USING (doc_id) GROUP BY m.doc_id
-         |),
-         |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM doclens),
-         |postings AS (SELECT doc_id, token, count(*) AS tf FROM analyzed GROUP BY 1, 2),
-         |qt AS (SELECT * FROM (VALUES ('tabl', 1), ('merg', 1), ('queri', 1)) AS t(token, qn)),
-         |dfreq AS (
-         |  SELECT p.token, count(*) AS df FROM postings p
-         |  JOIN (SELECT DISTINCT token FROM qt) x USING (token) GROUP BY p.token
-         |),
-         |bm25 AS (
-         |  SELECT p.doc_id,
-         |    sum(qt.qn * ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5)) *
-         |        (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS raw
-         |  FROM postings p JOIN qt USING (token) JOIN dfreq f USING (token)
-         |  JOIN doclens d USING (doc_id) CROSS JOIN stats s GROUP BY p.doc_id
-         |),
-         |tnorm AS (SELECT doc_id, raw / max(raw) OVER () AS tscore FROM bm25),
-         |fused AS (
-         |  SELECT coalesce(v.doc_id, t.doc_id) AS doc_id,
-         |    0.6 * coalesce(v.vscore, 0) + 0.4 * coalesce(t.tscore, 0) AS fscore
-         |  FROM vtopk v FULL OUTER JOIN tnorm t ON v.doc_id = t.doc_id
-         |),
-         |decayed AS (
-         |  SELECT f.doc_id, f.fscore * $decaySql AS score
-         |  FROM fused f JOIN (SELECT *, $hlSql AS hl FROM mem) USING (doc_id)
-         |)
-         |SELECT doc_id, round(score, 6) AS score FROM decayed
-         |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+    "h1_fusion_hybrid" -> h1Sql,
+
+    // Identical results by construction — the stored layout is lossless.
+    "h1_fusion_stored" -> h1Sql,
 
     "h4_reinforce" ->
       s"""WITH $memViewSql

@@ -60,6 +60,10 @@ object OplogQueries {
     // the S2 operator itself, and it keeps the replay plan shallow instead
     // of re-deriving the whole pre-snapshot fold tree twice.
     "s2_snapshot_compact" -> ((s, dir) => {
+      // Measured note: caching the generated log (persist) costs MORE than
+      // recomputing it per fold — generate is cheap projections over
+      // parquet; the folds' windows dominate and are not shared. Keep the
+      // recompute plan.
       val oplog = Oplog.generate(s, dir)
       val snapAt = 1021L
       val snapPath = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
@@ -92,6 +96,8 @@ object OplogQueries {
     // S13: transfer label-3 live memories + induced active subgraph into
     // 'arch' with one provenance edge per record.
     "s13_transfer" -> ((s, dir) => {
+      // Measured note: persisting the log / folded state here cost more
+      // than the recompute (see s2) — the fold windows dominate.
       val oplog = Oplog.generate(s, dir)
       val (nodes, edges) = Oplog.transfer(
         Oplog.foldVectors(oplog), Oplog.foldEdges(oplog),

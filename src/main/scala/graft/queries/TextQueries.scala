@@ -41,6 +41,31 @@ object TextQueries {
 
   private val analyzedCte = analyzedOn("documents")
 
+  private lazy val t6Sql =
+    s"""WITH $analyzedCte,
+       |doclens AS (
+       |  SELECT d.doc_id, count(a.token) AS dl
+       |  FROM documents d LEFT JOIN analyzed a USING (doc_id) GROUP BY d.doc_id
+       |),
+       |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM doclens),
+       |postings AS (SELECT doc_id, token, count(*) AS tf FROM analyzed GROUP BY 1, 2),
+       |q AS (SELECT * FROM (VALUES ('tabl', 1), ('merg', 1), ('queri', 1)) AS t(token, qn)),
+       |dfreq AS (
+       |  SELECT p.token, count(*) AS df FROM postings p
+       |  JOIN (SELECT DISTINCT token FROM q) qt USING (token) GROUP BY p.token
+       |),
+       |scored AS (
+       |  SELECT p.doc_id,
+       |    sum(q.qn * ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5)) *
+       |        (p.tf * (1.2 + 1)) / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl))) AS score
+       |  FROM postings p
+       |  JOIN q USING (token) JOIN dfreq f USING (token)
+       |  JOIN doclens d USING (doc_id) CROSS JOIN stats s
+       |  GROUP BY p.doc_id
+       |)
+       |SELECT doc_id, round(score, 6) AS score FROM scored
+       |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // T1: tokenizer — per-document raw token count.
     "t1_tokenize" -> ((s, dir) => {
@@ -67,6 +92,23 @@ object TextQueries {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // T6-stored: same ranking, served from the materialized token-clustered
+    // postings layout (Bm25's deployment entry point) — shares t6's oracle,
+    // proving the layout is lossless; the bench contrasts the timings.
+    "t6_bm25_stored" -> ((s, dir) => {
+      val post = Layouts.stored(s, dir, "postings_documents") {
+        Bm25.postings(Tables.documents(s, dir), "doc_id", "text")
+          .repartition(col("token"))
+      }
+      val ids = Layouts.stored(s, dir, "ids_documents") {
+        Tables.documents(s, dir).select(col("doc_id"))
+      }
+      Bm25.searchPostings(ids, post, "doc_id",
+          Analyzer.analyze("table merge query", "english"), limit = 25)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // T8: context compression — safe-stopword removal, negations preserved.
     "t8_compress" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -88,30 +130,10 @@ object TextQueries {
          |SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
          |FROM postings GROUP BY token ORDER BY token""".stripMargin,
 
-    "t6_bm25" ->
-      s"""WITH $analyzedCte,
-         |doclens AS (
-         |  SELECT d.doc_id, count(a.token) AS dl
-         |  FROM documents d LEFT JOIN analyzed a USING (doc_id) GROUP BY d.doc_id
-         |),
-         |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM doclens),
-         |postings AS (SELECT doc_id, token, count(*) AS tf FROM analyzed GROUP BY 1, 2),
-         |q AS (SELECT * FROM (VALUES ('tabl', 1), ('merg', 1), ('queri', 1)) AS t(token, qn)),
-         |dfreq AS (
-         |  SELECT p.token, count(*) AS df FROM postings p
-         |  JOIN (SELECT DISTINCT token FROM q) qt USING (token) GROUP BY p.token
-         |),
-         |scored AS (
-         |  SELECT p.doc_id,
-         |    sum(q.qn * ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5)) *
-         |        (p.tf * (1.2 + 1)) / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl))) AS score
-         |  FROM postings p
-         |  JOIN q USING (token) JOIN dfreq f USING (token)
-         |  JOIN doclens d USING (doc_id) CROSS JOIN stats s
-         |  GROUP BY p.doc_id
-         |)
-         |SELECT doc_id, round(score, 6) AS score FROM scored
-         |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+    "t6_bm25" -> t6Sql,
+
+    // Identical results by construction — the stored layout is lossless.
+    "t6_bm25_stored" -> t6Sql,
 
     // Documents text is lowercase, space-separated, punctuation-free, so the
     // compressor reduces to dropping safe stopwords ('the' in this vocab;

@@ -70,6 +70,10 @@ object Fusion {
     *   (`ops.go:941-962`): restricts the VECTOR branch before scoring and
     *   the TEXT branch after (corpus statistics stay unfiltered).
     */
+  /** @param prebuiltPostings materialized (id, token, tf) postings — the
+    *   deployment layout; when provided the text branch skips the
+    *   analyze/stem corpus scan entirely.
+    */
   def searchWithFusionDF(
       table: DataFrame,
       idCol: String,
@@ -79,7 +83,8 @@ object Fusion {
       textQuery: String,
       params: FusionParams,
       filter: Option[Column] = None,
-      allowList: Option[DataFrame] = None): DataFrame = {
+      allowList: Option[DataFrame] = None,
+      prebuiltPostings: Option[DataFrame] = None): DataFrame = {
 
     val alpha = if (params.alpha < 0 || params.alpha > 1) 0.5 else params.alpha
     val qTokens = Analyzer.analyze(textQuery, params.lang)
@@ -90,7 +95,7 @@ object Fusion {
     def textScored(): DataFrame = {
       val scored = Bm25.searchPostings(
         table.select(col(idCol)),
-        Bm25.postings(table, idCol, textCol, params.lang),
+        prebuiltPostings.getOrElse(Bm25.postings(table, idCol, textCol, params.lang)),
         idCol, qTokens)
       val metaFiltered = filter match {
         case Some(pred) =>
