@@ -156,7 +156,8 @@ object Bench {
         def run() = Ivf.searchBatchedLocal(assigned, cents, queries, k = 10,
           nProbe = 16)
         run().write.format("noop").mode("overwrite").save()
-        val sec = timeIt(run().write.format("noop").mode("overwrite").save())
+        val sec = Seq.fill(3)(
+          timeIt(run().write.format("noop").mode("overwrite").save())).sorted.apply(1)
         s"""{"n_probe":16,"sec":$sec,"qps":${NQ / sec}}"""
       }
 

@@ -21,7 +21,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Layouts {
 
   private def root(dir: String, name: String): String = {
-    val key = java.lang.Integer.toHexString(dir.hashCode)
+    // Key on the source tables' identity AND content fingerprint (size +
+    // mtime): /tmp outlives test-data regeneration, and serving a stale
+    // layout for fresh data would silently corrupt results.
+    val fp = Seq("documents.parquet", "embeddings.parquet").map { f =>
+      val p = Paths.get(dir, f)
+      if (Files.exists(p))
+        s"${Files.size(p)}-${Files.getLastModifiedTime(p).toMillis}"
+      else "absent"
+    }.mkString("_")
+    val key = java.lang.Integer.toHexString((dir + fp).hashCode)
     s"${System.getProperty("java.io.tmpdir")}/graft_layout_v1_$key/$name"
   }
 
