@@ -30,13 +30,11 @@ object Dedup {
 
   /** Polynomial rolling hash over the characters of `s`:
     * fold(acc*31 + code(c)) mod P. Matches the DuckDB oracle's
-    * list_reduce over ord() exactly.
+    * list_reduce over ord() exactly. Codegen kernel — evaluated once per
+    * shingle/token, the interpreted HOF chain it replaces dominated
+    * MinHash cost.
     */
-  def polyHash(s: Column): Column =
-    aggregate(
-      transform(split(s, ""), ch => ascii(ch).cast("long")),
-      lit(0L),
-      (acc, x) => (acc * 31 + x) % P)
+  def polyHash(s: Column): Column = VectorFunctions.polyHash(s)
 
   /** Exact dedup groups: content-hash the normalized text, group, keep the
     * smallest id as survivor. Returns (keeper, n, ids) for groups of ≥ 2.
@@ -49,14 +47,14 @@ object Dedup {
       .filter(col("n") >= 2)
       .drop("h")
 
-  /** Distinct word n-gram shingles per document: (id, shingle). */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val words = split(col(textCol), " ")
+  /** Distinct word n-gram shingles per document: (id, shingle). Single
+    * kernel call per document (see [[graft.functions.ShingleUtil]]) — the
+    * interpreted slice/concat HOF chain this replaces was evaluated per
+    * word position and dominated MinHash candidate generation.
+    */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     df.select(col(idCol).cast("long").as("id"),
-        explode(array_distinct(
-          transform(sequence(lit(0), size(words) - n),
-            i => concat_ws(" ", slice(words, i + 1, lit(n)))))).as("shingle"))
-  }
+      explode(VectorFunctions.wordShingles(col(textCol), n)).as("shingle"))
 
   /** MinHash permutation constants (i, a, b) — fixed literals shared with
     * the oracle. h_i(x) = (a_i * x + b_i) mod P.

@@ -243,6 +243,96 @@ case class Int8CosineDistance(first: Expression, second: Expression,
   override def prettyName: String = "int8_cosine_distance"
 }
 
+/** Polynomial rolling string hash `fold(acc·31 + code(c)) mod 2³¹−1` — the
+  * engine-independent hash every dedup/fingerprint operator shares with the
+  * DuckDB oracle (`Dedup.polyHash`'s contract). Replaces the interpreted
+  * split-to-chars → transform → aggregate HOF chain with one tight loop:
+  * that chain is evaluated once per SHINGLE, so it dominates MinHash/
+  * SimHash/fingerprint cost. Iterates UTF-16 units exactly like
+  * `split(s, "")` + `ascii` does for BMP input (the corpus contract).
+  */
+case class PolyHash(child: Expression) extends UnaryExpression {
+  private val P = 2147483647L
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    var acc = 0L
+    var i = 0
+    while (i < s.length) { acc = (acc * 31 + s.charAt(i)) % P; i += 1 }
+    acc
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val s = ctx.freshName("s")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      s"""
+         |java.lang.String $s = $a.toString();
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $s.length(); $i++) {
+         |  $acc = ($acc * 31L + (long) $s.charAt($i)) % ${P}L;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "poly_hash"
+}
+
+/** Static helper for [[WordShingles]] — kept as a plain method so codegen
+  * emits a single call instead of falling back to interpreted HOFs.
+  */
+object ShingleUtil {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** Distinct word n-gram shingles, first-occurrence order — byte-for-byte
+    * the result of `array_distinct(transform(sequence(0, size(w)-n),
+    * i => concat_ws(" ", slice(w, i+1, n))))` over `w = split(text, " ")`
+    * for texts with ≥ n words (the corpus contract); shorter texts yield
+    * one truncated shingle instead of the slice error the HOF chain threw.
+    */
+  def shingles(s: UTF8String, n: Int): ArrayData = {
+    val words = s.toString.split(" ", -1)
+    val count = math.max(1, words.length - n + 1)
+    val seen = new java.util.LinkedHashSet[String](count * 2)
+    var i = 0
+    while (i < count) {
+      val end = math.min(i + n, words.length)
+      val sb = new java.lang.StringBuilder()
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(words(j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** Distinct word n-gram shingles of a text column (see [[ShingleUtil]]) —
+  * the candidate-generation front of MinHash/Jaccard dedup. One call per
+  * document replaces a 4-deep interpreted HOF chain evaluated over every
+  * word position.
+  */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle width")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ShingleUtil.shingles(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.ShingleUtil.shingles($a, $n);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "word_shingles"
+}
+
 /** Column-level API. */
 object VectorFunctions {
   private def ex(c: Column): Expression = shims.expression(c)
@@ -269,6 +359,12 @@ object VectorFunctions {
     dotProductWide(a, b) / (sqrt(dotProductWide(a, a)) * sqrt(dotProductWide(b, b)))
 
   def normalize(v: Column): Column = co(NormalizeVector(ex(v)))
+
+  /** Engine-independent polynomial string hash (see [[PolyHash]]). */
+  def polyHash(s: Column): Column = co(PolyHash(ex(s)))
+
+  /** Distinct word n-gram shingles (see [[WordShingles]]). */
+  def wordShingles(s: Column, n: Int): Column = co(WordShingles(ex(s), n))
 
   /** Int8-domain cosine distance: quantized codes + precomputed float norms
     * (see [[Int8CosineDistance]]).
