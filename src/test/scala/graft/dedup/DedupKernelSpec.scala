@@ -1,0 +1,68 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+
+/** The PolyHash / WordShingles codegen kernels must be byte-identical to
+  * the HOF chains they replaced — the DuckDB oracles encode the HOF
+  * semantics (`list_reduce` over `ord`, `list_slice` + `array_to_string`),
+  * so any divergence is a silent correctness break, not just a perf drift.
+  */
+class DedupKernelSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (1 to n).map(i => g.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val wordGen: Gen[String] =
+    Gen.chooseNum(1, 8).flatMap(len =>
+      Gen.listOfN(len, Gen.alphaNumChar).map(_.mkString))
+
+  private val textGen: Gen[String] =
+    Gen.chooseNum(3, 20).flatMap(n => Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+
+  test("PolyHash == fold(acc*31 + code) mod P HOF chain") {
+    val texts = samples(textGen, 24) ++ Seq("a", "", "hello world", "zz zz zz")
+    val df = texts.toDF("s")
+    val hof = aggregate(
+      transform(split(col("s"), ""), ch => ascii(ch).cast("long")),
+      lit(0L), (acc, x) => (acc * 31 + x) % Dedup.P)
+    val rows = df.select(Dedup.polyHash(col("s")).as("k"), hof.as("h")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r))
+  }
+
+  test("WordShingles == distinct slice/concat HOF chain (>= n words)") {
+    val n = 3
+    val texts = samples(textGen, 24).filter(_.split(" ").length >= n)
+    val df = texts.toDF("s")
+    val words = split(col("s"), " ")
+    val hof = array_distinct(
+      transform(sequence(lit(0), size(words) - n),
+        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+    val rows = df.select(
+      graft.functions.VectorFunctions.wordShingles(col("s"), n).as("k"),
+      hof.as("h")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), r)
+    }
+  }
+
+  test("kernels evaluate identically interpreted and codegen'd") {
+    // Force both paths: a literal projection (codegen) vs eval on a
+    // collected expression through a filter that blocks codegen fusion is
+    // brittle — instead compare a two-row DF under default codegen against
+    // driver-side recomputation of the contract formula.
+    val s = "the quick brown fox jumps over the lazy dog"
+    val expected = {
+      var acc = 0L
+      s.foreach(c => acc = (acc * 31 + c) % Dedup.P)
+      acc
+    }
+    val got = Seq(s).toDF("s").select(Dedup.polyHash(col("s"))).collect().head.getLong(0)
+    assert(got == expected)
+  }
+}
