@@ -141,14 +141,7 @@ object Dedup {
     * within a bucket.
     */
   def hyperplaneBucket(vec: Column, planes: Int = 8): Column =
-    (0 until planes).map { j =>
-      val dot = aggregate(
-        zip_with(vec.cast("array<double>"),
-          sequence(lit(0), size(vec) - 1).cast("array<double>"),
-          (x, d) => x * ((lit(131.0 * j) + lit(31.0) * d) % 17 - 8)),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot > 0, 1L << j).otherwise(0L)
-    }.reduce(_ + _)
+    VectorFunctions.hyperplaneBucket(vec, planes)
 
   /** Embedding cosine near-dup join: bucket by hyperplane signs, exact
     * cosine within buckets, keep pairs ≥ threshold.

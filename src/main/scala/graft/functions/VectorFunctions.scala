@@ -291,6 +291,27 @@ object ShingleUtil {
     * for texts with ≥ n words (the corpus contract); shorter texts yield
     * one truncated shingle instead of the slice error the HOF chain threw.
     */
+  /** See [[HyperplaneBucketExpr]] — sequential double accumulation per
+    * plane, matching the HOF/oracle fold order bit-for-bit.
+    */
+  def hyperplaneBucket(a: ArrayData, planes: Int): Long = {
+    val n = a.numElements()
+    var bucket = 0L
+    var j = 0
+    while (j < planes) {
+      var dot = 0.0
+      var d = 0
+      while (d < n) {
+        val w = (131.0 * j + 31.0 * d) % 17 - 8
+        dot += a.getFloat(d).toDouble * w
+        d += 1
+      }
+      if (dot > 0) bucket |= 1L << j
+      j += 1
+    }
+    bucket
+  }
+
   def shingles(s: UTF8String, n: Int): ArrayData = {
     val words = s.toString.split(" ", -1)
     val count = math.max(1, words.length - n + 1)
@@ -333,6 +354,27 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "word_shingles"
 }
 
+/** Deterministic hyperplane sign bucket over a float vector — the coarse
+  * key that keeps the cosine near-dup join from going all-pairs
+  * (`Dedup.hyperplaneBucket`'s contract). Plane j's weight at dim d is
+  * `((131·j + 31·d) mod 17) − 8`, summed left-to-right in double exactly
+  * like the `zip_with`/`aggregate` HOF chain it replaces (and like the
+  * DuckDB oracle's list_reduce), so bucket keys are bit-identical.
+  */
+case class HyperplaneBucketExpr(child: Expression, planes: Int) extends UnaryExpression {
+  require(planes >= 1 && planes <= 62, "plane count")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    ShingleUtil.hyperplaneBucket(a, planes)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.ShingleUtil.hyperplaneBucket($a, $planes);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "hyperplane_bucket"
+}
+
 /** Column-level API. */
 object VectorFunctions {
   private def ex(c: Column): Expression = shims.expression(c)
@@ -365,6 +407,10 @@ object VectorFunctions {
 
   /** Distinct word n-gram shingles (see [[WordShingles]]). */
   def wordShingles(s: Column, n: Int): Column = co(WordShingles(ex(s), n))
+
+  /** Hyperplane sign bucket (see [[HyperplaneBucketExpr]]). */
+  def hyperplaneBucket(vec: Column, planes: Int): Column =
+    co(HyperplaneBucketExpr(ex(vec), planes))
 
   /** Int8-domain cosine distance: quantized codes + precomputed float norms
     * (see [[Int8CosineDistance]]).
