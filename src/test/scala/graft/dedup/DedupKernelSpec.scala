@@ -51,6 +51,25 @@ class DedupKernelSpec extends SparkSpec {
     }
   }
 
+  test("HyperplaneBucketExpr == zip_with/aggregate HOF chain") {
+    val vecGen = Gen.chooseNum(4, 64).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-2.0f, 2.0f)))
+    val vecs = samples(vecGen, 24)
+    val df = vecs.toDF("v").withColumn("v", col("v").cast("array<float>"))
+    val planes = 8
+    val hof = (0 until planes).map { j =>
+      val dot = aggregate(
+        zip_with(col("v").cast("array<double>"),
+          sequence(lit(0), size(col("v")) - 1).cast("array<double>"),
+          (x, d) => x * ((lit(131.0 * j) + lit(31.0) * d) % 17 - 8)),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot > 0, 1L << j).otherwise(0L)
+    }.reduce(_ + _)
+    val rows = df.select(Dedup.hyperplaneBucket(col("v"), planes).as("k"),
+      hof.as("h")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r))
+  }
+
   test("kernels evaluate identically interpreted and codegen'd") {
     // Force both paths: a literal projection (codegen) vs eval on a
     // collected expression through a filter that blocks codegen fusion is
