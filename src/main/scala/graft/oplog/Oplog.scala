@@ -134,24 +134,27 @@ object Oplog {
   /** S1 replay — vector-record state view.
     *
     * Output: (index_name, id, alive, vector, meta, add_seq, del_ts).
-    * One window shuffle on (index_name, id) + one on (index_name, id, key)
-    * for the metadata overlay merge.
+    * Latest-event selection is `max_by` over the unique `seq` — a hash
+    * aggregation with map-side partials, NOT a sort window: at 100 TB the
+    * difference between shuffling per-key sorted runs and shuffling one
+    * partially-combined row per key.
     */
   def foldVectors(oplog: DataFrame): DataFrame = {
     val ev = afterDrop(oplog)
-    val byId = Window.partitionBy("index_name", "id").orderBy(col("seq").desc)
 
     val adds = ev.filter(col("op") === "VADD")
-      .withColumn("rn", row_number().over(byId)).filter(col("rn") === 1)
-      .select(col("index_name"), col("id"), col("seq").as("add_seq"),
-        col("vector"), col("meta").as("add_meta"))
+      .groupBy("index_name", "id")
+      .agg(max_by(struct(col("seq"), col("vector"), col("meta")), col("seq")).as("m"))
+      .select(col("index_name"), col("id"), col("m.seq").as("add_seq"),
+        col("m.vector").as("vector"), col("m.meta").as("add_meta"))
     val dels = ev.filter(col("op") === "VDEL")
       .groupBy("index_name", "id")
       .agg(max("seq").as("del_seq"), max("ts").as("del_ts"))
     val base = adds.join(dels, Seq("index_name", "id"), "left")
       .withColumn("alive", col("del_seq").isNull || col("add_seq") > col("del_seq"))
 
-    // Metadata = the surviving VADD's map overlaid by later VMETAs, per key.
+    // Metadata = the surviving VADD's map overlaid by later VMETAs, per key
+    // (again a per-(id, key) latest-wins max_by, not a window).
     val baseKv = base.select(col("index_name"), col("id"),
       col("add_seq").as("mseq"), explode(col("add_meta")))
     val overlayKv = ev.filter(col("op") === "VMETA")
@@ -159,10 +162,9 @@ object Oplog {
       .filter(col("seq") > col("add_seq"))
       .select(col("index_name"), col("id"), col("seq").as("mseq"),
         explode(col("meta")))
-    val byKey = Window.partitionBy("index_name", "id", "key")
-      .orderBy(col("mseq").desc)
     val mergedMeta = baseKv.unionByName(overlayKv)
-      .withColumn("rn", row_number().over(byKey)).filter(col("rn") === 1)
+      .groupBy("index_name", "id", "key")
+      .agg(max_by(col("value"), col("mseq")).as("value"))
       .groupBy("index_name", "id")
       .agg(map_from_entries(collect_list(struct(col("key"), col("value"))))
         .as("meta"))
