@@ -73,18 +73,17 @@ object Analyzer {
 
   /** Exploded `(id..., token)` DataFrame of analyzed tokens. Duplicates kept
     * (term frequency). Rows with zero tokens disappear (use a left join for
-    * doc lengths).
+    * doc lengths). Stemming is a native expression ([[StemExpression]]) so
+    * the whole pipeline stays in one codegen stage — no ScalaUDF converter
+    * round-trip per token.
     */
-  def tokensDF(docs: DataFrame, textCol: String, lang: String = "english"): DataFrame = {
-    val stemmer = stemFn(lang)
-    val stemUdf = udf((t: String) => stemmer(t))
+  def tokensDF(docs: DataFrame, textCol: String, lang: String = "english"): DataFrame =
     docs
       .withColumn("_tok",
         explode(regexp_extract_all(lower(col(textCol)), lit(TokenPattern), lit(0))))
       .filter(!col("_tok").isin(stopWords(lang).toSeq: _*))
-      .withColumn("token", stemUdf(col("_tok")))
+      .withColumn("token", StemExpression.stemCol(col("_tok"), lang))
       .drop("_tok", textCol)
-  }
 
   /** Raw token array column (no stopword/stem) — T1 only. */
   def tokenizeCol(text: Column): Column =
