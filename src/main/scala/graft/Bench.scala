@@ -150,6 +150,24 @@ object Bench {
         approx.unpersist()
         s"""{"n_probe":$np,"sec":$sec,"qps":${NQ / sec},"recall_at_10":$recall}"""
       }.mkString("[", ",", "]")
+      // Compressed index: IVF probe + int8-domain rerank (the reference's
+      // Compress mode) — 4x less resident memory, integer-dot scan.
+      val absMaxV = am.collect().head.getDouble(0)
+      val servingI8 = Ivf.servingIndexInt8(assigned, absMaxV).cache()
+      servingI8.count()
+      val int8Ivf = {
+        def run() = Ivf.searchBatchedFastInt8(servingI8, cents, queries,
+          k = 10, nProbe = 24, absMax = absMaxV)
+        run().write.format("noop").mode("overwrite").save()
+        val sec = Seq.fill(3)(
+          timeIt(run().write.format("noop").mode("overwrite").save())).sorted.apply(1)
+        val approx = run().cache()
+        approx.count()
+        val recall = Ivf.recallAt(approx, exact, 10)
+        approx.unpersist()
+        s"""{"n_probe":24,"sec":$sec,"qps":${NQ / sec},"recall_at_10":$recall}"""
+      }
+
       // The pure-DataFrame probe-join plan, one point for comparison (the
       // cluster-scale path when queries are themselves a distributed table).
       val planRun = {
@@ -192,12 +210,13 @@ object Bench {
       val singleFull = timeIt(singleK(fullScan()))
 
       emb.unpersist(); queries.unpersist(); assigned.unpersist()
-      serving.unpersist(); exact.unpersist(); codes.unpersist()
-      qcodes.unpersist(); int8.unpersist(); q0.unpersist()
+      serving.unpersist(); servingI8.unpersist(); exact.unpersist()
+      codes.unpersist(); qcodes.unpersist(); int8.unpersist(); q0.unpersist()
       s""","ann":{"n":$N,"dim":$DIM,"n_queries":$NQ,"n_centroids":$K,""" +
         s""""build_sec":$buildSec,"exact_sec":$exactSec,"exact_qps":${NQ / exactSec},""" +
         s""""int8_exact_sec":$int8Sec,"int8_exact_qps":${NQ / int8Sec},""" +
-        s""""int8_recall_at_10":$int8Recall,"ivf":$sweep,"ivf_plan":$planRun,""" +
+        s""""int8_recall_at_10":$int8Recall,"ivf":$sweep,"ivf_int8":$int8Ivf,""" +
+        s""""ivf_plan":$planRun,""" +
         s""""single_query":{"n_probe":16,"pruned_sec":$singlePruned,"full_scan_sec":$singleFull}}"""
     } catch { case _: Throwable => "" }
 

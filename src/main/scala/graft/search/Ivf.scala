@@ -290,6 +290,135 @@ object Ivf {
       .filter(col("rank") <= k)
   }
 
+  /** Compressed serving layout: IVF bucket + int8 codes + precomputed norm
+    * per vector — the reference's `DB.Compress` mode (HNSW over int8 with a
+    * trained quantizer). 4× less resident memory than [[servingIndex]].
+    */
+  def servingIndexInt8(
+      assigned: DataFrame,
+      absMax: Double,
+      idCol: String = "id",
+      vecCol: String = "vector"): org.apache.spark.rdd.RDD[(Long, Array[Byte], Float, Long)] = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    assigned
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"),
+        col("bucket").cast("long"))
+      .as[(Long, Array[Float], Long)]
+      .rdd
+      .map { case (id, v, b) =>
+        val codes = quantizeArray(v, absMax)
+        (id, codes, int8Norm(codes), b)
+      }
+  }
+
+  /** Reference quantization of one vector (`Quantizer.code` semantics:
+    * clamp(round(x/absMax·127)) with HALF_UP rounding).
+    */
+  def quantizeArray(v: Array[Float], absMax: Double): Array[Byte] = {
+    val out = new Array[Byte](v.length)
+    var i = 0
+    while (i < v.length) {
+      val x = v(i).toDouble / absMax * 127.0
+      val r = math.signum(x) * math.floor(math.abs(x) + 0.5)
+      out(i) = math.max(-127.0, math.min(127.0, r)).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** `computeInt8Norm` (`hnsw_index.go:3339`): float32(sqrt(Σq²)). */
+  def int8Norm(codes: Array[Byte]): Float = {
+    var s = 0L
+    var i = 0
+    while (i < codes.length) { s += codes(i).toLong * codes(i); i += 1 }
+    math.sqrt(s.toDouble).toFloat
+  }
+
+  /** [[searchBatchedFast]] over the COMPRESSED index: probe selection on
+    * float centroids, candidate ranking with the integer-dot int8-cosine
+    * kernel formula (precomputed norms, clamped) — the quantized-domain
+    * search completing V9's story: the scan touches 1 byte per component.
+    */
+  def searchBatchedFastInt8(
+      index: org.apache.spark.rdd.RDD[(Long, Array[Byte], Float, Long)],
+      cents: Array[Array[Float]],
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int,
+      absMax: Double): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val inv = invNorms(cents)
+    val qrows = queries.select(col("qid"), col("qvec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val nq = qrows.length
+    val qids = qrows.map(_._1)
+    val qcodes = qrows.map { case (_, qv) => quantizeArray(qv, absMax) }
+    val qnorms = qcodes.map(int8Norm)
+    val bucketQs = new Array[Array[Int]](cents.length)
+    qrows.zipWithIndex.foreach { case ((_, qv), qi) =>
+      cents.indices.map { c =>
+        val cv = cents(c)
+        var dot = 0.0; var j = 0
+        while (j < cv.length) { dot += cv(j).toDouble * qv(j); j += 1 }
+        (-dot * inv(c), c)
+      }.sorted.take(nProbe).foreach { case (_, c) =>
+        bucketQs(c) = if (bucketQs(c) == null) Array(qi) else bucketQs(c) :+ qi
+      }
+    }
+    val bc = spark.sparkContext.broadcast((qids, qcodes, qnorms, bucketQs))
+    val partials = index.mapPartitions { it =>
+      val (ids, qcs, qns, bq) = bc.value
+      val n = ids.length
+      val heapD = Array.fill(n)(Array.fill(k)(Double.MaxValue))
+      val heapI = Array.fill(n)(Array.fill(k)(Long.MaxValue))
+      def insert(qi: Int, d: Double, id: Long): Unit = {
+        val hd = heapD(qi); val hi = heapI(qi)
+        val last = k - 1
+        if (d > hd(last) || (d == hd(last) && id > hi(last))) return
+        var j = last
+        while (j > 0 && (hd(j - 1) > d || (hd(j - 1) == d && hi(j - 1) > id))) {
+          hd(j) = hd(j - 1); hi(j) = hi(j - 1); j -= 1
+        }
+        hd(j) = d; hi(j) = id
+      }
+      it.foreach { case (id, codes, norm, b) =>
+        val qs = if (b < bq.length) bq(b.toInt) else null
+        if (qs != null) {
+          var i = 0
+          while (i < qs.length) {
+            val qi = qs(i)
+            val qc = qcs(qi)
+            var dot = 0
+            var j = 0
+            while (j < qc.length) { dot += codes(j).toInt * qc(j).toInt; j += 1 }
+            val d =
+              if (norm == 0f || qns(qi) == 0f) 1.0
+              else {
+                var sim = dot.toDouble / (norm.toDouble * qns(qi).toDouble)
+                if (sim > 1.0) sim = 1.0
+                if (sim < -1.0) sim = -1.0
+                1.0 - sim
+              }
+            insert(qi, d, id)
+            i += 1
+          }
+        }
+      }
+      (0 until n).iterator.flatMap { qi =>
+        val hd = heapD(qi); val hi = heapI(qi)
+        (0 until k).iterator.takeWhile(hd(_) < Double.MaxValue)
+          .map(j => (ids(qi), hi(j), hd(j)))
+      }
+    }
+    partials.toDF("qid", "id", "distance")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("distance"), col("id"))))
+      .filter(col("rank") <= k)
+  }
+
   // ---------------------------------------------------------------------
   // √N-scale build path: primitive-array KMeans + assignment.
   // ---------------------------------------------------------------------

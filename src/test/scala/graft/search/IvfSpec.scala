@@ -69,6 +69,34 @@ class IvfSpec extends SparkSpec {
     assert(key(viaFast) == key(viaPlan))
   }
 
+  test("compressed (int8) serving path: deterministic, high agreement with float") {
+    import graft.functions.VectorFunctions
+    val nemb = emb.select(col("id"), VectorFunctions.normalize(col("vector")).as("vector"))
+    val nq = nemb.filter(col("id") < 20)
+      .select(col("id").as("qid"), col("vector").as("qvec"))
+    val cents = Ivf.trainKMeansArrays(nemb, k = 16, iters = 2)
+    val assigned = Ivf.assignFast(nemb, cents)
+    val am = Quantizer.train(nemb, "vector", idCol = "id")
+      .collect().head.getDouble(0)
+    val idx = Ivf.servingIndexInt8(assigned, am)
+    def run() = Ivf.searchBatchedFastInt8(idx, cents, nq, k = 5, nProbe = 8,
+      absMax = am)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("qid"), col("rank"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val a = key(run())
+    assert(a == key(run()), "int8 serving path must be deterministic")
+    // Agreement with the float path: quantization may swap near-ties but
+    // the id overlap must stay high (the reference's Compress recall story).
+    val floatIds = Ivf.searchBatchedFast(Ivf.servingIndex(assigned), cents, nq,
+        k = 5, nProbe = 8)
+      .select(col("qid"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val int8Ids = a.map { case (q, _, i) => (q, i) }
+    val overlap = int8Ids.intersect(floatIds).size.toDouble / floatIds.size
+    assert(overlap >= 0.8, s"int8/float agreement $overlap")
+  }
+
   test("search never returns a vector from an unprobed bucket") {
     val cents = emb.filter(col("id") % 100 === 0)
       .select(col("id").as("cid"), col("vector").as("cvec"))
