@@ -192,14 +192,19 @@ object Ivf {
       .select(col("qid"), col(idCol), col("distance"), col("rank"))
   }
 
-  /** Serving layout: the assigned table decoded to primitive rows, ready to
-    * cache — repeated batched searches then skip Tungsten row decode and run
-    * pure float kernels ([[searchBatchedFast]]). The distributed analogue of
-    * the reference holding its index arena in RAM; at cluster scale each
-    * executor caches its partitions.
+  /** Serving layout: the assigned table decoded to BUCKET-MAJOR primitive
+    * blocks — rows of (bucket, ids, flat row-major vector block), ready to
+    * cache. Repeated batched searches then skip Tungsten row decode entirely
+    * and stream contiguous float blocks ([[searchBatchedFast]]) — the
+    * distributed analogue of the reference's index arena (`hnsw_index.go`
+    * keeps vectors in one flat slice per node for the same reason:
+    * sequential prefetch). Grouping is PARTITION-LOCAL (no shuffle): the
+    * bounded top-k scan is commutative across blocks, so a bucket split
+    * over several partitions just yields several blocks. At cluster scale
+    * each executor caches the blocks of its parquet partitions as-is.
     */
   def servingIndex(assigned: DataFrame, idCol: String = "id",
-                   vecCol: String = "vector"): org.apache.spark.rdd.RDD[(Long, Array[Float], Long)] = {
+                   vecCol: String = "vector"): org.apache.spark.rdd.RDD[(Long, Array[Long], Array[Float])] = {
     val spark = assigned.sparkSession
     import spark.implicits._
     assigned
@@ -207,6 +212,29 @@ object Ivf {
         col("bucket").cast("long"))
       .as[(Long, Array[Float], Long)]
       .rdd
+      .mapPartitions { it =>
+        val byBucket = scala.collection.mutable.LongMap
+          .empty[(scala.collection.mutable.ArrayBuffer[Long],
+                  scala.collection.mutable.ArrayBuffer[Array[Float]])]
+        it.foreach { case (id, v, b) =>
+          val e = byBucket.getOrElseUpdate(b,
+            (scala.collection.mutable.ArrayBuffer.empty[Long],
+             scala.collection.mutable.ArrayBuffer.empty[Array[Float]]))
+          e._1 += id
+          e._2 += v
+        }
+        byBucket.iterator.map { case (b, (idBuf, vecBuf)) =>
+          val ids = idBuf.toArray
+          val dim = if (vecBuf.isEmpty) 0 else vecBuf(0).length
+          val flat = new Array[Float](ids.length * dim)
+          var r = 0
+          while (r < ids.length) {
+            System.arraycopy(vecBuf(r), 0, flat, r * dim, dim)
+            r += 1
+          }
+          (b, ids, flat)
+        }
+      }
   }
 
   /** Batch-serving IVF search over a cached [[servingIndex]]: driver-side
@@ -221,18 +249,16 @@ object Ivf {
     * arithmetic to [[graft.functions.VectorFunctions.cosineDistance]].
     */
   def searchBatchedFast(
-      index: org.apache.spark.rdd.RDD[(Long, Array[Float], Long)],
+      index: org.apache.spark.rdd.RDD[(Long, Array[Long], Array[Float])],
       cents: Array[Array[Float]],
       queries: DataFrame,
       k: Int,
       nProbe: Int): DataFrame = {
     val spark = queries.sparkSession
-    import spark.implicits._
     val inv = invNorms(cents)
     val qrows = queries.select(col("qid"), col("qvec"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val nq = qrows.length
     val qids = qrows.map(_._1)
     val qvecs = qrows.map(_._2)
     // bucket → indices of the queries probing it (null = unprobed).
@@ -248,46 +274,83 @@ object Ivf {
         bucketQs(c) = if (bucketQs(c) == null) Array(qi) else bucketQs(c) :+ qi
       }
     }
-    val bc = spark.sparkContext.broadcast((qids, qvecs, bucketQs))
+    val bc = spark.sparkContext.broadcast((qvecs, bucketQs))
+    // ONE stage: per-partition bounded top-k over contiguous bucket blocks
+    // (query-outer loop — each probing query streams the whole block
+    // sequentially), partials merged on the driver (≤ partitions×nq×k
+    // rows — serving batches are driver-bounded by definition, same place
+    // probe selection already runs). No shuffle, no ranking window.
     val partials = index.mapPartitions { it =>
-      val (ids, qvs, bq) = bc.value
-      val n = ids.length
-      val heapD = Array.fill(n)(Array.fill(k)(Double.MaxValue))
-      val heapI = Array.fill(n)(Array.fill(k)(Long.MaxValue))
-      def insert(qi: Int, d: Double, id: Long): Unit = {
-        val hd = heapD(qi); val hi = heapI(qi)
-        val last = k - 1
-        if (d > hd(last) || (d == hd(last) && id > hi(last))) return
-        var j = last
-        while (j > 0 && (hd(j - 1) > d || (hd(j - 1) == d && hi(j - 1) > id))) {
-          hd(j) = hd(j - 1); hi(j) = hi(j - 1); j -= 1
-        }
-        hd(j) = d; hi(j) = id
-      }
-      it.foreach { case (id, v, b) =>
+      val (qvs, bq) = bc.value
+      val heaps = new TopK(qvs.length, k)
+      it.foreach { case (b, ids, flat) =>
         val qs = if (b < bq.length) bq(b.toInt) else null
-        if (qs != null) {
+        if (qs != null && ids.length > 0) {
+          val dim = flat.length / ids.length
           var i = 0
           while (i < qs.length) {
             val qi = qs(i)
             val qv = qvs(qi)
-            var dot = 0f; var j = 0
-            while (j < qv.length) { dot += v(j) * qv(j); j += 1 }
-            insert(qi, 1.0d - dot, id)
+            var r = 0
+            var off = 0
+            while (r < ids.length) {
+              var dot = 0f; var j = 0
+              while (j < dim) { dot += flat(off + j) * qv(j); j += 1 }
+              heaps.insert(qi, 1.0d - dot, ids(r))
+              r += 1
+              off += dim
+            }
             i += 1
           }
         }
       }
-      (0 until n).iterator.flatMap { qi =>
+      heaps.iterator
+    }.collect()
+    mergeTopK(spark, partials, qids, k)
+  }
+
+  /** Per-query bounded top-k accumulator: insertion into k-sized sorted
+    * parallel arrays, ties by id — the partial state both the executor pass
+    * and the driver merge share.
+    */
+  private final class TopK(nq: Int, k: Int) {
+    val heapD: Array[Array[Double]] = Array.fill(nq)(Array.fill(k)(Double.MaxValue))
+    val heapI: Array[Array[Long]] = Array.fill(nq)(Array.fill(k)(Long.MaxValue))
+    def insert(qi: Int, d: Double, id: Long): Unit = {
+      val hd = heapD(qi); val hi = heapI(qi)
+      val last = k - 1
+      if (d > hd(last) || (d == hd(last) && id > hi(last))) return
+      var j = last
+      while (j > 0 && (hd(j - 1) > d || (hd(j - 1) == d && hi(j - 1) > id))) {
+        hd(j) = hd(j - 1); hi(j) = hi(j - 1); j -= 1
+      }
+      hd(j) = d; hi(j) = id
+    }
+    def iterator: Iterator[(Int, Long, Double)] =
+      (0 until nq).iterator.flatMap { qi =>
         val hd = heapD(qi); val hi = heapI(qi)
         (0 until k).iterator.takeWhile(hd(_) < Double.MaxValue)
-          .map(j => (ids(qi), hi(j), hd(j)))
+          .map(j => (qi, hi(j), hd(j)))
       }
+  }
+
+  /** Merge collected per-partition partials into the final (qid, id,
+    * distance, rank) frame on the driver.
+    */
+  private def mergeTopK(
+      spark: org.apache.spark.sql.SparkSession,
+      partials: Array[(Int, Long, Double)],
+      qids: Array[Long],
+      k: Int): DataFrame = {
+    import spark.implicits._
+    val heaps = new TopK(qids.length, k)
+    partials.foreach { case (qi, id, d) => heaps.insert(qi, d, id) }
+    val rows = qids.indices.flatMap { qi =>
+      val hd = heaps.heapD(qi); val hi = heaps.heapI(qi)
+      (0 until k).takeWhile(hd(_) < Double.MaxValue)
+        .map(j => (qids(qi), hi(j), hd(j), j + 1))
     }
-    partials.toDF("qid", "id", "distance")
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("distance"), col("id"))))
-      .filter(col("rank") <= k)
+    rows.toDF("qid", "id", "distance", "rank")
   }
 
   /** Compressed serving layout: IVF bucket + int8 codes + precomputed norm
@@ -298,7 +361,7 @@ object Ivf {
       assigned: DataFrame,
       absMax: Double,
       idCol: String = "id",
-      vecCol: String = "vector"): org.apache.spark.rdd.RDD[(Long, Array[Byte], Float, Long)] = {
+      vecCol: String = "vector"): org.apache.spark.rdd.RDD[(Long, Array[Long], Array[Byte], Array[Float])] = {
     val spark = assigned.sparkSession
     import spark.implicits._
     assigned
@@ -306,9 +369,30 @@ object Ivf {
         col("bucket").cast("long"))
       .as[(Long, Array[Float], Long)]
       .rdd
-      .map { case (id, v, b) =>
-        val codes = quantizeArray(v, absMax)
-        (id, codes, int8Norm(codes), b)
+      .mapPartitions { it =>
+        val byBucket = scala.collection.mutable.LongMap
+          .empty[(scala.collection.mutable.ArrayBuffer[Long],
+                  scala.collection.mutable.ArrayBuffer[Array[Byte]])]
+        it.foreach { case (id, v, b) =>
+          val e = byBucket.getOrElseUpdate(b,
+            (scala.collection.mutable.ArrayBuffer.empty[Long],
+             scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]))
+          e._1 += id
+          e._2 += quantizeArray(v, absMax)
+        }
+        byBucket.iterator.map { case (b, (idBuf, codeBuf)) =>
+          val ids = idBuf.toArray
+          val dim = if (codeBuf.isEmpty) 0 else codeBuf(0).length
+          val flat = new Array[Byte](ids.length * dim)
+          val norms = new Array[Float](ids.length)
+          var r = 0
+          while (r < ids.length) {
+            System.arraycopy(codeBuf(r), 0, flat, r * dim, dim)
+            norms(r) = int8Norm(codeBuf(r))
+            r += 1
+          }
+          (b, ids, flat, norms)
+        }
       }
   }
 
@@ -341,19 +425,17 @@ object Ivf {
     * search completing V9's story: the scan touches 1 byte per component.
     */
   def searchBatchedFastInt8(
-      index: org.apache.spark.rdd.RDD[(Long, Array[Byte], Float, Long)],
+      index: org.apache.spark.rdd.RDD[(Long, Array[Long], Array[Byte], Array[Float])],
       cents: Array[Array[Float]],
       queries: DataFrame,
       k: Int,
       nProbe: Int,
       absMax: Double): DataFrame = {
     val spark = queries.sparkSession
-    import spark.implicits._
     val inv = invNorms(cents)
     val qrows = queries.select(col("qid"), col("qvec"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val nq = qrows.length
     val qids = qrows.map(_._1)
     val qcodes = qrows.map { case (_, qv) => quantizeArray(qv, absMax) }
     val qnorms = qcodes.map(int8Norm)
@@ -368,55 +450,45 @@ object Ivf {
         bucketQs(c) = if (bucketQs(c) == null) Array(qi) else bucketQs(c) :+ qi
       }
     }
-    val bc = spark.sparkContext.broadcast((qids, qcodes, qnorms, bucketQs))
+    val bc = spark.sparkContext.broadcast((qcodes, qnorms, bucketQs))
     val partials = index.mapPartitions { it =>
-      val (ids, qcs, qns, bq) = bc.value
-      val n = ids.length
-      val heapD = Array.fill(n)(Array.fill(k)(Double.MaxValue))
-      val heapI = Array.fill(n)(Array.fill(k)(Long.MaxValue))
-      def insert(qi: Int, d: Double, id: Long): Unit = {
-        val hd = heapD(qi); val hi = heapI(qi)
-        val last = k - 1
-        if (d > hd(last) || (d == hd(last) && id > hi(last))) return
-        var j = last
-        while (j > 0 && (hd(j - 1) > d || (hd(j - 1) == d && hi(j - 1) > id))) {
-          hd(j) = hd(j - 1); hi(j) = hi(j - 1); j -= 1
-        }
-        hd(j) = d; hi(j) = id
-      }
-      it.foreach { case (id, codes, norm, b) =>
+      val (qcs, qns, bq) = bc.value
+      val heaps = new TopK(qcs.length, k)
+      it.foreach { case (b, ids, flat, norms) =>
         val qs = if (b < bq.length) bq(b.toInt) else null
-        if (qs != null) {
+        if (qs != null && ids.length > 0) {
+          val dim = flat.length / ids.length
           var i = 0
           while (i < qs.length) {
             val qi = qs(i)
             val qc = qcs(qi)
-            var dot = 0
-            var j = 0
-            while (j < qc.length) { dot += codes(j).toInt * qc(j).toInt; j += 1 }
-            val d =
-              if (norm == 0f || qns(qi) == 0f) 1.0
-              else {
-                var sim = dot.toDouble / (norm.toDouble * qns(qi).toDouble)
-                if (sim > 1.0) sim = 1.0
-                if (sim < -1.0) sim = -1.0
-                1.0 - sim
-              }
-            insert(qi, d, id)
+            val qn = qns(qi).toDouble
+            var r = 0
+            var off = 0
+            while (r < ids.length) {
+              var dot = 0
+              var j = 0
+              while (j < dim) { dot += flat(off + j).toInt * qc(j).toInt; j += 1 }
+              val norm = norms(r)
+              val d =
+                if (norm == 0f || qn == 0.0) 1.0
+                else {
+                  var sim = dot.toDouble / (norm.toDouble * qn)
+                  if (sim > 1.0) sim = 1.0
+                  if (sim < -1.0) sim = -1.0
+                  1.0 - sim
+                }
+              heaps.insert(qi, d, ids(r))
+              r += 1
+              off += dim
+            }
             i += 1
           }
         }
       }
-      (0 until n).iterator.flatMap { qi =>
-        val hd = heapD(qi); val hi = heapI(qi)
-        (0 until k).iterator.takeWhile(hd(_) < Double.MaxValue)
-          .map(j => (ids(qi), hi(j), hd(j)))
-      }
-    }
-    partials.toDF("qid", "id", "distance")
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("distance"), col("id"))))
-      .filter(col("rank") <= k)
+      heaps.iterator
+    }.collect()
+    mergeTopK(spark, partials, qids, k)
   }
 
   // ---------------------------------------------------------------------
