@@ -81,15 +81,21 @@ object RagQueries {
       val edges = Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)
         .select(col("doc_id").cast("long").as("src"),
           (col("doc_id") + 3).cast("long").as("dst"))
-      val expanded = Rag.expandSeeds(seeds(s, dir), edges)
-      val cand = expanded
+      // The seed set (≤5 rows) is referenced three times by the expansion
+      // plan (hop join, left_anti, union) — materialize it locally once so
+      // the corpus k-NN scan behind it runs once, not per reference.
+      val seedSet = graft.core.Local.materialized(seeds(s, dir))
+      val expanded = Rag.expandSeeds(seedSet, edges)
+      // Candidates are bounded by |seeds| × (1 + fanout); materializing
+      // them makes packContext's self-referential pack plan local math.
+      val cand = graft.core.Local.materialized(expanded
         .join(mem, expanded("id") === mem("doc_id"))
         .select(col("id"), col("source").as("parent"),
           col("id").as("chunk_index"), col("derived"), col("depth"),
           Rag.estTokens(col("text")).as("tokens"),
           Rag.density(col("text")).as("density"))
         .withColumn("final",
-          Rag.finalScore(col("derived"), col("depth"), col("density")))
+          Rag.finalScore(col("derived"), col("depth"), col("density"))))
       Rag.packContext(cand, budget = 120L)
         .select(col("id").cast("long").as("doc_id"), col("parent").as("source"),
           col("depth").cast("long").as("depth"), round(col("final"), 6).as("final"),
