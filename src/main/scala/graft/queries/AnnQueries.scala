@@ -54,6 +54,25 @@ object AnnQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // V13 — IVF under squared-L2 (the reference's `l2` index metric,
+    // `distance_go.go:58-72`): same sampled-centroid protocol as v1, so the
+    // l2 assignment argmin + probe ranking + rerank are DuckDB-replicable.
+    "v13_ivf_l2" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").cast("long").as("cid"), col("embedding").as("cvec"))
+      val assigned = Ivf.assign(
+        emb.select(col("vec_id").cast("long").as("id"), col("embedding").as("vector")),
+        cents, "id", "vector", metric = "l2")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").cast("long").as("qid"), col("embedding").as("qvec"))
+      Ivf.search(assigned, cents, q, k = 10, nProbe = 2, metric = "l2")
+        .select(col("qid"), col("id"),
+          round(sqrt(col("distance")), 6).as("dist"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // V12 — search IN the int8 domain (quantized codes + precomputed norms;
     // the reference's int8-cosine support matrix). The query vectors are
     // quantized with the same trained quantizer, exactly like searchInternal
@@ -109,11 +128,44 @@ object AnnQueries {
          |  round(d, 6) AS dist, CAST(rank AS BIGINT) AS rank
          |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
+  private def l2Sql(a: String, b: String): String =
+    s"list_distance(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
+
   val oracleSql: Map[String, String] = Map(
     "v1_ivf_ann" -> v1Sql,
 
     // Identical results by construction — the stored layout is lossless.
     "v1_ivf_stored" -> v1Sql,
+
+    // Same protocol under L2: list_distance ranks identically to the
+    // squared-L2 the Spark side computes; dist column compares after sqrt.
+    "v13_ivf_l2" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 100 = 0),
+         |assigned AS (
+         |  SELECT vec_id AS id, embedding, cid AS bucket FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2Sql("e.embedding", "c.cvec")}, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN cents c)
+         |  WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |probes AS (
+         |  SELECT qid, qv, cid AS bucket FROM (
+         |    SELECT q.qid, q.qv, c.cid,
+         |      row_number() OVER (PARTITION BY q.qid
+         |        ORDER BY ${l2Sql("q.qv", "c.cvec")}, c.cid) AS rn
+         |    FROM q CROSS JOIN cents c)
+         |  WHERE rn <= 2),
+         |cand AS (
+         |  SELECT p.qid, a.id, ${l2Sql("a.embedding", "p.qv")} AS d
+         |  FROM assigned a JOIN probes p ON a.bucket = p.bucket),
+         |r AS (SELECT qid, id, d,
+         |        row_number() OVER (PARTITION BY qid ORDER BY d, id) AS rank
+         |      FROM cand)
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(id AS BIGINT) AS id,
+         |  round(d, 6) AS dist, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
 
     "v12_int8_search" ->
       s"""WITH ${SourceQueries.absMaxSql},

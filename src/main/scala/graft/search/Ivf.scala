@@ -31,6 +31,17 @@ object Ivf {
   private def dist(v: org.apache.spark.sql.Column, q: org.apache.spark.sql.Column) =
     lit(1.0) - VectorFunctions.cosineSimilarityWide(v, q)
 
+  /** Metric-dispatched column distance: `cosine` (1 − similarity) or `l2`
+    * (SQUARED euclidean — ranking-equivalent to true L2, no sqrt in the hot
+    * path, exactly like the reference's `distance_go.go:58-72`).
+    */
+  private def distMetric(metric: String)(
+      v: org.apache.spark.sql.Column, q: org.apache.spark.sql.Column) =
+    metric match {
+      case "l2" => VectorFunctions.euclideanSqWide(v, q)
+      case _    => dist(v, q)
+    }
+
   /** Assign each vector its nearest centroid: (id, vector, bucket).
     * Centroids are broadcast; the argmin is a `min(struct(dist, cid))`
     * aggregation — map-side partial, ties broken by centroid id.
@@ -39,9 +50,10 @@ object Ivf {
       vectors: DataFrame,
       centroids: DataFrame,
       idCol: String = "id",
-      vecCol: String = "vector"): DataFrame = {
+      vecCol: String = "vector",
+      metric: String = "cosine"): DataFrame = {
     val scored = vectors.crossJoin(broadcast(centroids))
-      .withColumn("d", dist(col(vecCol), col("cvec")))
+      .withColumn("d", distMetric(metric)(col(vecCol), col("cvec")))
     scored.groupBy(col(idCol))
       .agg(
         first(col(vecCol)).as(vecCol),
@@ -120,15 +132,18 @@ object Ivf {
       nProbe: Int,
       idCol: String = "id",
       vecCol: String = "vector",
-      normalized: Boolean = false): DataFrame = {
+      normalized: Boolean = false,
+      metric: String = "cosine"): DataFrame = {
     def d(v: org.apache.spark.sql.Column, q: org.apache.spark.sql.Column) =
-      if (normalized) VectorFunctions.cosineDistance(v, q) else dist(v, q)
+      if (metric == "l2") VectorFunctions.euclideanSqWide(v, q)
+      else if (normalized) VectorFunctions.cosineDistance(v, q)
+      else dist(v, q)
     // Rank centroids per query — queries × centroids is tiny. Drop BOTH
     // vectors before the ranking window (they'd ride the shuffle: 100-d
     // qvec + cvec per candidate row is ~100× the (qid, cid, cd) triple) and
     // re-attach qvec to the nProbe survivors from the tiny query frame.
     val ranked = queries.crossJoin(broadcast(centroids))
-      .withColumn("cd", dist(col("qvec"), col("cvec")))
+      .withColumn("cd", distMetric(metric)(col("qvec"), col("cvec")))
       .select(col("qid"), col("cid"), col("cd"))
       .withColumn("crank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cd"), col("cid"))))
@@ -253,9 +268,11 @@ object Ivf {
       cents: Array[Array[Float]],
       queries: DataFrame,
       k: Int,
-      nProbe: Int): DataFrame = {
+      nProbe: Int,
+      metric: String = "cosine"): DataFrame = {
     val spark = queries.sparkSession
-    val inv = invNorms(cents)
+    val l2 = metric == "l2"
+    val adj = bucketAdj(cents, metric)
     val qrows = queries.select(col("qid"), col("qvec"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
@@ -268,7 +285,7 @@ object Ivf {
         val cv = cents(c)
         var dot = 0.0; var j = 0
         while (j < cv.length) { dot += cv(j).toDouble * qv(j); j += 1 }
-        (-dot * inv(c), c)
+        (if (l2) adj(c) - dot else -dot * adj(c), c)
       }.sorted.take(nProbe)
       probed.foreach { case (_, c) =>
         bucketQs(c) = if (bucketQs(c) == null) Array(qi) else bucketQs(c) :+ qi
@@ -280,8 +297,16 @@ object Ivf {
     // sequentially), partials merged on the driver (≤ partitions×nq×k
     // rows — serving batches are driver-bounded by definition, same place
     // probe selection already runs). No shuffle, no ranking window.
+    // Distance: cosine = 1 − dot (pre-normalized vectors); l2 = SQUARED
+    // euclidean ‖x‖² − 2x·q + ‖q‖², with ‖x‖² accumulated in the same loop.
     val partials = index.mapPartitions { it =>
       val (qvs, bq) = bc.value
+      val qsq: Array[Double] =
+        if (l2) qvs.map { qv =>
+          var s = 0.0; var j = 0
+          while (j < qv.length) { s += qv(j).toDouble * qv(j); j += 1 }
+          s
+        } else null
       val heaps = new TopK(qvs.length, k)
       it.foreach { case (b, ids, flat) =>
         val qs = if (b < bq.length) bq(b.toInt) else null
@@ -294,9 +319,18 @@ object Ivf {
             var r = 0
             var off = 0
             while (r < ids.length) {
-              var dot = 0f; var j = 0
-              while (j < dim) { dot += flat(off + j) * qv(j); j += 1 }
-              heaps.insert(qi, 1.0d - dot, ids(r))
+              if (l2) {
+                var dot = 0f; var xsq = 0f; var j = 0
+                while (j < dim) {
+                  val x = flat(off + j)
+                  dot += x * qv(j); xsq += x * x; j += 1
+                }
+                heaps.insert(qi, xsq.toDouble - 2.0d * dot + qsq(qi), ids(r))
+              } else {
+                var dot = 0f; var j = 0
+                while (j < dim) { dot += flat(off + j) * qv(j); j += 1 }
+                heaps.insert(qi, 1.0d - dot, ids(r))
+              }
               r += 1
               off += dim
             }
@@ -499,8 +533,12 @@ object Ivf {
     * vector's norm is constant across centroids). Ties → lower centroid id;
     * zero-norm centroids never win.
     */
-  private def bestBucket(cents: Array[Array[Float]], invNorms: Array[Float],
-                         v: Array[Float]): Int = {
+  private def bestBucket(cents: Array[Array[Float]], adj: Array[Float],
+                         v: Array[Float], l2: Boolean): Int = {
+    // One dot-product loop for both metrics, differing only in the final
+    // score: cosine = dot × 1/‖c‖ (adj = inverse norm); l2 uses
+    // argmin ‖v−c‖² ≡ argmax v·c − ‖c‖²/2 (adj = half squared norm) —
+    // the per-vector ‖v‖² term is constant across centroids.
     var best = 0
     var bestScore = Float.NegativeInfinity
     var c = 0
@@ -509,7 +547,7 @@ object Ivf {
       var dot = 0f
       var j = 0
       while (j < cv.length) { dot += cv(j) * v(j); j += 1 }
-      val s = dot * invNorms(c)
+      val s = if (l2) dot - adj(c) else dot * adj(c)
       if (s > bestScore) { bestScore = s; best = c }
       c += 1
     }
@@ -522,6 +560,17 @@ object Ivf {
       while (j < cv.length) { s += cv(j).toDouble * cv(j); j += 1 }
       if (s == 0.0) 0f else (1.0 / math.sqrt(s)).toFloat
     }
+
+  private def halfNormSqs(cents: Array[Array[Float]]): Array[Float] =
+    cents.map { cv =>
+      var s = 0.0; var j = 0
+      while (j < cv.length) { s += cv(j).toDouble * cv(j); j += 1 }
+      (s / 2.0).toFloat
+    }
+
+  /** Centroid score adjustments for [[bestBucket]] under `metric`. */
+  private def bucketAdj(cents: Array[Array[Float]], metric: String): Array[Float] =
+    if (metric == "l2") halfNormSqs(cents) else invNorms(cents)
 
   /** Lloyd's KMeans for LARGE k (√N-scale centroid counts): per-partition
     * primitive-array argmin with cluster-sum accumulators, merged on the
@@ -538,24 +587,26 @@ object Ivf {
       k: Int,
       iters: Int = 3,
       idCol: String = "id",
-      vecCol: String = "vector"): Array[Array[Float]] = {
+      vecCol: String = "vector",
+      metric: String = "cosine"): Array[Array[Float]] = {
     val spark = vectors.sparkSession
     import spark.implicits._
+    val l2 = metric == "l2"
     val base = vectors
       .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .as[(Long, Array[Float])]
     var cents: Array[Array[Float]] = base.orderBy(col(idCol)).limit(k)
       .collect().sortBy(_._1).map(_._2)
     for (_ <- 1 to iters) {
-      val bc = spark.sparkContext.broadcast((cents, invNorms(cents)))
+      val bc = spark.sparkContext.broadcast((cents, bucketAdj(cents, metric)))
       val stats = base.rdd.mapPartitions { it =>
-        val (cs, inv) = bc.value
+        val (cs, adj) = bc.value
         val kk = cs.length
         val d = if (kk == 0) 0 else cs(0).length
         val sums = Array.ofDim[Double](kk, d)
         val counts = new Array[Long](kk)
         it.foreach { case (_, v) =>
-          val b = bestBucket(cs, inv, v)
+          val b = bestBucket(cs, adj, v, l2)
           counts(b) += 1
           var j = 0
           while (j < d) { sums(b)(j) += v(j); j += 1 }
@@ -592,15 +643,17 @@ object Ivf {
       vectors: DataFrame,
       cents: Array[Array[Float]],
       idCol: String = "id",
-      vecCol: String = "vector"): DataFrame = {
+      vecCol: String = "vector",
+      metric: String = "cosine"): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast((cents, invNorms(cents)))
+    val l2 = metric == "l2"
+    val bc = spark.sparkContext.broadcast((cents, bucketAdj(cents, metric)))
     vectors.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
-        val (cs, inv) = bc.value
-        it.map { case (id, v) => (id, v, bestBucket(cs, inv, v).toLong) }
+        val (cs, adj) = bc.value
+        it.map { case (id, v) => (id, v, bestBucket(cs, adj, v, l2).toLong) }
       }
       .toDF(idCol, vecCol, "bucket")
   }

@@ -97,6 +97,44 @@ class IvfSpec extends SparkSpec {
     assert(overlap >= 0.8, s"int8/float agreement $overlap")
   }
 
+  test("l2 metric: full probe reproduces exact top-k; fast path agrees with plan") {
+    // Raw (unnormalized) vectors — L2 must not assume unit norms.
+    val cents = Ivf.trainKMeansArrays(emb, k = 16, iters = 2, metric = "l2")
+    val centsDF = Ivf.centroidsDF(spark, cents)
+    val assigned = Ivf.assignFast(emb, cents, metric = "l2")
+    val exact = VectorSearch.topKBatch(emb, queries, k = 10, metric = "euclidean",
+      idCol = "id", vecCol = "vector", wide = true)
+    val full = Ivf.search(assigned, centsDF, queries, k = 10, nProbe = 16,
+      metric = "l2")
+    assert(Ivf.recallAt(full, exact, 10) === 1.0)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("qid"), col("rank"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val viaPlan = Ivf.search(assigned, centsDF, queries, k = 5, nProbe = 4,
+      metric = "l2")
+    val viaFast = Ivf.searchBatchedFast(Ivf.servingIndex(assigned), cents,
+      queries, k = 5, nProbe = 4, metric = "l2")
+    assert(key(viaFast) == key(viaPlan))
+  }
+
+  test("l2 assignment minimizes true squared distance (spot check)") {
+    val cents = Ivf.trainKMeansArrays(emb, k = 8, iters = 2, metric = "l2")
+    val assigned = Ivf.assignFast(emb, cents, metric = "l2")
+      .filter(col("id") < 50).collect()
+    assigned.foreach { r =>
+      val v = r.getSeq[Float](1).toArray
+      val b = r.getLong(2).toInt
+      def d2(c: Array[Float]): Double = {
+        var s = 0.0; var j = 0
+        while (j < c.length) { val d = c(j) - v(j); s += d * d; j += 1 }
+        s
+      }
+      val chosen = d2(cents(b))
+      val best = cents.map(d2).min
+      assert(chosen <= best + 1e-3, s"id=${r.getLong(0)} bucket=$b")
+    }
+  }
+
   test("search never returns a vector from an unprobed bucket") {
     val cents = emb.filter(col("id") % 100 === 0)
       .select(col("id").as("cid"), col("vector").as("cvec"))
