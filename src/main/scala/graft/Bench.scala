@@ -273,7 +273,7 @@ object Bench {
       val exact = VectorSearch.topKBatch(emb, queries, k = 10,
         metric = "euclidean", idCol = "id", vecCol = "vector", wide = true).cache()
       val exactSec = timeIt(exact.count())
-      val sweep = Seq(8, 16, 32).map { np =>
+      val sweep = Seq(16, 32, 64, 96).map { np =>
         def run() = Ivf.searchBatchedFast(serving, cents, queries, k = 10,
           nProbe = np, metric = "l2")
         run().write.format("noop").mode("overwrite").save()

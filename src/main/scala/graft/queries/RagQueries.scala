@@ -23,6 +23,12 @@ object RagQueries {
       .select(col("doc_id"), col("text"), col("source"), col("embedding"))
   }
 
+  /** R5 inputs — fixed conversational turn (any literal works; the stub and
+    * oracle replay the same strings).
+    */
+  private val R5Query = "how do tables merge during a compaction query"
+  private val R5History = "user asked about merge strategies"
+
   private val memSql =
     """mem AS (
       |  SELECT d.doc_id, d.text, d.source, e.embedding
@@ -129,6 +135,31 @@ object RagQueries {
             col("score"), Rag.estTokens(col("text")).as("est_tokens")))
       top.crossJoin(broadcast(top.agg(round(avg(col("score")), 6).as("confidence"))))
         .withColumn("score", round(col("score"), 6))
+        .orderBy(col("doc_id"))
+    }),
+
+    // R5: HyDe + CQR retrieval (`proxy.go:342-359`): conversational query
+    // rewrite, then a hypothetical answer document, both through the
+    // pluggable LlmClient (deterministic stub here — parity scope per
+    // SURVEY §7.4 risk 7); the hypothetical doc is embedded and retrieval
+    // runs against ITS vector. The whole chain — stub hash-echo, polyhash
+    // embedding, cosine ranking — is engine-independent, so the oracle
+    // replays every stage in SQL.
+    "r5_hyde" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val docs = Tables.documents(s, dir)
+      val rewritten = graft.llm.StubLlm.complete(s"cqr: $R5Query | $R5History")
+      val hydoc = graft.llm.StubLlm.complete(s"hyde: $rewritten")
+      val qvec = graft.streaming.Streams.hashEmbedding(lit(hydoc), dim = 64)
+      emb
+        .withColumn("d", lit(1.0) -
+          VectorFunctions.cosineSimilarityWide(col("embedding"), qvec))
+        .orderBy(col("d"), col("vec_id"))
+        .limit(10)
+        .join(docs.select(col("doc_id"), col("source")),
+          col("vec_id") === col("doc_id"))
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+          round(lit(1.0) / (lit(1.0) + col("d")), 6).as("score"))
         .orderBy(col("doc_id"))
     }),
 
@@ -260,6 +291,35 @@ object RagQueries {
          |  CAST(floor(length(text) / 4.0) AS BIGINT) AS est_tokens,
          |  round(avg(score) OVER (), 6) AS confidence
          |FROM top ORDER BY doc_id""".stripMargin,
+
+    "r5_hyde" -> {
+      def ph(x: String) =
+        s"""list_reduce([CAST(0 AS BIGINT)] || list_transform(str_split($x, ''), c -> CAST(ord(c) AS BIGINT)), (acc, x) -> (acc * 31 + x) % 2147483647)"""
+      def stub(src: String) =
+        s"""SELECT 'stub[' || CAST(${ph("t")} AS VARCHAR) || ']: ' || substr(t, 1, 64) AS t FROM $src"""
+      s"""WITH p1 AS (SELECT 'cqr: $R5Query | $R5History' AS t),
+         |rw AS (${stub("p1")}),
+         |p2 AS (SELECT 'hyde: ' || t AS t FROM rw),
+         |hy AS (${stub("p2")}),
+         |qv AS (
+         |  SELECT list_transform(generate_series(1, 64), i ->
+         |    CAST(CAST((${ph("t")} * i + 12289) % 2147483647 AS DOUBLE)
+         |         / 2147483647.0 - 0.5 AS FLOAT)) AS v
+         |  FROM hy),
+         |scored AS (
+         |  SELECT e.vec_id,
+         |    1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |                                 CAST(q.v AS DOUBLE[])) AS d
+         |  FROM embeddings e CROSS JOIN qv q),
+         |top AS (
+         |  SELECT vec_id, d
+         |  FROM (SELECT *, row_number() OVER (ORDER BY d, vec_id) AS rn FROM scored)
+         |  WHERE rn <= 10)
+         |SELECT CAST(t.vec_id AS BIGINT) AS doc_id, d2.source,
+         |  round(1.0 / (1.0 + t.d), 6) AS score
+         |FROM top t JOIN documents d2 ON d2.doc_id = t.vec_id
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "r6_semantic_cache" ->
       s"""WITH cache AS (
