@@ -83,8 +83,20 @@ object Dedup {
   /** LSH banding (r rows per band): docs agreeing on a whole band are
     * candidates. Returns distinct (id1, id2) with id1 < id2 — the join is on
     * the band signature, never all-pairs.
+    *
+    * `maxBucket` is the skew guard for real corpora: a degenerate band
+    * signature (boilerplate pages, near-empty docs — all minhashing
+    * identically) puts m docs in one bucket and the self-join emits m²
+    * pairs; one hot bucket of 10⁶ docs is 10¹² pairs. Buckets larger than
+    * the cap are dropped entirely (their members are overwhelmingly exact/
+    * boilerplate duplicates better handled by [[exactDupGroups]] first —
+    * the standard large-scale dedup practice). The size filter is a window
+    * partitioned by the same (band, sig) key the join shuffles on, so the
+    * exchange is reused, and the count runs BEFORE the quadratic step.
+    * Default = uncapped (small-corpus / oracle-parity semantics).
     */
-  def lshCandidatePairs(sigs: DataFrame, rowsPerBand: Int = 2): DataFrame = {
+  def lshCandidatePairs(sigs: DataFrame, rowsPerBand: Int = 2,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     val banded = sigs
       .withColumn("band", (col("i") / rowsPerBand).cast("int"))
       .withColumn("slot", col("i") % rowsPerBand)
@@ -92,8 +104,15 @@ object Dedup {
       .agg(concat_ws(",", transform(
         array_sort(collect_list(struct(col("slot"), col("minh")))),
         e => e.getField("minh").cast("string"))).as("sig"))
-    val l = banded.select(col("band"), col("sig"), col("id").as("id1"))
-    val r = banded.select(col("band"), col("sig"), col("id").as("id2"))
+    val bounded =
+      if (maxBucket == Int.MaxValue) banded
+      else banded
+        .withColumn("bsz",
+          count(lit(1)).over(Window.partitionBy(col("band"), col("sig"))))
+        .filter(col("bsz") <= maxBucket)
+        .drop("bsz")
+    val l = bounded.select(col("band"), col("sig"), col("id").as("id1"))
+    val r = bounded.select(col("band"), col("sig"), col("id").as("id2"))
     l.join(r, Seq("band", "sig")).filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
   }
@@ -144,12 +163,22 @@ object Dedup {
     VectorFunctions.hyperplaneBucket(vec, planes)
 
   /** Embedding cosine near-dup join: bucket by hyperplane signs, exact
-    * cosine within buckets, keep pairs ≥ threshold.
+    * cosine within buckets, keep pairs ≥ threshold. `maxBucket` caps the
+    * within-bucket quadratic step exactly like [[lshCandidatePairs]] (a
+    * zero embedding, or a mode the encoder collapses to, concentrates mass
+    * in one sign bucket at corpus scale).
     */
   def cosineNearDups(emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planes: Int = 8): DataFrame = {
-    val b = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      threshold: Double, planes: Int = 8,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val b0 = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .withColumn("bucket", hyperplaneBucket(col("v"), planes))
+    val b =
+      if (maxBucket == Int.MaxValue) b0
+      else b0
+        .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("bucket"))))
+        .filter(col("bsz") <= maxBucket)
+        .drop("bsz")
     val l = b.select(col("bucket"), col("id").as("id1"), col("v").as("v1"))
     val r = b.select(col("bucket"), col("id").as("id2"), col("v").as("v2"))
     l.join(r, Seq("bucket")).filter(col("id1") < col("id2"))

@@ -118,6 +118,26 @@ object DedupQueries {
       Dedup.cosineNearDups(all, "vec_id", "embedding", threshold = 0.9)
         .select(col("id1"), col("id2"), round(col("sim"), 6).as("sim"))
         .orderBy(col("id1"), col("id2"))
+    }),
+
+    // Skew guard: 20 identical boilerplate docs concentrate in one band
+    // bucket per band; maxBucket=10 drops those hot buckets BEFORE the
+    // quadratic self-join while every organic duplicate pair survives. The
+    // oracle replicates the cap, so both over-capping (missing organic
+    // pairs) and under-capping (190 boilerplate pairs leaking through)
+    // hash-mismatch.
+    "d6_lsh_skew_cap" -> ((s, dir) => {
+      val boiler = s.range(20)
+        .select((col("id") + 300000).as("doc_id"),
+          lit("standard legal boilerplate footer appended to every page")
+            .as("text"))
+      val c = corpus(s, dir).unionByName(boiler)
+      val sh = Dedup.shingles(c, "doc_id", "text")
+      val pairs = Dedup.lshCandidatePairs(Dedup.minhashSigs(sh), maxBucket = 10)
+      Dedup.jaccardOnPairs(pairs, sh)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id1"), col("id2"))
     })
   )
 
@@ -236,6 +256,54 @@ object DedupQueries {
         |  JOIN ecorpus a ON a.vec_id = p.id1 JOIN ecorpus b ON b.vec_id = p.id2)
         |SELECT CAST(id1 AS BIGINT) AS id1, CAST(id2 AS BIGINT) AS id2,
         |  round(sim, 6) AS sim
-        |FROM sims WHERE sim >= 0.9 ORDER BY id1, id2""".stripMargin
+        |FROM sims WHERE sim >= 0.9 ORDER BY id1, id2""".stripMargin,
+
+    "d6_lsh_skew_cap" ->
+      s"""WITH $corpusSql,
+         |corpus2 AS (
+         |  SELECT doc_id, text FROM corpus
+         |  UNION ALL
+         |  SELECT 300000 + k,
+         |    'standard legal boilerplate footer appended to every page'
+         |  FROM range(20) t2(k)),
+         |sh AS (
+         |  SELECT DISTINCT doc_id AS id, shingle FROM (
+         |    SELECT doc_id,
+         |      unnest(list_transform(range(1, len(str_split(text, ' ')) - 1),
+         |        i -> array_to_string(list_slice(str_split(text, ' '), i, i + 2), ' '))) AS shingle
+         |    FROM corpus2)),
+         |$permsSql,
+         |hx AS (SELECT id, shingle, ${phSql("shingle")} AS x FROM sh),
+         |sig AS (
+         |  SELECT id, i, min((a * x + b) % 2147483647) AS minh
+         |  FROM hx CROSS JOIN perms GROUP BY id, i),
+         |banded AS (
+         |  SELECT id, i // 2 AS band,
+         |    array_to_string(list(CAST(minh AS VARCHAR) ORDER BY i % 2), ',') AS sig
+         |  FROM sig GROUP BY id, i // 2),
+         |bsz AS (SELECT band, sig, count(*) AS n FROM banded GROUP BY band, sig),
+         |bounded AS (
+         |  SELECT b.id, b.band, b.sig FROM banded b
+         |  JOIN bsz z ON z.band = b.band AND z.sig = b.sig
+         |  WHERE z.n <= 10),
+         |cand AS (
+         |  SELECT DISTINCT l.id AS id1, r.id AS id2
+         |  FROM bounded l JOIN bounded r ON l.band = r.band AND l.sig = r.sig
+         |  WHERE l.id < r.id),
+         |sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY id),
+         |inter AS (
+         |  SELECT c.id1, c.id2, CAST(count(*) AS BIGINT) AS n
+         |  FROM cand c
+         |  JOIN sh a ON a.id = c.id1 JOIN sh b ON b.id = c.id2 AND b.shingle = a.shingle
+         |  GROUP BY c.id1, c.id2),
+         |j AS (
+         |  SELECT c.id1, c.id2,
+         |    coalesce(i.n, 0) * 1.0 / (s1.sz + s2.sz - coalesce(i.n, 0)) AS jaccard
+         |  FROM cand c
+         |  LEFT JOIN inter i ON i.id1 = c.id1 AND i.id2 = c.id2
+         |  JOIN sizes s1 ON s1.id = c.id1 JOIN sizes s2 ON s2.id = c.id2)
+         |SELECT CAST(id1 AS BIGINT) AS id1, CAST(id2 AS BIGINT) AS id2,
+         |  round(jaccard, 6) AS jaccard
+         |FROM j WHERE jaccard >= 0.5 ORDER BY id1, id2""".stripMargin
   )
 }

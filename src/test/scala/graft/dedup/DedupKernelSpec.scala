@@ -84,4 +84,40 @@ class DedupKernelSpec extends SparkSpec {
     val got = Seq(s).toDF("s").select(Dedup.polyHash(col("s"))).collect().head.getLong(0)
     assert(got == expected)
   }
+
+  test("lshCandidatePairs maxBucket drops hot buckets, keeps organic pairs") {
+    // 12 identical boilerplate docs (one hot bucket per band) + one organic
+    // near-dup pair. Uncapped: 66 boilerplate pairs + the organic pair.
+    // Capped at 10: only the organic pair survives; the boilerplate docs
+    // never reach the quadratic step.
+    val boiler = (0 until 12).map(i =>
+      (100L + i, "common footer text appended to every page of the corpus"))
+    val organic = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"))
+    val docs = (boiler ++ organic).toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs, "doc_id", "text")
+    val sigs = Dedup.minhashSigs(sh)
+    val uncapped = Dedup.lshCandidatePairs(sigs).collect()
+    val capped = Dedup.lshCandidatePairs(sigs, maxBucket = 10).collect()
+    assert(uncapped.length == 66 + 1, s"uncapped=${uncapped.length}")
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("cosineNearDups maxBucket confines the hot sign bucket") {
+    // 12 copies of the same vector collapse into one sign bucket; a distinct
+    // near-dup pair lives in another. Cap 10 removes the hot bucket's 66
+    // pairs and keeps the organic pair (threshold passes both).
+    val hot = (0 until 12).map(i => (100L + i, Array(1f, 1f, 0f, 0f)))
+    val organic = Seq(
+      (1L, Array(-1f, 0.5f, 0.2f, -0.3f)),
+      (2L, Array(-1f, 0.5f, 0.21f, -0.3f)))
+    val emb = (hot ++ organic).toDF("vec_id", "embedding")
+    val uncapped = Dedup.cosineNearDups(emb, "vec_id", "embedding",
+      threshold = 0.9).collect()
+    val capped = Dedup.cosineNearDups(emb, "vec_id", "embedding",
+      threshold = 0.9, maxBucket = 10).collect()
+    assert(uncapped.length == 66 + 1, s"uncapped=${uncapped.length}")
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
 }
