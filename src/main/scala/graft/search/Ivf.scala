@@ -338,16 +338,24 @@ object Ivf {
           }
         }
       }
-      heaps.iterator
-    }.collect()
-    mergeTopK(spark, partials, qids, k)
+      Iterator.single(heaps)
+    }
+    val merged =
+      if (partials.getNumPartitions == 0) new TopK(qids.length, k)
+      else partials.treeReduce(_ merge _)
+    mergeTopK(spark, merged, qids, k)
   }
 
   /** Per-query bounded top-k accumulator: insertion into k-sized sorted
     * parallel arrays, ties by id — the partial state both the executor pass
-    * and the driver merge share.
+    * and the distributed merge share. Serializable because partials are
+    * combined with `treeReduce` ON THE EXECUTORS: the driver receives ONE
+    * merged state (nq×k entries) regardless of partition count, so the
+    * serving path's driver cost does not grow with cluster size (a
+    * `collect` of per-partition partials would be partitions×nq×k rows —
+    * fine at local[32], a bottleneck at 1000 executors).
     */
-  private final class TopK(nq: Int, k: Int) {
+  private final class TopK(nq: Int, k: Int) extends Serializable {
     val heapD: Array[Array[Double]] = Array.fill(nq)(Array.fill(k)(Double.MaxValue))
     val heapI: Array[Array[Long]] = Array.fill(nq)(Array.fill(k)(Long.MaxValue))
     def insert(qi: Int, d: Double, id: Long): Unit = {
@@ -366,19 +374,31 @@ object Ivf {
         (0 until k).iterator.takeWhile(hd(_) < Double.MaxValue)
           .map(j => (qi, hi(j), hd(j)))
       }
+    /** Fold `o` into this state. Bounded-top-k union with the (d, id)
+      * tie-break is commutative and associative, so treeReduce order never
+      * changes the result.
+      */
+    def merge(o: TopK): TopK = {
+      var qi = 0
+      while (qi < heapD.length) {
+        val od = o.heapD(qi); val oi = o.heapI(qi)
+        var j = 0
+        while (j < od.length && od(j) < Double.MaxValue) {
+          insert(qi, od(j), oi(j)); j += 1
+        }
+        qi += 1
+      }
+      this
+    }
   }
 
-  /** Merge collected per-partition partials into the final (qid, id,
-    * distance, rank) frame on the driver.
-    */
+  /** Final (qid, id, distance, rank) frame from the fully-merged state. */
   private def mergeTopK(
       spark: org.apache.spark.sql.SparkSession,
-      partials: Array[(Int, Long, Double)],
+      heaps: TopK,
       qids: Array[Long],
       k: Int): DataFrame = {
     import spark.implicits._
-    val heaps = new TopK(qids.length, k)
-    partials.foreach { case (qi, id, d) => heaps.insert(qi, d, id) }
     val rows = qids.indices.flatMap { qi =>
       val hd = heaps.heapD(qi); val hi = heaps.heapI(qi)
       (0 until k).takeWhile(hd(_) < Double.MaxValue)
@@ -520,9 +540,12 @@ object Ivf {
           }
         }
       }
-      heaps.iterator
-    }.collect()
-    mergeTopK(spark, partials, qids, k)
+      Iterator.single(heaps)
+    }
+    val merged =
+      if (partials.getNumPartitions == 0) new TopK(qids.length, k)
+      else partials.treeReduce(_ merge _)
+    mergeTopK(spark, merged, qids, k)
   }
 
   // ---------------------------------------------------------------------
