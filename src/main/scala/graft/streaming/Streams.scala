@@ -112,4 +112,27 @@ object Streams {
         when(col("chunk_index") > 0,
           concat(col("doc_id"), lit(":"), col("chunk_index") - 1)))
   }
+
+  /** Streaming exact dedup — the ingest-time counterpart of
+    * [[graft.dedup.Dedup.exactDupGroups]]: content-hash each arriving doc
+    * and keep only the first occurrence. On a stream the state must be
+    * BOUNDED, so duplicates are only suppressed within the watermark
+    * horizon (`dropDuplicatesWithinWatermark` — Spark evicts hash state
+    * older than the watermark instead of growing forever, the only shape
+    * that survives an unbounded 100 TB ingest). On a batch frame the same
+    * call degrades to plain content-hash dedup (keep-any semantics match
+    * because the hash is the full dedup key, so WHICH row survives doesn't
+    * change the surviving content).
+    *
+    * `eventTimeCol` must be a real event-time timestamp column; `lateness`
+    * bounds both late data and the dedup memory.
+    */
+  def dedupStream(docs: DataFrame, textCol: String, eventTimeCol: String,
+      lateness: String = "1 hour"): DataFrame = {
+    val hashed = docs.withColumn("content_hash", sha2(col(textCol), 256))
+    if (docs.isStreaming)
+      hashed.withWatermark(eventTimeCol, lateness)
+        .dropDuplicatesWithinWatermark("content_hash")
+    else hashed.dropDuplicates("content_hash")
+  }
 }

@@ -89,4 +89,34 @@ class StreamsSpec extends SparkSpec {
     assert(s.shouldThink(50, 0, 30000))
     assert(s.shouldThink(500, 100000, 130000))
   }
+
+  test("streaming exact dedup suppresses duplicate content across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = Streams.dedupStream(
+      ms.toDF.toDF("doc_id", "text", "ts"), "text", "ts")
+    val q = out.writeStream.format("memory").queryName("dedup_s")
+      .outputMode("append").start()
+    try {
+      // Batch 1: "aaa" twice (in-batch dup) + "bbb".
+      ms.addData((1L, "aaa", t(0)), (2L, "bbb", t(1)), (3L, "aaa", t(2)))
+      q.processAllAvailable()
+      // Batch 2: "aaa" again within the watermark horizon (suppressed by
+      // state) + fresh "ccc" (kept).
+      ms.addData((4L, "aaa", t(10)), (5L, "ccc", t(11)))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_s").select(col("text")).collect()
+        .map(_.getString(0)).sorted
+      assert(rows.toSeq == Seq("aaa", "bbb", "ccc"), rows.mkString(","))
+    } finally q.stop()
+
+    // Batch degradation: same call, plain content-hash dedup.
+    val batch = Seq((1L, "aaa", t(0)), (2L, "bbb", t(1)), (3L, "aaa", t(2)))
+      .toDF("doc_id", "text", "ts")
+    assert(Streams.dedupStream(batch, "text", "ts").count() == 2)
+  }
 }
