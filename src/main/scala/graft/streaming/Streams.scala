@@ -135,4 +135,21 @@ object Streams {
         .dropDuplicatesWithinWatermark("content_hash")
     else hashed.dropDuplicates("content_hash")
   }
+
+  /** Streaming IVF index maintenance: vectors assigned to FROZEN centroids
+    * ([[graft.search.Ivf.assignFast]] is a stateless typed transform, so it
+    * runs unchanged on a stream) append into the bucket-partitioned parquet
+    * serving layout — new data becomes immediately probe-able, because the
+    * probe's partition pruning (`bucket IN (...)`) picks up new files on
+    * the next scan. Centroid RETRAINING stays an offline job under a frozen
+    * geometry, exactly like rebuilding the reference's index; the layout
+    * needs no rewrite until the centroids move.
+    */
+  def ivfIngest(assigned: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    assigned.writeStream.format("parquet").partitionBy("bucket")
+      .option("path", path).option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
 }

@@ -119,4 +119,33 @@ class StreamsSpec extends SparkSpec {
       .toDF("doc_id", "text", "ts")
     assert(Streams.dedupStream(batch, "text", "ts").count() == 2)
   }
+
+  test("streaming IVF ingest: assignment equals batch, layout is probe-able") {
+    import graft.search.Ivf
+    val emb = Tables.embeddings(spark, sf())
+      .select(col("vec_id").cast("long").as("id"),
+        col("embedding").cast("array<float>").as("vector"))
+      .filter(col("id") < 100)
+    val cents = Ivf.trainKMeansArrays(emb, k = 4, iters = 3)
+
+    // Stage the vectors as two parquet files → two micro-batches.
+    val src = tempDir("ivf-ingest-src")
+    emb.filter(col("id") < 50).coalesce(1).write.mode("append").parquet(src)
+    emb.filter(col("id") >= 50).coalesce(1).write.mode("append").parquet(src)
+    val layout = tempDir("ivf-ingest-layout")
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = Streams.ivfIngest(Ivf.assignFast(stream, cents), layout,
+      tempDir("ivf-ingest-cp"))
+    q.awaitTermination(120000)
+
+    val stored = spark.read.parquet(layout)
+      .select(col("id"), col("bucket").cast("long").as("bucket"))
+    val batch = Ivf.assignFast(emb, cents).select(col("id"), col("bucket"))
+    assert(stored.count() === 100)
+    assert(stored.exceptAll(batch).isEmpty && batch.exceptAll(stored).isEmpty)
+    // The layout is the partition-pruned serving shape: bucket is a
+    // partition column, so a probe filter prunes files.
+    assert(stored.select(col("bucket")).distinct().count() === 4)
+  }
 }
