@@ -129,6 +129,35 @@ object FusionQueries {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // H1-IVF: the 100 TB hybrid shape — the vector branch rides the IVF
+    // index (same deterministic sampled-centroid protocol as v1) instead of
+    // rescanning the corpus; text branch + fusion + decay identical to h1.
+    // The oracle replicates probe pruning, so fused scores prove the
+    // index-served candidates are exactly the probed buckets' top-k.
+    "h1_fusion_ivf" -> ((s, dir) => {
+      import graft.search.Ivf
+      val mem = memoryView(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val cents = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").cast("long").as("cid"), col("embedding").as("cvec"))
+      val assigned = Ivf.assign(
+        mem.select(col("doc_id").cast("long").as("id"),
+          col("embedding").as("vector")),
+        cents, "id", "vector")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(lit(0L).as("qid"), col("embedding").as("qvec"))
+      val vecTop = Ivf.search(assigned, cents, q, k = 15, nProbe = 2)
+        .select(col("id").as("doc_id"), col("distance"))
+      Fusion.searchWithFusionDF(
+          mem, "doc_id", "embedding", "text",
+          None, "table merge query",
+          Fusion.FusionParams(alpha = 0.6, k = 15, metric = "cosine",
+            memory = memCfg, now = Now, wide = true),
+          prebuiltVecTopK = Some(vecTop))
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // H4: reinforcement — bump _last_accessed/_access_count for a hit set.
     "h4_reinforce" -> ((s, dir) => {
       val mem = memoryView(s, dir)
@@ -186,6 +215,74 @@ object FusionQueries {
        |SELECT doc_id, round(score, 6) AS score FROM decayed
        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
 
+  /** h1 with the vector branch served by the v1 IVF protocol (sampled
+    * centroids, argmin assignment, nProbe=2 pruning) instead of a full
+    * scan.
+    */
+  private lazy val h1IvfSql =
+    s"""WITH $memViewSql,
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |cents AS (
+       |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 100 = 0),
+       |vassigned AS (
+       |  SELECT doc_id, cid AS bucket FROM (
+       |    SELECT m.doc_id, c.cid,
+       |      row_number() OVER (PARTITION BY m.doc_id
+       |        ORDER BY 1.0 - list_cosine_similarity(CAST(m.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])), c.cid) AS rn
+       |    FROM mem m CROSS JOIN cents c)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT cid AS bucket FROM (
+       |    SELECT c.cid,
+       |      row_number() OVER (
+       |        ORDER BY 1.0 - list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])), c.cid) AS rn
+       |    FROM q CROSS JOIN cents c)
+       |  WHERE rn <= 2),
+       |vec AS (
+       |  SELECT m.doc_id,
+       |    1.0 - list_cosine_similarity(CAST(m.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) AS d
+       |  FROM mem m
+       |  JOIN vassigned a USING (doc_id)
+       |  JOIN probes p ON a.bucket = p.bucket
+       |  CROSS JOIN q
+       |),
+       |vtopk AS (
+       |  SELECT doc_id, 1.0 / (1.0 + d) AS vscore
+       |  FROM (SELECT doc_id, d, row_number() OVER (ORDER BY d, doc_id) AS rn FROM vec)
+       |  WHERE rn <= 15
+       |),
+       |${bm25Cte},
+       |doclens AS (
+       |  SELECT m.doc_id, count(a.token) AS dl
+       |  FROM mem m LEFT JOIN analyzed a USING (doc_id) GROUP BY m.doc_id
+       |),
+       |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM doclens),
+       |postings AS (SELECT doc_id, token, count(*) AS tf FROM analyzed GROUP BY 1, 2),
+       |qt AS (SELECT * FROM (VALUES ('tabl', 1), ('merg', 1), ('queri', 1)) AS t(token, qn)),
+       |dfreq AS (
+       |  SELECT p.token, count(*) AS df FROM postings p
+       |  JOIN (SELECT DISTINCT token FROM qt) x USING (token) GROUP BY p.token
+       |),
+       |bm25 AS (
+       |  SELECT p.doc_id,
+       |    sum(qt.qn * ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5)) *
+       |        (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS raw
+       |  FROM postings p JOIN qt USING (token) JOIN dfreq f USING (token)
+       |  JOIN doclens d USING (doc_id) CROSS JOIN stats s GROUP BY p.doc_id
+       |),
+       |tnorm AS (SELECT doc_id, raw / max(raw) OVER () AS tscore FROM bm25),
+       |fused AS (
+       |  SELECT coalesce(v.doc_id, t.doc_id) AS doc_id,
+       |    0.6 * coalesce(v.vscore, 0) + 0.4 * coalesce(t.tscore, 0) AS fscore
+       |  FROM vtopk v FULL OUTER JOIN tnorm t ON v.doc_id = t.doc_id
+       |),
+       |decayed AS (
+       |  SELECT f.doc_id, f.fscore * $decaySql AS score
+       |  FROM fused f JOIN (SELECT *, $hlSql AS hl FROM mem) USING (doc_id)
+       |)
+       |SELECT doc_id, round(score, 6) AS score FROM decayed
+       |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "h3_decay_models" ->
       s"""WITH $memViewSql,
@@ -196,6 +293,8 @@ object FusionQueries {
 
     // Identical results by construction — the stored layout is lossless.
     "h1_fusion_stored" -> h1Sql,
+
+    "h1_fusion_ivf" -> h1IvfSql,
 
     "h4_reinforce" ->
       s"""WITH $memViewSql

@@ -74,6 +74,13 @@ object Fusion {
     *   deployment layout; when provided the text branch skips the
     *   analyze/stem corpus scan entirely.
     */
+  /** @param prebuiltVecTopK index-served vector candidates `(idCol,
+    *   distance)`, already top-k — e.g. [[Ivf.search]] over the
+    *   bucket-partitioned layout. When provided the vector branch skips the
+    *   full table scan entirely (at scale the hybrid path should ride the
+    *   ANN index, not rescan the corpus per query); metadata `filter` and
+    *   `allowList` still apply (semi-joins on the candidate ids).
+    */
   def searchWithFusionDF(
       table: DataFrame,
       idCol: String,
@@ -84,7 +91,8 @@ object Fusion {
       params: FusionParams,
       filter: Option[Column] = None,
       allowList: Option[DataFrame] = None,
-      prebuiltPostings: Option[DataFrame] = None): DataFrame = {
+      prebuiltPostings: Option[DataFrame] = None,
+      prebuiltVecTopK: Option[DataFrame] = None): DataFrame = {
 
     val alpha = if (params.alpha < 0 || params.alpha > 1) 0.5 else params.alpha
     val qTokens = Analyzer.analyze(textQuery, params.lang)
@@ -106,32 +114,47 @@ object Fusion {
     }
 
     // CASE A: text only — raw BM25 scores, allow-list post-filter, top-k.
-    if (queryVecDF.isEmpty) {
+    if (queryVecDF.isEmpty && prebuiltVecTopK.isEmpty) {
       require(textQuery.nonEmpty, "empty hybrid query")
       return textScored().orderBy(col("score").desc, col(idCol)).limit(params.k)
         .select(col(idCol), col("score"))
     }
 
-    // CASE B: hybrid / vector. Broadcast the one-row query, score map-side,
-    // top-k via TakeOrderedAndProject (per-partition top-k, no full shuffle).
-    // Cardinality guard (in-plan, stays lazy): a zero-row query DF would
-    // silently degrade to (1-alpha)-scaled text scores and a multi-row one
-    // would duplicate ids — fail loudly instead. limit(2) bounds the check.
-    val qOne = queryVecDF.get.select(col("qvec")).limit(2)
-      .agg(count(lit(1)).as("qn"), first(col("qvec")).as("qvec"))
-      .select(col("qvec"),
-        assert_true(col("qn") === 1,
-          lit("queryVecDF must have exactly one row")).as("qchk"))
-    val base = allowed(filter.fold(table)(table.filter))
-    val vecScores = base
-      .crossJoin(broadcast(qOne))
-      .drop("qchk")
-      .withColumn("distance",
-        VectorSearch.distCol(params.metric, col(vecCol), col("qvec"), wide = params.wide))
-      .orderBy(col("distance"), col(idCol))
-      .limit(params.k)
-      .select(col(idCol),
-        (lit(1.0) / (lit(1.0) + col("distance"))).as("vscore"))
+    // CASE B: hybrid / vector.
+    val vecScores = prebuiltVecTopK match {
+      // Index-served branch: candidates came from the ANN index; score and
+      // post-filter them, never rescan the table.
+      case Some(v) =>
+        val scored = v.select(col(idCol),
+          (lit(1.0) / (lit(1.0) + col("distance"))).as("vscore"))
+        allowed(filter match {
+          case Some(pred) => scored.join(
+            table.filter(pred).select(col(idCol)), Seq(idCol), "left_semi")
+          case None => scored
+        })
+      // Scan branch: broadcast the one-row query, score map-side, top-k via
+      // TakeOrderedAndProject (per-partition top-k, no full shuffle).
+      // Cardinality guard (in-plan, stays lazy): a zero-row query DF would
+      // silently degrade to (1-alpha)-scaled text scores and a multi-row
+      // one would duplicate ids — fail loudly instead. limit(2) bounds the
+      // check.
+      case None =>
+        val qOne = queryVecDF.get.select(col("qvec")).limit(2)
+          .agg(count(lit(1)).as("qn"), first(col("qvec")).as("qvec"))
+          .select(col("qvec"),
+            assert_true(col("qn") === 1,
+              lit("queryVecDF must have exactly one row")).as("qchk"))
+        val base = allowed(filter.fold(table)(table.filter))
+        base
+          .crossJoin(broadcast(qOne))
+          .drop("qchk")
+          .withColumn("distance",
+            VectorSearch.distCol(params.metric, col(vecCol), col("qvec"), wide = params.wide))
+          .orderBy(col("distance"), col(idCol))
+          .limit(params.k)
+          .select(col(idCol),
+            (lit(1.0) / (lit(1.0) + col("distance"))).as("vscore"))
+    }
 
     val fusedBase =
       // Pure-vector request (no text query at all): fused = vscore.
