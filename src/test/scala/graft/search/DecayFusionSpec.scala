@@ -105,4 +105,47 @@ class DecayFusionSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(viaFusion == direct)
   }
+
+  test("fusion: index-served vector branch equals scan; filter/allowList apply") {
+    import spark.implicits._
+    val table = Seq(
+      (1L, Array(1f, 0f), "alpha beta", "a"),
+      (2L, Array(0.9f, 0.1f), "gamma delta", "b"),
+      (3L, Array(0f, 1f), "searchterm searchterm searchterm", "a")
+    ).toDF("id", "vector", "text", "tag")
+    val qdf = spark.range(1)
+      .select(lit(Array(1f, 0f)).cast("array<float>").as("qvec"))
+    val params = Fusion.FusionParams(alpha = 0.5, k = 3, metric = "cosine",
+      wide = true)
+    val scan = Fusion.searchWithFusionDF(table, "id", "vector", "text",
+      Some(qdf), "searchterm", params)
+
+    // Prebuilt candidates = the exact per-table top-k the scan computes.
+    val topk = table.select(col("id"),
+        VectorSearch.distCol("cosine", col("vector"),
+          lit(Array(1f, 0f)).cast("array<float>"), wide = true).as("distance"))
+      .orderBy(col("distance"), col("id")).limit(3)
+    val served = Fusion.searchWithFusionDF(table, "id", "vector", "text",
+      None, "searchterm", params, prebuiltVecTopK = Some(topk))
+    val a = scan.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val b = served.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(a.keySet == b.keySet)
+    a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-9, s"doc $k") }
+
+    // Metadata filter semi-joins the candidate ids: doc 1 (tag a) keeps its
+    // vscore, doc 2 (tag b) is excluded from the vector branch.
+    val filtered = Fusion.searchWithFusionDF(table, "id", "vector", "text",
+        None, "searchterm", params, filter = Some(col("tag") === "a"),
+        prebuiltVecTopK = Some(topk))
+      .collect().map(r => r.getLong(0)).toSet
+    assert(filtered.contains(1L) && !filtered.contains(2L))
+
+    // Allow-list restricts the vector branch the same way.
+    val allowed = Fusion.searchWithFusionDF(table, "id", "vector", "text",
+        None, "searchterm", params,
+        allowList = Some(Seq(3L).toDF("id")),
+        prebuiltVecTopK = Some(topk))
+      .collect().map(r => r.getLong(0)).toSet
+    assert(allowed == Set(3L))
+  }
 }
