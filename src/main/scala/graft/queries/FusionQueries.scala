@@ -140,10 +140,15 @@ object FusionQueries {
       val emb = Tables.embeddings(s, dir)
       val cents = emb.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").cast("long").as("cid"), col("embedding").as("cvec"))
-      val assigned = Ivf.assign(
-        mem.select(col("doc_id").cast("long").as("id"),
-          col("embedding").as("vector")),
-        cents, "id", "vector")
+      // Deployment shape: the assignment is the stored bucket-partitioned
+      // layout (built once, like v1_ivf_stored) — per-query cost is probe +
+      // fuse, not index rebuild.
+      val assigned = Layouts.stored(s, dir, "ivf_mem_assigned", Seq("bucket")) {
+        Ivf.assign(
+          mem.select(col("doc_id").cast("long").as("id"),
+            col("embedding").as("vector")),
+          cents, "id", "vector")
+      }.select(col("id"), col("vector"), col("bucket").cast("long").as("bucket"))
       val q = emb.filter(col("vec_id") === 0)
         .select(lit(0L).as("qid"), col("embedding").as("qvec"))
       val vecTop = Ivf.search(assigned, cents, q, k = 15, nProbe = 2)
