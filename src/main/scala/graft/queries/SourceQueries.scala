@@ -64,29 +64,46 @@ object SourceQueries {
     }),
 
     // S9: document loaders — files on disk, binaryFile source, loader
-    // dispatch by extension (txt/md; the reference's PDF/DOCX parsers are
-    // external codecs — stubbed the same way as multimodal decode).
+    // dispatch by extension. txt/md decode inline; binary formats (.pdf
+    // here) run the reference's CLI fallback chain (`loader_cli.go:43`):
+    // the native converter first (pdftotext — absent or failing in this
+    // sandbox), then the identity converter, so the pipe path is exercised
+    // end-to-end and the result stays oracle-checkable. Only the PDF/DOCX
+    // codec BINARIES are absent; the dispatch + exec + fallback plumbing is
+    // real.
     "s9_loaders" -> ((s, dir) => {
+      import graft.sources.CliLoader
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 10)
         .select(col("doc_id"), col("text")).collect()
       val path = java.nio.file.Paths.get(
         sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-        s"graft_docs_${math.abs(dir.hashCode)}")
+        s"graft_docs_v2_${math.abs(dir.hashCode)}")
       java.nio.file.Files.createDirectories(path)
+      // Clean stale fixtures — binaryFile globs the whole directory.
+      java.nio.file.Files.list(path).forEach(p => java.nio.file.Files.delete(p))
       docs.foreach { r =>
         val id = r.getLong(0)
-        val ext = if (id % 2 == 0) "txt" else "md"
+        val ext = (id % 3) match { case 0 => "txt"; case 1 => "md"; case _ => "pdf" }
         java.nio.file.Files.writeString(
           path.resolve(s"doc_$id.$ext"), r.getString(1))
       }
-      s.read.format("binaryFile").load(path.toString + "/*")
+      val bins = s.read.format("binaryFile").load(path.toString + "/*")
+      val inline = bins.filter(!col("path").endsWith(".pdf"))
         .select(
           regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
           when(col("path").endsWith(".md"), "markdown")
-            .when(col("path").endsWith(".txt"), "text")
-            .otherwise("cli_stub").as("loader"),
+            .otherwise("text").as("loader"),
           length(decode(col("content"), "UTF-8")).cast("long").as("n_chars"))
-        .orderBy(col("file"))
+      val cli = CliLoader.load(
+          bins.filter(col("path").endsWith(".pdf")),
+          Map("pdf" -> Seq(
+            CliLoader.Converter(Seq("pdftotext", "{{file_path}}", "-")),
+            CliLoader.Converter(Seq("cat", "{{file_path}}")))))
+        .select(
+          regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
+          concat(lit("cli:"), col("converter")).as("loader"),
+          length(col("text")).cast("long").as("n_chars"))
+      inline.unionByName(cli).orderBy(col("file"))
     }),
 
     // V9: int8 scalar quantization — codes + reconstruction error.
@@ -180,10 +197,15 @@ object SourceQueries {
         |  CAST(sum(label) AS BIGINT) AS label_sum
         |FROM embeddings WHERE vec_id % 17 <> 0""".stripMargin,
 
+    // The .pdf branch rides the CLI chain: pdftotext fails on the plain-text
+    // fixture, `cat` wins → loader 'cli:cat', text trimmed (loader_cli.go:75).
     "s9_loaders" ->
-      """SELECT 'doc_' || doc_id || CASE WHEN doc_id % 2 = 0 THEN '.txt' ELSE '.md' END AS file,
-        |  CASE WHEN doc_id % 2 = 0 THEN 'text' ELSE 'markdown' END AS loader,
-        |  CAST(length(text) AS BIGINT) AS n_chars
+      """SELECT 'doc_' || doc_id ||
+        |    CASE doc_id % 3 WHEN 0 THEN '.txt' WHEN 1 THEN '.md' ELSE '.pdf' END AS file,
+        |  CASE doc_id % 3 WHEN 0 THEN 'text' WHEN 1 THEN 'markdown' ELSE 'cli:cat' END AS loader,
+        |  CAST(CASE WHEN doc_id % 3 = 2
+        |    THEN length(trim(text, ' ' || chr(9) || chr(10) || chr(13)))
+        |    ELSE length(text) END AS BIGINT) AS n_chars
         |FROM documents WHERE doc_id < 10 ORDER BY file""".stripMargin,
 
     "v9_quantize" ->

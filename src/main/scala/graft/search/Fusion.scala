@@ -78,8 +78,21 @@ object Fusion {
     *   distance)`, already top-k — e.g. [[Ivf.search]] over the
     *   bucket-partitioned layout. When provided the vector branch skips the
     *   full table scan entirely (at scale the hybrid path should ride the
-    *   ANN index, not rescan the corpus per query); metadata `filter` and
-    *   `allowList` still apply (semi-joins on the candidate ids).
+    *   ANN index, not rescan the corpus per query).
+    *
+    *   CONTRACT: the frame is ONE query's top-k with DISTINCT ids. A
+    *   multi-query top-k with its qid column dropped would silently fuse
+    *   duplicate ids; an in-plan guard asserts uniqueness and fails the job
+    *   loudly instead.
+    *
+    *   FILTER SEMANTICS differ from the scan branch: here `filter` and
+    *   `allowList` are applied AFTER top-k (they semi-join the k index
+    *   candidates, so a selective predicate can leave far fewer than k
+    *   vector contributions), while the scan branch filters BEFORE scoring
+    *   and still returns k. Callers combining the index path with a
+    *   selective filter should over-fetch (ask the index for k' > k, e.g.
+    *   k/selectivity) — the same rule as the reference's filtered HNSW
+    *   search, which widens its beam when a bitmap filter is active.
     */
   def searchWithFusionDF(
       table: DataFrame,
@@ -123,10 +136,22 @@ object Fusion {
     // CASE B: hybrid / vector.
     val vecScores = prebuiltVecTopK match {
       // Index-served branch: candidates came from the ANN index; score and
-      // post-filter them, never rescan the table.
+      // post-filter them, never rescan the table. The distinct-id contract
+      // is asserted in-plan over the ≤k candidate rows (tiny aggregation):
+      // assert_true raises on the first duplicate id; the isNull filter is
+      // always-true on success and only exists to keep the assertion
+      // referenced through column pruning.
       case Some(v) =>
-        val scored = v.select(col(idCol),
-          (lit(1.0) / (lit(1.0) + col("distance"))).as("vscore"))
+        val scored = v
+          .groupBy(col(idCol))
+          .agg(min(col("distance")).as("distance"), count(lit(1)).as("_nid"))
+          .select(col(idCol),
+            (lit(1.0) / (lit(1.0) + col("distance"))).as("vscore"),
+            assert_true(col("_nid") === 1,
+              lit("prebuiltVecTopK must be a single query's top-k " +
+                "with distinct ids")).as("_chk"))
+          .filter(col("_chk").isNull)
+          .drop("_chk")
         allowed(filter match {
           case Some(pred) => scored.join(
             table.filter(pred).select(col(idCol)), Seq(idCol), "left_semi")

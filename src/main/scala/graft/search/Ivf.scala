@@ -138,28 +138,97 @@ object Ivf {
       if (metric == "l2") VectorFunctions.euclideanSqWide(v, q)
       else if (normalized) VectorFunctions.cosineDistance(v, q)
       else dist(v, q)
+    // A single-query frame (literal qid, or a plan whose maxRows is 1) must
+    // never rank through a qid-partitioned window: Catalyst constant-folds
+    // the partition key away (FoldablePropagation) and WindowExec runs with
+    // an empty partition spec — every candidate row funnels through ONE
+    // task. Rank via orderBy().limit() instead (TakeOrderedAndProject =
+    // per-partition partial top-k, no full shuffle).
+    val single = isSingleQuery(queries)
     // Rank centroids per query — queries × centroids is tiny. Drop BOTH
-    // vectors before the ranking window (they'd ride the shuffle: 100-d
+    // vectors before the ranking step (they'd ride the shuffle: 100-d
     // qvec + cvec per candidate row is ~100× the (qid, cid, cd) triple) and
     // re-attach qvec to the nProbe survivors from the tiny query frame.
-    val ranked = queries.crossJoin(broadcast(centroids))
+    val scoredCents = queries.crossJoin(broadcast(centroids))
       .withColumn("cd", distMetric(metric)(col("qvec"), col("cvec")))
       .select(col("qid"), col("cid"), col("cd"))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("cd"), col("cid"))))
-      .filter(col("crank") <= nProbe)
-      .select(col("qid"), col("cid").as("bucket"))
+    val ranked =
+      (if (single)
+         scoredCents.orderBy(col("cd"), col("cid")).limit(nProbe)
+       else
+         scoredCents
+           .withColumn("crank", row_number().over(
+             Window.partitionBy(col("qid")).orderBy(col("cd"), col("cid"))))
+           .filter(col("crank") <= nProbe))
+        .select(col("qid"), col("cid").as("bucket"))
     val probes = ranked
       .join(broadcast(queries.select(col("qid"), col("qvec"))), Seq("qid"))
       .select(col("qid"), col("qvec"), col("bucket"))
     // Probe only the selected buckets (partition pruning at scale), rerank.
     val cand = assigned.join(broadcast(probes), Seq("bucket"))
       .withColumn("distance", d(col(vecCol), col("qvec")))
-    cand
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("distance"), col(idCol))))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col(idCol), col("distance"), col("rank"))
+    rankTopK(cand, k, idCol, single)
+  }
+
+  /** Final candidate ranking: batched frames use the qid-partitioned window
+    * (Spark ≥3.5 rewrites the rank filter into a partial WindowGroupLimit
+    * before the exchange); single-query frames use
+    * `orderBy().limit(k)` + [[withSortRank]] so the plan never contains a
+    * WindowExec whose partition spec constant-folded to empty (VERDICT r06
+    * what's-wrong #1 — the h1_fusion_ivf single-partition funnel).
+    */
+  private def rankTopK(cand: DataFrame, k: Int, idCol: String,
+                       single: Boolean): DataFrame =
+    if (single)
+      withSortRank(
+        cand.orderBy(col("distance"), col(idCol)).limit(k)
+          .select(col("qid"), col(idCol), col("distance")))
+    else
+      cand
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("distance"), col(idCol))))
+        .filter(col("rank") <= k)
+        .select(col("qid"), col(idCol), col("distance"), col("rank"))
+
+  /** True when the query frame is statically known to hold a single query:
+    * the optimized plan's `maxRows` is ≤ 1, or the qid column is a foldable
+    * alias (e.g. `lit(0L).as("qid")`) — the case where Catalyst folds a
+    * qid-partitioned window's partition spec to empty. Pure plan
+    * inspection; triggers analysis/optimization but no job.
+    */
+  private[search] def isSingleQuery(queries: DataFrame,
+                                    qidCol: String = "qid"): Boolean = {
+    val plan = queries.queryExecution.optimizedPlan
+    val oneRow = plan.maxRows.exists(_ <= 1L)
+    def constQid = plan.output.find(_.name == qidCol).exists { attr =>
+      var const = false
+      plan.foreach { node =>
+        node.expressions.foreach(_.foreach {
+          case a: org.apache.spark.sql.catalyst.expressions.Alias
+              if a.exprId == attr.exprId && a.child.foldable => const = true
+          case _ => ()
+        })
+      }
+      const
+    }
+    oneRow || constQid
+  }
+
+  /** Attach `rank` = 1-based position in sort order to an already
+    * sorted-and-limited frame WITHOUT a ranking window. The input plan is
+    * `orderBy(...).limit(k)` — TakeOrderedAndProject emits the k survivors
+    * as ONE sorted partition — so zipWithIndex is order-exact, lazy, and
+    * adds no extra job (single partition ⇒ no offset-count pass).
+    */
+  private def withSortRank(topk: DataFrame): DataFrame = {
+    val spark = topk.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(topk.schema.fields :+
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.IntegerType, nullable = false))
+    val ranked = topk.rdd.zipWithIndex.map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 1).toInt)
+    }
+    spark.createDataFrame(ranked, schema)
   }
 
   /** Batch-serving IVF search: probe selection runs ON THE DRIVER against
@@ -200,11 +269,9 @@ object Ivf {
     val cand = assigned.join(broadcast(probes), Seq("bucket"))
       .withColumn("distance",
         VectorFunctions.cosineDistance(col(vecCol), col("qvec")))
-    cand
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("distance"), col(idCol))))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col(idCol), col("distance"), col("rank"))
+    // One query ⇒ one distinct qid: a qid-partitioned window would funnel
+    // every candidate through one task — take the orderBy/limit path.
+    rankTopK(cand, k, idCol, single = qrows.length <= 1)
   }
 
   /** Serving layout: the assigned table decoded to BUCKET-MAJOR primitive

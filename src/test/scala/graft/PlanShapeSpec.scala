@@ -105,6 +105,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("no executed plan contains a WindowExec with an empty partition spec") {
+    // Source-level bans (previous test) cannot see a partition key that
+    // Catalyst CONSTANT-FOLDS away: `Window.partitionBy(col("qid"))` over a
+    // `lit(0L).as("qid")` query frame plans as `WindowExec` with an empty
+    // partition spec — every candidate row funnels through ONE task (the
+    // VERDICT r06 h1_fusion_ivf defect). Walk the actual physical plan of
+    // EVERY registered query and assert the funnel shape never appears.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+
+    def walk(p: SparkPlan, acc: scala.collection.mutable.ArrayBuffer[SparkPlan]): Unit = {
+      acc += p
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan, acc)
+        case _ => ()
+      }
+      p.children.foreach(walk(_, acc))
+      p.subqueries.foreach(walk(_, acc))
+    }
+
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, build) =>
+        val df = build(spark, sf())
+        val nodes = scala.collection.mutable.ArrayBuffer.empty[SparkPlan]
+        walk(df.queryExecution.executedPlan, nodes)
+        nodes.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty =>
+            s"$name: ${w.windowExpression.mkString(", ")}"
+        }
+    }
+    assert(offenders.isEmpty,
+      s"single-partition window funnel in:\n${offenders.mkString("\n")}")
+  }
+
   test("distance kernels stay inside whole-stage codegen") {
     val emb = graft.core.Tables.embeddings(spark, sf())
     val df = graft.search.VectorSearch.topK(emb, Seq.fill(64)(0.1f), k = 5,

@@ -148,4 +148,24 @@ class DecayFusionSpec extends SparkSpec {
       .collect().map(r => r.getLong(0)).toSet
     assert(allowed == Set(3L))
   }
+
+  test("fusion: duplicate ids in prebuiltVecTopK fail loudly (contract guard)") {
+    import spark.implicits._
+    val table = Seq(
+      (1L, Array(1f, 0f), "alpha beta"),
+      (2L, Array(0f, 1f), "searchterm searchterm")
+    ).toDF("id", "vector", "text")
+    // A multi-query top-k whose qid column was dropped: id 1 appears twice.
+    val dupes = Seq((1L, 0.0), (1L, 0.2), (2L, 0.5)).toDF("id", "distance")
+    val ex = intercept[Exception] {
+      Fusion.searchWithFusionDF(table, "id", "vector", "text",
+          None, "searchterm",
+          Fusion.FusionParams(alpha = 0.5, k = 3, metric = "cosine"),
+          prebuiltVecTopK = Some(dupes))
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("distinct ids")), ex.toString)
+  }
 }
