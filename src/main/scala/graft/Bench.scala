@@ -67,6 +67,47 @@ object Bench {
       .mkString("[", ",", "]")
     val total = r3(results.collect { case (_, v, true) => v }.sum)
 
+    def timeIt(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def noopWrite(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    /** Probe-sweep timing, steal-window-robust (VERDICT r06 next-round #3 —
+      * this host has multi-minute CPU-steal windows that made one section
+      * read 33 QPS next to a harder section's 792):
+      *   - one untimed pass per config (the nProbe literal is baked into
+      *     generated code, so a cold run times Janino, not the probe);
+      *   - MIN of 3 timed rounds, INTERLEAVED across the whole sweep
+      *     (round-robin maximizes temporal spread between repeats of one
+      *     point, so a steal window must span the whole section 3× to
+      *     poison a point — best-of-N methodology, stated in COVERAGE.md);
+      *   - implausibility re-measure: a lower-nProbe point measuring >25%
+      *     slower than a higher-nProbe one, or slower than the exact full
+      *     scan (`floorSec`), did strictly less work in more time — that is
+      *     a steal artifact, not a measurement. Re-measure suspects, at
+      *     most 2 extra rounds.
+      */
+    def sweepTimes(nps: Seq[Int], floorSec: Double = 0.0)(
+        run: Int => org.apache.spark.sql.DataFrame): Map[Int, Double] = {
+      nps.foreach(np => noopWrite(run(np)))
+      val t = scala.collection.mutable.LinkedHashMap(
+        nps.map(_ -> Double.MaxValue): _*)
+      def round(targets: Seq[Int]): Unit =
+        targets.foreach(np => t(np) = math.min(t(np), timeIt(noopWrite(run(np)))))
+      (1 to 3).foreach(_ => round(nps))
+      def suspects: Seq[Int] = {
+        val asc = nps.sorted
+        asc.filter { np =>
+          asc.filter(_ > np).exists(h => t(np) > t(h) * 1.25) ||
+            (floorSec > 0 && t(np) > floorSec * 1.25)
+        }
+      }
+      var guard = 0
+      while (suspects.nonEmpty && guard < 2) { round(suspects); guard += 1 }
+      t.toMap
+    }
+
     // ANN section at the reference's own benchmark scale (BENCHMARKS.md:
     // 400k × 100d, GloVe-like): batched QPS at measured recall@10, exact
     // float vs int8-domain vs KMeans-IVF at √N centroids. The corpus is a
@@ -101,9 +142,6 @@ object Bench {
       val queries = spark.range(NQ)
         .select(col("id").as("qid"), vec(col("id"), "qnz").as("qvec")).cache()
       queries.count()
-      def timeIt(f: => Unit): Double = {
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }
 
       // Build: sampled KMeans (25k vectors) + one full primitive-array
       // assignment pass — the index build the reference times separately.
@@ -116,10 +154,16 @@ object Bench {
       serving.count()
       val buildSec = (System.nanoTime() - tb) / 1e9
 
-      // Exact float baseline (ground truth for recall).
-      val exact = VectorSearch.topKBatch(emb, queries, k = 10, metric = "cosine",
-        idCol = "id", vecCol = "vector", normalized = true).cache()
-      val exactSec = timeIt(exact.count())
+      // Exact float baseline (ground truth for recall). Timed as the min of
+      // 2 uncached scans — one sample is steal-window-exposed, and this
+      // number is the sweep guard's plausibility floor — then cached once
+      // for the recall joins.
+      def exactRun() = VectorSearch.topKBatch(emb, queries, k = 10,
+        metric = "cosine", idCol = "id", vecCol = "vector", normalized = true)
+      noopWrite(exactRun())
+      val exactSec = Seq.fill(2)(timeIt(noopWrite(exactRun()))).min
+      val exact = exactRun().cache()
+      exact.count()
 
       // Exact int8-domain scan: same ranking math the reference's int8
       // index runs (integer dot + precomputed norms) — the memory-bandwidth
@@ -148,21 +192,17 @@ object Bench {
       codes.unpersist(); qcodes.unpersist(); int8.unpersist(); emb.unpersist()
 
       // IVF probe sweep: batched QPS + recall@10 vs the exact ground truth.
-      // One untimed pass per config first — the nProbe literal is baked into
-      // the generated code, so a cold pass times Janino compilation, not the
-      // probe (same warm-measurement methodology as the query section).
-      val sweep = Seq(8, 16, 24, 32, 64).map { np =>
-        def run() = Ivf.searchBatchedFast(serving, cents, queries, k = 10,
-          nProbe = np)
-        run().write.format("noop").mode("overwrite").save()
-        // Median of 3 timed runs — sub-second points are GC/scheduler noisy.
-        val sec = Seq.fill(3)(
-          timeIt(run().write.format("noop").mode("overwrite").save())).min
-        val approx = run().cache()
+      // Interleaved min-of-3 + implausibility re-measure (see sweepTimes).
+      val sweepNps = Seq(8, 16, 24, 32, 64)
+      def sweepRun(np: Int) =
+        Ivf.searchBatchedFast(serving, cents, queries, k = 10, nProbe = np)
+      val sweepT = sweepTimes(sweepNps, floorSec = exactSec)(sweepRun)
+      val sweep = sweepNps.map { np =>
+        val approx = sweepRun(np).cache()
         approx.count()
         val recall = Ivf.recallAt(approx, exact, 10)
         approx.unpersist()
-        s"""{"n_probe":$np,"qps":${math.rint(NQ / sec * 10) / 10},"recall_at_10":$recall}"""
+        s"""{"n_probe":$np,"qps":${math.rint(NQ / sweepT(np) * 10) / 10},"recall_at_10":$recall}"""
       }.mkString("[", ",", "]")
       // Compressed index: IVF probe + int8-domain rerank (the reference's
       // Compress mode) — 4x less resident memory, integer-dot scan.
@@ -224,8 +264,8 @@ object Bench {
         .withColumn("qv", q0lit)
       def fullScan() = stored.withColumn("qv", q0lit)
       singleK(prunedScan()); singleK(fullScan()) // warm: codegen + footers
-      // Median of 3 — single-query latencies are the most GC/scheduler
-      // sensitive numbers in the whole bench.
+      // MIN of 3 (best-of-N, like every timed point here) — single-query
+      // latencies are the most GC/scheduler-sensitive numbers in the bench.
       val singlePruned = Seq.fill(3)(timeIt(singleK(prunedScan()))).min
       val singleFull = Seq.fill(3)(timeIt(singleK(fullScan()))).min
 
@@ -270,9 +310,6 @@ object Bench {
       val queries = spark.range(NQ)
         .select(col("id").as("qid"), vec(col("id"), "qnz").as("qvec")).cache()
       queries.count()
-      def timeIt(f: => Unit): Double = {
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }
       val tb = System.nanoTime()
       // Build budget is enormous vs the reference (it spends 481 s indexing
       // SIFT-1M; our whole build is ~15 s) — spend some of it on centroid
@@ -285,21 +322,23 @@ object Bench {
       val serving = Ivf.servingIndex(assigned).cache()
       serving.count()
       val buildSec = (System.nanoTime() - tb) / 1e9
-      val exact = VectorSearch.topKBatch(emb, queries, k = 10,
-        metric = "euclidean", idCol = "id", vecCol = "vector", wide = true).cache()
-      val exactSec = timeIt(exact.count())
+      def exactRun() = VectorSearch.topKBatch(emb, queries, k = 10,
+        metric = "euclidean", idCol = "id", vecCol = "vector", wide = true)
+      noopWrite(exactRun())
+      val exactSec = Seq.fill(2)(timeIt(noopWrite(exactRun()))).min
+      val exact = exactRun().cache()
+      exact.count()
       emb.unpersist() // sweeps read only `serving`; drop ~0.5 GB before timing
-      val sweep = Seq(16, 32, 64, 96).map { np =>
-        def run() = Ivf.searchBatchedFast(serving, cents, queries, k = 10,
-          nProbe = np, metric = "l2")
-        run().write.format("noop").mode("overwrite").save()
-        val sec = Seq.fill(3)(
-          timeIt(run().write.format("noop").mode("overwrite").save())).min
-        val approx = run().cache()
+      val sweepNps = Seq(16, 32, 64, 96)
+      def sweepRun(np: Int) = Ivf.searchBatchedFast(serving, cents, queries,
+        k = 10, nProbe = np, metric = "l2")
+      val sweepT = sweepTimes(sweepNps, floorSec = exactSec)(sweepRun)
+      val sweep = sweepNps.map { np =>
+        val approx = sweepRun(np).cache()
         approx.count()
         val recall = Ivf.recallAt(approx, exact, 10)
         approx.unpersist()
-        s"""{"n_probe":$np,"qps":${math.rint(NQ / sec * 10) / 10},"recall_at_10":$recall}"""
+        s"""{"n_probe":$np,"qps":${math.rint(NQ / sweepT(np) * 10) / 10},"recall_at_10":$recall}"""
       }.mkString("[", ",", "]")
       emb.unpersist(); queries.unpersist(); assigned.unpersist()
       serving.unpersist(); exact.unpersist()
@@ -319,70 +358,152 @@ object Bench {
       import org.apache.spark.sql.functions._
       import graft.search.{Ivf, VectorSearch}
       import graft.functions.VectorFunctions
-      def timeIt(f: => Unit): Double = {
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }
       def c3(d: Double): Double = math.rint(d * 1000) / 1000
       def c1(d: Double): Double = math.rint(d * 10) / 10
       val hiN = sys.env.getOrElse("SPARK_GRAFT_ANN_HI_N", "200000").toInt
-      val blocks = Seq((hiN, 200), (hiN, 300)).map { case (n, dim) =>
-        val nClusters = 1000L
+      // Each block keeps its caches until the sibling cross-check below has
+      // run, so a steal-poisoned block can be re-measured without a rebuild
+      // (~1 GB resident for both blocks — nothing on this host).
+      class Block(val n: Int, val dim: Int) {
+        private val nClusters = 1000L
         val kC = math.max(32, math.sqrt(n.toDouble).round).toInt
         val nq = sys.env.getOrElse("SPARK_GRAFT_ANN_HI_NQ", "100").toInt
-        def hu(seed: Column, j: Column, salt: String): Column =
+        private def hu(seed: Column, j: Column, salt: String): Column =
           (pmod(xxhash64(seed, j, lit(salt)), lit(2000001L)).cast("double")
             - 1000000.0) / 1000000.0
-        def vec(idc: Column, noiseSalt: String): Column =
+        private def vec(idc: Column, noiseSalt: String): Column =
           VectorFunctions.normalize(
             transform(sequence(lit(0), lit(dim - 1)), j =>
               (hu(pmod(idc, lit(nClusters)), j, "ctr") +
                 hu(idc, j, noiseSalt) * lit(0.25)).cast("float")))
-        val emb = spark.range(n)
+        private val emb = spark.range(n)
           .select(col("id"), vec(col("id"), "nz").as("vector")).cache()
         emb.count()
-        val queries = spark.range(nq)
+        private val queries = spark.range(nq)
           .select(col("id").as("qid"), vec(col("id"), "qnz").as("qvec")).cache()
         queries.count()
-        val tb = System.nanoTime()
-        val cents = Ivf.trainKMeansArrays(
+        private val tb = System.nanoTime()
+        private val cents = Ivf.trainKMeansArrays(
           emb.filter(col("id") % 8 === 0), kC, iters = 8)
-        val assigned = Ivf.assignFast(emb, cents).cache()
+        private val assigned = Ivf.assignFast(emb, cents).cache()
         assigned.count()
-        val serving = Ivf.servingIndex(assigned).cache()
+        private val serving = Ivf.servingIndex(assigned).cache()
         serving.count()
         val buildSec = (System.nanoTime() - tb) / 1e9
-        val exact = VectorSearch.topKBatch(emb, queries, k = 10,
-          metric = "cosine", idCol = "id", vecCol = "vector",
-          normalized = true).cache()
-        val exactSec = timeIt(exact.count())
-        emb.unpersist() // sweeps read only `serving`
-        val sweep = Seq(8, 16, 32, 64).map { np =>
-          def run() = Ivf.searchBatchedFast(serving, cents, queries, k = 10,
-            nProbe = np)
-          run().write.format("noop").mode("overwrite").save()
-          val sec = Seq.fill(3)(
-            timeIt(run().write.format("noop").mode("overwrite").save()))
-            .min
-          val approx = run().cache()
-          approx.count()
-          val recall = Ivf.recallAt(approx, exact, 10)
-          approx.unpersist()
-          s"""{"n_probe":$np,"qps":${c1(nq / sec)},"recall_at_10":$recall}"""
-        }.mkString("[", ",", "]")
-        emb.unpersist(); queries.unpersist(); assigned.unpersist()
-        serving.unpersist(); exact.unpersist()
-        s"""{"n":$n,"dim":$dim,"n_queries":$nq,"n_centroids":$kC,""" +
-          s""""build_sec":${c3(buildSec)},"exact_qps":${c1(nq / exactSec)},""" +
-          s""""ivf":$sweep}"""
-      }.mkString("[", ",", "]")
-      s""","ann_hidim":$blocks"""
+        private def exactRun() = VectorSearch.topKBatch(emb, queries, k = 10,
+          metric = "cosine", idCol = "id", vecCol = "vector", normalized = true)
+        noopWrite(exactRun())
+        var exactSec = Seq.fill(2)(timeIt(noopWrite(exactRun()))).min
+        private val exact = exactRun().cache()
+        exact.count()
+        val sweepNps = Seq(8, 16, 32, 64)
+        private def sweepRun(np: Int) =
+          Ivf.searchBatchedFast(serving, cents, queries, k = 10, nProbe = np)
+        var sweepT: Map[Int, Double] =
+          sweepTimes(sweepNps, floorSec = exactSec)(sweepRun)
+        /** Exact-scan element throughput — the machine-speed proxy the
+          * sibling check compares (same recipe, so rates must be close). */
+        def exactRate: Double = n.toDouble * dim * nq / exactSec
+        /** One more full measurement pass, keeping elementwise minima. */
+        def remeasure(): Unit = {
+          exactSec = math.min(exactSec,
+            Seq.fill(2)(timeIt(noopWrite(exactRun()))).min)
+          val t2 = sweepTimes(sweepNps, floorSec = exactSec)(sweepRun)
+          sweepT = sweepT.map { case (np, t) => np -> math.min(t, t2(np)) }
+        }
+        def json: String = {
+          val sweep = sweepNps.map { np =>
+            val approx = sweepRun(np).cache()
+            approx.count()
+            val recall = Ivf.recallAt(approx, exact, 10)
+            approx.unpersist()
+            s"""{"n_probe":$np,"qps":${c1(nq / sweepT(np))},"recall_at_10":$recall}"""
+          }.mkString("[", ",", "]")
+          s"""{"n":$n,"dim":$dim,"n_queries":$nq,"n_centroids":$kC,""" +
+            s""""build_sec":${c3(buildSec)},"exact_qps":${c1(nq / exactSec)},""" +
+            s""""ivf":$sweep}"""
+        }
+        def release(): Unit = {
+          emb.unpersist(); queries.unpersist(); assigned.unpersist()
+          serving.unpersist(); exact.unpersist()
+        }
+      }
+      val blocks = Seq(new Block(hiN, 200), new Block(hiN, 300))
+      // Sibling cross-check (VERDICT r06 #3: the 200d section published
+      // 33 QPS next to the harder 300d section's 792 — a steal window, not
+      // a measurement). Identical recipes ⇒ per-element exact rates must
+      // match within ~3×; a slower block re-measures once, keeping minima.
+      if (blocks.map(_.exactRate).max > 3.0 * blocks.map(_.exactRate).min)
+        blocks.minBy(_.exactRate).remeasure()
+      val out = blocks.map(_.json).mkString("[", ",", "]")
+      blocks.foreach(_.release())
+      s""","ann_hidim":$out"""
+    } catch { case _: Throwable => "" }
+
+    // f16 precision bandwidth line (reference precision matrix f32/f16/int8,
+    // `distance_go.go:139-147`): the same exact-euclidean scan over the
+    // corpus stored as array<float> vs packed binary16 — half the bytes per
+    // vector through the scan; recall vs the f32 ranking is the storage
+    // cost. Interleaved min-of-3, like every timed point.
+    val f16Sec = if (args.nonEmpty && !annOnly) "" else try {
+      import org.apache.spark.sql.{Column, DataFrame}
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.{F16, VectorFunctions}
+      val N = sys.env.getOrElse("SPARK_GRAFT_F16_N", "200000").toInt
+      val DIM = 256
+      val NQ = 64
+      def hu(seed: Column, j: Column, salt: String): Column =
+        (pmod(xxhash64(seed, j, lit(salt)), lit(2000001L)).cast("double")
+          - 1000000.0) / 1000000.0
+      def vec(idc: Column, noiseSalt: String): Column =
+        transform(sequence(lit(0), lit(DIM - 1)), j =>
+          (hu(pmod(idc, lit(1000L)), j, "ctr") +
+            hu(idc, j, noiseSalt) * lit(0.25)).cast("float"))
+      val emb32 = spark.range(N)
+        .select(col("id"), vec(col("id"), "nz").as("vector")).cache()
+      emb32.count()
+      val emb16 = emb32.select(col("id"), F16.pack(col("vector")).as("f16v")).cache()
+      emb16.count()
+      val q32 = spark.range(NQ)
+        .select(col("id").as("qid"), vec(col("id"), "qnz").as("qvec")).cache()
+      q32.count()
+      val q16 = q32.select(col("qid"), F16.pack(col("qvec")).as("qf16")).cache()
+      q16.count()
+      def ranked(scored: DataFrame): DataFrame = scored
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("distance"), col("id"))))
+        .filter(col("rank") <= 10)
+        .select(col("qid"), col("id"))
+      def scan32() = ranked(emb32.crossJoin(broadcast(q32))
+        .withColumn("distance",
+          VectorFunctions.euclideanSq(col("vector"), col("qvec"))))
+      def scan16() = ranked(emb16.crossJoin(broadcast(q16))
+        .withColumn("distance", F16.euclideanSq(col("f16v"), col("qf16"))))
+      noopWrite(scan32()); noopWrite(scan16())
+      var t32 = Double.MaxValue
+      var t16 = Double.MaxValue
+      for (_ <- 1 to 3) {
+        t32 = math.min(t32, timeIt(noopWrite(scan32())))
+        t16 = math.min(t16, timeIt(noopWrite(scan16())))
+      }
+      val ex = scan32().cache(); ex.count()
+      val ap = scan16().cache(); ap.count()
+      val rec = graft.search.Ivf.recallAt(ap, ex, 10)
+      ex.unpersist(); ap.unpersist()
+      emb32.unpersist(); emb16.unpersist(); q32.unpersist(); q16.unpersist()
+      def c1(d: Double): Double = math.rint(d * 10) / 10
+      s""","f16":{"n":$N,"dim":$DIM,"n_queries":$NQ,""" +
+        s""""bytes_per_vec_f32":${DIM * 4},"bytes_per_vec_f16":${DIM * 2},""" +
+        s""""qps_f32":${c1(NQ / t32)},"qps_f16":${c1(NQ / t16)},""" +
+        s""""recall_vs_f32_at_10":$rec}"""
     } catch { case _: Throwable => "" }
 
     // Section order matters: the driver's artifact keeps only the LAST
     // ~2000 chars of stdout, so the headline GloVe-100d `ann` block goes
     // last (right before total/sf) and the supporting sections first.
     val json =
-      s"""{"metric":"total","unit":"sec","cpus":$cpus,"failed":$failed,"queries":$perQuery$annHiDim$annL2$ann,"value":$total,"sf":"$sfDir"}"""
+      s"""{"metric":"total","unit":"sec","cpus":$cpus,"failed":$failed,"queries":$perQuery$f16Sec$annHiDim$annL2$ann,"value":$total,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outPath), json + "\n")
     println(json)
     spark.stop()

@@ -31,6 +31,27 @@ object SourceQueries {
   private[queries] val codeSql =
     "greatest(-127, least(127, CAST(round(CAST(e AS DOUBLE) / absmax * 127.0, 0) AS BIGINT)))"
 
+  /** Round-half-even of `y` (a DOUBLE expression): DuckDB's round() is
+    * half-away-from-zero, so exact .5 ties reroute through `2*round(y/2)`
+    * (whose fraction is then .25/.75 — tie-free) to land on the even
+    * neighbor, matching IEEE round-to-nearest-even.
+    */
+  private def rheSql(y: String): String =
+    s"(CASE WHEN ($y) - floor($y) = 0.5 THEN 2.0 * round(($y) / 2.0, 0) " +
+      s"ELSE round(($y), 0) END)"
+
+  /** Arithmetic IEEE 754 binary16 rounding of a DOUBLE expression `x`
+    * (mirrors `graft.functions.F16.roundTrip` bit-for-bit, pinned by
+    * F16Spec): ulp = 2^(floor(log2|x|) − 10) for normals, 2⁻²⁴ in the
+    * subnormal range, then round-half-even on the ulp grid. Inputs are f32
+    * embedding values — finite and far from the f16 overflow bound.
+    */
+  private[queries] def f16Sql(x: String): String = {
+    val ulp = s"(CASE WHEN abs($x) < power(2.0, -14) THEN power(2.0, -24) " +
+      s"ELSE power(2.0, floor(log2(abs($x))) - 10) END)"
+    s"(CASE WHEN ($x) = 0 THEN 0.0 ELSE ${rheSql(s"($x) / $ulp")} * $ulp END)"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S6: bulk import — direct table build (AOF bypass) with the VAdd
     // dimension validation (ops.go:338-348): rows whose vector dimension
@@ -158,6 +179,31 @@ object SourceQueries {
         .orderBy(col("qid"))
     }),
 
+    // V14: float16 precision path — pack f32 embeddings to IEEE 754 binary16
+    // storage (half the bytes of f32 through every scan), then run the f16
+    // Euclidean kernel against a packed query plus the per-vector storage
+    // error. Covers the reference's third precision mode
+    // (`distance_go.go:139-141`: f16 supports euclidean only); the oracle
+    // replicates the round-to-nearest-even conversion arithmetically.
+    "v14_f16" -> ((s, dir) => {
+      import graft.functions.F16
+      val emb = Tables.embeddings(s, dir)
+      val packed = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").cast("long").as("id"),
+          col("embedding"), F16.pack(col("embedding")).as("f16v"))
+      val q = emb.filter(col("vec_id") === 0)
+        .select(F16.pack(col("embedding")).as("qf16"))
+      packed.crossJoin(broadcast(q))
+        .select(col("id"),
+          round(F16.euclideanSqWide(col("f16v"), col("qf16")), 6).as("qdist"),
+          round(sqrt(aggregate(
+            zip_with(col("embedding").cast("array<double>"),
+              F16.unpack(col("f16v")).cast("array<double>"),
+              (x, h) => (x - h) * (x - h)),
+            lit(0.0), (a, t) => a + t)), 6).as("recon_err"))
+        .orderBy(col("id"))
+    }),
+
     // C8: contradiction candidates — entities with both strongly positive
     // and strongly negative recent mentions; the most recent of each side
     // becomes a contradicts edge (LLM judge stubbed deterministically).
@@ -244,6 +290,27 @@ object SourceQueries {
          |SELECT CAST(e.qid AS BIGINT) AS qid, CAST(count(*) AS BIGINT) AS n_overlap
          |FROM exact e JOIN quant u ON e.qid = u.qid AND e.id = u.id
          |GROUP BY e.qid ORDER BY qid""".stripMargin,
+
+    // Terms are exact (f16 diffs/squares fit a double); only accumulation
+    // order differs between engines — round(…,6) absorbs it (v9 precedent).
+    "v14_f16" -> {
+      val h = f16Sql("x")
+      s"""WITH ex AS (
+         |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         |    generate_subscripts(embedding, 1) AS pos
+         |  FROM embeddings WHERE vec_id < 20),
+         |f AS (SELECT vec_id, pos, x, $h AS hv FROM ex),
+         |qx AS (
+         |  SELECT pos, $h AS qh FROM (
+         |    SELECT CAST(unnest(embedding) AS DOUBLE) AS x,
+         |      generate_subscripts(embedding, 1) AS pos
+         |    FROM embeddings WHERE vec_id = 0))
+         |SELECT CAST(f.vec_id AS BIGINT) AS id,
+         |  round(sum((f.hv - qx.qh) * (f.hv - qx.qh)), 6) AS qdist,
+         |  round(sqrt(sum((f.x - f.hv) * (f.x - f.hv))), 6) AS recon_err
+         |FROM f JOIN qx USING (pos)
+         |GROUP BY f.vec_id ORDER BY id""".stripMargin
+    },
 
     "c8_contradictions" -> {
       val mentionsAgg =

@@ -158,6 +158,49 @@ class GraphOpsSpec extends SparkSpec {
       s"traversal leaked cached RDDs: ${after -- before}")
   }
 
+  test("DISTRIBUTED-regime BFS: reliable checkpointing == local, RDDs released") {
+    // The tiny-fixture reliable test above never leaves the INLINE regime,
+    // so materializeLevel's reliable branch never ran (VERDICT r06 task 6).
+    // Force distributed: more roots than InlineFrontierLimit. Graph:
+    // a_i -> b_i (9000 edges), b_i -> c_(i%10) (converging), all active.
+    import spark.implicits._
+    val n = GraphOps.InlineFrontierLimit + 808 // 9000 > 8192 ⇒ distributed
+    def enrich(df: DataFrame): DataFrame = df.select(
+      col("src"), col("dst"), lit("next").as("rel"), lit(1.0f).as("weight"),
+      lit(null).cast("string").as("props"), lit(1L).as("created_at"),
+      lit(null).cast("long").as("deleted_at"))
+    val bigEdges = enrich(spark.range(n).select(
+        concat(lit("a"), col("id")).as("src"),
+        concat(lit("b"), col("id")).as("dst")))
+      .unionAll(enrich(spark.range(n).select(
+        concat(lit("b"), col("id")).as("src"),
+        concat(lit("c"), pmod(col("id"), lit(10))).as("dst"))))
+    val roots = spark.range(n).select(concat(lit("a"), col("id")).as("node"))
+
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt-dist")
+    spark.sparkContext.setCheckpointDir(ckptDir.toString)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+
+    def run(rel: Boolean): Set[(String, Int)] =
+      GraphOps.drained(bfsT(bigEdges, roots, direction = "out", maxDepth = 3,
+          reliable = rel))
+        .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+
+    val local = run(rel = false)
+    val reliableRes = run(rel = true)
+    assert(local == reliableRes)
+    assert(local.size == n + n + 10)             // a@0 ∪ b@1 ∪ c@2
+    assert(local.count(_._2 == 2) == 10)
+    // The reliable branch really ran: checkpoint files exist on disk.
+    import scala.jdk.CollectionConverters._
+    val ckptFiles = java.nio.file.Files.walk(ckptDir).iterator().asScala
+      .count(p => java.nio.file.Files.isRegularFile(p))
+    assert(ckptFiles > 0, "no reliable checkpoint files were written")
+    // Both modes released their per-level caches and the active projection.
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"distributed traversal leaked RDDs: $leaked")
+  }
+
   test("auto-links derivation (ops.go:1699-1737)") {
     import spark.implicits._
     val t = Seq(("v1", "projA"), ("v2", null), ("v3", "projB"))
