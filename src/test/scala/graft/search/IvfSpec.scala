@@ -135,6 +135,49 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("single-query frames are detected and rank without any window") {
+    // VERDICT r06 #1: a literal qid constant-folds out of a qid-partitioned
+    // window, leaving a single-partition WindowExec funnel. Both
+    // single-query shapes must take the orderBy/limit path instead — and
+    // return exactly what the batched path returns for that query.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def windowExecs(df: org.apache.spark.sql.DataFrame): Seq[WindowExec] = {
+      val acc = scala.collection.mutable.ArrayBuffer.empty[SparkPlan]
+      def walk(p: SparkPlan): Unit = {
+        acc += p
+        p match { case a: AdaptiveSparkPlanExec => walk(a.executedPlan); case _ => () }
+        p.children.foreach(walk); p.subqueries.foreach(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+      acc.collect { case w: WindowExec => w }.toSeq
+    }
+
+    val litQ = emb.filter(col("id") === 3)
+      .select(lit(0L).as("qid"), col("vector").as("qvec"))   // foldable qid
+    val oneRowQ = spark.range(1).toDF("qid")
+      .crossJoin(emb.filter(col("id") === 3).limit(1).select(col("vector").as("qvec")))
+    assert(Ivf.isSingleQuery(litQ) && Ivf.isSingleQuery(oneRowQ))
+    assert(!Ivf.isSingleQuery(queries))                       // 20 real qids
+
+    val cents = emb.filter(col("id") % 100 === 0)
+      .select(col("id").as("cid"), col("vector").as("cvec"))
+    val assigned = Ivf.assign(emb, cents)
+    val single = Ivf.search(assigned, cents, litQ, k = 10, nProbe = 2)
+    assert(windowExecs(single).isEmpty,
+      "single-query IVF search must not plan any window")
+
+    // Same answers as the batched path restricted to this query.
+    val batched = Ivf.search(assigned, cents,
+        queries.filter(col("qid") === 3), k = 10, nProbe = 2)
+      .select(col("id"), col("distance"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
+    val got = single.select(col("id"), col("distance"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
+    assert(got == batched, s"single=$got batched=$batched")
+  }
+
   test("search never returns a vector from an unprobed bucket") {
     val cents = emb.filter(col("id") % 100 === 0)
       .select(col("id").as("cid"), col("vector").as("cvec"))
