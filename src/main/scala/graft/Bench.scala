@@ -47,13 +47,24 @@ object Bench {
     // Warmup: full pass, untimed (codegen + parquet footer caches + JIT).
     qs.foreach { case (_, fn) => try execute(fn) catch { case _: Throwable => () } }
 
-    val results = qs.map { case (name, fn) =>
+    // Timed: min of SPARK_GRAFT_QUERY_REPS (default 2) full rounds,
+    // INTERLEAVED (round-robin over all queries, then again) — same
+    // steal-window reasoning as the ANN sweeps: the host's multi-minute
+    // slow windows must cover the entire section twice to poison a number.
+    // A crashing query must not read as a speedup: record -1, not its
+    // fail-fast wall time (ADVICE r02).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "2").toInt
+    val best = scala.collection.mutable.LinkedHashMap(
+      qs.map { case (n, _) => n -> Double.MaxValue }: _*)
+    val crashed = scala.collection.mutable.Set.empty[String]
+    for (_ <- 1 to reps; (name, fn) <- qs if !crashed(name)) {
       val t0 = System.nanoTime()
-      // A crashing query must not read as a speedup: record -1, not its
-      // fail-fast wall time (ADVICE r02).
       val ok = try { execute(fn); true } catch { case _: Throwable => false }
-      val secs = (System.nanoTime() - t0) / 1e9
-      (name, if (ok) secs else -1.0, ok)
+      if (ok) best(name) = math.min(best(name), (System.nanoTime() - t0) / 1e9)
+      else crashed += name
+    }
+    val results = qs.map { case (name, _) =>
+      (name, if (crashed(name)) -1.0 else best(name), !crashed(name))
     }
     // The driver keeps only the LAST ~2000 chars of stdout; anything before
     // that window is invisible to the judge. So: compact numbers (ms

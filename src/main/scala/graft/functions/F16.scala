@@ -24,8 +24,23 @@ import org.apache.spark.sql.types._
   */
 object F16 {
 
+  /** Branch-free decode path: all 65536 patterns precomputed at class load
+    * (256 KB, per JVM). The scan kernel's inner loop then costs one array
+    * load per element instead of the exponent-case branches — the standard
+    * table-driven half→float decode.
+    */
+  private val decodeLut: Array[Float] = {
+    val t = new Array[Float](0x10000)
+    var h = 0
+    while (h < 0x10000) { t(h) = toFloatCompute(h); h += 1 }
+    t
+  }
+
   /** Decode one half-precision bit pattern (low 16 bits used) to float. */
-  def toFloat(h: Int): Float = {
+  def toFloat(h: Int): Float = decodeLut(h & 0xffff)
+
+  /** Bit-level decode (LUT source of truth; kept for documentation). */
+  private def toFloatCompute(h: Int): Float = {
     val s = (h & 0x8000) << 16
     val e = (h >>> 10) & 0x1f
     val m = h & 0x3ff
