@@ -351,12 +351,30 @@ object Bench {
         approx.unpersist()
         s"""{"n_probe":$np,"qps":${math.rint(NQ / sweepT(np) * 10) / 10},"recall_at_10":$recall}"""
       }.mkString("[", ",", "]")
+      // Half-precision index (reference Float16 mode, euclidean-only):
+      // same probes, f16 diff² ranking over packed blocks — half the
+      // resident index bytes.
+      val servingF16 = graft.search.Ivf.servingIndexF16(assigned).cache()
+      servingF16.count()
+      serving.unpersist() // f16 sweep reads only the f16 blocks
+      val f16Ivf = {
+        def run() = Ivf.searchBatchedFastF16(servingF16, cents, queries,
+          k = 10, nProbe = 32)
+        noopWrite(run())
+        val sec = Seq.fill(3)(timeIt(noopWrite(run()))).min
+        val approx = run().cache()
+        approx.count()
+        val recall = Ivf.recallAt(approx, exact, 10)
+        approx.unpersist()
+        s"""{"n_probe":32,"qps":${math.rint(NQ / sec * 10) / 10},"recall_at_10":$recall}"""
+      }
       emb.unpersist(); queries.unpersist(); assigned.unpersist()
-      serving.unpersist(); exact.unpersist()
+      servingF16.unpersist(); exact.unpersist()
       def c3(d: Double): Double = math.rint(d * 1000) / 1000
       def c1(d: Double): Double = math.rint(d * 10) / 10
       s""","ann_l2":{"n":$N,"dim":$DIM,"n_queries":$NQ,"n_centroids":$K,""" +
-        s""""build_sec":${c3(buildSec)},"exact_qps":${c1(NQ / exactSec)},"ivf":$sweep}"""
+        s""""build_sec":${c3(buildSec)},"exact_qps":${c1(NQ / exactSec)},""" +
+        s""""ivf":$sweep,"ivf_f16":$f16Ivf}"""
     } catch { case _: Throwable => "" }
 
     // Third baseline family: higher-dimension GloVe rows (BENCHMARKS.md:42,50

@@ -615,6 +615,122 @@ object Ivf {
     mergeTopK(spark, merged, qids, k)
   }
 
+  /** Half-precision serving layout: IVF bucket + packed binary16 blocks —
+    * the reference's Float16 precision mode backing the index
+    * (`distance_go.go:43-47,139-141`: f16 storage supports EUCLIDEAN only,
+    * so this path is the L2 family's). Half the resident bytes of
+    * [[servingIndex]], same bucket-major partition-local block shape.
+    */
+  def servingIndexF16(
+      assigned: DataFrame,
+      idCol: String = "id",
+      vecCol: String = "vector"): org.apache.spark.rdd.RDD[(Long, Array[Long], Array[Short])] = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    assigned
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"),
+        col("bucket").cast("long"))
+      .as[(Long, Array[Float], Long)]
+      .rdd
+      .mapPartitions { it =>
+        val byBucket = scala.collection.mutable.LongMap
+          .empty[(scala.collection.mutable.ArrayBuffer[Long],
+                  scala.collection.mutable.ArrayBuffer[Array[Short]])]
+        it.foreach { case (id, v, b) =>
+          val e = byBucket.getOrElseUpdate(b,
+            (scala.collection.mutable.ArrayBuffer.empty[Long],
+             scala.collection.mutable.ArrayBuffer.empty[Array[Short]]))
+          val bits = new Array[Short](v.length)
+          var j = 0
+          while (j < v.length) {
+            bits(j) = graft.functions.F16.toBits(v(j)).toShort; j += 1
+          }
+          e._1 += id
+          e._2 += bits
+        }
+        byBucket.iterator.map { case (b, (idBuf, bitsBuf)) =>
+          val ids = idBuf.toArray
+          val dim = if (bitsBuf.isEmpty) 0 else bitsBuf(0).length
+          val flat = new Array[Short](ids.length * dim)
+          var r = 0
+          while (r < ids.length) {
+            System.arraycopy(bitsBuf(r), 0, flat, r * dim, dim)
+            r += 1
+          }
+          (b, ids, flat)
+        }
+      }
+  }
+
+  /** [[searchBatchedFast]] over the HALF-PRECISION index: float-centroid
+    * probe selection, then the reference's f16 Euclidean formula
+    * (`squaredEuclideanGoFloat16`, `distance_go.go:92-104`) — decode each
+    * side to float32 (table-driven), diff², float accumulation. The query
+    * is converted to f16 once up front, exactly as an f16 index stores it.
+    */
+  def searchBatchedFastF16(
+      index: org.apache.spark.rdd.RDD[(Long, Array[Long], Array[Short])],
+      cents: Array[Array[Float]],
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val adj = bucketAdj(cents, "l2")
+    val qrows = queries.select(col("qid"), col("qvec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qids = qrows.map(_._1)
+    // The effective query the f16 index compares against: round-tripped
+    // through binary16, decoded back to float for the kernel loop.
+    val qf16 = qrows.map { case (_, qv) => qv.map(graft.functions.F16.roundTrip) }
+    val bucketQs = new Array[Array[Int]](cents.length)
+    qrows.zipWithIndex.foreach { case ((_, qv), qi) =>
+      cents.indices.map { c =>
+        val cv = cents(c)
+        var dot = 0.0; var j = 0
+        while (j < cv.length) { dot += cv(j).toDouble * qv(j); j += 1 }
+        (adj(c) - dot, c)
+      }.sorted.take(nProbe).foreach { case (_, c) =>
+        bucketQs(c) = if (bucketQs(c) == null) Array(qi) else bucketQs(c) :+ qi
+      }
+    }
+    val bc = spark.sparkContext.broadcast((qf16, bucketQs))
+    val partials = index.mapPartitions { it =>
+      val (qvs, bq) = bc.value
+      val heaps = new TopK(qvs.length, k)
+      it.foreach { case (b, ids, flat) =>
+        val qs = if (b < bq.length) bq(b.toInt) else null
+        if (qs != null && ids.length > 0) {
+          val dim = flat.length / ids.length
+          var i = 0
+          while (i < qs.length) {
+            val qi = qs(i)
+            val qv = qvs(qi)
+            var r = 0
+            var off = 0
+            while (r < ids.length) {
+              var sum = 0f
+              var j = 0
+              while (j < dim) {
+                val d = graft.functions.F16.toFloat(flat(off + j) & 0xffff) - qv(j)
+                sum += d * d; j += 1
+              }
+              heaps.insert(qi, sum.toDouble, ids(r))
+              r += 1
+              off += dim
+            }
+            i += 1
+          }
+        }
+      }
+      Iterator.single(heaps)
+    }
+    val merged =
+      if (partials.getNumPartitions == 0) new TopK(qids.length, k)
+      else partials.treeReduce(_ merge _)
+    mergeTopK(spark, merged, qids, k)
+  }
+
   // ---------------------------------------------------------------------
   // √N-scale build path: primitive-array KMeans + assignment.
   // ---------------------------------------------------------------------

@@ -117,6 +117,42 @@ class IvfSpec extends SparkSpec {
     assert(key(viaFast) == key(viaPlan))
   }
 
+  test("f16 serving path: high agreement with float; matches the f16 kernel plan") {
+    // Reference Float16 precision mode backs the index (euclidean-only —
+    // distance_go.go:139-141): same probes as the float path, candidates
+    // ranked by the f16 diff² formula over the packed blocks.
+    import graft.functions.F16
+    val cents = Ivf.trainKMeansArrays(emb, k = 16, iters = 2, metric = "l2")
+    val assigned = Ivf.assignFast(emb, cents, metric = "l2")
+    val exact = VectorSearch.topKBatch(emb, queries, k = 10, metric = "euclidean",
+      idCol = "id", vecCol = "vector", wide = true)
+    val f16Full = Ivf.searchBatchedFastF16(Ivf.servingIndexF16(assigned), cents,
+      queries, k = 10, nProbe = 16)
+    // Full probe: only f16 rounding separates it from exact — recall stays
+    // near-perfect on real embeddings.
+    val recall = Ivf.recallAt(f16Full, exact, 10)
+    assert(recall >= 0.95, s"f16 full-probe recall@10 = $recall")
+
+    // Arithmetic parity with the DataFrame f16 kernel (float accumulation,
+    // same sequential loop): distances must match BIT-FOR-BIT on the probed
+    // candidates, so ids-per-rank agree exactly.
+    val qdf = queries.filter(col("qid") === 7)
+      .select(col("qid"), col("qvec"))
+    val servedOne = Ivf.searchBatchedFastF16(Ivf.servingIndexF16(assigned),
+      cents, qdf, k = 5, nProbe = 16)
+      .select(col("id"), col("distance")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val q16 = qdf.select(F16.pack(col("qvec")).as("qf16"))
+    val viaKernel = assigned
+      .crossJoin(broadcast(q16))
+      .withColumn("distance",
+        F16.euclideanSq(F16.pack(col("vector")), col("qf16")))
+      .orderBy(col("distance"), col("id")).limit(5)
+      .select(col("id"), col("distance")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(servedOne == viaKernel, s"served=$servedOne kernel=$viaKernel")
+  }
+
   test("l2 assignment minimizes true squared distance (spot check)") {
     val cents = Ivf.trainKMeansArrays(emb, k = 8, iters = 2, metric = "l2")
     val assigned = Ivf.assignFast(emb, cents, metric = "l2")
