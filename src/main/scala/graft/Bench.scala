@@ -83,6 +83,10 @@ object Bench {
     }
     def noopWrite(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    // 4-decimal recall (granularity 1/nq <= 1/5000 anyway): full-precision
+    // doubles cost ~12 chars/point of the driver's 2000-char stdout tail,
+    // crowding the slowest queries out of the visible window.
+    def r4(d: Double): Double = math.rint(d * 10000) / 10000
 
     /** Probe-sweep timing, steal-window-robust (VERDICT r06 next-round #3 —
       * this host has multi-minute CPU-steal windows that made one section
@@ -213,7 +217,7 @@ object Bench {
         approx.count()
         val recall = Ivf.recallAt(approx, exact, 10)
         approx.unpersist()
-        s"""{"n_probe":$np,"qps":${math.rint(NQ / sweepT(np) * 10) / 10},"recall_at_10":$recall}"""
+        s"""{"n_probe":$np,"qps":${math.rint(NQ / sweepT(np) * 10) / 10},"recall_at_10":${r4(recall)}}"""
       }.mkString("[", ",", "]")
       // Compressed index: IVF probe + int8-domain rerank (the reference's
       // Compress mode) — 4x less resident memory, integer-dot scan.
@@ -230,7 +234,7 @@ object Bench {
         approx.count()
         val recall = Ivf.recallAt(approx, exact, 10)
         approx.unpersist()
-        s"""{"n_probe":24,"qps":${math.rint(NQ / sec * 10) / 10},"recall_at_10":$recall}"""
+        s"""{"n_probe":24,"qps":${math.rint(NQ / sec * 10) / 10},"recall_at_10":${r4(recall)}}"""
       }
 
       // The pure-DataFrame probe-join plan, one point for comparison (the
@@ -288,7 +292,7 @@ object Bench {
       s""","ann":{"n":$N,"dim":$DIM,"n_queries":$NQ,"n_centroids":$K,""" +
         s""""build_sec":${c3(buildSec)},"exact_qps":${c1(NQ / exactSec)},""" +
         s""""int8_exact_qps":${c1(NQ / int8Sec)},""" +
-        s""""int8_recall_at_10":$int8Recall,"ivf":$sweep,"ivf_int8":$int8Ivf,""" +
+        s""""int8_recall_at_10":${r4(int8Recall)},"ivf":$sweep,"ivf_int8":$int8Ivf,""" +
         s""""ivf_plan":$planRun,""" +
         s""""single_query":{"n_probe":16,"pruned_sec":${c3(singlePruned)},"full_scan_sec":${c3(singleFull)}}}"""
     } catch { case _: Throwable => "" }
@@ -349,7 +353,7 @@ object Bench {
         approx.count()
         val recall = Ivf.recallAt(approx, exact, 10)
         approx.unpersist()
-        s"""{"n_probe":$np,"qps":${math.rint(NQ / sweepT(np) * 10) / 10},"recall_at_10":$recall}"""
+        s"""{"n_probe":$np,"qps":${math.rint(NQ / sweepT(np) * 10) / 10},"recall_at_10":${r4(recall)}}"""
       }.mkString("[", ",", "]")
       // Half-precision index (reference Float16 mode, euclidean-only):
       // same probes, f16 diff² ranking over packed blocks — half the
@@ -366,7 +370,7 @@ object Bench {
         approx.count()
         val recall = Ivf.recallAt(approx, exact, 10)
         approx.unpersist()
-        s"""{"n_probe":32,"qps":${math.rint(NQ / sec * 10) / 10},"recall_at_10":$recall}"""
+        s"""{"n_probe":32,"qps":${math.rint(NQ / sec * 10) / 10},"recall_at_10":${r4(recall)}}"""
       }
       emb.unpersist(); queries.unpersist(); assigned.unpersist()
       servingF16.unpersist(); exact.unpersist()
@@ -446,7 +450,7 @@ object Bench {
             approx.count()
             val recall = Ivf.recallAt(approx, exact, 10)
             approx.unpersist()
-            s"""{"n_probe":$np,"qps":${c1(nq / sweepT(np))},"recall_at_10":$recall}"""
+            s"""{"n_probe":$np,"qps":${c1(nq / sweepT(np))},"recall_at_10":${r4(recall)}}"""
           }.mkString("[", ",", "]")
           s"""{"n":$n,"dim":$dim,"n_queries":$nq,"n_centroids":$kC,""" +
             s""""build_sec":${c3(buildSec)},"exact_qps":${c1(nq / exactSec)},""" +
@@ -523,9 +527,8 @@ object Bench {
       emb32.unpersist(); emb16.unpersist(); q32.unpersist(); q16.unpersist()
       def c1(d: Double): Double = math.rint(d * 10) / 10
       s""","f16":{"n":$N,"dim":$DIM,"n_queries":$NQ,""" +
-        s""""bytes_per_vec_f32":${DIM * 4},"bytes_per_vec_f16":${DIM * 2},""" +
         s""""qps_f32":${c1(NQ / t32)},"qps_f16":${c1(NQ / t16)},""" +
-        s""""recall_vs_f32_at_10":$rec}"""
+        s""""recall_vs_f32_at_10":${r4(rec)}}"""
     } catch { case _: Throwable => "" }
 
     // Section order matters: the driver's artifact keeps only the LAST
