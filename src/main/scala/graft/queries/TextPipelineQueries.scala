@@ -90,6 +90,60 @@ object TextPipelineQueries {
         .select(col("id").cast("long").as("doc_id"), col("fingerprint"),
           col("n_shingles"))
         .orderBy(col("doc_id"))
+    }),
+
+    // X5: the training-data funnel as ONE declarative plan — exact dedup
+    // (min doc_id per content hash), quality gate (Gopher-style composite ≥
+    // 0.5 and enough words to shingle), fingerprint near-dup (min doc_id
+    // per rolling-hash fingerprint among survivors), then the per-language
+    // kept-token budget. Every stage is a key-grouped aggregation or a
+    // column expression — no windows, no all-pairs joins — so the funnel
+    // partitions exactly like its parts do at 100 TB.
+    "x5_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val sig = TextPipeline.qualitySignals(col("text"), stop25).toMap
+      val tc = TextPipeline.tokenCounts(col("text")).toMap
+      // Stage 1: exact-duplicate canonicalization (d1's shape).
+      val canon = docs
+        .groupBy(sha2(col("text"), 256).as("hsh"))
+        .agg(min(col("doc_id")).as("keep_id"))
+      val d1 = docs.withColumn("hsh", sha2(col("text"), 256))
+        .join(canon, Seq("hsh"))
+        .withColumn("exact_keep", col("doc_id") === col("keep_id"))
+        .drop("hsh", "keep_id")
+      // Stage 2: quality gate on the exact survivors (≥ 4 words so the
+      // 4-gram fingerprint below is defined).
+      val d2 = d1
+        .withColumn("quality", sig("quality"))
+        .withColumn("q_keep",
+          col("exact_keep") && col("quality") >= 0.5 && sig("n_words") >= 4)
+      // Stage 3: near-dup canonicalization by rolling-hash fingerprint
+      // (x4's shape), among quality survivors only.
+      val fp = TextPipeline.fingerprint(
+          d2.filter(col("q_keep")).select(col("doc_id"), col("text")),
+          "doc_id", "text")
+        .select(col("id").as("doc_id"), col("fingerprint"))
+      val canon2 = fp.groupBy(col("fingerprint"))
+        .agg(min(col("doc_id")).as("fp_keep_id"))
+      val d3 = d2
+        .join(fp, Seq("doc_id"), "left")
+        .join(canon2, Seq("fingerprint"), "left")
+        .withColumn("final_keep",
+          col("q_keep") && col("doc_id") === col("fp_keep_id"))
+      // Stage 4: what survived, and how many tokens it buys, per language.
+      d3
+        .withColumn("ws", tc("ws_tokens"))
+        .withColumn("bpe", tc("est_bpe"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_raw"),
+          sum(when(col("exact_keep"), 1L).otherwise(0L)).as("n_exact"),
+          sum(when(col("q_keep"), 1L).otherwise(0L)).as("n_quality"),
+          sum(when(col("final_keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("final_keep"), col("ws")).otherwise(0L)).as("ws_tokens_kept"),
+          sum(when(col("final_keep"), col("bpe")).otherwise(0L)).as("bpe_kept"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -150,6 +204,61 @@ object TextPipelineQueries {
         |  CAST(list_sum(list_transform(str_split(text, ' '),
         |       t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS est_bpe
         |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,
+
+    // Same stage formulas as d1/x2/x4's oracles, composed into the funnel.
+    "x5_pipeline" -> {
+      val stopList = stop25.map(w => s"'$w'").mkString("[", ",", "]")
+      s"""WITH m AS (
+         |  SELECT sha256(text) AS hsh, min(doc_id) AS keep_id
+         |  FROM documents GROUP BY 1),
+         |d1 AS (
+         |  SELECT d.doc_id, d.lang, d.text, d.doc_id = m.keep_id AS exact_keep
+         |  FROM documents d JOIN m ON sha256(d.text) = m.hsh),
+         |sigs AS (
+         |  SELECT doc_id, lang, text, exact_keep, str_split(text, ' ') AS toks
+         |  FROM d1),
+         |q AS (
+         |  SELECT doc_id, lang, text, exact_keep,
+         |    CAST(len(toks) AS BIGINT) AS n_words,
+         |    (CASE WHEN len(toks) BETWEEN 40 AND 100000 THEN 0.25 ELSE 0.0 END
+         |     + CASE WHEN list_sum(list_transform(toks, t -> CAST(length(t) AS DOUBLE))) / len(toks)
+         |         BETWEEN 3.0 AND 10.0 THEN 0.25 ELSE 0.0 END
+         |     + CASE WHEN len(list_filter(toks, t -> list_contains($stopList, t))) * 1.0 / len(toks)
+         |         >= 0.05 THEN 0.25 ELSE 0.0 END
+         |     + CASE WHEN len(list_distinct(toks)) * 1.0 / len(toks) >= 0.3
+         |         THEN 0.25 ELSE 0.0 END) AS quality,
+         |    CAST(len(toks) AS BIGINT) AS ws,
+         |    CAST(list_sum(list_transform(toks,
+         |      t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS bpe
+         |  FROM sigs),
+         |d2 AS (
+         |  SELECT *, exact_keep AND quality >= 0.5 AND n_words >= 4 AS q_keep
+         |  FROM q),
+         |sh AS (
+         |  SELECT DISTINCT doc_id AS id, shingle FROM (
+         |    SELECT doc_id,
+         |      unnest(list_transform(range(1, len(str_split(text, ' ')) - 2),
+         |        i -> array_to_string(list_slice(str_split(text, ' '), i, i + 3), ' '))) AS shingle
+         |    FROM d2 WHERE q_keep)),
+         |fp AS (
+         |  SELECT id AS doc_id, min(list_reduce([CAST(0 AS BIGINT)] ||
+         |    list_transform(str_split(shingle, ''), c -> CAST(ord(c) AS BIGINT)),
+         |    (acc, x) -> (acc * 31 + x) % 2147483647)) AS fingerprint
+         |  FROM sh GROUP BY id),
+         |c2 AS (SELECT fingerprint, min(doc_id) AS fp_keep_id FROM fp GROUP BY 1),
+         |d3 AS (
+         |  SELECT d2.*,
+         |    COALESCE(d2.q_keep AND d2.doc_id = c2.fp_keep_id, FALSE) AS final_keep
+         |  FROM d2 LEFT JOIN fp USING (doc_id) LEFT JOIN c2 USING (fingerprint))
+         |SELECT lang,
+         |  CAST(count(*) AS BIGINT) AS n_raw,
+         |  CAST(sum(CASE WHEN exact_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+         |  CAST(sum(CASE WHEN q_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |  CAST(sum(CASE WHEN final_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN final_keep THEN ws ELSE 0 END) AS BIGINT) AS ws_tokens_kept,
+         |  CAST(sum(CASE WHEN final_keep THEN bpe ELSE 0 END) AS BIGINT) AS bpe_kept
+         |FROM d3 GROUP BY lang ORDER BY lang""".stripMargin
+    },
 
     "x4_fingerprint" ->
       s"""WITH sh AS (
