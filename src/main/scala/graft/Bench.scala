@@ -51,8 +51,10 @@ object Bench {
     // INTERLEAVED (round-robin over all queries, then again) — same
     // steal-window reasoning as the ANN sweeps: the host's multi-minute
     // slow windows must cover the entire section twice to poison a number.
-    // A crashing query must not read as a speedup: record -1, not its
-    // fail-fast wall time (ADVICE r02).
+    // A crashing query must not read as a speedup: never time a failed rep.
+    // A query with at least one clean rep keeps its best successful time
+    // (flagged flaky if a later rep crashed); -1 is reserved for queries
+    // that never completed (ADVICE r02, r07).
     val reps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "2").toInt
     val best = scala.collection.mutable.LinkedHashMap(
       qs.map { case (n, _) => n -> Double.MaxValue }: _*)
@@ -64,8 +66,12 @@ object Bench {
       else crashed += name
     }
     val results = qs.map { case (name, _) =>
-      (name, if (crashed(name)) -1.0 else best(name), !crashed(name))
+      val succeeded = best(name) < Double.MaxValue
+      (name, if (succeeded) best(name) else -1.0, succeeded)
     }
+    val flaky = results.collect {
+      case (k, _, true) if crashed(k) => "\"" + k + "\""
+    }.mkString("[", ",", "]")
     // The driver keeps only the LAST ~2000 chars of stdout; anything before
     // that window is invisible to the judge. So: compact numbers (ms
     // precision), fastest queries first (the slow, diagnostic ones land at
@@ -535,7 +541,7 @@ object Bench {
     // ~2000 chars of stdout, so the headline GloVe-100d `ann` block goes
     // last (right before total/sf) and the supporting sections first.
     val json =
-      s"""{"metric":"total","unit":"sec","cpus":$cpus,"failed":$failed,"queries":$perQuery$f16Sec$annHiDim$annL2$ann,"value":$total,"sf":"$sfDir"}"""
+      s"""{"metric":"total","unit":"sec","cpus":$cpus,"failed":$failed,"flaky":$flaky,"queries":$perQuery$f16Sec$annHiDim$annL2$ann,"value":$total,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outPath), json + "\n")
     println(json)
     spark.stop()

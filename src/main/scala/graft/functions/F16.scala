@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.graft.TypedInputs
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.shims
 import org.apache.spark.sql.types._
@@ -142,7 +143,9 @@ object F16 {
 }
 
 /** `array<float>` → packed little-endian f16 `binary`. */
-case class F16PackExpr(child: Expression) extends UnaryExpression {
+case class F16PackExpr(child: Expression) extends UnaryExpression
+    with TypedInputs {
+  override def expectedInputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = BinaryType
   override def nullSafeEval(v: Any): Any =
     F16.packArray(v.asInstanceOf[ArrayData])
@@ -154,7 +157,9 @@ case class F16PackExpr(child: Expression) extends UnaryExpression {
 }
 
 /** Packed f16 `binary` → `array<float>`. */
-case class F16UnpackExpr(child: Expression) extends UnaryExpression {
+case class F16UnpackExpr(child: Expression) extends UnaryExpression
+    with TypedInputs {
+  override def expectedInputTypes: Seq[DataType] = Seq(BinaryType)
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
     F16.unpackArray(v.asInstanceOf[Array[Byte]])
@@ -173,7 +178,8 @@ case class F16UnpackExpr(child: Expression) extends UnaryExpression {
   * that motivates f16 storage at 100 TB.
   */
 case class F16EuclideanSqDistance(left: Expression, right: Expression,
-    wide: Boolean = false) extends BinaryExpression {
+    wide: Boolean = false) extends BinaryExpression with TypedInputs {
+  override def expectedInputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = left.nullable || right.nullable
 

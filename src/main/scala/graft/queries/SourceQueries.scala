@@ -101,7 +101,10 @@ object SourceQueries {
         s"graft_docs_v2_${math.abs(dir.hashCode)}")
       java.nio.file.Files.createDirectories(path)
       // Clean stale fixtures — binaryFile globs the whole directory.
-      java.nio.file.Files.list(path).forEach(p => java.nio.file.Files.delete(p))
+      // (Close the Files.list stream: it holds a directory fd.)
+      scala.util.Using.resource(java.nio.file.Files.list(path)) { st =>
+        st.forEach(p => java.nio.file.Files.delete(p))
+      }
       docs.foreach { r =>
         val id = r.getLong(0)
         val ext = (id % 3) match { case 0 => "txt"; case 1 => "md"; case _ => "pdf" }

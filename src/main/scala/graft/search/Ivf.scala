@@ -193,14 +193,21 @@ object Ivf {
   /** True when the query frame is statically known to hold a single query:
     * the optimized plan's `maxRows` is ≤ 1, or the qid column is a foldable
     * alias (e.g. `lit(0L).as("qid")`) — the case where Catalyst folds a
-    * qid-partitioned window's partition spec to empty. Pure plan
+    * qid-partitioned window's partition spec to empty. The foldable-qid
+    * branch additionally requires that `maxRows`, when statically known, is
+    * ≤ 1: a multi-row constant-qid frame (degenerate — callers must give
+    * each query vector a distinct qid) falls back to the windowed path,
+    * whose per-qid ranking over one shared qid equals global ranking, so
+    * both paths agree on that frame anyway (ADVICE r07). Pure plan
     * inspection; triggers analysis/optimization but no job.
     */
   private[search] def isSingleQuery(queries: DataFrame,
                                     qidCol: String = "qid"): Boolean = {
     val plan = queries.queryExecution.optimizedPlan
     val oneRow = plan.maxRows.exists(_ <= 1L)
-    def constQid = plan.output.find(_.name == qidCol).exists { attr =>
+    val rowBoundOk = plan.maxRows.forall(_ <= 1L)
+    def constQid = rowBoundOk &&
+      plan.output.find(_.name == qidCol).exists { attr =>
       var const = false
       plan.foreach { node =>
         node.expressions.foreach(_.foreach {

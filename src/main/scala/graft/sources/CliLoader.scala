@@ -91,7 +91,8 @@ object CliLoader {
       it.map { r =>
         val path = r.getString(0)
         val bytes = r.getAs[Array[Byte]](1)
-        val ext = path.substring(path.lastIndexOf('.') + 1).toLowerCase
+        val dot = path.lastIndexOf('.')
+        val ext = if (dot < 0) "" else path.substring(dot + 1).toLowerCase
         chains.get(ext) match {
           case None => Row(path, null, null, s"no converter chain for .$ext")
           case Some(chain) =>

@@ -132,7 +132,7 @@ class F16Spec extends SparkSpec {
     val df = spark.range(100)
       .select(col("id"),
         F16.pack(transform(sequence(lit(0), lit(31)),
-          j => (col("id") + j).cast("float") / 100f)).as("p"))
+          j => ((col("id") + j).cast("float") / 100f).cast("float"))).as("p"))
       .withColumn("d", F16.euclideanSq(col("p"),
         F16.pack(lit(Array.fill(32)(0.5f)).cast("array<float>"))))
     val p = df.queryExecution.executedPlan.toString
