@@ -85,20 +85,20 @@ object SourceQueries {
     }),
 
     // S9: document loaders — files on disk, binaryFile source, loader
-    // dispatch by extension. txt/md decode inline; binary formats (.pdf
-    // here) run the reference's CLI fallback chain (`loader_cli.go:43`):
-    // the native converter first (pdftotext — absent or failing in this
-    // sandbox), then the identity converter, so the pipe path is exercised
-    // end-to-end and the result stays oracle-checkable. Only the PDF/DOCX
-    // codec BINARIES are absent; the dispatch + exec + fallback plumbing is
-    // real.
+    // dispatch by extension (`loader.go`): txt/md decode inline; REAL
+    // binary .pdf/.docx fixtures (minimal writers, Flate-compressed PDF
+    // content stream / OOXML zip) parse through the pure-JVM extractors
+    // (`loader_pdf_advanced.go:36`, `loader_docx.go:19`); one deliberately
+    // corrupt .pdf (plain text bytes) falls through the chain — the JVM
+    // parser rejects it, pdftotext is absent, `cat` wins — exercising the
+    // CLI pipe fallback (`loader_cli.go:43`) end-to-end.
     "s9_loaders" -> ((s, dir) => {
-      import graft.sources.CliLoader
+      import graft.sources.{BinaryExtract, CliLoader}
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 10)
         .select(col("doc_id"), col("text")).collect()
       val path = java.nio.file.Paths.get(
         sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-        s"graft_docs_v2_${math.abs(dir.hashCode)}")
+        s"graft_docs_v3_${math.abs(dir.hashCode)}")
       java.nio.file.Files.createDirectories(path)
       // Clean stale fixtures — binaryFile globs the whole directory.
       // (Close the Files.list stream: it holds a directory fd.)
@@ -107,27 +107,38 @@ object SourceQueries {
       }
       docs.foreach { r =>
         val id = r.getLong(0)
-        val ext = (id % 3) match { case 0 => "txt"; case 1 => "md"; case _ => "pdf" }
-        java.nio.file.Files.writeString(
-          path.resolve(s"doc_$id.$ext"), r.getString(1))
+        val text = r.getString(1)
+        (id % 4) match {
+          case 0 => java.nio.file.Files.writeString(
+            path.resolve(s"doc_$id.txt"), text)
+          case 1 => java.nio.file.Files.writeString(
+            path.resolve(s"doc_$id.md"), text)
+          case 2 => java.nio.file.Files.write(path.resolve(s"doc_$id.pdf"),
+            // id 6: corrupt pdf (plain text bytes) → CLI fallback path.
+            if (id == 6) text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            else BinaryExtract.minimalPdf(text))
+          case _ => java.nio.file.Files.write(path.resolve(s"doc_$id.docx"),
+            BinaryExtract.minimalDocx(text))
+        }
       }
       val bins = s.read.format("binaryFile").load(path.toString + "/*")
-      val inline = bins.filter(!col("path").endsWith(".pdf"))
+      val isBinaryDoc = col("path").endsWith(".pdf") ||
+        col("path").endsWith(".docx")
+      val inline = bins.filter(!isBinaryDoc)
         .select(
           regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
           when(col("path").endsWith(".md"), "markdown")
             .otherwise("text").as("loader"),
           length(decode(col("content"), "UTF-8")).cast("long").as("n_chars"))
-      val cli = CliLoader.load(
-          bins.filter(col("path").endsWith(".pdf")),
-          Map("pdf" -> Seq(
-            CliLoader.Converter(Seq("pdftotext", "{{file_path}}", "-")),
-            CliLoader.Converter(Seq("cat", "{{file_path}}")))))
+      val chains = CliLoader.defaultChains +
+        ("pdf" -> (CliLoader.defaultChains("pdf") :+
+          CliLoader.Converter(Seq("cat", "{{file_path}}"))))
+      val extracted = CliLoader.load(bins.filter(isBinaryDoc), chains)
         .select(
           regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
-          concat(lit("cli:"), col("converter")).as("loader"),
+          col("converter").as("loader"),
           length(col("text")).cast("long").as("n_chars"))
-      inline.unionByName(cli).orderBy(col("file"))
+      inline.unionByName(extracted).orderBy(col("file"))
     }),
 
     // V9: int8 scalar quantization — codes + reconstruction error.
@@ -246,13 +257,20 @@ object SourceQueries {
         |  CAST(sum(label) AS BIGINT) AS label_sum
         |FROM embeddings WHERE vec_id % 17 <> 0""".stripMargin,
 
-    // The .pdf branch rides the CLI chain: pdftotext fails on the plain-text
-    // fixture, `cat` wins → loader 'cli:cat', text trimmed (loader_cli.go:75).
+    // Real binaries round-trip through the pure-JVM extractors (writers are
+    // lossless for single-line ASCII text, so n_chars == length(text));
+    // doc 6 is a deliberately corrupt .pdf: the JVM parser rejects it,
+    // pdftotext is absent, `cat` wins → 'cli:cat' with trimmed text.
     "s9_loaders" ->
       """SELECT 'doc_' || doc_id ||
-        |    CASE doc_id % 3 WHEN 0 THEN '.txt' WHEN 1 THEN '.md' ELSE '.pdf' END AS file,
-        |  CASE doc_id % 3 WHEN 0 THEN 'text' WHEN 1 THEN 'markdown' ELSE 'cli:cat' END AS loader,
-        |  CAST(CASE WHEN doc_id % 3 = 2
+        |    CASE doc_id % 4 WHEN 0 THEN '.txt' WHEN 1 THEN '.md'
+        |      WHEN 2 THEN '.pdf' ELSE '.docx' END AS file,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'text'
+        |       WHEN doc_id % 4 = 1 THEN 'markdown'
+        |       WHEN doc_id = 6 THEN 'cli:cat'
+        |       WHEN doc_id % 4 = 2 THEN 'jvm:pdf-mini'
+        |       ELSE 'jvm:docx-xml' END AS loader,
+        |  CAST(CASE WHEN doc_id % 4 >= 2
         |    THEN length(trim(text, ' ' || chr(9) || chr(10) || chr(13)))
         |    ELSE length(text) END AS BIGINT) AS n_chars
         |FROM documents WHERE doc_id < 10 ORDER BY file""".stripMargin,

@@ -34,7 +34,7 @@ class CliLoaderSpec extends SparkSpec {
     val files = fixture(Map("a.pdf" -> "  hello cli world \n"))
     val out = byFile(CliLoader.load(files,
       Map("pdf" -> Seq(Converter(Seq("cat", "{{file_path}}"))))))
-    assert(out("a.pdf") == (("hello cli world", "cat", null)))
+    assert(out("a.pdf") == (("hello cli world", "cli:cat", null)))
   }
 
   test("missing binary falls through the chain (loader dispatch fallback)") {
@@ -44,7 +44,7 @@ class CliLoaderSpec extends SparkSpec {
         Converter(Seq("graft-no-such-converter", "{{file_path}}")),
         Converter(Seq("cat", "{{file_path}}"))))))
     assert(out("b.pdf")._1 == "fallback body")
-    assert(out("b.pdf")._2 == "cat")
+    assert(out("b.pdf")._2 == "cli:cat")
   }
 
   test("timeout kills the converter and falls back (defaultCLITimeout semantics)") {
@@ -54,7 +54,7 @@ class CliLoaderSpec extends SparkSpec {
         Converter(Seq("sleep", "30"), timeoutMs = 300L),
         Converter(Seq("cat", "{{file_path}}"))))))
     assert(out("c.pdf")._1 == "slow body")
-    assert(out("c.pdf")._2 == "cat")
+    assert(out("c.pdf")._2 == "cli:cat")
   }
 
   test("exit-0 empty output is a failure (loader_cli.go:76), not a result") {
@@ -64,7 +64,7 @@ class CliLoaderSpec extends SparkSpec {
         Converter(Seq("true")),
         Converter(Seq("cat", "{{file_path}}"))))))
     assert(out("d.pdf")._1 == "real body")
-    assert(out("d.pdf")._2 == "cat")
+    assert(out("d.pdf")._2 == "cli:cat")
   }
 
   test("exhausted chain and unmapped extension produce error rows") {
