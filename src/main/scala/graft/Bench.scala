@@ -479,6 +479,181 @@ object Bench {
       s""","ann_hidim":$out"""
     } catch { case _: Throwable => "" }
 
+    // Batched hybrid-fusion serving throughput — the flagship h1 path
+    // amortized over a driver-bounded query batch (VERDICT r07 next-round
+    // #1; reference serves ~1k QPS on `searchWithFusion`, `ops.go:896`).
+    // Deployment shape: corpus + postings cached/materialized (state tables
+    // ARE materialized in a serving deployment); per-batch work is ONE plan
+    // — broadcast token join + qid-windowed vector top-k + fusion + decay.
+    val fusionBatch = if (args.nonEmpty && !annOnly) "" else try {
+      import org.apache.spark.sql.{Column, DataFrame}
+      import org.apache.spark.sql.functions._
+      import graft.functions.VectorFunctions
+      import graft.queries.FusionQueries
+      import graft.search.{Fusion, Ivf}
+      import graft.text.{Analyzer, Bm25}
+      def c1(d: Double): Double = math.rint(d * 10) / 10
+      val params = Fusion.FusionParams(alpha = 0.6, k = 10, metric = "cosine",
+        memory = FusionQueries.memCfg, now = FusionQueries.Now)
+
+      /** Serving-shape timing over one prepared hybrid workload: per batch,
+        * materialize the batched BM25 scores once (localCheckpoint — the
+        * fused plan consumes the hit set several times), run the IVF vector
+        * branch off the prebuilt serving index, fuse. Index + postings
+        * builds are untimed, like every serving section (state tables ARE
+        * materialized in a deployment). Reports per-query hit count too —
+        * fused QPS is only interpretable next to text selectivity.
+        */
+      def servePoint(table: DataFrame, post: DataFrame, qs: DataFrame,
+                     nq: Int, corpusN: Long): String = {
+        val tableN = table.select(col("doc_id").cast("long").as("id"),
+          VectorFunctions.normalize(col("embedding")).as("vector"))
+        val kC = math.max(16, math.sqrt(corpusN.toDouble).round).toInt
+        val cents = Ivf.trainKMeansArrays(tableN, kC, iters = 4)
+        val assigned = Ivf.assignFast(tableN, cents).cache()
+        assigned.count()
+        val serving = Ivf.servingIndex(assigned).cache()
+        serving.count()
+        val qsN = qs.select(col("qid"),
+          VectorFunctions.normalize(col("qvec")).as("qvec")).cache()
+        qsN.count()
+        val qTokens = Analyzer
+          .tokensDF(qs.select(col("qid"), col("qtext")), "qtext", "english")
+          .groupBy(col("qid"), col("token")).agg(count(lit(1)).as("qn"))
+          .cache()
+        qTokens.count()
+        // Corpus-side derived tables, materialized once like the postings
+        // (the reference maintains all three incrementally on write).
+        val dls = Bm25.docLengthsFromPostings(
+          table.select(col("doc_id")), post, "doc_id").cache()
+        dls.count()
+        val tdf = Bm25.tokenDf(post).cache()
+        tdf.count()
+        def score() = Bm25.searchPostingsBatch(
+          table.select(col("doc_id")), post, "doc_id", qTokens,
+          prebuiltDocLengths = Some(dls), prebuiltTokenDf = Some(tdf))
+        val hits = score().count()
+        def run(): Unit = {
+          val raw = score().localCheckpoint(true)
+          val vtop = Ivf.searchBatchedFast(serving, cents, qsN, k = 10,
+              nProbe = 8)
+            .select(col("qid"), col("id").as("doc_id"), col("distance"))
+            .localCheckpoint(true)
+          noopWrite(Fusion.searchWithFusionBatch(
+            table, "doc_id", "embedding", "text", qs, params,
+            prebuiltVecTopK = Some(vtop), prebuiltTextScores = Some(raw)))
+        }
+        run() // warm: codegen + broadcasts
+        val sec = Seq.fill(3)(timeIt(run())).min
+        assigned.unpersist(); serving.unpersist(); qsN.unpersist()
+        qTokens.unpersist(); dls.unpersist(); tdf.unpersist()
+        s"""{"n_queries":$nq,"corpus":$corpusN,""" +
+          s""""hits_per_query":${c1(hits.toDouble / nq)},""" +
+          s""""fused_qps":${c1(nq / sec)},"batch_sec":${r3(sec)}}"""
+      }
+
+      val NQ = sys.env.getOrElse("SPARK_GRAFT_FUSION_NQ", "4096").toInt
+
+      // Point 1: the sf memory view. Its ~40-word vocabulary makes BM25
+      // DEGENERATE — every query matches ~the whole corpus, so the text
+      // branch scores nq×corpus candidates (the worst case); QPS here
+      // measures candidate throughput, not serving latency.
+      val sfPoint = {
+        val mem = FusionQueries.memoryView(spark, sfDir).cache()
+        val memN = mem.count()
+        val post = Bm25.postings(mem, "doc_id", "text")
+          .repartition(col("token")).cache()
+        post.count()
+        val emb = graft.core.Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("embedding")).cache()
+        val embN = emb.count()
+        val texts = Seq("table merge query", "fast hash join order",
+          "window agg stream", "vector scan filter", "sort batch spark data",
+          "customer line part value", "slow group key column",
+          "big small row scan scan")
+        val qs = spark.range(NQ)
+          .select(col("id").as("qid"), pmod(col("id"), lit(embN)).as("_vid"),
+            element_at(array(texts.map(lit): _*),
+              (pmod(col("id"), lit(texts.size)) + 1).cast("int")).as("qtext"))
+          .join(emb, col("_vid") === col("vec_id"))
+          .select(col("qid"), col("embedding").as("qvec"), col("qtext"))
+          .cache()
+        qs.count()
+        val out = servePoint(mem, post, qs, NQ, memN)
+        mem.unpersist(); post.unpersist(); emb.unpersist(); qs.unpersist()
+        out
+      }
+
+      // Point 2: realistic text selectivity — a synthetic corpus with a
+      // zipf-skewed 10k-token vocabulary (the shape real corpora have;
+      // queries match a few % of documents, like the reference's own
+      // serving workloads). Same pipeline, same decay semantics.
+      val synthPoint = {
+        // Bigger batch than the sf point: at this selectivity the hit set
+        // is small, so batch size is what amortizes the fixed per-plan cost
+        // (the serving knob a deployment would actually turn).
+        val NQ2 = NQ * 2
+        val N = sys.env.getOrElse("SPARK_GRAFT_FUSION_CORPUS", "100000").toInt
+        val DIM = 64
+        val VOCAB = 30000
+        val DOCLEN = 40
+        def hu(seed: Column, j: Column, salt: String): Column =
+          (pmod(xxhash64(seed, j, lit(salt)), lit(2000001L)).cast("double")
+            - 1000000.0) / 1000000.0
+        // zipf-ish: token rank = floor(VOCAB * u^4) — low ranks dominate.
+        def tokId(seed: Column, j: Column, salt: String): Column = {
+          val u = (pmod(xxhash64(seed, j, lit(salt)), lit(1000000L))
+            .cast("double") / 1000000.0)
+          floor(pow(u, lit(4.0)) * VOCAB).cast("int")
+        }
+        def vec(idc: Column, salt: String): Column =
+          VectorFunctions.normalize(
+            transform(sequence(lit(0), lit(DIM - 1)), j =>
+              (hu(pmod(idc, lit(500L)), j, "ctr") +
+                hu(idc, j, salt) * lit(0.25)).cast("float")))
+        val base = FusionQueries.Base
+        val corpus = spark.range(N).select(
+            col("id").as("doc_id"),
+            concat_ws(" ", transform(sequence(lit(0), lit(DOCLEN - 1)),
+              j => concat(lit("tok"), tokId(col("id"), j, "doc")))).as("text"),
+            vec(col("id"), "nz").as("embedding"),
+            (lit(base) + col("id") % 720 * 3600).cast("double").as("_created_at"),
+            (lit(base) + col("id") % 720 * 3600 + (col("id") % 5) * 86400)
+              .cast("double").as("_last_accessed"),
+            (col("id") % 13 === 0).as("_pinned"),
+            element_at(array(lit("episodic"), lit("semantic"), lit("procedural")),
+              (col("id") % 3 + 1).cast("int")).as("memory_layer"),
+            element_at(array(lit("exponential"), lit("linear"), lit("step"),
+              lit("ebbinghaus")), (col("id") % 4 + 1).cast("int")).as("_decay_model"),
+            (col("id") % 7).cast("double").as("_access_count"))
+          .cache()
+        corpus.count()
+        val post = Bm25.postings(corpus, "doc_id", "text")
+          .repartition(col("token")).cache()
+        post.count()
+        // Queries: 3 tail-rank tokens each (~0.1% of docs per term — the
+        // selectivity real 3-term queries have; the zipf HEAD ranks appear
+        // in nearly every document, which would recreate the sf point's
+        // degenerate match-everything workload).
+        val tail = VOCAB - 10000
+        val qs = spark.range(NQ2).select(
+            col("id").as("qid"),
+            vec(col("id") + 7, "qnz").as("qvec"),
+            concat_ws(" ",
+              concat(lit("tok"), pmod(col("id") * 37, lit(tail)) + 10000),
+              concat(lit("tok"), pmod(col("id") * 911 + 1300, lit(tail)) + 10000),
+              concat(lit("tok"), pmod(col("id") * 241 + 2900, lit(tail)) + 10000))
+              .as("qtext"))
+          .cache()
+        qs.count()
+        val out = servePoint(corpus, post, qs, NQ2, N.toLong)
+        corpus.unpersist(); post.unpersist(); qs.unpersist()
+        out
+      }
+
+      s""","fusion_batch":{"sf":$sfPoint,"synthetic":$synthPoint}"""
+    } catch { case _: Throwable => "" }
+
     // f16 precision bandwidth line (reference precision matrix f32/f16/int8,
     // `distance_go.go:139-147`): the same exact-euclidean scan over the
     // corpus stored as array<float> vs packed binary16 — half the bytes per
@@ -541,7 +716,7 @@ object Bench {
     // ~2000 chars of stdout, so the headline GloVe-100d `ann` block goes
     // last (right before total/sf) and the supporting sections first.
     val json =
-      s"""{"metric":"total","unit":"sec","cpus":$cpus,"failed":$failed,"flaky":$flaky,"queries":$perQuery$f16Sec$annHiDim$annL2$ann,"value":$total,"sf":"$sfDir"}"""
+      s"""{"metric":"total","unit":"sec","cpus":$cpus,"failed":$failed,"flaky":$flaky,"queries":$perQuery$fusionBatch$f16Sec$annHiDim$annL2$ann,"value":$total,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outPath), json + "\n")
     println(json)
     spark.stop()

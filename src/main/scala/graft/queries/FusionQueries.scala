@@ -25,7 +25,7 @@ object FusionQueries {
   val Now = 1706745600L // 2024-02-01T00:00:00Z
   val Base = 1704067200L // 2024-01-01T00:00:00Z
 
-  private[queries] val memCfg = Decay.MemoryConfig(
+  val memCfg = Decay.MemoryConfig(
     enabled = true,
     halfLifeSeconds = 604800.0,
     model = "exponential",
@@ -163,6 +163,26 @@ object FusionQueries {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // H1-batch: MANY hybrid queries in ONE plan (the serving shape — one
+    // corpus scan for the text branch, one broadcast+partial-top-k pass for
+    // the vector branch, all ranking windows qid-partitioned). Per-query
+    // semantics identical to h1; the oracle is h1's SQL with every global
+    // window turned into a PARTITION BY qid window.
+    "h1_fusion_batch" -> ((s, dir) => {
+      val mem = memoryView(s, dir)
+      val qs = Tables.embeddings(s, dir).filter(col("vec_id") < BatchTexts.size)
+        .select(col("vec_id").cast("long").as("qid"),
+          col("embedding").as("qvec"),
+          element_at(array(BatchTexts.map(lit): _*),
+            (col("vec_id") + 1).cast("int")).as("qtext"))
+      Fusion.searchWithFusionBatch(
+          mem, "doc_id", "embedding", "text", qs,
+          Fusion.FusionParams(alpha = 0.6, k = 15, metric = "cosine",
+            memory = memCfg, now = Now, wide = true))
+        .select(col("qid"), col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("qid"), col("score").desc, col("doc_id"))
+    }),
+
     // H4: reinforcement — bump _last_accessed/_access_count for a hit set.
     "h4_reinforce" -> ((s, dir) => {
       val mem = memoryView(s, dir)
@@ -172,6 +192,30 @@ object FusionQueries {
         .orderBy(col("doc_id"))
     })
   )
+
+  /** The h1_fusion_batch query texts (qid = index). Vocabulary drawn from
+    * the synthetic corpus; the last one repeats a token to exercise
+    * multiply-counted query terms.
+    */
+  private[queries] val BatchTexts = Seq(
+    "table merge query",
+    "fast hash join order",
+    "window agg stream",
+    "vector scan filter",
+    "sort batch spark data",
+    "customer line part value",
+    "slow group key column",
+    "big small row scan scan")
+
+  /** `(qid, token, qn)` VALUES rows for the batch oracle, generated with the
+    * SAME analyzer the Spark plan uses — oracle and engine can't drift.
+    */
+  private lazy val batchQtValues: String = BatchTexts.zipWithIndex.flatMap {
+    case (t, qi) =>
+      graft.text.Analyzer.analyze(t).groupBy(identity).toSeq.sortBy(_._1).map {
+        case (tok, xs) => s"($qi, '$tok', ${xs.size})"
+      }
+  }.mkString(", ")
 
   private def bm25Cte: String = TextQueries.analyzedOn("mem")
 
@@ -288,6 +332,60 @@ object FusionQueries {
        |SELECT doc_id, round(score, 6) AS score FROM decayed
        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
 
+  /** h1 per-qid: every global window becomes PARTITION BY qid. */
+  private lazy val h1BatchSql =
+    s"""WITH $memViewSql,
+       |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |       WHERE vec_id < ${BatchTexts.size}),
+       |vec AS (
+       |  SELECT q.qid, m.doc_id,
+       |    1.0 - list_cosine_similarity(CAST(m.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) AS d
+       |  FROM mem m CROSS JOIN qs q
+       |),
+       |vtopk AS (
+       |  SELECT qid, doc_id, 1.0 / (1.0 + d) AS vscore
+       |  FROM (SELECT qid, doc_id, d,
+       |          row_number() OVER (PARTITION BY qid ORDER BY d, doc_id) AS rn FROM vec)
+       |  WHERE rn <= 15
+       |),
+       |${bm25Cte},
+       |doclens AS (
+       |  SELECT m.doc_id, count(a.token) AS dl
+       |  FROM mem m LEFT JOIN analyzed a USING (doc_id) GROUP BY m.doc_id
+       |),
+       |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM doclens),
+       |postings AS (SELECT doc_id, token, count(*) AS tf FROM analyzed GROUP BY 1, 2),
+       |qt AS (SELECT CAST(qid AS BIGINT) AS qid, token, qn
+       |       FROM (VALUES $batchQtValues) AS t(qid, token, qn)),
+       |dfreq AS (
+       |  SELECT p.token, count(*) AS df FROM postings p
+       |  JOIN (SELECT DISTINCT token FROM qt) x USING (token) GROUP BY p.token
+       |),
+       |bm25 AS (
+       |  SELECT qt.qid, p.doc_id,
+       |    sum(qt.qn * ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5)) *
+       |        (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS raw
+       |  FROM postings p JOIN qt USING (token) JOIN dfreq f USING (token)
+       |  JOIN doclens d USING (doc_id) CROSS JOIN stats s GROUP BY qt.qid, p.doc_id
+       |),
+       |tnorm AS (SELECT qid, doc_id, raw / max(raw) OVER (PARTITION BY qid) AS tscore FROM bm25),
+       |fused AS (
+       |  SELECT coalesce(v.qid, t.qid) AS qid, coalesce(v.doc_id, t.doc_id) AS doc_id,
+       |    0.6 * coalesce(v.vscore, 0) + 0.4 * coalesce(t.tscore, 0) AS fscore
+       |  FROM vtopk v FULL OUTER JOIN tnorm t ON v.qid = t.qid AND v.doc_id = t.doc_id
+       |),
+       |decayed AS (
+       |  SELECT f.qid, f.doc_id, f.fscore * $decaySql AS score
+       |  FROM fused f JOIN (SELECT *, $hlSql AS hl FROM mem) USING (doc_id)
+       |),
+       |ranked AS (
+       |  SELECT qid, doc_id, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+       |  FROM decayed
+       |)
+       |SELECT qid, doc_id, round(score, 6) AS score FROM ranked WHERE rn <= 15
+       |ORDER BY qid, score DESC, doc_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "h3_decay_models" ->
       s"""WITH $memViewSql,
@@ -300,6 +398,8 @@ object FusionQueries {
     "h1_fusion_stored" -> h1Sql,
 
     "h1_fusion_ivf" -> h1IvfSql,
+
+    "h1_fusion_batch" -> h1BatchSql,
 
     "h4_reinforce" ->
       s"""WITH $memViewSql

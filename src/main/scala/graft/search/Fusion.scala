@@ -226,4 +226,196 @@ object Fusion {
       .limit(params.k)
       .select(col(idCol), col("score"))
   }
+
+  /** Batched hybrid fusion: run MANY hybrid queries in ONE plan — the
+    * serving shape that matches the reference's per-request `searchWithFusion`
+    * throughput (`ops.go:896-1211` serves ~1k QPS; a per-query Spark job pays
+    * a fixed multi-stage floor, so batch is the only route to parity).
+    *
+    * @param queries frame `(qid, qvec, qtext)` — one row per hybrid query.
+    *   Driver-bounded batch (broadcast on the vector side). Every row must
+    *   have a real (non-zero) query vector and distinct qid; text-only
+    *   queries go through [[searchWithFusionDF]] CASE A instead. A qtext
+    *   that analyzes to zero tokens contributes no text rows, so its fused
+    *   score degrades to `alpha * vscore` — the reference's Case-B-with-nil-
+    *   text semantics (`ops.go:1078`), same as the single-query path.
+    *
+    * Per-query semantics are IDENTICAL to [[searchWithFusionDF]] (vector
+    * top-k `1/(1+d)` ⨝ per-query max-normalized BM25, alpha-weighted, decay,
+    * top-k); `FusionSpec` pins batch == per-query loop.
+    *
+    * Scale shape: the corpus is scanned ONCE for the text branch (postings +
+    * doc stats shared across the batch; per-query text work is a broadcast
+    * token join) and ONCE for the vector branch (broadcast queries +
+    * per-partition partial top-k via WindowGroupLimit before the qid
+    * exchange — `prebuiltVecTopK` from [[Ivf.search]] replaces even that
+    * with probed-bucket reads). All ranking windows are qid-partitioned,
+    * never global.
+    *
+    * @param prebuiltVecTopK per-query index-served candidates
+    *   `(qid, idCol, distance)` — the batch analogue of the single-query
+    *   contract: each qid's rows must be that query's top-k with distinct
+    *   ids (asserted in-plan).
+    * @param prebuiltTextScores raw batched BM25 scores `(qid, idCol,
+    *   score)` (i.e. [[Bm25.searchPostingsBatch]] output), typically
+    *   PERSISTED by the caller. The fused plan consumes the text hit set
+    *   several times (per-query max, top-k prune, vector-candidate
+    *   lookup); Catalyst re-evaluates an inline subtree once per consumer,
+    *   so a serving deployment materializes the batch's scores once and
+    *   passes them here — the difference is ~3× on the text branch.
+    */
+  def searchWithFusionBatch(
+      table: DataFrame,
+      idCol: String,
+      vecCol: String,
+      textCol: String,
+      queries: DataFrame,
+      params: FusionParams,
+      filter: Option[Column] = None,
+      allowList: Option[DataFrame] = None,
+      prebuiltPostings: Option[DataFrame] = None,
+      prebuiltVecTopK: Option[DataFrame] = None,
+      prebuiltTextScores: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
+    val alpha = if (params.alpha < 0 || params.alpha > 1) 0.5 else params.alpha
+
+    def allowed(df: DataFrame): DataFrame =
+      allowList.fold(df)(a => df.join(a.select(col(idCol)), Seq(idCol), "left_semi"))
+    def metaFiltered(df: DataFrame): DataFrame = filter match {
+      case Some(pred) =>
+        df.join(table.filter(pred).select(col(idCol)), Seq(idCol), "left_semi")
+      case None => df
+    }
+
+    // ---- text branch: one corpus scan, per-qid scores ----
+    // Analyze query texts in-plan (same tokenizer/stemmer expressions as the
+    // corpus side); duplicated query tokens score multiply, like the
+    // single-query path.
+    val rawText = allowed(metaFiltered(prebuiltTextScores.getOrElse {
+      val qTokens = graft.text.Analyzer
+        .tokensDF(queries.select(col("qid"), col("qtext")), "qtext", params.lang)
+        .groupBy(col("qid"), col("token")).agg(count(lit(1)).as("qn"))
+      val post = prebuiltPostings.getOrElse(
+        Bm25.postings(table, idCol, textCol, params.lang))
+      Bm25.searchPostingsBatch(table.select(col(idCol)), post, idCol, qTokens)
+    }))
+    // Per-query max-normalization (normalizeTextScores, search_utils.go:55)
+    // via groupBy + broadcast join back: the partial aggregation collapses
+    // the hit set map-side (one row per qid per partition), where a per-qid
+    // max WINDOW would shuffle and sort every hit row.
+    val mx = rawText.groupBy(col("qid")).agg(max(col("score")).as("_mx"))
+    val tNorm = rawText.join(broadcast(mx), Seq("qid"))
+      .withColumn("tscore",
+        when(col("_mx") > 0, col("score") / col("_mx")).otherwise(col("score")))
+      .select(col("qid"), col(idCol), col("tscore"))
+
+    // ---- vector branch: per-qid top-k ----
+    val vecScores = prebuiltVecTopK match {
+      case Some(v) =>
+        val scored = v
+          .groupBy(col("qid"), col(idCol))
+          .agg(min(col("distance")).as("distance"), count(lit(1)).as("_nid"))
+          .select(col("qid"), col(idCol),
+            (lit(1.0) / (lit(1.0) + col("distance"))).as("vscore"),
+            assert_true(col("_nid") === 1,
+              lit("prebuiltVecTopK must hold per-qid top-k rows with " +
+                "distinct ids")).as("_chk"))
+          .filter(col("_chk").isNull)
+          .drop("_chk")
+        allowed(metaFiltered(scored))
+      case None =>
+        val base = allowed(filter.fold(table)(table.filter))
+        // Cosine + narrow kernels: normalize each side ONCE in its own
+        // projection, then score with the normalized kernel — the generic
+        // path re-normalizes BOTH vectors per (query, doc) pair, i.e.
+        // nq×N array allocations that dwarf the dot products. (The wide
+        // path keeps raw-vector math for bit-exact oracle parity.)
+        val preNorm = params.metric == "cosine" && !params.wide
+        val (scanTable, scanQueries) =
+          if (!preNorm) (base, queries.select(col("qid"), col("qvec")))
+          else (
+            base.withColumn(vecCol,
+              graft.functions.VectorFunctions.normalize(col(vecCol))),
+            queries.select(col("qid"),
+              graft.functions.VectorFunctions.normalize(col("qvec")).as("qvec")))
+        VectorSearch.topKBatch(
+            scanTable, scanQueries, params.k,
+            params.metric, idCol, vecCol, wide = params.wide,
+            normalized = preNorm)
+          .select(col("qid"), col(idCol),
+            (lit(1.0) / (lit(1.0) + col("distance"))).as("vscore"))
+    }
+
+    // Per-doc decay factor computed ONCE as a (id, _dec) frame and joined
+    // into both branches BEFORE fusion — it's needed early because the
+    // text-side pruning below must rank by decayed contribution.
+    val dec: Option[DataFrame] =
+      if (!params.memory.enabled) None
+      else {
+        val present = table.columns.toSet
+        def c(name: String, default: Column): Column =
+          if (present(name)) col(name) else default
+        Some(table.select(
+          col(idCol),
+          Decay.factor(
+            params.memory, lit(params.now.toDouble),
+            c("_created_at", lit(null).cast("double")),
+            c("_last_accessed", lit(null).cast("double")),
+            c("_pinned", lit(false)),
+            c("memory_layer", lit(null).cast("string")),
+            c("_decay_model", lit(null).cast("string")),
+            c("_access_count", lit(0))).as("_dec")))
+      }
+    def withDec(df: DataFrame, as: String): DataFrame = dec match {
+      case Some(d) => df
+        .join(d.withColumnRenamed("_dec", as), Seq(idCol), "left")
+        .withColumn(as, coalesce(col(as), lit(1.0)))
+      case None => df.withColumn(as, lit(1.0))
+    }
+
+    // EXACT text-side pruning. The text branch semantically contributes
+    // every BM25 match, but a text-only row beaten by k text-only rows on
+    // decayed contribution `(1-alpha)*tscore*_dec` can never reach the
+    // final top-k (every vscore >= 0 only lifts the rows above it; ties
+    // fall to the same id-ascending order the final rank uses). So the
+    // full-outer fusion only needs, per qid: (a) the top-k text rows by
+    // (tscore*_dec, id) — a WindowGroupLimit partial top-k, pruned BEFORE
+    // its exchange — and (b) any text row whose (qid, id) is in the vector
+    // top-k (those carry their tscore into the fused sum). Identical
+    // results, candidate set k+k instead of every match.
+    // Two consumers over the text hits, both cheap per-row:
+    //   (a) per-qid top-k by decayed contribution — the PURE `row_number
+    //       <= k` filter pattern, so WindowGroupLimit prunes to k rows per
+    //       (qid, input partition) BEFORE the ranking exchange;
+    //   (b) the text scores of vector-selected (qid, id)s — a broadcast
+    //       left-semi lookup, map-side, no shuffle.
+    // The bm25 subtree below both consumers is identical, so ReuseExchange
+    // serves its aggregation exchange once. (A single-pass variant with
+    // `rank <= k OR in-vector` defeats the WindowGroupLimit rewrite — the
+    // full hit set then rides the exchange and sort — measured slower.)
+    val tWithDec = withDec(tNorm, "_dect")
+    val vWithDec = withDec(vecScores, "_decv")
+    val vecKeys = vWithDec.select(col("qid"), col(idCol))
+    val tTop = tWithDec
+      .withColumn("_tr", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy((col("tscore") * col("_dect")).desc, col(idCol))))
+      .filter(col("_tr") <= params.k)
+      .drop("_tr")
+    val tVec = tWithDec.join(broadcast(vecKeys), Seq("qid", idCol), "left_semi")
+    val tPruned = tTop.unionByName(tVec).dropDuplicates("qid", idCol)
+
+    vWithDec
+      .join(tPruned, Seq("qid", idCol), "full_outer")
+      .withColumn("fused",
+        lit(alpha) * coalesce(col("vscore"), lit(0.0)) +
+          lit(1.0 - alpha) * coalesce(col("tscore"), lit(0.0)))
+      .withColumn("score",
+        col("fused") * coalesce(col("_decv"), col("_dect"), lit(1.0)))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("score").desc, col(idCol))))
+      .filter(col("_rk") <= params.k)
+      .select(col("qid"), col(idCol), col("score"))
+  }
 }

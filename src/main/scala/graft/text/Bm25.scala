@@ -108,6 +108,73 @@ object Bm25 {
       .limit(limit)
   }
 
+  /** Batched BM25: score every query in `queryTokens` `(qid, token, qn)`
+    * against the SAME postings in ONE plan — the corpus-side tables
+    * (doc lengths, stats, per-token document frequencies) are computed once
+    * and shared across all queries; per-query work is the broadcast
+    * token-join plus one (qid, id) aggregation. Returns (qid, id, score),
+    * score identical to [[searchPostings]] run per query.
+    *
+    * Scale shape: the postings scan appears once regardless of batch size;
+    * the only per-batch shuffle is the final (qid, id) aggregation, whose
+    * width is (query hits), not (corpus × queries). (A flipped build side —
+    * broadcast postings, stream qid-partitioned queries — was measured
+    * slower on the degenerate-vocabulary bench corpus and doesn't scale to
+    * large postings; the query-broadcast shape is kept as the only path.)
+    */
+  /** All-token document frequencies `(token, df)` — the third corpus-side
+    * derived table (after postings and doc lengths) a persistent deployment
+    * materializes; the reference maintains it incrementally on write
+    * (`core.go:1413-1462`).
+    */
+  def tokenDf(post: DataFrame): DataFrame =
+    post.groupBy(col("token")).agg(count(lit(1)).as("df"))
+
+  /** @param prebuiltDocLengths materialized [[docLengthsFromPostings]]
+    *   output; without it every batch re-scans the postings to derive it.
+    * @param prebuiltTokenDf materialized [[tokenDf]] output (same reason).
+    */
+  def searchPostingsBatch(allIds: DataFrame, post: DataFrame, idCol: String,
+                          queryTokens: DataFrame,
+                          prebuiltDocLengths: Option[DataFrame] = None,
+                          prebuiltTokenDf: Option[DataFrame] = None): DataFrame = {
+    val dls = prebuiltDocLengths.getOrElse(
+      docLengthsFromPostings(allIds, post, idCol))
+    val stats = dls.agg(
+      count(lit(1)).as("total_docs"),
+      avg(col("dl")).as("avg_dl"))
+
+    // df(token) once per distinct token across the whole batch — document
+    // frequency is query-independent.
+    val dfreq = prebuiltTokenDf match {
+      case Some(tdf) => tdf.join(
+        broadcast(queryTokens.select(col("token")).distinct()), Seq("token"))
+      case None => tokenDf(post.join(
+        broadcast(queryTokens.select(col("token")).distinct()), Seq("token")))
+    }
+
+    val idf = log(lit(1.0) +
+      (col("total_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfPart = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avg_dl")))
+
+    // Everything in the term score except the query-side multiplicity `qn`
+    // is a function of (token, doc): precompute `w = idf * tfPart` on the
+    // postings subtree (its size is the postings', not the hit set's), so
+    // the (queries × postings) hot stage is ONE thin hash join + aggregate
+    // — few operators (stays inside whole-stage codegen), narrow rows.
+    val wPost = post
+      .join(broadcast(dfreq), Seq("token"))
+      .join(dls, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .select(col("token"), col(idCol), (idf * tfPart).as("w"))
+
+    wPost.join(broadcast(queryTokens), Seq("token"))
+      .withColumn("term_score", col("qn") * col("w"))
+      .groupBy(col("qid"), col(idCol))
+      .agg(sum(col("term_score")).as("score"))
+  }
+
   /** Max-normalization of text scores for fusion —
     * `normalizeTextScores` (`search_utils.go:55-69`).
     */
