@@ -7,12 +7,12 @@ import graft.dedup.Dedup
 /** Multimodal column handling (builder brief): media as opaque `binary`
   * columns with typed metadata, decoded/feature-extracted per partition.
   *
-  * The image/audio codecs are NOT in this environment, so `decodeStub` is a
-  * clearly-marked deterministic fake — but everything Spark-side is real:
-  * the binary payload column, the typed `Dataset[MediaFeature]` schema, the
-  * mapPartitions batch shape (one decoder instance per partition, the
-  * pattern a real codec needs for native-lib reuse), and the downstream
-  * columnar feature output.
+  * Image payloads (PNG/JPEG by magic bytes) are REALLY decoded with the
+  * JDK's `javax.imageio` — true dimensions, channel count from the raster,
+  * and a real 64-bit difference hash ([[dHash]]) over a 9×8 area-averaged
+  * grayscale grid. Non-image bytes (this container has no audio/video
+  * codecs) fall back to [[decodeStub]], a clearly-marked deterministic
+  * substitute that keeps those rows oracle-checkable.
   */
 final case class MediaFeature(
     doc_id: Long,
@@ -25,10 +25,92 @@ final case class MediaFeature(
 
 object Multimodal {
 
-  /** STUB decoder — stands in for an image/audio decode + feature extract.
-    * Deterministic function of the payload bytes (polynomial hash, same
-    * formula as [[Dedup.polyHash]] so the oracle can replicate it).
-    * A real implementation would decode here and emit true dimensions.
+  /** Magic-byte sniff (the loader dispatch for binary columns): PNG
+    * signature / JPEG SOI. Sniffing, not trusting metadata, is what a
+    * 100 TB pipeline needs — the column is opaque bytes, rows can lie.
+    */
+  def sniffFormat(payload: Array[Byte]): Option[String] =
+    if (payload.length >= 8 &&
+        (payload(0) & 0xff) == 0x89 && payload(1) == 'P' &&
+        payload(2) == 'N' && payload(3) == 'G') Some("png")
+    else if (payload.length >= 3 &&
+        (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8 &&
+        (payload(2) & 0xff) == 0xff) Some("jpeg")
+    else None
+
+  /** Decode one payload: real image decode when the bytes are an image
+    * (dimensions/channels/dHash from the decoded raster), [[decodeStub]]
+    * otherwise. A sniffed image that fails to decode (truncated file) also
+    * falls back to the stub rather than failing the task — corrupt rows
+    * are data, not errors, at pipeline scale.
+    */
+  def decode(id: Long, payload: Array[Byte]): MediaFeature =
+    sniffFormat(payload).flatMap { fmt =>
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        Option(img).map { im =>
+          MediaFeature(
+            doc_id = id,
+            n_bytes = payload.length.toLong,
+            phash = dHash(im),
+            width = im.getWidth,
+            height = im.getHeight,
+            channels = im.getRaster.getNumBands,
+            format = fmt)
+        }
+      } catch { case _: Exception => None }
+    }.getOrElse(decodeStub(id, payload))
+
+  /** 64-bit difference hash: area-average the luminance onto a 9×8 grid,
+    * then bit `y*8 + x` is set iff `cell(x+1, y) > cell(x, y)` — the
+    * standard dHash construction (horizontal gradient signs). Integer
+    * math throughout so the value is platform-deterministic; a 9×8 input
+    * hashes its own pixels (identity resample), which is what makes the
+    * fixture images in the m1 oracle bit-exactly predictable.
+    */
+  def dHash(img: java.awt.image.BufferedImage): Long = {
+    val gw = 9; val gh = 8
+    val w = img.getWidth; val h = img.getHeight
+    val cells = new Array[Long](gw * gh)
+    var gy = 0
+    while (gy < gh) {
+      val y0 = gy * h / gh; val y1 = math.max(y0 + 1, (gy + 1) * h / gh)
+      var gx = 0
+      while (gx < gw) {
+        val x0 = gx * w / gw; val x1 = math.max(x0 + 1, (gx + 1) * w / gw)
+        var sum = 0L
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) {
+            val c = img.getRGB(x, y)
+            sum += (299L * ((c >> 16) & 0xff) + 587L * ((c >> 8) & 0xff) +
+              114L * (c & 0xff)) / 1000L
+            x += 1
+          }
+          y += 1
+        }
+        val n = (math.min(x1, w) - x0).toLong * (math.min(y1, h) - y0)
+        cells(gy * gw + gx) = if (n > 0) sum / n else 0L
+        gx += 1
+      }
+      gy += 1
+    }
+    var bits = 0L
+    var b = 0
+    while (b < 64) {
+      val gx = b % 8; val gy2 = b / 8
+      if (cells(gy2 * gw + gx + 1) > cells(gy2 * gw + gx)) bits |= (1L << b)
+      b += 1
+    }
+    bits
+  }
+
+  /** STUB decoder for non-image bytes — stands in for the audio/video
+    * codecs this container lacks. Deterministic function of the payload
+    * (polynomial hash, same formula as [[Dedup.polyHash]] so the oracle
+    * can replicate it).
     */
   def decodeStub(id: Long, payload: Array[Byte]): MediaFeature = {
     var acc = 0L
@@ -47,16 +129,19 @@ object Multimodal {
       format = if (acc % 2 == 0) "png" else "jpeg")
   }
 
-  /** Feature extraction over (id, payload) — mapPartitions so a real codec
-    * would amortize per-partition initialization; rows stream through
-    * without collecting a partition in memory.
+  /** Feature extraction over (id, payload) — mapPartitions so decoder
+    * setup amortizes per partition; rows stream through without
+    * collecting a partition in memory. ImageIO's plugin registry lookup
+    * is the per-partition cost a real deployment would pay here.
     */
   def extractFeatures(media: Dataset[(Long, Array[Byte])]): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
-      // A real decoder would be instantiated HERE, once per partition.
-      it.map { case (id, payload) => decodeStub(id, payload) }
+      // Disk-cache thrash guard: ImageIO defaults to temp-file caching
+      // for its streams; in-memory is both faster and executor-safe.
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { case (id, payload) => decode(id, payload) }
     }.toDF()
   }
 }

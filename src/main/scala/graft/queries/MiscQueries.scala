@@ -8,7 +8,7 @@ import graft.core.Tables
 import graft.filter.FilterDsl
 import graft.functions.VectorFunctions
 import graft.graph.GraphOps
-import graft.multimodal.Multimodal
+import graft.multimodal.{Multimodal, Png}
 import graft.oplog.Oplog
 import graft.search.Fusion
 import graft.text.TextPipeline
@@ -274,13 +274,37 @@ object MiscQueries {
         .orderBy(col("id"))
     }),
 
-    // M1: multimodal binary-column pipeline — payload → mapPartitions
-    // decode stub → typed features.
+    // M1: multimodal binary-column pipeline — payload → mapPartitions →
+    // typed features. Half the rows are REAL PNGs (synthesized in-plan by
+    // the deterministic Png writer) decoded with javax.imageio: doc_id%4=2
+    // is a 9×8 image whose pixels are painted so its dHash equals a known
+    // arithmetic target; %4=3 is a variable-width horizontal gradient
+    // (every dHash comparison fires → phash = -1, true varying width).
+    // The rest are text bytes riding the non-image stub fallback.
     "m1_multimodal" -> ((s, dir) => {
       import s.implicits._
       val media = Tables.documents(s, dir).filter(col("doc_id") < 100)
-        .select(col("doc_id").cast("long"), encode(col("text"), "UTF-8").as("payload"))
-        .as[(Long, Array[Byte])]
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val payload =
+            if (id % 4 == 2) {
+              val target = (id * 2654435761L) % 2147483647L
+              Png.encodeGray(9, 8, (x, y) => {
+                var g = 120
+                var i = 0
+                while (i < x) {
+                  g += (if (((target >> (y * 8 + i)) & 1L) == 1L) 15 else -15)
+                  i += 1
+                }
+                g
+              })
+            } else if (id % 4 == 3) {
+              val w = 16 + (id % 7).toInt
+              Png.encodeGray(w, 12, (x, _) => x * 255 / (w - 1))
+            } else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          (id, payload)
+        }
       Multimodal.extractFeatures(media)
         .select(col("doc_id"), col("n_bytes"), col("phash"),
           col("width"), col("height"), col("channels"), col("format"))
@@ -504,19 +528,34 @@ object MiscQueries {
         |FROM embeddings CROSS JOIN q
         |WHERE vec_id BETWEEN 1 AND 10 ORDER BY id""".stripMargin,
 
+    // Image rows are arithmetic: the 9×8 fixture's dHash was PAINTED to
+    // equal (doc_id * 2654435761) % 2147483647; the gradient fixture sets
+    // all 64 comparison bits (-1); PNG length is the stored-block formula
+    // raw + 68 where raw = height * (1 + 3*width) (Png.encodedLength).
     "m1_multimodal" ->
       """WITH h AS (
         |  SELECT doc_id, length(text) AS n_bytes,
         |    list_reduce([CAST(0 AS BIGINT)] ||
         |      list_transform(str_split(text, ''), c -> CAST(ord(c) AS BIGINT)),
-        |      (acc, x) -> (acc * 31 + x) % 2147483647) AS ph
+        |      (acc, x) -> (acc * 31 + x) % 2147483647) AS ph,
+        |    16 + doc_id % 7 AS gw
         |  FROM documents WHERE doc_id < 100)
-        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
-        |  ph AS phash,
-        |  CAST(64 + ph % 512 AS INT) AS width,
-        |  CAST(64 + (ph // 512) % 512 AS INT) AS height,
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(CASE WHEN doc_id % 4 = 2 THEN 8 * (1 + 3 * 9) + 68
+        |            WHEN doc_id % 4 = 3 THEN 12 * (1 + 3 * gw) + 68
+        |            ELSE n_bytes END AS BIGINT) AS n_bytes,
+        |  CASE WHEN doc_id % 4 = 2 THEN (doc_id * 2654435761) % 2147483647
+        |       WHEN doc_id % 4 = 3 THEN CAST(-1 AS BIGINT)
+        |       ELSE ph END AS phash,
+        |  CAST(CASE WHEN doc_id % 4 = 2 THEN 9
+        |            WHEN doc_id % 4 = 3 THEN gw
+        |            ELSE 64 + ph % 512 END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 4 = 2 THEN 8
+        |            WHEN doc_id % 4 = 3 THEN 12
+        |            ELSE 64 + (ph // 512) % 512 END AS INT) AS height,
         |  CAST(3 AS INT) AS channels,
-        |  CASE WHEN ph % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+        |  CASE WHEN doc_id % 4 >= 2 THEN 'png'
+        |       WHEN ph % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
         |FROM h ORDER BY doc_id""".stripMargin
   )
 }
