@@ -36,11 +36,13 @@ object Bench {
 
     // Optional args = query-name filter for quick spot-timing during
     // development (skips the ANN section); the single arg "ann" runs ONLY
-    // the ANN section; no args = the full driver run.
+    // the ANN+fusion+f16 sections; "fusion" ONLY the batched-fusion
+    // section; no args = the full driver run.
     val annOnly = args.sameElements(Array("ann"))
+    val fusionOnly = args.sameElements(Array("fusion"))
     val qs0 = SparkEntry.queries.toSeq.sortBy(_._1)
     val qs =
-      if (annOnly) Seq.empty
+      if (annOnly || fusionOnly) Seq.empty
       else if (args.isEmpty) qs0
       else qs0.filter { case (n, _) => args.contains(n) }
 
@@ -485,7 +487,7 @@ object Bench {
     // Deployment shape: corpus + postings cached/materialized (state tables
     // ARE materialized in a serving deployment); per-batch work is ONE plan
     // — broadcast token join + qid-windowed vector top-k + fusion + decay.
-    val fusionBatch = if (args.nonEmpty && !annOnly) "" else try {
+    val fusionBatch = if (args.nonEmpty && !annOnly && !fusionOnly) "" else try {
       import org.apache.spark.sql.{Column, DataFrame}
       import org.apache.spark.sql.functions._
       import graft.functions.VectorFunctions
