@@ -881,4 +881,58 @@ object Ivf {
     val total = exact.count()
     if (total == 0) 0.0 else hits.toDouble / total
   }
+
+  // ------------------------------------------------------- drift repair
+
+  /** Bucket-balance health of an assigned layout: max bucket size over the
+    * median across all `expectedBuckets` centroids (missing buckets count
+    * as empty — under drift, vectors pile into a few buckets and the rest
+    * starve, which is exactly what this ratio surfaces). One k-row
+    * aggregate; the collect is bounded by the centroid count, the same
+    * driver-bounded class as the KMeans state itself.
+    */
+  def bucketSkew(assigned: DataFrame, expectedBuckets: Int): Double = {
+    val counts = assigned.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(1))
+    val all = (counts ++ Array.fill(
+      math.max(0, expectedBuckets - counts.length))(0L)).sorted
+    if (all.isEmpty) 0.0
+    else all.last.toDouble / math.max(all(all.length / 2), 1L).toDouble
+  }
+
+  /** Offline drift repair for a streamed bucket-partitioned layout — the
+    * batch analogue of the reference's `Refine`/`RunTurboRefine` index
+    * maintenance (`pkg/core/hnsw/optimizer.go:273,644`). Streaming ingest
+    * ([[graft.streaming.Streams.ivfIngest]]) assigns to FROZEN centroids;
+    * when the data distribution drifts, new vectors crowd into whichever
+    * old buckets are least wrong, probe recall decays, and nothing
+    * re-learns the geometry. This job measures [[bucketSkew]] and, past
+    * `threshold`, re-runs the full build (train on the CURRENT vectors +
+    * re-assign) and writes the repaired layout to `outPath`.
+    *
+    * Rewrite-then-swap: `outPath` must differ from `layoutPath` (never
+    * overwrite a layout being served/read — the caller swaps the serving
+    * path after the write completes, like any index rebuild). Returns the
+    * new centroids when a repair ran, None when the layout was healthy.
+    */
+  def repairLayout(
+      spark: org.apache.spark.sql.SparkSession,
+      layoutPath: String,
+      outPath: String,
+      k: Int,
+      iters: Int = 3,
+      threshold: Double = 4.0,
+      metric: String = "cosine"): Option[Array[Array[Float]]] = {
+    require(outPath != layoutPath, "repair writes a NEW layout (swap after)")
+    val layout = spark.read.parquet(layoutPath)
+    if (bucketSkew(layout, k) < threshold) None
+    else {
+      val vectors = layout.select(col("id"), col("vector"))
+      val cents = trainKMeansArrays(vectors, k, iters, metric = metric)
+      assignFast(vectors, cents, metric = metric)
+        .write.mode("overwrite").partitionBy("bucket").parquet(outPath)
+      Some(cents)
+    }
+  }
 }

@@ -148,4 +148,95 @@ class StreamsSpec extends SparkSpec {
     // partition column, so a probe filter prunes files.
     assert(stored.select(col("bucket")).distinct().count() === 4)
   }
+
+  test("drift repair: recall recovers to fresh-build level after re-cluster") {
+    import graft.functions.VectorFunctions
+    import graft.search.Ivf
+    val k = 8
+    val nProbe = 1
+    val emb = Tables.embeddings(spark, sf())
+      .select(col("vec_id").cast("long").as("id"),
+        VectorFunctions.normalize(col("embedding")).as("vector"))
+
+    // Initial corpus + frozen centroids; layout as the streamed ingest
+    // writes it (bucket-partitioned parquet).
+    val a = emb.filter(col("id") < 200)
+    val centsA = Ivf.trainKMeansArrays(a, k, iters = 3)
+    val layout = tempDir("ivf-drift-layout")
+    Ivf.assignFast(a, centsA)
+      .write.mode("append").partitionBy("bucket").parquet(layout)
+
+    // Drift: a second wave concentrated in a cone AROUND THE BOUNDARY of
+    // the two most-similar frozen centroids — the worst case for a frozen
+    // geometry: assignments split noisily across the two buckets (so both
+    // crowd → skew) while each vector's true neighbors straddle the
+    // boundary (so a fixed-nProbe probe misses the other half → recall
+    // decays). Assigned under the frozen geometry exactly as ivfIngest
+    // would.
+    val u: Array[Float] = {
+      def norm(v: Array[Float]): Array[Float] = {
+        val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+        v.map(_ / n)
+      }
+      val cn = centsA.map(norm)
+      val pairs = for (i <- cn.indices; j <- cn.indices if i < j)
+        yield (i, j, cn(i).zip(cn(j)).map { case (x, y) => x * y }.sum)
+      val (bi, bj, _) = pairs.maxBy(_._3)
+      norm(cn(bi).zip(cn(bj)).map { case (x, y) => x + y })
+    }
+    val uLit = array(u.map(x => lit(x)).toIndexedSeq: _*)
+    val b = emb.filter(col("id").between(200, 399))
+      .select(col("id"),
+        VectorFunctions.normalize(
+          zip_with(col("vector"), uLit, (x, c) => x * lit(0.6f) + c))
+          .cast("array<float>").as("vector"))
+    Ivf.assignFast(b, centsA)
+      .write.mode("append").partitionBy("bucket").parquet(layout)
+
+    // The drifted wave crowds into few buckets: skew fires the repair.
+    val threshold = 3.0
+    val drifted = spark.read.parquet(layout)
+    assert(Ivf.bucketSkew(drifted, k) >= threshold)
+
+    def recallOf(cents: Array[Array[Float]], table: org.apache.spark.sql.DataFrame,
+                 queries: org.apache.spark.sql.DataFrame): Double = {
+      val approx = Ivf.searchBatchedFast(
+        Ivf.servingIndex(table), cents, queries, 10, nProbe)
+      val exact = graft.search.VectorSearch.topKBatch(
+          table.select(col("id"), col("vector")), queries, 10, "cosine",
+          "id", "vector", normalized = true)
+        .select(col("qid"), col("id"))
+      Ivf.recallAt(approx, exact, 10)
+    }
+    // Queries drawn from the drifted wave — the traffic the frozen
+    // geometry serves badly.
+    val queries = b.filter(col("id") < 220)
+      .select((col("id") - 200).as("qid"), col("vector").as("qvec"))
+    val before = recallOf(centsA, drifted, queries)
+
+    // Repair: healthy layouts are left alone; the drifted one rewrites.
+    val healthy = tempDir("ivf-drift-healthy")
+    Ivf.assignFast(a, centsA)
+      .write.mode("append").partitionBy("bucket").parquet(healthy)
+    assert(Ivf.repairLayout(spark, healthy, healthy + "-out", k,
+      threshold = threshold).isEmpty)
+
+    val repairedPath = tempDir("ivf-drift-repaired")
+    val centsR = Ivf.repairLayout(spark, layout, repairedPath, k,
+      threshold = threshold)
+    assert(centsR.nonEmpty, "skewed layout must trigger a rewrite")
+    val repaired = spark.read.parquet(repairedPath)
+    assert(repaired.count() === drifted.count())
+    val after = recallOf(centsR.get, repaired, queries)
+
+    // Fresh-build baseline: same k/iters trained on the full current data.
+    val full = a.unionByName(b)
+    val centsF = Ivf.trainKMeansArrays(full, k, iters = 3)
+    val fresh = recallOf(centsF, Ivf.assignFast(full, centsF), queries)
+
+    assert(after >= fresh - 0.05,
+      s"repaired recall $after must recover to fresh-build $fresh")
+    assert(after > before,
+      s"repair must improve drifted recall (before=$before after=$after)")
+  }
 }
