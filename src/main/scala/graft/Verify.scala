@@ -15,6 +15,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Keep the hash path for bounded top-k aggregates at serving batch
+      // sizes (default falls back to sort-based at 128 groups; see TopK).
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "131072")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -17,5 +17,7 @@ object SparkSpec {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      "131072")
     .getOrCreate()
 }
