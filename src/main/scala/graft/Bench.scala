@@ -28,6 +28,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Keep the hash path for bounded top-k aggregates at serving batch
+      // sizes (default falls back to sort-based at 128 groups; see TopK).
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "131072")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -666,52 +670,58 @@ object Bench {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.expressions.Window
       import graft.functions.{F16, VectorFunctions}
-      val N = sys.env.getOrElse("SPARK_GRAFT_F16_N", "200000").toInt
-      val DIM = 256
-      val NQ = 64
-      def hu(seed: Column, j: Column, salt: String): Column =
-        (pmod(xxhash64(seed, j, lit(salt)), lit(2000001L)).cast("double")
-          - 1000000.0) / 1000000.0
-      def vec(idc: Column, noiseSalt: String): Column =
-        transform(sequence(lit(0), lit(DIM - 1)), j =>
-          (hu(pmod(idc, lit(1000L)), j, "ctr") +
-            hu(idc, j, noiseSalt) * lit(0.25)).cast("float"))
-      val emb32 = spark.range(N)
-        .select(col("id"), vec(col("id"), "nz").as("vector")).cache()
-      emb32.count()
-      val emb16 = emb32.select(col("id"), F16.pack(col("vector")).as("f16v")).cache()
-      emb16.count()
-      val q32 = spark.range(NQ)
-        .select(col("id").as("qid"), vec(col("id"), "qnz").as("qvec")).cache()
-      q32.count()
-      val q16 = q32.select(col("qid"), F16.pack(col("qvec")).as("qf16")).cache()
-      q16.count()
-      def ranked(scored: DataFrame): DataFrame = scored
-        .withColumn("rank", row_number().over(
-          Window.partitionBy(col("qid")).orderBy(col("distance"), col("id"))))
-        .filter(col("rank") <= 10)
-        .select(col("qid"), col("id"))
-      def scan32() = ranked(emb32.crossJoin(broadcast(q32))
-        .withColumn("distance",
-          VectorFunctions.euclideanSq(col("vector"), col("qvec"))))
-      def scan16() = ranked(emb16.crossJoin(broadcast(q16))
-        .withColumn("distance", F16.euclideanSq(col("f16v"), col("qf16"))))
-      noopWrite(scan32()); noopWrite(scan16())
-      var t32 = Double.MaxValue
-      var t16 = Double.MaxValue
-      for (_ <- 1 to 3) {
-        t32 = math.min(t32, timeIt(noopWrite(scan32())))
-        t16 = math.min(t16, timeIt(noopWrite(scan16())))
+      // Two dims: 256d (decode-ALU-bound — f16 pays ~18% throughput for 2×
+      // capacity) and 1024d at the same total float count (memory-bandwidth-
+      // leaning — the crossover the precision matrix argues for). Same
+      // corpus bytes per variant ⇒ comparable cache/bandwidth pressure.
+      def f16Point(n: Int, dim: Int): String = {
+        val NQ = 64
+        def hu(seed: Column, j: Column, salt: String): Column =
+          (pmod(xxhash64(seed, j, lit(salt)), lit(2000001L)).cast("double")
+            - 1000000.0) / 1000000.0
+        def vec(idc: Column, noiseSalt: String): Column =
+          transform(sequence(lit(0), lit(dim - 1)), j =>
+            (hu(pmod(idc, lit(1000L)), j, "ctr") +
+              hu(idc, j, noiseSalt) * lit(0.25)).cast("float"))
+        val emb32 = spark.range(n)
+          .select(col("id"), vec(col("id"), "nz").as("vector")).cache()
+        emb32.count()
+        val emb16 = emb32.select(col("id"), F16.pack(col("vector")).as("f16v")).cache()
+        emb16.count()
+        val q32 = spark.range(NQ)
+          .select(col("id").as("qid"), vec(col("id"), "qnz").as("qvec")).cache()
+        q32.count()
+        val q16 = q32.select(col("qid"), F16.pack(col("qvec")).as("qf16")).cache()
+        q16.count()
+        def ranked(scored: DataFrame): DataFrame = scored
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("distance"), col("id"))))
+          .filter(col("rank") <= 10)
+          .select(col("qid"), col("id"))
+        def scan32() = ranked(emb32.crossJoin(broadcast(q32))
+          .withColumn("distance",
+            VectorFunctions.euclideanSq(col("vector"), col("qvec"))))
+        def scan16() = ranked(emb16.crossJoin(broadcast(q16))
+          .withColumn("distance", F16.euclideanSq(col("f16v"), col("qf16"))))
+        noopWrite(scan32()); noopWrite(scan16())
+        var t32 = Double.MaxValue
+        var t16 = Double.MaxValue
+        for (_ <- 1 to 3) {
+          t32 = math.min(t32, timeIt(noopWrite(scan32())))
+          t16 = math.min(t16, timeIt(noopWrite(scan16())))
+        }
+        val ex = scan32().cache(); ex.count()
+        val ap = scan16().cache(); ap.count()
+        val rec = graft.search.Ivf.recallAt(ap, ex, 10)
+        ex.unpersist(); ap.unpersist()
+        emb32.unpersist(); emb16.unpersist(); q32.unpersist(); q16.unpersist()
+        def c1(d: Double): Double = math.rint(d * 10) / 10
+        s"""{"n":$n,"dim":$dim,"n_queries":$NQ,""" +
+          s""""qps_f32":${c1(NQ / t32)},"qps_f16":${c1(NQ / t16)},""" +
+          s""""recall_vs_f32_at_10":${r4(rec)}}"""
       }
-      val ex = scan32().cache(); ex.count()
-      val ap = scan16().cache(); ap.count()
-      val rec = graft.search.Ivf.recallAt(ap, ex, 10)
-      ex.unpersist(); ap.unpersist()
-      emb32.unpersist(); emb16.unpersist(); q32.unpersist(); q16.unpersist()
-      def c1(d: Double): Double = math.rint(d * 10) / 10
-      s""","f16":{"n":$N,"dim":$DIM,"n_queries":$NQ,""" +
-        s""""qps_f32":${c1(NQ / t32)},"qps_f16":${c1(NQ / t16)},""" +
-        s""""recall_vs_f32_at_10":${r4(rec)}}"""
+      val N = sys.env.getOrElse("SPARK_GRAFT_F16_N", "200000").toInt
+      s""","f16":[${f16Point(N, 256)},${f16Point(N / 4, 1024)}]"""
     } catch { case _: Throwable => "" }
 
     // Section order matters: the driver's artifact keeps only the LAST
