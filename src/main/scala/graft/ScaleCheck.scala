@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bench-only scale validation (VERDICT r07 next-round #5): run the dedup
+  * family + one oplog fold on a 10×-replicated corpus and report the
+  * wall-time ratio per query — the check that the skew caps and keyed
+  * shuffles keep scaling ~linear (≲ O(n log n)) off the toy scale.
+  *
+  * The 10× corpus is synthesized from sf0.1 (the driver ships no sf1):
+  * each replica TRANSLATES the text (distinct high-frequency-letter
+  * mapping per replica) and perturbs the embeddings, so replicas are NOT
+  * near-duplicates of each other — each replica reproduces the original's
+  * internal near-dup structure and total duplicate pairs scale linearly,
+  * which is what real 10× data does. Plain row duplication would square
+  * the pair counts and measure the DATA blowup, not the engine.
+  *
+  * Usage: `sbt "runMain graft.ScaleCheck"` → one JSON line
+  * (`{"metric":"scale10", "queries":{name:{base_sec,x10_sec,ratio}}}`).
+  */
+object ScaleCheck {
+
+  private val Names = Seq("d1_exact_dedup", "d2_minhash_lsh", "d3_simhash",
+    "d4_ngram_jaccard", "d5_cosine_neardup", "d6_lsh_skew_cap", "s1_replay")
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "131072")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val scaled = s"${System.getProperty("java.io.tmpdir")}/graft_scale${factor}_" +
+      java.lang.Integer.toHexString(base.hashCode)
+    if (!Files.exists(Paths.get(scaled, "_done"))) {
+      buildScaled(spark, base, scaled, factor)
+      Files.createFile(Paths.get(scaled, "_done"))
+    }
+
+    def execute(name: String, dir: String): Unit =
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    def timeIt(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def r3(d: Double): Double = math.rint(d * 1000) / 1000
+
+    // Warm both scales (codegen + parquet footers), then interleaved
+    // min-of-2 per (query, scale) — the same steal-window discipline as
+    // Bench's timed rounds.
+    Names.foreach { n => execute(n, base); execute(n, scaled) }
+    val times = collection.mutable.Map[(String, String), Double]()
+    for (_ <- 1 to 2; n <- Names; dir <- Seq(base, scaled)) {
+      val t = timeIt(execute(n, dir))
+      val key = (n, dir)
+      times(key) = math.min(times.getOrElse(key, Double.MaxValue), t)
+    }
+    val per = Names.map { n =>
+      val b = times((n, base)); val s = times((n, scaled))
+      s""""$n":{"base_sec":${r3(b)},"x${factor}_sec":${r3(s)},"ratio":${r3(s / b)}}"""
+    }.mkString(",")
+    println(s"""{"metric":"scale$factor","unit":"sec","cpus":$cpus,""" +
+      s""""base":"$base","queries":{$per}}""")
+    spark.stop()
+  }
+
+  /** Replicate documents + embeddings `factor`× with per-replica
+    * perturbation (see object doc). Replica 0 is the original.
+    */
+  private def buildScaled(spark: SparkSession, base: String, out: String,
+                          factor: Int): Unit = {
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    val nDocs = docs.count()
+    val nVec = emb.count()
+    // 10 distinct mappings of the most frequent letters — rotating within
+    // the set changes most words, so replicas share no shingles.
+    val src = "etaoinshrd"
+    def rot(r: Int): String = src.drop(r % src.length) + src.take(r % src.length)
+
+    val docsX = (0 until factor).map { r =>
+      docs.select(
+        (col("doc_id") + lit(r * nDocs)).as("doc_id"),
+        (if (r == 0) col("text")
+         else translate(col("text"), src, rot(r))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+    docsX.repartition(32).write.mode("overwrite")
+      .parquet(s"$out/documents.parquet")
+
+    val embX = (0 until factor).map { r =>
+      emb.select(
+        (col("vec_id") + lit(r * nVec)).as("vec_id"),
+        (if (r == 0) col("embedding")
+         else transform(col("embedding"), (x, j) =>
+           (x + (pmod(xxhash64(col("vec_id"), j, lit(r)), lit(2001L))
+             .cast("double") - 1000.0) / 1000.0 * lit(0.2)).cast("float")))
+          .as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+    embX.repartition(32).write.mode("overwrite")
+      .parquet(s"$out/embeddings.parquet")
+  }
+}
