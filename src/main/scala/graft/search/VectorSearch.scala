@@ -1,7 +1,6 @@
 package graft.search
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
@@ -15,11 +14,12 @@ import graft.functions.VectorFunctions._
   *     `TakeOrderedAndProject` — per-partition top-k, merge on driver, NO
   *     shuffle of the scored set.
   *   - Batched queries: broadcast the (small) query table, cross-join against
-  *     the (huge) vector table so scoring is map-side only, then
-  *     `row_number over (partition by qid order by dist)` + `filter(rank<=k)`.
-  *     Spark ≥3.5 rewrites that into a partial `WindowGroupLimit` BEFORE the
-  *     exchange, so only ~k rows per (query, input-partition) are shuffled —
-  *     this survives a 1000-executor 100 TB scan.
+  *     the (huge) vector table so scoring is map-side only, then rank with
+  *     the bounded [[graft.functions.TopK]] aggregate — a k-sized insertion
+  *     buffer per query with map-side partial merge, so only ~k rows per
+  *     (query, input-partition) are shuffled and NOTHING is sorted (the
+  *     previous `row_number` window's WindowGroupLimit still sorted every
+  *     scored partition). This survives a 1000-executor 100 TB scan.
   *
   * Ties broken by id ascending for determinism (the reference's sort is
   * stable on insertion order; any fixed total order matches its recall
@@ -92,11 +92,13 @@ object VectorSearch {
     }
     val scored = base.crossJoin(broadcast(queries))
       .withColumn("distance", d)
-    val w = Window.partitionBy(col(qidCol)).orderBy(col("distance"), col(idCol))
     scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qidCol), col(idCol), col("distance"), col("rank"))
+      .groupBy(col(qidCol))
+      .agg(graft.functions.TopK.topK(
+        col(idCol).cast("long"), col("distance"), k).as("_tk"))
+      .select(col(qidCol), explode(col("_tk")).as("_e"))
+      .select(col(qidCol), col("_e.id").as(idCol),
+        col("_e.distance").as("distance"), col("_e.rank").as("rank"))
   }
 
   /** H5 `VSearchWithScores` (`pkg/engine/ops.go:1276`): top-k plus the

@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
   *   - dedup/similarity joins are bucketed, never all-pairs (no cartesian
   *     product anywhere in those plans);
   *   - filter-DSL predicates reach the parquet scan (PushedFilters);
-  *   - batched k-NN uses WindowGroupLimit (partial top-k before exchange);
+  *   - batched k-NN ranks through the bounded top-k aggregate (partial
+  *     top-k buffers before the exchange, no sort);
   *   - hydration and probe joins broadcast the small side.
   * These are the properties VERDICT grades at 100 TB — asserting them in CI
   * keeps a refactor from silently regressing the plan.
@@ -43,13 +44,18 @@ class PlanShapeSpec extends SparkSpec {
       p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
   }
 
-  test("batched k-NN plans a partial WindowGroupLimit before the exchange") {
+  test("batched k-NN ranks through a partial bounded-top-k aggregate") {
     val emb = graft.core.Tables.embeddings(spark, sf())
     val q = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val df = graft.search.VectorSearch.topKBatch(emb, q, k = 10,
       metric = "cosine", idCol = "vec_id", vecCol = "embedding")
-    assert(plan(df).contains("WindowGroupLimit"))
+    val p = plan(df)
+    // ObjectHashAggregate with partial_topk_by_distance BEFORE the qid
+    // exchange: only nPartitions×k buffer rows are shuffled, nothing sorts.
+    assert(p.contains("ObjectHashAggregate") &&
+      p.contains("partial_topk_by_distance"), p.take(2000))
+    assert(!p.contains("WindowExec") && !p.contains("WindowGroupLimit"))
   }
 
   test("IVF probe join broadcasts the probe side") {

@@ -103,11 +103,13 @@ class VectorSearchSpec extends SparkSpec {
     assert(z == Seq(0f, 0f))
   }
 
-  test("batch knn plan uses WindowGroupLimit (partial top-k before shuffle)") {
+  test("batch knn ranks via partial bounded-top-k aggregate (no sort)") {
     import spark.implicits._
     val queries = Seq((0L, data(0)._2)).toDF("qid", "qvec")
     val plan = VectorSearch.topKBatch(df, queries, 5, "euclidean")
       .queryExecution.executedPlan.toString
-    assert(plan.contains("WindowGroupLimit"), s"plan missing WindowGroupLimit:\n$plan")
+    assert(plan.contains("partial_topk_by_distance"),
+      s"plan missing partial top-k aggregate:\n$plan")
+    assert(!plan.contains("WindowExec") && !plan.contains("WindowGroupLimit"))
   }
 }
