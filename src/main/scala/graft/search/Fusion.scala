@@ -380,31 +380,29 @@ object Fusion {
     // final top-k (every vscore >= 0 only lifts the rows above it; ties
     // fall to the same id-ascending order the final rank uses). So the
     // full-outer fusion only needs, per qid: (a) the top-k text rows by
-    // (tscore*_dec, id) — a WindowGroupLimit partial top-k, pruned BEFORE
-    // its exchange — and (b) any text row whose (qid, id) is in the vector
-    // top-k (those carry their tscore into the fused sum). Identical
-    // results, candidate set k+k instead of every match.
-    // Two consumers over the text hits, both cheap per-row:
-    //   (a) per-qid top-k by decayed contribution — the PURE `row_number
-    //       <= k` filter pattern, so WindowGroupLimit prunes to k rows per
-    //       (qid, input partition) BEFORE the ranking exchange;
-    //   (b) the text scores of vector-selected (qid, id)s — a broadcast
-    //       left-semi lookup, map-side, no shuffle.
+    // (tscore*_dec desc, id) and (b) any text row whose (qid, id) is in
+    // the vector top-k (those carry their tscore into the fused sum).
+    // Identical results, candidate set k+k instead of every match.
+    // Mechanics: (a) ranks through the bounded [[graft.functions.TopK]]
+    // aggregate on the NEGATED contribution (ascending -x ≡ descending x,
+    // ties by id — the same total order as the window it replaces) —
+    // k-sized buffers per qid, map-side partial merge, no sort of the hit
+    // set; its keys union the vector keys into ONE broadcast semi-join
+    // back into the hit set (map-side, no shuffle, no dropDuplicates).
     // The bm25 subtree below both consumers is identical, so ReuseExchange
-    // serves its aggregation exchange once. (A single-pass variant with
-    // `rank <= k OR in-vector` defeats the WindowGroupLimit rewrite — the
-    // full hit set then rides the exchange and sort — measured slower.)
+    // serves its aggregation exchange once.
     val tWithDec = withDec(tNorm, "_dect")
     val vWithDec = withDec(vecScores, "_decv")
     val vecKeys = vWithDec.select(col("qid"), col(idCol))
-    val tTop = tWithDec
-      .withColumn("_tr", row_number().over(
-        Window.partitionBy(col("qid"))
-          .orderBy((col("tscore") * col("_dect")).desc, col(idCol))))
-      .filter(col("_tr") <= params.k)
-      .drop("_tr")
-    val tVec = tWithDec.join(broadcast(vecKeys), Seq("qid", idCol), "left_semi")
-    val tPruned = tTop.unionByName(tVec).dropDuplicates("qid", idCol)
+    val tTopKeys = tWithDec
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopK.topK(
+        col(idCol).cast("long"), -(col("tscore") * col("_dect")),
+        params.k).as("_tk"))
+      .select(col("qid"), explode(col("_tk")).as("_e"))
+      .select(col("qid"), col("_e.id").as(idCol))
+    val keys = tTopKeys.unionByName(vecKeys).distinct()
+    val tPruned = tWithDec.join(broadcast(keys), Seq("qid", idCol), "left_semi")
 
     vWithDec
       .join(tPruned, Seq("qid", idCol), "full_outer")
