@@ -23,6 +23,20 @@ final case class MediaFeature(
     channels: Int,
     format: String)
 
+/** Audio column features — real header decode + acoustic fingerprint for
+  * PCM WAV ([[Wav]]); zeroed fields + `format = "unknown"` for non-audio
+  * bytes (the honest "not audio" row, still deterministic).
+  */
+final case class AudioFeature(
+    doc_id: Long,
+    n_bytes: Long,
+    fingerprint: Long,
+    sample_rate: Int,
+    channels: Int,
+    n_frames: Long,
+    duration_ms: Long,
+    format: String)
+
 object Multimodal {
 
   /** Magic-byte sniff (the loader dispatch for binary columns): PNG
@@ -143,5 +157,35 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       it.map { case (id, payload) => decode(id, payload) }
     }.toDF()
+  }
+
+  /** Audio decode: REAL PCM WAV parse + 64-bit energy-difference
+    * fingerprint ([[Wav.parse]]); anything else (or a corrupt WAV) yields
+    * a zeroed row with the payload's polyhash as a content fingerprint —
+    * deterministic, so corrupt rows stay oracle-checkable data.
+    */
+  def decodeAudio(id: Long, payload: Array[Byte]): AudioFeature =
+    Wav.parse(payload) match {
+      case Right(w) => AudioFeature(id, payload.length.toLong, w.fingerprint,
+        w.sampleRate, w.channels, w.nFrames, w.durationMs, "wav")
+      case Left(_) =>
+        var acc = 0L
+        var i = 0
+        while (i < payload.length) {
+          acc = (acc * 31 + (payload(i) & 0xff)) % Dedup.P
+          i += 1
+        }
+        AudioFeature(id, payload.length.toLong, acc, 0, 0, 0L, 0L, "unknown")
+    }
+
+  /** Audio analogue of [[extractFeatures]]: one streamed pass, real WAV
+    * decode per row — the audio-dedup primitives (fingerprint groupBy /
+    * banded join) compose on top exactly like the text fingerprints.
+    */
+  def extractAudioFeatures(media: Dataset[(Long, Array[Byte])]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { case (id, payload) => decodeAudio(id, payload) })
+      .toDF()
   }
 }

@@ -8,7 +8,7 @@ import graft.core.Tables
 import graft.filter.FilterDsl
 import graft.functions.VectorFunctions
 import graft.graph.GraphOps
-import graft.multimodal.{Multimodal, Png}
+import graft.multimodal.{Multimodal, Png, Wav}
 import graft.oplog.Oplog
 import graft.search.Fusion
 import graft.text.TextPipeline
@@ -309,6 +309,45 @@ object MiscQueries {
         .select(col("doc_id"), col("n_bytes"), col("phash"),
           col("width"), col("height"), col("channels"), col("format"))
         .orderBy(col("doc_id"))
+    }),
+
+    // M2: audio binary columns — REAL PCM WAV decode + 64-bit energy-
+    // difference fingerprint. doc_id%3=0 synthesizes a mono square-wave
+    // WAV whose per-window amplitudes are PAINTED so the fingerprint
+    // equals a known arithmetic target (the audio mirror of m1's dHash
+    // painting); %3=1 is a real stereo WAV too short to carry an envelope
+    // (fingerprint 0, true duration math); the rest are text bytes riding
+    // the non-audio fallback.
+    "m2_audio" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val payload =
+            if (id % 3 == 0) {
+              val target = ((id + 13) * 2654435761L) % 2147483647L
+              val winLen = 16 + (id % 5).toInt
+              val amps = new Array[Int](65)
+              amps(0) = 8000
+              for (w <- 1 until 65)
+                amps(w) = amps(w - 1) +
+                  (if (((target >> (w - 1)) & 1L) == 1L) 120 else -120)
+              Wav.encodePcm16(8000, 1, 65 * winLen) { (f, _) =>
+                val a = amps(f / winLen)
+                if (f % 2 == 0) a else -a
+              }
+            } else if (id % 3 == 1) {
+              val rate = 16000 + (id % 4).toInt * 4000
+              Wav.encodePcm16(rate, 2, 64)((f, c) => (f * 40 + c * 7) % 2000)
+            } else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          (id, payload)
+        }
+      Multimodal.extractAudioFeatures(media)
+        .select(col("doc_id"), col("n_bytes"), col("fingerprint"),
+          col("sample_rate"), col("channels"), col("n_frames"),
+          col("duration_ms"), col("format"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -556,6 +595,38 @@ object MiscQueries {
         |  CAST(3 AS INT) AS channels,
         |  CASE WHEN doc_id % 4 >= 2 THEN 'png'
         |       WHEN ph % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    // Audio rows are arithmetic: the painted square-wave WAV's energy-
+    // difference fingerprint equals ((doc_id+13)*2654435761) % 2147483647
+    // by construction; WAV byte length is the canonical-header formula
+    // 44 + 2*channels*frames (Wav.encodedLength); the 64-frame stereo clip
+    // is too short for an envelope (fingerprint 0) but has true duration.
+    "m2_audio" ->
+      """WITH h AS (
+        |  SELECT doc_id, length(text) AS n_chars,
+        |    list_reduce([CAST(0 AS BIGINT)] ||
+        |      list_transform(str_split(text, ''), c -> CAST(ord(c) AS BIGINT)),
+        |      (acc, x) -> (acc * 31 + x) % 2147483647) AS ph,
+        |    65 * (16 + doc_id % 5) AS nf,
+        |    16000 + (doc_id % 4) * 4000 AS rate
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 44 + 2 * nf
+        |            WHEN doc_id % 3 = 1 THEN 44 + 2 * 2 * 64
+        |            ELSE n_chars END AS BIGINT) AS n_bytes,
+        |  CASE WHEN doc_id % 3 = 0 THEN ((doc_id + 13) * 2654435761) % 2147483647
+        |       WHEN doc_id % 3 = 1 THEN CAST(0 AS BIGINT)
+        |       ELSE ph END AS fingerprint,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 8000
+        |            WHEN doc_id % 3 = 1 THEN rate ELSE 0 END AS INT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+        |            WHEN doc_id % 3 = 1 THEN 2 ELSE 0 END AS INT) AS channels,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN nf
+        |            WHEN doc_id % 3 = 1 THEN 64 ELSE 0 END AS BIGINT) AS n_frames,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN nf * 1000 // 8000
+        |            WHEN doc_id % 3 = 1 THEN 64000 // rate ELSE 0 END AS BIGINT) AS duration_ms,
+        |  CASE WHEN doc_id % 3 <= 1 THEN 'wav' ELSE 'unknown' END AS format
         |FROM h ORDER BY doc_id""".stripMargin
   )
 }
