@@ -154,6 +154,52 @@ object Dedup {
       .select(col("id"), hashCol.as("simhash"))
   }
 
+  /** Banded-Hamming near-dup over 64-bit fingerprints — the join that
+    * turns the engine's perceptual hashes (audio energy envelopes
+    * [[graft.multimodal.Wav]], image dHashes, wide simhashes, document
+    * fingerprints) into dedup verdicts at scale. Pigeonhole guarantee:
+    * with `maxHamming < bands`, two fingerprints within the threshold
+    * must agree EXACTLY on at least one of the `bands` equal bit slices
+    * (the errors can't cover every slice), so candidates meet on a
+    * (band, slice) join key — never all-pairs — and the result is the
+    * complete, exact set of pairs with `hamming ≤ maxHamming`.
+    * `maxBucket` caps a degenerate hot slice (e.g. silence → fingerprint
+    * 0 in every clip) exactly like [[lshCandidatePairs]]: the count runs
+    * on the join key BEFORE the quadratic step and reuses its exchange.
+    * Returns (id1, id2, hamming), id1 < id2.
+    */
+  def hammingNearDups(df: DataFrame, idCol: String, fpCol: String,
+      bands: Int = 4, maxHamming: Int = 3,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    require(maxHamming < bands,
+      "pigeonhole completeness needs maxHamming < bands")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(fpCol).cast("long").as("fp"))
+    val banded = base.select(col("id"), col("fp"),
+        posexplode(array((0 until bands).map(b =>
+          shiftrightunsigned(col("fp"), b * width).bitwiseAND(lit(mask))): _*))
+          .as(Seq("band", "slice")))
+    val bounded =
+      if (maxBucket == Int.MaxValue) banded
+      else banded
+        .withColumn("bsz",
+          count(lit(1)).over(Window.partitionBy(col("band"), col("slice"))))
+        .filter(col("bsz") <= maxBucket)
+        .drop("bsz")
+    val l = bounded.select(col("band"), col("slice"),
+      col("id").as("id1"), col("fp").as("fp1"))
+    val r = bounded.select(col("band"), col("slice"),
+      col("id").as("id2"), col("fp").as("fp2"))
+    l.join(r, Seq("band", "slice")).filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("fp1"), col("fp2")).distinct()
+      .withColumn("hamming", expr("bit_count(fp1 ^ fp2)").cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id1"), col("id2"), col("hamming"))
+  }
+
   /** Deterministic hyperplane sign bucket for an embedding: 2^planes coarse
     * buckets; plane j weight at dim d is ((131j + 31d) mod 17) - 8. The
     * bucket key is what makes the near-dup join scale: candidates only meet

@@ -138,6 +138,46 @@ object DedupQueries {
         .filter(col("jaccard") >= 0.5)
         .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id1"), col("id2"))
+    }),
+
+    // D7: the full audio-dedup pipeline — REAL WAV decode → acoustic
+    // fingerprint → banded-Hamming near-dup join. 100 clips in 20 groups
+    // of 5: each group shares a painted energy envelope (a 64-bit target
+    // built from two 31-bit halves so every band slice carries signal);
+    // members perturb ≤1 distinct envelope window each, so within-group
+    // pairs sit at hamming ≤ 2 and the pigeonhole banding (4×16) finds
+    // them EXACTLY. The oracle replicates fingerprint arithmetic, banding,
+    // and popcount — no approximation anywhere.
+    "d7_audio_neardup" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.{Multimodal, Wav}
+      val media = Tables.documents(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val g = id % 20
+          val lo = ((g + 3) * 2654435761L) % 2147483647L
+          val hi = ((g + 47) * 2654435761L) % 2147483647L
+          val perturb = (id / 20) match {
+            case 0 => 0L
+            case 1 => 1L << 7
+            case 2 => 1L << 23
+            case 3 => 1L << 41
+            case _ => 1L << 57
+          }
+          val target = (lo | (hi << 32)) ^ perturb
+          val amps = new Array[Int](65)
+          amps(0) = 8000
+          for (w <- 1 until 65)
+            amps(w) = amps(w - 1) +
+              (if (((target >> (w - 1)) & 1L) == 1L) 120 else -120)
+          (id, Wav.encodePcm16(8000, 1, 65 * 16) { (f, _) =>
+            val a = amps(f / 16); if (f % 2 == 0) a else -a
+          })
+        }
+      val fps = Multimodal.extractAudioFeatures(media)
+      Dedup.hammingNearDups(fps, "doc_id", "fingerprint",
+          bands = 4, maxHamming = 3)
+        .orderBy(col("id1"), col("id2"))
     })
   )
 
@@ -304,6 +344,34 @@ object DedupQueries {
          |  JOIN sizes s1 ON s1.id = c.id1 JOIN sizes s2 ON s2.id = c.id2)
          |SELECT CAST(id1 AS BIGINT) AS id1, CAST(id2 AS BIGINT) AS id2,
          |  round(jaccard, 6) AS jaccard
-         |FROM j WHERE jaccard >= 0.5 ORDER BY id1, id2""".stripMargin
+         |FROM j WHERE jaccard >= 0.5 ORDER BY id1, id2""".stripMargin,
+
+    // Fingerprints are arithmetic (painted envelopes, see the query):
+    // target = lo | (hi << 32) from two 31-bit halves, XOR a ≤1-bit
+    // member perturbation; the oracle replicates the banding (4×16-bit
+    // slices) and popcount exactly — including any accidental cross-group
+    // slice collisions, which the hamming filter then rejects identically.
+    "d7_audio_neardup" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 100),
+        |fp AS (
+        |  SELECT id,
+        |    xor(
+        |      ((id % 20 + 3) * 2654435761) % 2147483647
+        |        + (((id % 20 + 47) * 2654435761) % 2147483647) * 4294967296,
+        |      CASE id // 20 WHEN 0 THEN 0 WHEN 1 THEN 128
+        |        WHEN 2 THEN 8388608 WHEN 3 THEN 2199023255552
+        |        ELSE 144115188075855872 END) AS f
+        |  FROM ids),
+        |banded AS (
+        |  SELECT id, f, b.band, (f >> (b.band * 16)) & 65535 AS slice
+        |  FROM fp, (SELECT unnest(range(4)) AS band) b),
+        |cand AS (
+        |  SELECT DISTINCT l.id AS id1, r.id AS id2, l.f AS f1, r.f AS f2
+        |  FROM banded l JOIN banded r
+        |    ON l.band = r.band AND l.slice = r.slice AND l.id < r.id)
+        |SELECT CAST(id1 AS BIGINT) AS id1, CAST(id2 AS BIGINT) AS id2,
+        |  CAST(bit_count(xor(f1, f2)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(f1, f2)) <= 3
+        |ORDER BY id1, id2""".stripMargin
   )
 }

@@ -120,4 +120,36 @@ class DedupKernelSpec extends SparkSpec {
     assert(uncapped.length == 66 + 1, s"uncapped=${uncapped.length}")
     assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
+
+  test("hammingNearDups: pigeonhole-complete at the threshold, exact cut") {
+    // Base fingerprint with signal in every 16-bit slice; neighbors at
+    // hamming 1, 3 (exactly the threshold, spread over 3 slices), and 4
+    // (one per slice — the pigeonhole-impossible case must ALSO be
+    // excluded, by the hamming filter, not by band luck).
+    val base = 0x123456789ABCDEF0L
+    val rows = Seq(
+      1L -> base,
+      2L -> (base ^ (1L << 5)),                                   // d=1
+      3L -> (base ^ (1L << 3) ^ (1L << 20) ^ (1L << 40)),         // d=3
+      4L -> (base ^ (1L << 2) ^ (1L << 18) ^ (1L << 34) ^ (1L << 50)), // d=4
+      5L -> 0x0FEDCBA987654321L)                                  // far
+    val out = Dedup.hammingNearDups(rows.toDF("id", "fp"), "id", "fp")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // 1-2 (d=1), 1-3 (d=3), 2-3 (d=4? No: 2 and 3 differ in bits 5,3,20,40
+    // → d=4, excluded). 4 is d=4 from 1 (excluded), d=5 from 2, d=7 from 3.
+    assert(out == Set((1L, 2L, 1), (1L, 3L, 3)))
+  }
+
+  test("hammingNearDups maxBucket drops a degenerate slice crowd") {
+    // 12 fingerprints sharing slice 0 == 0 (silence-like) pair up through
+    // band 0 when within threshold; cap 10 drops that crowd, organic pair
+    // elsewhere survives.
+    val crowd = (0 until 12).map(i => (100L + i) -> (i.toLong << 16))
+    val organic = Seq(1L -> 0x7654321076543210L,
+      2L -> (0x7654321076543210L ^ (1L << 2)))
+    val df = (crowd ++ organic).toDF("id", "fp")
+    val capped = Dedup.hammingNearDups(df, "id", "fp", maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)))
+  }
 }
