@@ -1,7 +1,8 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType}
 
 /** Loaders for the driver-generated parquet tables (see TESTDATA.md).
   *
@@ -27,15 +28,29 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which vanilla Spark rejects
-    * ([PARQUET_TYPE_ILLEGAL]); read it as raw long nanos and expose
-    * `ts_sec` (floored unix seconds) alongside. DuckDB's `floor(epoch(ts))`
-    * matches `ts div 1e9` exactly for positive timestamps.
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) (which vanilla
+    * Spark only reads as raw long nanos), as TIMESTAMP(MICROS) → Spark
+    * TIMESTAMP_NTZ, and could plausibly arrive as a session-tz timestamp —
+    * so derive `ts_sec` (floored unix seconds) from whatever dtype the scan
+    * reports. DuckDB's `floor(epoch(ts))` oracle matches every branch for
+    * the positive timestamps in the data. The NTZ branch deliberately avoids
+    * `cast(ntz as timestamp)` so the result never depends on the session
+    * time zone: a zoneless wall-clock is decomposed into epoch-day and
+    * time-of-day fields, all tz-free.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts_sec", expr("ts div 1000000000"))
+    val raw = load(s, d, "events")
+    raw.withColumn("ts_sec", tsSecExpr(raw.schema("ts").dataType))
+  }
+
+  /** Floored unix seconds from whichever physical type `ts` landed as. */
+  def tsSecExpr(dt: DataType): Column = dt match {
+    case LongType => expr("ts div 1000000000")
+    case TimestampNTZType =>
+      expr("unix_date(cast(ts as date)) * 86400L" +
+        " + hour(ts) * 3600L + minute(ts) * 60L + second(ts)")
+    case _ => expr("unix_seconds(ts)")
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -53,12 +53,22 @@ object Streams {
     * is a directory of parquet part files (the oplog/event log layout).
     */
   def eventsStream(spark: SparkSession, path: String,
-      maxFilesPerTrigger: Int = 10): DataFrame =
-    spark.readStream
-      .schema(EventSchema)
+      maxFilesPerTrigger: Int = 10): DataFrame = {
+    // Streaming file sources need an explicit schema; probe the directory's
+    // existing part files so the `ts` physical type (long nanos vs
+    // timestamp[us]) matches whatever the fixture actually contains, and
+    // derive ts_sec with the same branch the batch loader uses.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema =
+      try spark.read.parquet(path).schema
+      catch { case _: Exception => EventSchema }
+    val stream = spark.readStream
+      .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(path)
-      .withColumn("ts_sec", expr("ts div 1000000000"))
+    stream.withColumn("ts_sec",
+      graft.core.Tables.tsSecExpr(schema("ts").dataType))
+  }
 
   /** Watermarked streaming variant of [[eventWindowAgg]]: accept late events
     * up to `lateness`, then finalize windows (E5 — strictly more than the
