@@ -232,4 +232,76 @@ object Dedup {
       .filter(col("sim") >= threshold)
       .select(col("id1"), col("id2"), col("sim"))
   }
+
+  /** Connected components over an undirected pair list (`id1`, `id2`) via
+    * the alternating large-star / small-star algorithm (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14 — the same
+    * algorithm GraphFrames ships). Each round is two keyed aggregations +
+    * joins — no driver-side graph state, no all-pairs step — and the edge
+    * set provably converges to stars in O(log²/log) rounds, so a 100 TB
+    * pair list needs the same ~dozen rounds a toy one does. This is the
+    * step that turns near-dup PAIRS into dedup DECISIONS: every document
+    * in a component except the minimum id is droppable.
+    *
+    * Returns (id, component) for every node appearing in `pairs`, where
+    * component = min id of the node's component. Nodes in no pair are not
+    * emitted (callers left-join and coalesce to self).
+    *
+    * Per round the new edge set is localCheckpoint'ed (eager): iterative
+    * plans otherwise nest lineage until analysis itself dominates. On a
+    * real cluster prefer `spark.sparkContext.setCheckpointDir` + reliable
+    * checkpoints every few rounds if executor loss matters mid-job.
+    * Convergence is detected by an order-insensitive edge-set checksum
+    * (count, xor of xxhash64(u,v), xor of xxhash64(v,u)) — xor commutes
+    * and cannot overflow under ANSI arithmetic; a collision would need two
+    * distinct edge sets agreeing on all three across one algorithm step;
+    * `maxIter` bounds the loop regardless.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    def dedupEdges(e: DataFrame): DataFrame =
+      e.where(col("u") =!= col("v")).distinct()
+
+    // Large-star: hang every neighbor larger than u off the minimum of
+    // u's closed neighborhood. Small-star: orient edges large→small, then
+    // hang each small neighbor (and u itself) off the minimum neighbor.
+    def largeStar(e: DataFrame): DataFrame = {
+      val und = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = und.groupBy("u").agg(min(least(col("v"), col("u"))).as("m"))
+      dedupEdges(und.join(m, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val m = dir.groupBy("u").agg(min(col("v")).as("m"))
+      dedupEdges(dir.join(m, "u").select(col("v").as("u"), col("m").as("v"))
+        .union(m.select(col("u"), col("m").as("v"))))
+    }
+    def checksum(e: DataFrame): (Long, Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)),
+        coalesce(expr("bit_xor(xxhash64(v, u))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+
+    var edges = dedupEdges(
+      pairs.select(col("id1").cast("long").as("u"),
+        col("id2").cast("long").as("v"))).localCheckpoint()
+    var curSum = checksum(edges)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nextSum = checksum(next)
+      converged = nextSum == curSum
+      edges = next
+      curSum = nextSum
+      it += 1
+    }
+    // Fixed point: every edge is (node, componentMin); roots appear only
+    // on the right. Emit the roots' self-labels alongside.
+    edges.select(col("u").as("id"), col("v").as("component"))
+      .union(edges.select(col("v").as("id"), col("v").as("component")))
+      .distinct()
+  }
 }

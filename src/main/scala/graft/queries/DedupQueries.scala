@@ -58,6 +58,37 @@ object DedupQueries {
   private val permsSql =
     "perms AS (SELECT i, 377424577 + i * 97 AS a, 285451301 + i * 131 AS b FROM range(12) t(i))"
 
+  /** The shared MinHash-LSH chain (corpus → shingles → signatures → banded
+    * candidates → exact Jaccard in `j`) — d2 selects from it; d8 builds
+    * connected components on top of it.
+    */
+  private val lshJaccardCtes =
+    s"""$corpusSql, $shinglesSql, $permsSql,
+       |hx AS (SELECT id, shingle, ${phSql("shingle")} AS x FROM sh),
+       |sig AS (
+       |  SELECT id, i, min((a * x + b) % 2147483647) AS minh
+       |  FROM hx CROSS JOIN perms GROUP BY id, i),
+       |banded AS (
+       |  SELECT id, i // 2 AS band,
+       |    array_to_string(list(CAST(minh AS VARCHAR) ORDER BY i % 2), ',') AS sig
+       |  FROM sig GROUP BY id, i // 2),
+       |cand AS (
+       |  SELECT DISTINCT l.id AS id1, r.id AS id2
+       |  FROM banded l JOIN banded r ON l.band = r.band AND l.sig = r.sig
+       |  WHERE l.id < r.id),
+       |sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY id),
+       |inter AS (
+       |  SELECT c.id1, c.id2, CAST(count(*) AS BIGINT) AS n
+       |  FROM cand c
+       |  JOIN sh a ON a.id = c.id1 JOIN sh b ON b.id = c.id2 AND b.shingle = a.shingle
+       |  GROUP BY c.id1, c.id2),
+       |j AS (
+       |  SELECT c.id1, c.id2,
+       |    coalesce(i.n, 0) * 1.0 / (s1.sz + s2.sz - coalesce(i.n, 0)) AS jaccard
+       |  FROM cand c
+       |  LEFT JOIN inter i ON i.id1 = c.id1 AND i.id2 = c.id2
+       |  JOIN sizes s1 ON s1.id = c.id1 JOIN sizes s2 ON s2.id = c.id2)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: content hash → groups → keep-smallest-id survivor.
     "d1_exact_dedup" -> ((s, dir) => {
@@ -178,6 +209,24 @@ object DedupQueries {
       Dedup.hammingNearDups(fps, "doc_id", "fingerprint",
           bands = 4, maxHamming = 3)
         .orderBy(col("id1"), col("id2"))
+    }),
+
+    // D8: near-dup PAIRS → dedup DECISIONS. Verified LSH pairs feed
+    // large-star/small-star connected components; each doc gets its
+    // component's min id as label, and only the min is kept. This is the
+    // step a corpus-scale dedup pipeline runs after d2 — transitive
+    // closure matters because A~B and B~C does not put A and C in the
+    // same LSH bucket.
+    "d8_dedup_components" -> ((s, dir) => {
+      val sh = Dedup.shingles(corpus(s, dir), "doc_id", "text")
+      val pairs = Dedup
+        .jaccardOnPairs(Dedup.lshCandidatePairs(Dedup.minhashSigs(sh)), sh)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id1"), col("id2"))
+      Dedup.connectedComponents(pairs)
+        .select(col("component"), col("id").as("doc_id"),
+          (col("id") === col("component")).as("keep"))
+        .orderBy(col("component"), col("doc_id"))
     })
   )
 
@@ -193,34 +242,28 @@ object DedupQueries {
          |WHERE n >= 2 ORDER BY keeper""".stripMargin,
 
     "d2_minhash_lsh" ->
-      s"""WITH $corpusSql, $shinglesSql, $permsSql,
-         |hx AS (SELECT id, shingle, ${phSql("shingle")} AS x FROM sh),
-         |sig AS (
-         |  SELECT id, i, min((a * x + b) % 2147483647) AS minh
-         |  FROM hx CROSS JOIN perms GROUP BY id, i),
-         |banded AS (
-         |  SELECT id, i // 2 AS band,
-         |    array_to_string(list(CAST(minh AS VARCHAR) ORDER BY i % 2), ',') AS sig
-         |  FROM sig GROUP BY id, i // 2),
-         |cand AS (
-         |  SELECT DISTINCT l.id AS id1, r.id AS id2
-         |  FROM banded l JOIN banded r ON l.band = r.band AND l.sig = r.sig
-         |  WHERE l.id < r.id),
-         |sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY id),
-         |inter AS (
-         |  SELECT c.id1, c.id2, CAST(count(*) AS BIGINT) AS n
-         |  FROM cand c
-         |  JOIN sh a ON a.id = c.id1 JOIN sh b ON b.id = c.id2 AND b.shingle = a.shingle
-         |  GROUP BY c.id1, c.id2),
-         |j AS (
-         |  SELECT c.id1, c.id2,
-         |    coalesce(i.n, 0) * 1.0 / (s1.sz + s2.sz - coalesce(i.n, 0)) AS jaccard
-         |  FROM cand c
-         |  LEFT JOIN inter i ON i.id1 = c.id1 AND i.id2 = c.id2
-         |  JOIN sizes s1 ON s1.id = c.id1 JOIN sizes s2 ON s2.id = c.id2)
+      s"""WITH $lshJaccardCtes
          |SELECT CAST(id1 AS BIGINT) AS id1, CAST(id2 AS BIGINT) AS id2,
          |  round(jaccard, 6) AS jaccard
          |FROM j WHERE jaccard >= 0.5 ORDER BY id1, id2""".stripMargin,
+
+    // D8: pairs → components via min-label transitive closure (recursive
+    // CTE) — the oracle for the Spark side's large-star/small-star rounds.
+    "d8_dedup_components" ->
+      s"""WITH RECURSIVE $lshJaccardCtes,
+         |p AS (SELECT id1, id2 FROM j WHERE jaccard >= 0.5),
+         |und AS (
+         |  SELECT id1 AS u, id2 AS v FROM p
+         |  UNION SELECT id2, id1 FROM p),
+         |reach(u, r) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM und)
+         |  UNION
+         |  SELECT und.u, reach.r FROM und JOIN reach ON und.v = reach.u),
+         |comp AS (SELECT u AS doc_id, min(r) AS component FROM reach GROUP BY u)
+         |SELECT CAST(component AS BIGINT) AS component,
+         |  CAST(doc_id AS BIGINT) AS doc_id,
+         |  doc_id = component AS keep
+         |FROM comp ORDER BY component, doc_id""".stripMargin,
 
     "d3_simhash" ->
       s"""WITH $corpusSql,
