@@ -152,14 +152,24 @@ object Ivf {
     val scoredCents = queries.crossJoin(broadcast(centroids))
       .withColumn("cd", distMetric(metric)(col("qvec"), col("cvec")))
       .select(col("qid"), col("cid"), col("cd"))
+    val cidType = scoredCents.schema("cid").dataType
     val ranked =
       (if (single)
          scoredCents.orderBy(col("cd"), col("cid")).limit(nProbe)
+           .select(col("qid"), col("cid"))
        else
+         // Bounded top-k aggregate, not a ranking window: the window path
+         // SORTS every partition's (qid, cid, cd) rows then prunes, and its
+         // qid exchange carries the full queries×centroids product; the
+         // aggregate keeps an nProbe-sized insertion buffer per qid map-side
+         // and ships one buffer per (partition, qid) through the exchange —
+         // same ascending (cd, cid) ordering contract.
          scoredCents
-           .withColumn("crank", row_number().over(
-             Window.partitionBy(col("qid")).orderBy(col("cd"), col("cid"))))
-           .filter(col("crank") <= nProbe))
+           .groupBy(col("qid"))
+           .agg(graft.functions.TopK.topK(
+             col("cid").cast("long"), col("cd"), nProbe).as("_tk"))
+           .select(col("qid"), explode(col("_tk")).as("_e"))
+           .select(col("qid"), col("_e.id").cast(cidType).as("cid")))
         .select(col("qid"), col("cid").as("bucket"))
     val probes = ranked
       .join(broadcast(queries.select(col("qid"), col("qvec"))), Seq("qid"))
