@@ -8,7 +8,7 @@ import graft.core.Tables
 import graft.filter.FilterDsl
 import graft.functions.VectorFunctions
 import graft.graph.GraphOps
-import graft.multimodal.{Multimodal, Png, Wav}
+import graft.multimodal.{Avi, Multimodal, Png, Wav}
 import graft.oplog.Oplog
 import graft.search.Fusion
 import graft.text.TextPipeline
@@ -348,6 +348,50 @@ object MiscQueries {
           col("sample_rate"), col("channels"), col("n_frames"),
           col("duration_ms"), col("format"))
         .orderBy(col("doc_id"))
+    }),
+
+    // M3: video binary columns — REAL uncompressed-AVI container decode,
+    // every-3rd-frame sampling, per-frame 9×8 dHash, per-bit majority
+    // fingerprint. doc_id%4=0 paints each frame so its dHash equals a
+    // known arithmetic target (the video mirror of m1's painting — the
+    // oracle recomputes the majority vote bit-by-bit); %4=1 is a 4-frame
+    // gradient clip (every dHash comparison fires → all frames hash -1,
+    // majority -1, true non-4-aligned row padding and duration math); the
+    // rest are text bytes riding the non-video fallback.
+    "m3_video" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val payload =
+            if (id % 4 == 0) {
+              val nf = 6 + (id % 5).toInt
+              Avi.encodeRgb24(9, 8, 10, nf) { (f, x, y) =>
+                val target = ((id * 31 + f + 7) * 2654435761L) % 2147483647L
+                var g = 120
+                var i = 0
+                while (i < x) {
+                  g += (if (((target >> (y * 8 + i)) & 1L) == 1L) 15 else -15)
+                  i += 1
+                }
+                (g << 16) | (g << 8) | g
+              }
+            } else if (id % 4 == 1) {
+              val w = 16 + (id % 7).toInt
+              Avi.encodeRgb24(w, 12, 25, 4) { (_, x, _) =>
+                val g = x * 255 / (w - 1)
+                (g << 16) | (g << 8) | g
+              }
+            } else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          (id, payload)
+        }
+      Multimodal.extractVideoFeatures(media, stride = 3)
+        .select(col("doc_id"), col("n_bytes"), col("fingerprint"),
+          col("first_frame_hash"), col("width"), col("height"),
+          col("n_frames"), col("n_sampled"), col("duration_ms"),
+          col("format"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -627,6 +671,56 @@ object MiscQueries {
         |  CAST(CASE WHEN doc_id % 3 = 0 THEN nf * 1000 // 8000
         |            WHEN doc_id % 3 = 1 THEN 64000 // rate ELSE 0 END AS BIGINT) AS duration_ms,
         |  CASE WHEN doc_id % 3 <= 1 THEN 'wav' ELSE 'unknown' END AS format
-        |FROM h ORDER BY doc_id""".stripMargin
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    // Video rows are arithmetic end-to-end: painted frames dHash to
+    // ((doc_id*31 + f + 7)*2654435761) % 2^31-1, the per-bit majority over
+    // sampled frames f ∈ {0,3,...} is recomputed bit-by-bit (31 terms —
+    // targets are mod 2^31, higher bits never reach majority), byte length
+    // is the canonical-container formula 224 + nFrames*(8 + rowBytes*h)
+    // (Avi.encodedLength), and the gradient clip hashes every frame to -1.
+    "m3_video" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, length(text) AS n_chars,
+         |    list_reduce([CAST(0 AS BIGINT)] ||
+         |      list_transform(str_split(text, ''), c -> CAST(ord(c) AS BIGINT)),
+         |      (acc, x) -> (acc * 31 + x) % 2147483647) AS ph,
+         |    6 + doc_id % 5 AS nf,
+         |    16 + doc_id % 7 AS gw
+         |  FROM documents WHERE doc_id < 100),
+         |vids AS (SELECT doc_id, nf FROM h WHERE doc_id % 4 = 0),
+         |sf AS (SELECT doc_id, unnest(range(0, nf, 3)) AS f FROM vids),
+         |fh AS (SELECT doc_id,
+         |    ((doc_id * 31 + f + 7) * 2654435761) % 2147483647 AS t FROM sf),
+         |maj AS (
+         |  SELECT doc_id,
+         |${(0 until 31).map(b =>
+            s"    CAST(CASE WHEN 2 * sum((t >> $b) & 1) > count(*) " +
+            s"THEN ${1L << b} ELSE 0 END AS BIGINT)").mkString(" +\n")}
+         |      AS fp
+         |  FROM fh GROUP BY doc_id)
+         |SELECT CAST(h.doc_id AS BIGINT) AS doc_id,
+         |  CAST(CASE WHEN h.doc_id % 4 = 0 THEN 224 + nf * 232
+         |            WHEN h.doc_id % 4 = 1 THEN 224 + 4 * (8 + ((3 * gw + 3) // 4) * 4 * 12)
+         |            ELSE n_chars END AS BIGINT) AS n_bytes,
+         |  CASE WHEN h.doc_id % 4 = 0 THEN maj.fp
+         |       WHEN h.doc_id % 4 = 1 THEN CAST(-1 AS BIGINT)
+         |       ELSE ph END AS fingerprint,
+         |  CASE WHEN h.doc_id % 4 = 0 THEN ((h.doc_id * 31 + 7) * 2654435761) % 2147483647
+         |       WHEN h.doc_id % 4 = 1 THEN CAST(-1 AS BIGINT)
+         |       ELSE CAST(0 AS BIGINT) END AS first_frame_hash,
+         |  CAST(CASE WHEN h.doc_id % 4 = 0 THEN 9
+         |            WHEN h.doc_id % 4 = 1 THEN gw ELSE 0 END AS INT) AS width,
+         |  CAST(CASE WHEN h.doc_id % 4 = 0 THEN 8
+         |            WHEN h.doc_id % 4 = 1 THEN 12 ELSE 0 END AS INT) AS height,
+         |  CAST(CASE WHEN h.doc_id % 4 = 0 THEN nf
+         |            WHEN h.doc_id % 4 = 1 THEN 4 ELSE 0 END AS BIGINT) AS n_frames,
+         |  CAST(CASE WHEN h.doc_id % 4 = 0 THEN (nf + 2) // 3
+         |            WHEN h.doc_id % 4 = 1 THEN 2 ELSE 0 END AS INT) AS n_sampled,
+         |  CAST(CASE WHEN h.doc_id % 4 = 0 THEN nf * 100
+         |            WHEN h.doc_id % 4 = 1 THEN 160 ELSE 0 END AS BIGINT) AS duration_ms,
+         |  CASE WHEN h.doc_id % 4 <= 1 THEN 'avi' ELSE 'unknown' END AS format
+         |FROM h LEFT JOIN maj ON maj.doc_id = h.doc_id
+         |ORDER BY h.doc_id""".stripMargin
   )
 }
