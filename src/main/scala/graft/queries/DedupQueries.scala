@@ -211,6 +211,46 @@ object DedupQueries {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // D9: the full video-dedup pipeline — REAL AVI decode → strided frame
+    // dHash → majority fingerprint → banded-Hamming near-dup join. 100
+    // clips in 20 groups of 5: each group paints its frames to a shared
+    // 64-bit dHash target (two 31-bit halves so every band slice carries
+    // signal); members flip ≤1 distinct fingerprint bit each, so
+    // within-group pairs sit at hamming ≤ 2 and the pigeonhole banding
+    // (4×16) finds them EXACTLY — the video mirror of d7.
+    "d9_video_neardup" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.{Avi, Multimodal}
+      val media = Tables.documents(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val g = id % 20
+          val lo = ((g + 5) * 2654435761L) % 2147483647L
+          val hi = ((g + 29) * 2654435761L) % 2147483647L
+          val perturb = (id / 20) match {
+            case 0 => 0L
+            case 1 => 1L << 9
+            case 2 => 1L << 22
+            case 3 => 1L << 40
+            case _ => 1L << 55
+          }
+          val target = (lo | (hi << 32)) ^ perturb
+          (id, Avi.encodeRgb24(9, 8, 10, 3) { (_, x, y) =>
+            var gg = 120
+            var i = 0
+            while (i < x) {
+              gg += (if (((target >> (y * 8 + i)) & 1L) == 1L) 15 else -15)
+              i += 1
+            }
+            (gg << 16) | (gg << 8) | gg
+          })
+        }
+      val fps = Multimodal.extractVideoFeatures(media, stride = 3)
+      Dedup.hammingNearDups(fps, "doc_id", "fingerprint",
+          bands = 4, maxHamming = 3)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     // D8: near-dup PAIRS → dedup DECISIONS. Verified LSH pairs feed
     // large-star/small-star connected components; each doc gets its
     // component's min id as label, and only the min is kept. This is the
@@ -246,6 +286,32 @@ object DedupQueries {
          |SELECT CAST(id1 AS BIGINT) AS id1, CAST(id2 AS BIGINT) AS id2,
          |  round(jaccard, 6) AS jaccard
          |FROM j WHERE jaccard >= 0.5 ORDER BY id1, id2""".stripMargin,
+
+    // D9: fingerprints are arithmetic (majority over identically-painted
+    // frames = the painted target), so the oracle replicates banding +
+    // popcount exactly like d7.
+    "d9_video_neardup" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 100),
+        |fp AS (
+        |  SELECT id,
+        |    xor(
+        |      ((id % 20 + 5) * 2654435761) % 2147483647
+        |        + (((id % 20 + 29) * 2654435761) % 2147483647) * 4294967296,
+        |      CASE id // 20 WHEN 0 THEN 0 WHEN 1 THEN 512
+        |        WHEN 2 THEN 4194304 WHEN 3 THEN 1099511627776
+        |        ELSE 36028797018963968 END) AS f
+        |  FROM ids),
+        |banded AS (
+        |  SELECT id, f, b.band, (f >> (b.band * 16)) & 65535 AS slice
+        |  FROM fp, (SELECT unnest(range(4)) AS band) b),
+        |cand AS (
+        |  SELECT DISTINCT l.id AS id1, r.id AS id2, l.f AS f1, r.f AS f2
+        |  FROM banded l JOIN banded r
+        |    ON l.band = r.band AND l.slice = r.slice AND l.id < r.id)
+        |SELECT CAST(id1 AS BIGINT) AS id1, CAST(id2 AS BIGINT) AS id2,
+        |  CAST(bit_count(xor(f1, f2)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(f1, f2)) <= 3
+        |ORDER BY id1, id2""".stripMargin,
 
     // D8: pairs → components via min-label transitive closure (recursive
     // CTE) — the oracle for the Spark side's large-star/small-star rounds.
