@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.dedup.Dedup
 import graft.text.TextPipeline
 
 /** X1-X4: training-data text pipeline queries over `documents`.
@@ -144,6 +145,31 @@ object TextPipelineQueries {
           sum(when(col("final_keep"), col("ws")).otherwise(0L)).as("ws_tokens_kept"),
           sum(when(col("final_keep"), col("bpe")).otherwise(0L)).as("bpe_kept"))
         .orderBy(col("lang"))
+    }),
+
+    // X6: benchmark decontamination — the standard pre-training step that
+    // drops corpus documents overlapping an eval/benchmark set. The
+    // benchmark side is SMALL by nature (eval suites are thousands of
+    // rows, the corpus is billions), so its distinct 5-gram shingles
+    // broadcast and the corpus side streams through one hash join — no
+    // shuffle of corpus shingles, the only shape that works at 100 TB.
+    // Planted contamination: every benchmark doc gets a truncated copy
+    // (first 20 words) injected into the corpus at +500000, the realistic
+    // partial-quote case exact dedup misses.
+    "x6_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val planted = bench.select((col("doc_id") + 500000).as("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 20)).as("text"))
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0).unionByName(planted)
+      val bsh = Dedup.shingles(bench, "doc_id", "text", n = 5)
+        .select(col("shingle")).distinct()
+      val csh = Dedup.shingles(corpus, "doc_id", "text", n = 5)
+      csh.join(broadcast(bsh), Seq("shingle"))
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(col("id").as("doc_id"), col("n_overlap"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -274,6 +300,31 @@ object TextPipelineQueries {
          |  FROM sh)
          |SELECT CAST(id AS BIGINT) AS doc_id, min(h) AS fingerprint,
          |  CAST(count(*) AS BIGINT) AS n_shingles
-         |FROM h GROUP BY id ORDER BY doc_id""".stripMargin
+         |FROM h GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "x6_decontaminate" ->
+      s"""WITH bench AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+         |planted AS (
+         |  SELECT doc_id + 500000 AS doc_id,
+         |    array_to_string(list_slice(str_split(text, ' '), 1, 20), ' ') AS text
+         |  FROM bench),
+         |corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+         |  UNION ALL SELECT doc_id, text FROM planted),
+         |bsh AS (
+         |  SELECT DISTINCT shingle FROM (
+         |    SELECT unnest(list_transform(range(1, len(str_split(text, ' ')) - 3),
+         |      i -> array_to_string(list_slice(str_split(text, ' '), i, i + 4), ' '))) AS shingle
+         |    FROM bench)),
+         |csh AS (
+         |  SELECT DISTINCT doc_id AS id, shingle FROM (
+         |    SELECT doc_id,
+         |      unnest(list_transform(range(1, len(str_split(text, ' ')) - 3),
+         |        i -> array_to_string(list_slice(str_split(text, ' '), i, i + 4), ' '))) AS shingle
+         |    FROM corpus))
+         |SELECT CAST(id AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+         |FROM csh JOIN bsh USING (shingle)
+         |GROUP BY id ORDER BY doc_id""".stripMargin
   )
 }
