@@ -71,6 +71,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("cartesian"))
   }
 
+  test("decontamination joins corpus shingles against a BROADCAST benchmark side") {
+    // The 100 TB shape: benchmark shingles are tiny and broadcast; corpus
+    // shingles stream through a hash join and never shuffle. A sort-merge
+    // join here would shuffle the full corpus shingle set.
+    val df = graft.queries.TextPipelineQueries.queries("x6_decontaminate")(spark, sf())
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.toLowerCase.contains("cartesian"))
+    val joinLines = p.linesIterator.filter(_.contains("SortMergeJoin")).toList
+    assert(joinLines.isEmpty,
+      s"corpus shingles must not shuffle:\n${joinLines.mkString("\n")}")
+  }
+
   test("IVF buckets partition-prune when stored as a partitioned table") {
     // The 100 TB deployment story: vectors written partitioned by their
     // IVF bucket, so probing nProbe buckets reads nProbe/k of the files.
