@@ -170,6 +170,39 @@ object TextPipelineQueries {
         .agg(count(lit(1)).as("n_overlap"))
         .select(col("id").as("doc_id"), col("n_overlap"))
         .orderBy(col("doc_id"))
+    }),
+
+    // X7: data-mixing weights + reproducible sampling — the step that
+    // turns a multi-source corpus into a training mixture. Per-source
+    // token masses get a square-root temperature weight (down-weights the
+    // dominant source; sqrt is IEEE-exact in both engines, unlike pow),
+    // expressed as parts-per-million of the largest source, and each doc's
+    // keep/drop decision is a pure integer hash of its id against that
+    // ppm — the same decision on any cluster, any partitioning, any rerun.
+    // The whole-corpus max rides a broadcast 1-row agg join (never a
+    // global window).
+    "x7_source_mix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      val tc = TextPipeline.tokenCounts(col("text")).toMap
+      val withTok = docs.withColumn("ws", tc("ws_tokens"))
+      val perSrc = withTok.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("ws_tokens"))
+      val tmax = perSrc.agg(max(col("ws_tokens")).as("tmax"))
+      val weighted = perSrc.crossJoin(broadcast(tmax))
+        .withColumn("mix_ppm",
+          floor(lit(1000000.0) *
+            sqrt(col("ws_tokens").cast("double") / col("tmax"))).cast("long"))
+        .select(col("source"), col("n_docs"), col("ws_tokens"), col("mix_ppm"))
+      val sampled = withTok
+        .join(broadcast(weighted.select(col("source"), col("mix_ppm"))),
+          Seq("source"))
+        .filter((col("doc_id") * 2654435761L) % 1000000L < col("mix_ppm"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sampled"), sum(col("ws")).as("ws_sampled"))
+      weighted.join(sampled, Seq("source"), "left")
+        .na.fill(0L, Seq("n_sampled", "ws_sampled"))
+        .orderBy(col("source"))
     })
   )
 
@@ -325,6 +358,33 @@ object TextPipelineQueries {
          |    FROM corpus))
          |SELECT CAST(id AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_overlap
          |FROM csh JOIN bsh USING (shingle)
-         |GROUP BY id ORDER BY doc_id""".stripMargin
+         |GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "x7_source_mix" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(str_split(text, ' ')) AS BIGINT) AS ws
+         |  FROM documents),
+         |per_src AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(ws) AS BIGINT) AS ws_tokens
+         |  FROM tok GROUP BY source),
+         |tmax AS (SELECT max(ws_tokens) AS tmax FROM per_src),
+         |weighted AS (
+         |  SELECT source, n_docs, ws_tokens,
+         |    CAST(floor(1000000.0 *
+         |      sqrt(CAST(ws_tokens AS DOUBLE) / tmax)) AS BIGINT) AS mix_ppm
+         |  FROM per_src CROSS JOIN tmax),
+         |sampled AS (
+         |  SELECT t.source, CAST(count(*) AS BIGINT) AS n_sampled,
+         |    CAST(sum(t.ws) AS BIGINT) AS ws_sampled
+         |  FROM tok t JOIN weighted w ON w.source = t.source
+         |  WHERE (t.doc_id * 2654435761) % 1000000 < w.mix_ppm
+         |  GROUP BY t.source)
+         |SELECT w.source, w.n_docs, w.ws_tokens, w.mix_ppm,
+         |  coalesce(s.n_sampled, 0) AS n_sampled,
+         |  coalesce(s.ws_sampled, 0) AS ws_sampled
+         |FROM weighted w LEFT JOIN sampled s ON s.source = w.source
+         |ORDER BY w.source""".stripMargin
   )
 }
