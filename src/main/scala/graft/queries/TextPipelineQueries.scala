@@ -203,6 +203,40 @@ object TextPipelineQueries {
       weighted.join(sampled, Seq("source"), "left")
         .na.fill(0L, Seq("n_sampled", "ws_sampled"))
         .orderBy(col("source"))
+    }),
+
+    // X8: intra-document repetition — the Gopher-style quality signals a
+    // near-dup pass does not see (a document can be unique corpus-wide and
+    // still be 90% self-repetition). Duplicate word-3-gram fraction +
+    // top-word concentration, both per-doc keyed aggregations (no windows,
+    // no joins — partitions like a plain scan at 100 TB). Unlike x4/d2 the
+    // 3-grams here are NOT deduped first: repetition is exactly what
+    // dedup'd shingles erase.
+    "x8_repetition" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("text"))
+      val words = split(col("text"), " ")
+      val withW = docs.withColumn("nw", size(words)).filter(col("nw") >= 3)
+      val grams = withW.select(col("doc_id"), col("nw"),
+        explode(transform(sequence(lit(1), col("nw") - 2),
+          i => concat_ws(" ", slice(words, i, lit(3))))).as("g"))
+      val gstats = grams.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          count_distinct(col("g")).as("n_distinct"))
+      val wstats = withW.select(col("doc_id"), col("nw"),
+          explode(words).as("w"))
+        .groupBy(col("doc_id"), col("nw"), col("w"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("top_c"), first(col("nw")).as("n_words"))
+      gstats.join(wstats, Seq("doc_id"))
+        .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+          round((col("n_grams") - col("n_distinct")) /
+            col("n_grams").cast("double"), 6).as("dup_gram_frac"),
+          col("n_words"), col("top_c"),
+          round(col("top_c") / col("n_words").cast("double"), 6)
+            .as("top_word_frac"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -385,6 +419,32 @@ object TextPipelineQueries {
          |  coalesce(s.n_sampled, 0) AS n_sampled,
          |  coalesce(s.ws_sampled, 0) AS ws_sampled
          |FROM weighted w LEFT JOIN sampled s ON s.source = w.source
-         |ORDER BY w.source""".stripMargin
+         |ORDER BY w.source""".stripMargin,
+
+    "x8_repetition" ->
+      s"""WITH d2 AS (
+         |  SELECT doc_id, str_split(text, ' ') AS w,
+         |    len(str_split(text, ' ')) AS nw
+         |  FROM documents WHERE doc_id < 300 AND len(str_split(text, ' ')) >= 3),
+         |grams AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, nw - 1),
+         |    i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS g
+         |  FROM d2),
+         |gs AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |    CAST(count(DISTINCT g) AS BIGINT) AS n_distinct
+         |  FROM grams GROUP BY doc_id),
+         |wc AS (
+         |  SELECT doc_id, tok, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(w) AS tok FROM d2)
+         |  GROUP BY doc_id, tok),
+         |ws AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_c FROM wc GROUP BY doc_id)
+         |SELECT CAST(d2.doc_id AS BIGINT) AS doc_id, n_grams, n_distinct,
+         |  round((n_grams - n_distinct) * 1.0 / n_grams, 6) AS dup_gram_frac,
+         |  CAST(d2.nw AS INT) AS n_words, top_c,
+         |  round(top_c * 1.0 / d2.nw, 6) AS top_word_frac
+         |FROM d2 JOIN gs ON gs.doc_id = d2.doc_id
+         |JOIN ws ON ws.doc_id = d2.doc_id
+         |ORDER BY d2.doc_id""".stripMargin
   )
 }
