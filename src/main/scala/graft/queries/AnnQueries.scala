@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.VectorFunctions
-import graft.search.{Ivf, Quantizer}
+import graft.search.{Ivf, Pq, Quantizer}
 
 /** V1 — IVF partition-pruned ANN (the scale strategy replacing HNSW).
   *
@@ -92,6 +92,27 @@ object AnnQueries {
           Window.partitionBy(col("qid")).orderBy(col("d"), col("id"))))
         .filter(col("rank") <= 10)
         .select(col("qid"), col("id"), round(col("d"), 6).as("dist"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // V15 — product-quantized ADC search (beyond the reference's int8/f16
+    // ladder: 8 sub-space codes of 4 bits' worth of codebook here = 32×
+    // less resident data than f32 at this dim). Sample-as-codebook
+    // protocol (codes = sub-vectors of vec_id < 16, the PQ mirror of v1's
+    // sampled centroids) so encoding argmins, the query LUT, and the
+    // sequential ADC fold are all DuckDB-replicable to the last bit.
+    "v15_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      val cb = Pq.sampleCodebook(emb, "vec_id", "embedding",
+        m = 8, subDim = 8, nCodes = 16)
+      val encoded = Pq.encode(emb, cb, "vec_id", "embedding",
+        m = 8, subDim = 8)
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Pq.adcSearch(encoded, cb, q, k = 10, m = 8, subDim = 8, nCodes = 16)
+        .select(col("qid"), col("id"), round(col("dist"), 6).as("dist"),
           col("rank").cast("long").as("rank"))
         .orderBy(col("qid"), col("rank"))
     })
@@ -190,6 +211,50 @@ object AnnQueries {
          |      FROM cand)
          |SELECT CAST(qid AS BIGINT) AS qid, CAST(id AS BIGINT) AS id,
          |  round(d, 6) AS dist, CAST(rank AS BIGINT) AS rank
-         |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+         |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    // PQ: sub-space distances are sequential double sums over the 8-wide
+    // slices; the ADC distance is the sequential fold over sub-spaces of
+    // the LUT (list ordered sub-major, code-minor) — both exactly the
+    // Spark kernels' accumulation order, so values match to the last bit
+    // before the round(6).
+    "v15_pq" ->
+      """WITH subs AS (SELECT unnest(range(8)) AS sub),
+        |cb AS (
+        |  SELECT sub, vec_id AS code,
+        |    list_slice(CAST(embedding AS DOUBLE[]), sub * 8 + 1, sub * 8 + 8) AS cvec
+        |  FROM embeddings CROSS JOIN subs WHERE vec_id < 16),
+        |sv AS (
+        |  SELECT vec_id AS id, sub,
+        |    list_slice(CAST(embedding AS DOUBLE[]), sub * 8 + 1, sub * 8 + 8) AS subvec
+        |  FROM embeddings CROSS JOIN subs),
+        |enc AS (
+        |  SELECT id, sub, code FROM (
+        |    SELECT sv.id, sv.sub, cb.code,
+        |      row_number() OVER (PARTITION BY sv.id, sv.sub ORDER BY
+        |        list_sum(list_transform(range(1, 9),
+        |          i -> (sv.subvec[i] - cb.cvec[i]) * (sv.subvec[i] - cb.cvec[i]))),
+        |        cb.code) AS rn
+        |    FROM sv JOIN cb ON cb.sub = sv.sub)
+        |  WHERE rn = 1),
+        |encl AS (SELECT id, list(code ORDER BY sub) AS codes FROM enc GROUP BY id),
+        |qsv AS (SELECT id AS qid, sub, subvec FROM sv WHERE id < 5),
+        |lut AS (
+        |  SELECT qid, sub, code,
+        |    list_sum(list_transform(range(1, 9),
+        |      i -> (qsv.subvec[i] - cb.cvec[i]) * (qsv.subvec[i] - cb.cvec[i]))) AS d
+        |  FROM qsv JOIN cb USING (sub)),
+        |lutl AS (SELECT qid, list(d ORDER BY sub, code) AS lut FROM lut GROUP BY qid),
+        |scored AS (
+        |  SELECT l.qid, e.id,
+        |    list_reduce(list_transform(range(8),
+        |      s -> l.lut[s * 16 + e.codes[s + 1] + 1]), (a, b) -> a + b) AS dist
+        |  FROM encl e CROSS JOIN lutl l),
+        |r AS (SELECT qid, id, dist,
+        |        row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
+        |      FROM scored)
+        |SELECT CAST(qid AS BIGINT) AS qid, CAST(id AS BIGINT) AS id,
+        |  round(dist, 6) AS dist, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
   )
 }

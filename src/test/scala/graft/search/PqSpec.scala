@@ -1,0 +1,122 @@
+package graft.search
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Product quantization: encoding invariants, ADC exactness on codebook
+  * members, and the recall story — raw ADC on trained codebooks finds most
+  * true neighbors, and exact rerank over the ADC candidates repairs the
+  * rest. Clustered synthetic data (true neighbors share a cluster) so
+  * recall is meaningful, not vacuous.
+  */
+class PqSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val dim = 32
+  private val m = 4
+  private val subDim = 8
+
+  /** 40 clusters × 25 members; member j of cluster c perturbs the cluster
+    * center deterministically — nearest neighbors are in-cluster.
+    */
+  private lazy val emb = {
+    val rows = for {
+      c <- 0 until 40
+      j <- 0 until 25
+    } yield {
+      val id = (c * 25 + j).toLong
+      val v = Array.tabulate(dim) { d =>
+        val base = math.sin(c * 131 + d * 17).toFloat * 5f
+        val noise = math.sin(id * 31 + d * 7).toFloat * 0.3f
+        base + noise
+      }
+      (id, v)
+    }
+    rows.toDF("id", "vector").cache()
+  }
+
+  private def exactTopK(k: Int, qids: Seq[Long]) = {
+    val q = emb.filter(col("id").isin(qids: _*))
+      .select(col("id").as("qid"), col("vector").as("qvec"))
+    emb.crossJoin(broadcast(q))
+      .withColumn("d", graft.functions.VectorFunctions
+        .euclideanSqWide(col("vector"), col("qvec")))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("d"), col("id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"))
+      .as[(Long, Long)].collect().groupBy(_._1).map { case (q2, a) =>
+        q2 -> a.map(_._2).toSet }
+  }
+
+  /** Trained codebooks: per-sub-space KMeans over the sub-vectors (the
+    * scale path; the oracle query uses the sample protocol instead).
+    */
+  private def trainedCodebook(nCodes: Int, nSub: Int, sd: Int) = {
+    val frames = (0 until nSub).map { sub =>
+      val svs = emb.select(col("id"),
+        slice(col("vector"), sub * sd + 1, sd).as("vector"))
+      val cents = Ivf.trainKMeansArrays(svs, nCodes, iters = 4, metric = "l2")
+      cents.zipWithIndex.map { case (c, i) => (sub, i, c) }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(frames.flatten.toSeq, 2))
+      .toDF("sub", "code", "cvec")
+  }
+
+  test("encode: m codes per vector, all within the codebook range") {
+    val cb = Pq.sampleCodebook(emb, "id", "vector", m, subDim, nCodes = 16)
+    val enc = Pq.encode(emb, cb, "id", "vector", m, subDim)
+    val rows = enc.select(col("id"), col("codes")).as[(Long, Seq[Int])].collect()
+    assert(rows.length === 1000)
+    assert(rows.forall(_._2.length == m))
+    assert(rows.forall(_._2.forall(c => c >= 0 && c < 16)))
+    // Codebook-source vectors quantize to themselves with zero error.
+    val self = rows.find(_._1 == 3L).get
+    assert(self._2 === Seq(3, 3, 3, 3))
+  }
+
+  test("ADC distance is zero for a query identical to a codebook source") {
+    val cb = Pq.sampleCodebook(emb, "id", "vector", m, subDim, nCodes = 16)
+    val enc = Pq.encode(emb, cb, "id", "vector", m, subDim)
+    val q = emb.filter(col("id") === 3L)
+      .select(col("id").as("qid"), col("vector").as("qvec"))
+    val top = Pq.adcSearch(enc, cb, q, k = 3, m, subDim, nCodes = 16)
+      .orderBy(col("rank")).as[(Long, Long, Double, Int)].collect()
+    assert(top.head._2 === 3L && top.head._3 === 0.0)
+  }
+
+  test("trained-codebook ADC finds half the neighbors; rerank repairs to ≥ 0.95") {
+    // m=8 sub-spaces of 4 dims = 8 B per vector, 16× compression at dim
+    // 32. Raw ADC recall ~0.5 at this code budget matches published PQ
+    // behavior — ADC is the CANDIDATE GENERATOR; the exact rerank over its
+    // top-R is what serves, touching f32 vectors for R ids only.
+    val m = 8
+    val subDim = 4
+    val nCodes = 32
+    val cb = trainedCodebook(nCodes, m, subDim).cache()
+    val enc = Pq.encode(emb, cb, "id", "vector", m, subDim).cache()
+    val qids = (0L until 1000L by 53L).toSeq
+    val truth = exactTopK(10, qids)
+    val q = emb.filter(col("id").isin(qids: _*))
+      .select(col("id").as("qid"), col("vector").as("qvec"))
+
+    val adc = Pq.adcSearch(enc, cb, q, k = 10, m, subDim, nCodes)
+      .select(col("qid"), col("id")).as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q2, a) => q2 -> a.map(_._2).toSet }
+    val adcRecall = qids.map(q2 =>
+      (truth(q2) intersect adc(q2)).size / 10.0).sum / qids.size
+    assert(adcRecall >= 0.45, s"raw ADC recall@10 = $adcRecall")
+
+    val rr = Pq.adcSearchRerank(enc, cb, q, emb, "id", "vector",
+        k = 10, rerankR = 50, m, subDim, nCodes)
+      .select(col("qid"), col("id")).as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q2, a) => q2 -> a.map(_._2).toSet }
+    val rrRecall = qids.map(q2 =>
+      (truth(q2) intersect rr(q2)).size / 10.0).sum / qids.size
+    assert(rrRecall >= 0.95, s"reranked recall@10 = $rrRecall (ADC $adcRecall)")
+  }
+}
