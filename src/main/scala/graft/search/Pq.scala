@@ -1,7 +1,6 @@
 package graft.search
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
@@ -90,12 +89,22 @@ object Pq {
         aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
           acc + element_at(col("lut"),
             s * nCodes + element_at(col("codes"), s + 1) + 1)))
-    scored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("dist"), col("id"))))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("id"), col("dist"), col("rank"))
+    rankTopK(scored, k)
   }
+
+  /** Bounded top-k ranking (ascending (dist, id), 1-based rank) through the
+    * [[graft.functions.TopK]] aggregate — map-side k-sized buffers, no
+    * sort, no window (and so no empty-partition-spec hazard on
+    * constant-qid frames).
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopK.topK(
+        col("id").cast("long"), col("dist"), k).as("_tk"))
+      .select(col("qid"), explode(col("_tk")).as("_e"))
+      .select(col("qid"), col("_e.id").as("id"),
+        col("_e.distance").as("dist"), col("_e.rank").as("rank"))
 
   /** Two-stage PQ serving: ADC selects rerankR candidates from codes
     * alone, then ONLY those ids fetch their f32 vectors for an exact
@@ -107,13 +116,12 @@ object Pq {
       k: Int, rerankR: Int, m: Int, subDim: Int, nCodes: Int): DataFrame = {
     val cand = adcSearch(encoded, cb, queries, rerankR, m, subDim, nCodes)
       .select(col("qid"), col("id"))
-    cand
-      .join(emb.select(col(idCol).as("id"), col(vecCol).as("v")), Seq("id"))
-      .join(broadcast(queries.select(col("qid"), col("qvec"))), Seq("qid"))
-      .withColumn("dist", VectorFunctions.euclideanSqWide(col("v"), col("qvec")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("dist"), col("id"))))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("id"), col("dist"), col("rank"))
+    rankTopK(
+      cand
+        .join(emb.select(col(idCol).as("id"), col(vecCol).as("v")), Seq("id"))
+        .join(broadcast(queries.select(col("qid"), col("qvec"))), Seq("qid"))
+        .withColumn("dist",
+          VectorFunctions.euclideanSqWide(col("v"), col("qvec"))),
+      k)
   }
 }
