@@ -115,6 +115,24 @@ object AnnQueries {
         .select(col("qid"), col("id"), round(col("dist"), 6).as("dist"),
           col("rank").cast("long").as("rank"))
         .orderBy(col("qid"), col("rank"))
+    }),
+
+    // V16 — the two-stage PQ serving path end-to-end: ADC top-50 from
+    // codes alone, then exact rerank over just those ids' f32 vectors.
+    "v16_pq_rerank" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      val cb = Pq.sampleCodebook(emb, "vec_id", "embedding",
+        m = 8, subDim = 8, nCodes = 16)
+      val encoded = Pq.encode(emb, cb, "vec_id", "embedding",
+        m = 8, subDim = 8)
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Pq.adcSearchRerank(encoded, cb, q, emb, "vec_id", "embedding",
+          k = 10, rerankR = 50, m = 8, subDim = 8, nCodes = 16)
+        .select(col("qid"), col("id"), round(col("dist"), 6).as("dist"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("qid"), col("rank"))
     })
   )
 
@@ -219,42 +237,68 @@ object AnnQueries {
     // Spark kernels' accumulation order, so values match to the last bit
     // before the round(6).
     "v15_pq" ->
-      """WITH subs AS (SELECT unnest(range(8)) AS sub),
-        |cb AS (
-        |  SELECT sub, vec_id AS code,
-        |    list_slice(CAST(embedding AS DOUBLE[]), sub * 8 + 1, sub * 8 + 8) AS cvec
-        |  FROM embeddings CROSS JOIN subs WHERE vec_id < 16),
-        |sv AS (
-        |  SELECT vec_id AS id, sub,
-        |    list_slice(CAST(embedding AS DOUBLE[]), sub * 8 + 1, sub * 8 + 8) AS subvec
-        |  FROM embeddings CROSS JOIN subs),
-        |enc AS (
-        |  SELECT id, sub, code FROM (
-        |    SELECT sv.id, sv.sub, cb.code,
-        |      row_number() OVER (PARTITION BY sv.id, sv.sub ORDER BY
-        |        list_sum(list_transform(range(1, 9),
-        |          i -> (sv.subvec[i] - cb.cvec[i]) * (sv.subvec[i] - cb.cvec[i]))),
-        |        cb.code) AS rn
-        |    FROM sv JOIN cb ON cb.sub = sv.sub)
-        |  WHERE rn = 1),
-        |encl AS (SELECT id, list(code ORDER BY sub) AS codes FROM enc GROUP BY id),
-        |qsv AS (SELECT id AS qid, sub, subvec FROM sv WHERE id < 5),
-        |lut AS (
-        |  SELECT qid, sub, code,
-        |    list_sum(list_transform(range(1, 9),
-        |      i -> (qsv.subvec[i] - cb.cvec[i]) * (qsv.subvec[i] - cb.cvec[i]))) AS d
-        |  FROM qsv JOIN cb USING (sub)),
-        |lutl AS (SELECT qid, list(d ORDER BY sub, code) AS lut FROM lut GROUP BY qid),
-        |scored AS (
-        |  SELECT l.qid, e.id,
-        |    list_reduce(list_transform(range(8),
-        |      s -> l.lut[s * 16 + e.codes[s + 1] + 1]), (a, b) -> a + b) AS dist
-        |  FROM encl e CROSS JOIN lutl l),
-        |r AS (SELECT qid, id, dist,
-        |        row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
-        |      FROM scored)
-        |SELECT CAST(qid AS BIGINT) AS qid, CAST(id AS BIGINT) AS id,
-        |  round(dist, 6) AS dist, CAST(rank AS BIGINT) AS rank
-        |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+      s"""WITH $pqCtes
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(id AS BIGINT) AS id,
+         |  round(dist, 6) AS dist, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    // PQ + rerank: the ADC top-50 candidate ids refetch their full f32
+    // vectors for an exact euclidean-sq re-score — the serving
+    // architecture end-to-end, oracle-checked (not just recall-tested).
+    "v16_pq_rerank" ->
+      s"""WITH $pqCtes,
+         |r50 AS (SELECT qid, id FROM r WHERE rank <= 50),
+         |exact AS (
+         |  SELECT r50.qid, r50.id,
+         |    list_sum(list_transform(range(1, 65),
+         |      i -> (e.v[i] - qe.v[i]) * (e.v[i] - qe.v[i]))) AS dist
+         |  FROM r50 JOIN ev e ON e.id = r50.id JOIN ev qe ON qe.id = r50.qid),
+         |rr AS (SELECT qid, id, dist,
+         |        row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
+         |      FROM exact)
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(id AS BIGINT) AS id,
+         |  round(dist, 6) AS dist, CAST(rank AS BIGINT) AS rank
+         |FROM rr WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
   )
+
+  /** Shared PQ oracle chain: codebooks → encode argmins → query LUTs →
+    * sequential ADC fold → ranked `r` (plus `ev`, the double-cast vectors,
+    * for the rerank extension).
+    */
+  private lazy val pqCtes =
+    """subs AS (SELECT unnest(range(8)) AS sub),
+      |ev AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cb AS (
+      |  SELECT sub, vec_id AS code,
+      |    list_slice(CAST(embedding AS DOUBLE[]), sub * 8 + 1, sub * 8 + 8) AS cvec
+      |  FROM embeddings CROSS JOIN subs WHERE vec_id < 16),
+      |sv AS (
+      |  SELECT vec_id AS id, sub,
+      |    list_slice(CAST(embedding AS DOUBLE[]), sub * 8 + 1, sub * 8 + 8) AS subvec
+      |  FROM embeddings CROSS JOIN subs),
+      |enc AS (
+      |  SELECT id, sub, code FROM (
+      |    SELECT sv.id, sv.sub, cb.code,
+      |      row_number() OVER (PARTITION BY sv.id, sv.sub ORDER BY
+      |        list_sum(list_transform(range(1, 9),
+      |          i -> (sv.subvec[i] - cb.cvec[i]) * (sv.subvec[i] - cb.cvec[i]))),
+      |        cb.code) AS rn
+      |    FROM sv JOIN cb ON cb.sub = sv.sub)
+      |  WHERE rn = 1),
+      |encl AS (SELECT id, list(code ORDER BY sub) AS codes FROM enc GROUP BY id),
+      |qsv AS (SELECT id AS qid, sub, subvec FROM sv WHERE id < 5),
+      |lut AS (
+      |  SELECT qid, sub, code,
+      |    list_sum(list_transform(range(1, 9),
+      |      i -> (qsv.subvec[i] - cb.cvec[i]) * (qsv.subvec[i] - cb.cvec[i]))) AS d
+      |  FROM qsv JOIN cb USING (sub)),
+      |lutl AS (SELECT qid, list(d ORDER BY sub, code) AS lut FROM lut GROUP BY qid),
+      |scored AS (
+      |  SELECT l.qid, e.id,
+      |    list_reduce(list_transform(range(8),
+      |      s -> l.lut[s * 16 + e.codes[s + 1] + 1]), (a, b) -> a + b) AS dist
+      |  FROM encl e CROSS JOIN lutl l),
+      |r AS (SELECT qid, id, dist,
+      |        row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
+      |      FROM scored)""".stripMargin
 }
