@@ -731,6 +731,101 @@ object Bench {
       s"""{"metric":"total","unit":"sec","cpus":$cpus,"failed":$failed,"flaky":$flaky,"queries":$perQuery$fusionBatch$f16Sec$annHiDim$annL2$ann,"value":$total,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outPath), json + "\n")
     println(json)
+    // The full line above has exceeded the driver's 2000-char stdout tail
+    // every round — its JSON parse has NEVER succeeded (BENCH_r01..r08 all
+    // record `parsed: null`). So the LAST printed line is a compact,
+    // self-contained summary guaranteed to fit inside the tail window: the
+    // driver-spec fields (metric/value/unit/queries/sf) with the slowest
+    // per-query times, plus one recall-matched headline point per ANN
+    // family extracted from the detail line (format is ours, so the regex
+    // is stable). Full detail stays in `bench_out.json` (committed).
+    val summary = compactSummary(json, results, total, cpus, sfDir, failed, flaky)
+    Files.writeString(Paths.get(outPath.stripSuffix(".json") + "_summary.json"),
+      summary + "\n")
+    println(summary)
     spark.stop()
+  }
+
+  /** Build the final compact stdout line (see comment above). Pure string
+    * work, unit-tested in BenchSummarySpec against a real round-8 detail
+    * line; must stay well under the driver's 2000-char tail window.
+    */
+  private[graft] def compactSummary(
+      json: String, results: Seq[(String, Double, Boolean)], total: Double,
+      cpus: String, sfDir: String, failed: String, flaky: String): String = {
+      def r3(d: Double): Double = math.rint(d * 1000) / 1000
+      val point =
+        """\{"n_probe":(\d+),"qps":([0-9.]+),"recall_at_10":([0-9.]+)\}""".r
+      def section(key: String): String = {
+        val i = json.indexOf("\"" + key + "\":")
+        if (i < 0) return ""
+        // Slice up to the next top-level section key; regexes below only
+        // match whole points, so a generous slice is fine.
+        val ends = Seq("\"ann_hidim\":", "\"ann_l2\":", "\"ann\":{\"n\"",
+          "\"fusion_batch\":", "\"f16\":", "\"value\":")
+          .map(k => json.indexOf(k, i + key.length + 3)).filter(_ > i)
+        json.substring(i, if (ends.isEmpty) json.length else ends.min)
+      }
+      // Best QPS among points meeting the recall bar; else best recall.
+      def pick(sect: String, bar: Double): Option[String] = {
+        val pts = point.findAllMatchIn(sect).map(m =>
+          (m.group(1).toInt, m.group(2).toDouble, m.group(3).toDouble)).toSeq
+        val eligible = pts.filter(_._3 >= bar)
+        val chosen =
+          if (eligible.nonEmpty) Some(eligible.maxBy(_._2))
+          else if (pts.nonEmpty) Some(pts.maxBy(_._3)) else None
+        chosen.map { case (np, q, r) =>
+          s"""{"np":$np,"qps":$q,"recall":$r}"""
+        }
+      }
+      def num(sect: String, field: String): Option[String] =
+        ("\"" + field + "\":([0-9.eE+-]+)").r
+          .findFirstMatchIn(sect).map(_.group(1))
+      val annS = section("ann")
+      val l2S = section("ann_l2")
+      val hiS = section("ann_hidim")
+      val fuS = section("fusion_batch")
+      // ann_hidim is [block200, block300] in emission order.
+      val hiBlocks = {
+        val cut = hiS.indexOf("},{\"n\":")
+        if (cut < 0) Seq(hiS) else Seq(hiS.substring(0, cut + 1), hiS.substring(cut + 2))
+      }
+      // Slice each family's `"ivf":[...]` sweep array so sibling points
+      // (ivf_int8 / ivf_f16, same shape) can't win the family pick.
+      def ivfArray(sect: String): String = {
+        val a = sect.indexOf("\"ivf\":[")
+        if (a < 0) "" else sect.substring(a, math.max(a, sect.indexOf("]", a)) + 1)
+      }
+      val annParts = Seq(
+        pick(ivfArray(annS), 0.94)
+          .map(p => s""""glove100_400k":$p"""),
+        ("\"ivf_int8\":\\{\"n_probe\":(\\d+),\"qps\":([0-9.]+)," +
+          "\"recall_at_10\":([0-9.]+)\\}").r.findFirstMatchIn(annS)
+          .map(m => s""""glove100_int8":{"np":${m.group(1)},"qps":${m.group(2)},"recall":${m.group(3)}}"""),
+        hiBlocks.headOption.map(ivfArray).flatMap(pick(_, 0.95))
+          .map(p => s""""glove200_200k":$p"""),
+        hiBlocks.lift(1).map(ivfArray).flatMap(pick(_, 0.95))
+          .map(p => s""""glove300_200k":$p"""),
+        pick(ivfArray(l2S), 0.97)
+          .map(p => s""""sift1m_l2":$p"""),
+        ("\"ivf_f16\":\\{\"n_probe\":(\\d+),\"qps\":([0-9.]+)," +
+          "\"recall_at_10\":([0-9.]+)\\}").r.findFirstMatchIn(l2S)
+          .map(m => s""""sift1m_f16":{"np":${m.group(1)},"qps":${m.group(2)},"recall":${m.group(3)}}"""),
+        num(annS, "exact_qps").map(v => s""""glove100_exact_qps":$v"""),
+        num(annS, "build_sec").map(v => s""""glove100_build_sec":$v"""),
+        num(l2S, "build_sec").map(v => s""""sift1m_build_sec":$v""")
+      ).flatten
+      val fused = {
+        val fs = "\"fused_qps\":([0-9.]+)".r.findAllMatchIn(fuS)
+          .map(_.group(1)).toSeq
+        if (fs.size >= 2) s""","fused_qps":{"sf":${fs(0)},"synthetic":${fs(1)}}"""
+        else ""
+      }
+      val slowest = results.filter(_._3).sortBy(-_._2).take(15)
+        .map { case (k, v, _) => "\"" + k + "\":" + r3(v) }
+        .mkString("{", ",", "}")
+      val annJson =
+        if (annParts.isEmpty) "" else annParts.mkString(""","ann":{""", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"sf":"$sfDir","n_queries":${results.size},"failed":$failed,"flaky":$flaky,"queries":$slowest$annJson$fused,"detail":"bench_out.json"}"""
   }
 }
