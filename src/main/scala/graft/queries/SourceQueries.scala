@@ -121,7 +121,17 @@ object SourceQueries {
             BinaryExtract.minimalDocx(text))
         }
       }
-      val bins = s.read.format("binaryFile").load(path.toString + "/*")
+      // Glob-free load: hand Spark the explicit file list. `load(dir/"*")`
+      // throws FileNotFoundException when Hadoop's glob resolution
+      // transiently matches nothing (observed r8/r9: it poisoned driver
+      // bench runs with -1 timings) — the listing here runs on the same
+      // thread that just wrote the files, so it cannot be empty.
+      val files = scala.util.Using.resource(java.nio.file.Files.list(path)) {
+        st =>
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.map(_.toString).toArray.sorted
+      }
+      val bins = s.read.format("binaryFile").load(files: _*)
       val isBinaryDoc = col("path").endsWith(".pdf") ||
         col("path").endsWith(".docx")
       val inline = bins.filter(!isBinaryDoc)

@@ -237,6 +237,53 @@ object TextPipelineQueries {
           round(col("top_c") / col("n_words").cast("double"), 6)
             .as("top_word_frac"))
         .orderBy(col("doc_id"))
+    }),
+
+    // X9: PII scrub. The corpus is synthetic word salad with no real PII,
+    // so deterministic PII is injected keyed off doc_id (same move as x1's
+    // language injection) — email+phone+IP on every doc, SSN-shaped on
+    // doc_id%3=0, card-shaped on doc_id%4=0 — then counted and redacted.
+    // Everything is codegen'd regexp column math; the oracle injects the
+    // identical strings and runs the identical RE2-subset patterns.
+    "x9_pii" -> ((s, dir) => {
+      val d = col("doc_id")
+      def str(c: org.apache.spark.sql.Column) = c.cast("string")
+      val email = concat(lit("user"), str(d), lit("@mail"),
+        str(pmod(d, lit(5L))), lit(".com"))
+      val phone = concat(lit("555-201-"),
+        lpad(str(pmod(d * 7, lit(10000L))), 4, "0"))
+      val ip = concat(lit("10."), str(pmod(d, lit(256L))), lit("."),
+        str(pmod(d * 3, lit(256L))), lit("."), str(pmod(d * 7, lit(256L))))
+      val ssn = when(pmod(d, lit(3L)) === 0, concat(lit(" ssn "),
+          str(pmod(d, lit(900L)) + 100), lit("-"),
+          str(pmod(d, lit(90L)) + 10), lit("-"),
+          lpad(str(pmod(d * 13, lit(10000L))), 4, "0")))
+        .otherwise(lit(""))
+      val cc = when(pmod(d, lit(4L)) === 0, concat(lit(" card "),
+          lpad(str(d * 99991 + 123456789L), 16, "0")))
+        .otherwise(lit(""))
+      val withPii = Tables.documents(s, dir).select(d,
+        concat(col("text"), lit(" contact "), email, lit(" call "), phone,
+          lit(" from "), ip, ssn, cc).as("content"))
+      val cnts = graft.text.Pii.counts(col("content"))
+        .map { case (n, c) => c.as(s"n_$n") }
+      withPii.select(
+          Seq(d, graft.text.Pii.redact(col("content")).as("redacted")) ++
+            cnts: _*)
+        .orderBy(d)
+    }),
+
+    // X10: greedy next-fit sequence packing into 256-token bins, streamed
+    // per (source, doc_id%4 shard) — the LLM pre-training packing pass.
+    // The per-stream forward pass is the sequential core (mapPartitions);
+    // the oracle replays it as a recursive CTE.
+    "x10_packing" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("ntok"))
+      graft.text.Packing.packNextFit(docs, "doc_id", "source", "ntok",
+          budget = 256L, shards = 4)
+        .orderBy(col("source"), col("shard"), col("doc_id"))
     })
   )
 
@@ -445,6 +492,72 @@ object TextPipelineQueries {
          |  round(top_c * 1.0 / d2.nw, 6) AS top_word_frac
          |FROM d2 JOIN gs ON gs.doc_id = d2.doc_id
          |JOIN ws ON ws.doc_id = d2.doc_id
-         |ORDER BY d2.doc_id""".stripMargin
+         |ORDER BY d2.doc_id""".stripMargin,
+
+    // Identical injected strings, identical RE2-subset patterns; DuckDB
+    // needs the explicit 'g' flag (Spark's regexp_replace is global).
+    "x9_pii" ->
+      """WITH injected AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@mail' || CAST(doc_id % 5 AS VARCHAR) || '.com'
+        |      || ' call 555-201-'
+        |      || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+        |      || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+        |      || '.' || CAST((doc_id * 3) % 256 AS VARCHAR)
+        |      || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+        |      || CASE WHEN doc_id % 3 = 0 THEN ' ssn '
+        |           || CAST(doc_id % 900 + 100 AS VARCHAR) || '-'
+        |           || CAST(doc_id % 90 + 10 AS VARCHAR) || '-'
+        |           || lpad(CAST((doc_id * 13) % 10000 AS VARCHAR), 4, '0')
+        |         ELSE '' END
+        |      || CASE WHEN doc_id % 4 = 0 THEN ' card '
+        |           || lpad(CAST(doc_id * 99991 + 123456789 AS VARCHAR), 16, '0')
+        |         ELSE '' END AS content
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(content,
+        |      '\b\d{16}\b', '<CC>', 'g'),
+        |      '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+        |      '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+        |    AS redacted,
+        |  CAST(len(regexp_extract_all(content, '\b\d{16}\b')) AS BIGINT) AS n_cc,
+        |  CAST(len(regexp_extract_all(content, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+        |  CAST(len(regexp_extract_all(content, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(content, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+        |  CAST(len(regexp_extract_all(content, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email
+        |FROM injected ORDER BY doc_id""".stripMargin,
+
+    // The per-stream next-fit forward pass replayed as a recursive CTE:
+    // rows are numbered within each (source, shard) stream and the
+    // (bin, bin_fill) state is threaded rn -> rn+1 — the same recurrence
+    // the mapPartitions pass runs.
+    "x10_packing" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, source, doc_id % 4 AS shard,
+        |    CAST(len(str_split(text, ' ')) AS BIGINT) AS ntok,
+        |    row_number() OVER (PARTITION BY source, doc_id % 4
+        |                       ORDER BY doc_id) AS rn
+        |  FROM documents
+        |), pack AS (
+        |  SELECT doc_id, source, shard, ntok, rn,
+        |    CAST(0 AS BIGINT) AS bin, ntok AS bin_fill
+        |  FROM toks WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.doc_id, t.source, t.shard, t.ntok, t.rn,
+        |    CASE WHEN p.bin_fill + t.ntok > 256
+        |         THEN p.bin + 1 ELSE p.bin END,
+        |    CASE WHEN p.bin_fill + t.ntok > 256
+        |         THEN t.ntok ELSE p.bin_fill + t.ntok END
+        |  FROM toks t
+        |  JOIN pack p ON t.source = p.source AND t.shard = p.shard
+        |    AND t.rn = p.rn + 1
+        |)
+        |SELECT doc_id, source, shard, ntok, bin, bin_fill
+        |FROM pack ORDER BY source, shard, doc_id""".stripMargin
   )
 }
