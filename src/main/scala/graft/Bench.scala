@@ -384,13 +384,67 @@ object Bench {
         approx.unpersist()
         s"""{"n_probe":32,"qps":${math.rint(NQ / sec * 10) / 10},"recall_at_10":${r4(recall)}}"""
       }
+      servingF16.unpersist()
+      // IVF-PQ: trained per-sub-space codebooks (m=16 × 256 codes → 16 B
+      // per vector, 32× less resident than f32), packed code blocks,
+      // probe-restricted ADC scan; the rerank point re-scores the ADC
+      // top-100 against the cached f32 vectors — the two-stage serving
+      // architecture, timed end-to-end.
+      val pqIvf = {
+        import graft.search.Pq
+        val mPq = 16; val subDimPq = 8; val nCodesPq = 256
+        val tb2 = System.nanoTime()
+        val cbArrays = Pq.trainCodebookArrays(
+          assigned.filter(col("id") % 16 === 0), "id", "vector",
+          mPq, subDimPq, nCodesPq, iters = 4)
+        val pqIndex = Pq.servingIndexPq(assigned, cbArrays).cache()
+        pqIndex.count()
+        val pqBuildSec = (System.nanoTime() - tb2) / 1e9
+        val np = 32
+        def adcRun() = Pq.searchBatchedFastPq(pqIndex, cents, cbArrays,
+          queries, k = 10, nProbe = np)
+        noopWrite(adcRun())
+        val adcSec = Seq.fill(3)(timeIt(noopWrite(adcRun()))).min
+        val adc = adcRun().cache(); adc.count()
+        val adcRecall = Ivf.recallAt(adc, exact, 10)
+        adc.unpersist()
+        // Two-stage: ADC top-100 → exact f32 re-score of just those ids.
+        val rerankR = 100
+        def rrRun() = {
+          val cand = Pq.searchBatchedFastPq(pqIndex, cents, cbArrays,
+              queries, k = rerankR, nProbe = np)
+            .select(col("qid"), col("id"))
+          val rescored = cand
+            .join(assigned.select(col("id"), col("vector")), Seq("id"))
+            .join(broadcast(queries), Seq("qid"))
+            .withColumn("d", graft.functions.VectorFunctions
+              .euclideanSqWide(col("vector"), col("qvec")))
+          rescored.groupBy(col("qid"))
+            .agg(graft.functions.TopK.topK(
+              col("id").cast("long"), col("d"), 10).as("_tk"))
+            .select(col("qid"), explode(col("_tk")).as("_e"))
+            .select(col("qid"), col("_e.id").as("id"),
+              col("_e.rank").as("rank"))
+        }
+        noopWrite(rrRun())
+        val rrSec = Seq.fill(3)(timeIt(noopWrite(rrRun()))).min
+        val rr = rrRun().cache(); rr.count()
+        val rrRecall = Ivf.recallAt(rr, exact, 10)
+        rr.unpersist(); pqIndex.unpersist()
+        def c1i(d: Double): Double = math.rint(d * 10) / 10
+        s""""ivf_pq":{"n_probe":$np,"m":$mPq,"bytes_per_vec":$mPq,""" +
+          s""""build_sec":${math.rint(pqBuildSec * 1000) / 1000},""" +
+          s""""qps":${c1i(NQ / adcSec)},"recall_at_10":${r4(adcRecall)}},""" +
+          s""""ivf_pq_rerank":{"n_probe":$np,"rerank":$rerankR,""" +
+          s""""qps":${c1i(NQ / rrSec)},"recall_at_10":${r4(rrRecall)}}"""
+      }
       emb.unpersist(); queries.unpersist(); assigned.unpersist()
-      servingF16.unpersist(); exact.unpersist()
+      exact.unpersist()
       def c3(d: Double): Double = math.rint(d * 1000) / 1000
       def c1(d: Double): Double = math.rint(d * 10) / 10
       s""","ann_l2":{"n":$N,"dim":$DIM,"n_queries":$NQ,"n_centroids":$K,""" +
         s""""build_sec":${c3(buildSec)},"exact_qps":${c1(NQ / exactSec)},""" +
-        s""""ivf":$sweep,"ivf_f16":$f16Ivf}"""
+        s""""ivf":$sweep,"ivf_f16":$f16Ivf,$pqIvf}"""
     } catch { case _: Throwable => "" }
 
     // Third baseline family: higher-dimension GloVe rows (BENCHMARKS.md:42,50
@@ -811,6 +865,9 @@ object Bench {
         ("\"ivf_f16\":\\{\"n_probe\":(\\d+),\"qps\":([0-9.]+)," +
           "\"recall_at_10\":([0-9.]+)\\}").r.findFirstMatchIn(l2S)
           .map(m => s""""sift1m_f16":{"np":${m.group(1)},"qps":${m.group(2)},"recall":${m.group(3)}}"""),
+        ("\"ivf_pq_rerank\":\\{[^}]*\"qps\":([0-9.]+)," +
+          "\"recall_at_10\":([0-9.]+)\\}").r.findFirstMatchIn(l2S)
+          .map(m => s""""sift1m_pq_rerank":{"qps":${m.group(1)},"recall":${m.group(2)}}"""),
         num(annS, "exact_qps").map(v => s""""glove100_exact_qps":$v"""),
         num(annS, "build_sec").map(v => s""""glove100_build_sec":$v"""),
         num(l2S, "build_sec").map(v => s""""sift1m_build_sec":$v""")

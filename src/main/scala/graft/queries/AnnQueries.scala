@@ -133,6 +133,33 @@ object AnnQueries {
         .select(col("qid"), col("id"), round(col("dist"), 6).as("dist"),
           col("rank").cast("long").as("rank"))
         .orderBy(col("qid"), col("rank"))
+    }),
+
+    // V17 — IVF-PQ composed: the v1 centroid protocol (vec_id%100 as
+    // centroids, L2 assignment) restricts the scan to nProbe=2 probed
+    // buckets; the v15 PQ protocol scores the survivors from codes alone.
+    // Row pruning × byte pruning — the 100 TB serving shape end-to-end.
+    "v17_ivfpq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      val cb = Pq.sampleCodebook(emb, "vec_id", "embedding",
+        m = 8, subDim = 8, nCodes = 16)
+      val encoded = Pq.encode(emb, cb, "vec_id", "embedding",
+        m = 8, subDim = 8)
+      val cents = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val assigned = Ivf.assign(
+        emb.select(col("vec_id").as("id"), col("embedding").as("vector")),
+        cents, "id", "vector", metric = "l2")
+      val encodedB = encoded
+        .join(assigned.select(col("id"), col("bucket")), Seq("id"))
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Pq.ivfAdcSearch(encodedB, cb, cents, q, k = 10, nProbe = 2,
+          m = 8, subDim = 8, nCodes = 16)
+        .select(col("qid"), col("id"), round(col("dist"), 6).as("dist"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("qid"), col("rank"))
     })
   )
 
@@ -258,7 +285,47 @@ object AnnQueries {
          |      FROM exact)
          |SELECT CAST(qid AS BIGINT) AS qid, CAST(id AS BIGINT) AS id,
          |  round(dist, 6) AS dist, CAST(rank AS BIGINT) AS rank
-         |FROM rr WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+         |FROM rr WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    // IVF-PQ: the v1 centroid/probe chain composed onto the PQ scoring
+    // chain — candidates are restricted to each query's 2 probed buckets
+    // BEFORE the ADC fold.
+    "v17_ivfpq" ->
+      s"""WITH $pqCtes,
+         |cents AS (
+         |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+         |  WHERE vec_id % 100 = 0),
+         |assignedb AS (
+         |  SELECT id, cid AS bucket FROM (
+         |    SELECT e.vec_id AS id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2Sql("e.embedding", "c.cvec")}, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN cents c)
+         |  WHERE rn = 1),
+         |qf AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |       WHERE vec_id < 5),
+         |probes AS (
+         |  SELECT qid, cid AS bucket FROM (
+         |    SELECT qf.qid, c.cid,
+         |      row_number() OVER (PARTITION BY qf.qid
+         |        ORDER BY ${l2Sql("qf.qv", "c.cvec")}, c.cid) AS rn
+         |    FROM qf CROSS JOIN cents c)
+         |  WHERE rn <= 2),
+         |iscored AS (
+         |  SELECT l.qid, e.id,
+         |    list_reduce(list_transform(range(8),
+         |      s -> l.lut[s * 16 + e.codes[s + 1] + 1]), (a, b) -> a + b) AS dist
+         |  FROM encl e
+         |  JOIN assignedb a ON a.id = e.id
+         |  JOIN probes p ON p.bucket = a.bucket
+         |  JOIN lutl l ON l.qid = p.qid),
+         |ir AS (
+         |  SELECT qid, id, dist,
+         |    row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
+         |  FROM iscored)
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(id AS BIGINT) AS id,
+         |  round(dist, 6) AS dist, CAST(rank AS BIGINT) AS rank
+         |FROM ir WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
   )
 
   /** Shared PQ oracle chain: codebooks → encode argmins → query LUTs →

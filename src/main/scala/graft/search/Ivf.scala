@@ -444,7 +444,7 @@ object Ivf {
     * `collect` of per-partition partials would be partitions×nq×k rows —
     * fine at local[32], a bottleneck at 1000 executors).
     */
-  private final class TopK(nq: Int, k: Int) extends Serializable {
+  private[search] final class TopK(nq: Int, k: Int) extends Serializable {
     val heapD: Array[Array[Double]] = Array.fill(nq)(Array.fill(k)(Double.MaxValue))
     val heapI: Array[Array[Long]] = Array.fill(nq)(Array.fill(k)(Long.MaxValue))
     def insert(qi: Int, d: Double, id: Long): Unit = {
@@ -482,7 +482,7 @@ object Ivf {
   }
 
   /** Final (qid, id, distance, rank) frame from the fully-merged state. */
-  private def mergeTopK(
+  private[search] def mergeTopK(
       spark: org.apache.spark.sql.SparkSession,
       heaps: TopK,
       qids: Array[Long],
@@ -797,7 +797,7 @@ object Ivf {
     }
 
   /** Centroid score adjustments for [[bestBucket]] under `metric`. */
-  private def bucketAdj(cents: Array[Array[Float]], metric: String): Array[Float] =
+  private[search] def bucketAdj(cents: Array[Array[Float]], metric: String): Array[Float] =
     if (metric == "l2") halfNormSqs(cents) else invNorms(cents)
 
   /** Lloyd's KMeans for LARGE k (√N-scale centroid counts): per-partition

@@ -76,7 +76,21 @@ object Pq {
     */
   def adcSearch(encoded: DataFrame, cb: DataFrame, queries: DataFrame,
       k: Int, m: Int, subDim: Int, nCodes: Int): DataFrame = {
-    val lut = subVectors(queries, "qid", "qvec", m, subDim)
+    val scored = encoded.crossJoin(broadcast(queryLut(queries, cb, m, subDim)))
+      .withColumn("dist",
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
+          acc + element_at(col("lut"),
+            s * nCodes + element_at(col("codes"), s + 1) + 1)))
+    rankTopK(scored, k)
+  }
+
+  /** Per-query flat ADC lookup table (sub-major, code-minor): entry
+    * [sub·nCodes + code] = ||q_sub − cb[sub][code]||². A few KB per query
+    * — always broadcast.
+    */
+  def queryLut(queries: DataFrame, cb: DataFrame, m: Int,
+      subDim: Int): DataFrame =
+    subVectors(queries, "qid", "qvec", m, subDim)
       .join(broadcast(cb), Seq("sub"))
       .withColumn("d", VectorFunctions.euclideanSqWide(col("subvec"), col("cvec")))
       .groupBy(col("id"))
@@ -84,7 +98,37 @@ object Pq {
         array_sort(collect_list(struct(col("sub"), col("code"), col("d")))),
         e => e.getField("d")).as("lut"))
       .select(col("id").as("qid"), col("lut"))
-    val scored = encoded.crossJoin(broadcast(lut))
+
+  /** IVF-PQ: probe-restricted ADC — the two prunings composed, and the
+    * 100 TB serving shape. The IVF stage cuts the rows scanned to
+    * nProbe/nCentroids of the corpus (bucket-partitioned layout ⇒
+    * partition pruning, exactly like [[Ivf.search]]); the PQ stage cuts
+    * the bytes per scanned row to m codes (column pruning leaves the f32
+    * vectors on disk). Probe selection ranks centroids per query through
+    * the bounded top-k aggregate — no window, map-side nProbe buffers.
+    *
+    * `encodedB` is (id, bucket, codes): the codes column plus the IVF
+    * bucket assignment (at scale the encode job writes them together,
+    * partitioned by bucket). Metric is squared-L2 throughout, like the
+    * rest of the PQ module.
+    */
+  def ivfAdcSearch(encodedB: DataFrame, cb: DataFrame, centroids: DataFrame,
+      queries: DataFrame, k: Int, nProbe: Int, m: Int, subDim: Int,
+      nCodes: Int): DataFrame = {
+    val scoredCents = queries.crossJoin(broadcast(centroids))
+      .withColumn("cd",
+        VectorFunctions.euclideanSqWide(col("qvec"), col("cvec")))
+      .select(col("qid"), col("cid"), col("cd"))
+    val cidType = scoredCents.schema("cid").dataType
+    val probes = scoredCents
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopK.topK(
+        col("cid").cast("long"), col("cd"), nProbe).as("_tk"))
+      .select(col("qid"), explode(col("_tk")).as("_e"))
+      .select(col("qid"), col("_e.id").cast(cidType).as("bucket"))
+    val probedLut = probes
+      .join(queryLut(queries, cb, m, subDim), Seq("qid"))
+    val scored = encodedB.join(broadcast(probedLut), Seq("bucket"))
       .withColumn("dist",
         aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
           acc + element_at(col("lut"),
@@ -105,6 +149,192 @@ object Pq {
       .select(col("qid"), explode(col("_tk")).as("_e"))
       .select(col("qid"), col("_e.id").as("id"),
         col("_e.distance").as("dist"), col("_e.rank").as("rank"))
+
+  // ------------------------------------------------------------------
+  // Fast path — the serving-scale twin of Ivf.searchBatchedFast, for the
+  // bench and for corpora where the DataFrame ADC plan's per-row array
+  // overhead dominates. Same structure as the f32/int8/f16 serving
+  // indexes: bucket-major primitive blocks, driver-side probe selection,
+  // one scan stage with per-partition bounded top-k, treeReduce merge.
+  // ------------------------------------------------------------------
+
+  /** Per-sub-space KMeans codebook `[m][nCodes][subDim]` — the trained
+    * (recall-bearing) alternative to [[sampleCodebook]]'s deterministic
+    * oracle protocol. m small KMeans jobs over column slices.
+    */
+  def trainCodebookArrays(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, subDim: Int, nCodes: Int, iters: Int = 4): Array[Array[Array[Float]]] =
+    Array.tabulate(m) { s =>
+      graft.search.Ivf.trainKMeansArrays(
+        emb.select(col(idCol).as("id"),
+          slice(col(vecCol), s * subDim + 1, subDim).as("vector")),
+        nCodes, iters, metric = "l2")
+    }
+
+  /** Encode one vector against the codebook: per-sub-space argmin code
+    * (ties → lower code), one byte per sub-space.
+    */
+  private def encodeVec(v: Array[Float], cb: Array[Array[Array[Float]]],
+      out: Array[Byte], outOff: Int): Unit = {
+    val m = cb.length
+    val subDim = cb(0)(0).length
+    var s = 0
+    while (s < m) {
+      val codes = cb(s)
+      val base = s * subDim
+      var bestC = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < codes.length) {
+        val cv = codes(c)
+        var d = 0.0
+        var j = 0
+        while (j < subDim) {
+          val x = v(base + j).toDouble - cv(j); d += x * x; j += 1
+        }
+        if (d < bestD) { bestD = d; bestC = c }
+        c += 1
+      }
+      out(outOff + s) = bestC.toByte
+      s += 1
+    }
+  }
+
+  /** Bucket-major packed PQ index: (bucket, ids, codes) blocks with codes
+    * row-major, ONE BYTE per sub-space — 4·dim/m × compression vs the f32
+    * blocks (128d, m=16 ⇒ 32×). Encoding runs inside the same pass that
+    * packs the blocks.
+    */
+  def servingIndexPq(assigned: DataFrame, codebook: Array[Array[Array[Float]]],
+      idCol: String = "id", vecCol: String = "vector")
+      : org.apache.spark.rdd.RDD[(Long, Array[Long], Array[Byte])] = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val m = codebook.length
+    val bc = spark.sparkContext.broadcast(codebook)
+    assigned
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"),
+        col("bucket").cast("long"))
+      .as[(Long, Array[Float], Long)]
+      .rdd
+      .mapPartitions { it =>
+        val cb = bc.value
+        val byBucket = scala.collection.mutable.LongMap
+          .empty[(scala.collection.mutable.ArrayBuffer[Long],
+                  scala.collection.mutable.ArrayBuffer[Array[Float]])]
+        it.foreach { case (id, v, b) =>
+          val e = byBucket.getOrElseUpdate(b,
+            (scala.collection.mutable.ArrayBuffer.empty[Long],
+             scala.collection.mutable.ArrayBuffer.empty[Array[Float]]))
+          e._1 += id
+          e._2 += v
+        }
+        byBucket.iterator.map { case (b, (idBuf, vecBuf)) =>
+          val ids = idBuf.toArray
+          val codes = new Array[Byte](ids.length * m)
+          var r = 0
+          while (r < ids.length) {
+            encodeVec(vecBuf(r), cb, codes, r * m)
+            r += 1
+          }
+          (b, ids, codes)
+        }
+      }
+  }
+
+  /** Batched IVF-PQ serving: driver-side probe selection (squared-L2 rank
+    * over the IVF centroids), per-query flat ADC LUT, ONE scan stage over
+    * the probed buckets' code blocks (m table reads + adds per candidate
+    * — no float vector touched), per-partition bounded top-k, treeReduce
+    * merge. Returns (qid, id, distance, rank) with ADC distances.
+    */
+  def searchBatchedFastPq(
+      index: org.apache.spark.rdd.RDD[(Long, Array[Long], Array[Byte])],
+      cents: Array[Array[Float]],
+      codebook: Array[Array[Array[Float]]],
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val m = codebook.length
+    val subDim = codebook(0)(0).length
+    val nCodes = codebook(0).length
+    val adj = Ivf.bucketAdj(cents, "l2")
+    val qrows = queries.select(col("qid"), col("qvec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qids = qrows.map(_._1)
+    // bucket → indices of the queries probing it (null = unprobed).
+    val bucketQs = new Array[Array[Int]](cents.length)
+    qrows.zipWithIndex.foreach { case ((_, qv), qi) =>
+      val probed = cents.indices.map { c =>
+        val cv = cents(c)
+        var dot = 0.0; var j = 0
+        while (j < cv.length) { dot += cv(j).toDouble * qv(j); j += 1 }
+        (adj(c) - dot, c)
+      }.sorted.take(nProbe)
+      probed.foreach { case (_, c) =>
+        bucketQs(c) = if (bucketQs(c) == null) Array(qi) else bucketQs(c) :+ qi
+      }
+    }
+    // Flat per-query LUTs (sub-major, code-minor) — nq × m × nCodes
+    // doubles; built on the driver where probe selection already runs.
+    val luts = qrows.map { case (_, qv) =>
+      val lut = new Array[Double](m * nCodes)
+      var s = 0
+      while (s < m) {
+        val codes = codebook(s)
+        val base = s * subDim
+        var c = 0
+        while (c < nCodes) {
+          val cv = codes(c)
+          var d = 0.0
+          var j = 0
+          while (j < subDim) {
+            val x = qv(base + j).toDouble - cv(j); d += x * x; j += 1
+          }
+          lut(s * nCodes + c) = d
+          c += 1
+        }
+        s += 1
+      }
+      lut
+    }
+    val bc = spark.sparkContext.broadcast((luts, bucketQs))
+    val partials = index.mapPartitions { it =>
+      val (ls, bq) = bc.value
+      val heaps = new Ivf.TopK(ls.length, k)
+      it.foreach { case (b, ids, codes) =>
+        val qs = if (b < bq.length) bq(b.toInt) else null
+        if (qs != null && ids.length > 0) {
+          var i = 0
+          while (i < qs.length) {
+            val qi = qs(i)
+            val lut = ls(qi)
+            var r = 0
+            var off = 0
+            while (r < ids.length) {
+              var d = 0.0
+              var s = 0
+              while (s < m) {
+                d += lut(s * nCodes + (codes(off + s) & 0xFF))
+                s += 1
+              }
+              heaps.insert(qi, d, ids(r))
+              r += 1
+              off += m
+            }
+            i += 1
+          }
+        }
+      }
+      Iterator.single(heaps)
+    }
+    val merged =
+      if (partials.getNumPartitions == 0) new Ivf.TopK(qids.length, k)
+      else partials.treeReduce(_ merge _)
+    Ivf.mergeTopK(spark, merged, qids, k)
+  }
 
   /** Two-stage PQ serving: ADC selects rerankR candidates from codes
     * alone, then ONLY those ids fetch their f32 vectors for an exact
