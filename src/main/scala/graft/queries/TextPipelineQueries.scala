@@ -247,24 +247,8 @@ object TextPipelineQueries {
     // identical strings and runs the identical RE2-subset patterns.
     "x9_pii" -> ((s, dir) => {
       val d = col("doc_id")
-      def str(c: org.apache.spark.sql.Column) = c.cast("string")
-      val email = concat(lit("user"), str(d), lit("@mail"),
-        str(pmod(d, lit(5L))), lit(".com"))
-      val phone = concat(lit("555-201-"),
-        lpad(str(pmod(d * 7, lit(10000L))), 4, "0"))
-      val ip = concat(lit("10."), str(pmod(d, lit(256L))), lit("."),
-        str(pmod(d * 3, lit(256L))), lit("."), str(pmod(d * 7, lit(256L))))
-      val ssn = when(pmod(d, lit(3L)) === 0, concat(lit(" ssn "),
-          str(pmod(d, lit(900L)) + 100), lit("-"),
-          str(pmod(d, lit(90L)) + 10), lit("-"),
-          lpad(str(pmod(d * 13, lit(10000L))), 4, "0")))
-        .otherwise(lit(""))
-      val cc = when(pmod(d, lit(4L)) === 0, concat(lit(" card "),
-          lpad(str(d * 99991 + 123456789L), 16, "0")))
-        .otherwise(lit(""))
-      val withPii = Tables.documents(s, dir).select(d,
-        concat(col("text"), lit(" contact "), email, lit(" call "), phone,
-          lit(" from "), ip, ssn, cc).as("content"))
+      val withPii = Tables.documents(s, dir)
+        .select(d, piiInjected(d, col("text")).as("content"))
       val cnts = graft.text.Pii.counts(col("content"))
         .map { case (n, c) => c.as(s"n_$n") }
       withPii.select(
@@ -284,8 +268,103 @@ object TextPipelineQueries {
       graft.text.Packing.packNextFit(docs, "doc_id", "source", "ntok",
           budget = 256L, shards = 4)
         .orderBy(col("source"), col("shard"), col("doc_id"))
+    }),
+
+    // X11: the scrub-and-pack tail of the training-data funnel as one
+    // composition — exact dedup (membership changes the packing streams),
+    // PII injection + redaction, token count of the SCRUBBED text, then
+    // next-fit packing. Everything except the per-stream forward pass is
+    // keyed aggregations / linear column math; n_pii and the redacted
+    // length make the scrub stage observable in the output.
+    "x11_funnel_pack" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      val canon = docs.groupBy(sha2(col("text"), 256).as("hsh"))
+        .agg(min(col("doc_id")).as("keep_id"))
+      val kept = docs.withColumn("hsh", sha2(col("text"), 256))
+        .join(canon, Seq("hsh"))
+        .filter(col("doc_id") === col("keep_id"))
+        .select(col("doc_id"), col("source"),
+          piiInjected(col("doc_id"), col("text")).as("content"))
+      val nPii = graft.text.Pii.counts(col("content"))
+        .map(_._2).reduce(_ + _).as("n_pii")
+      val red = kept.select(col("doc_id"), col("source"),
+        graft.text.Pii.redact(col("content")).as("rtext"), nPii)
+      val toks = red.select(col("doc_id"), col("source"),
+        size(split(col("rtext"), " ")).cast("long").as("ntok"),
+        length(col("rtext")).cast("long").as("rlen"), col("n_pii"))
+      graft.text.Packing.packNextFit(toks, "doc_id", "source", "ntok",
+          budget = 256L, shards = 4)
+        .join(toks.select(col("doc_id"), col("rlen"), col("n_pii")),
+          Seq("doc_id"))
+        .orderBy(col("source"), col("shard"), col("doc_id"))
     })
   )
+
+  /** SQL twin of [[piiInjected]] — expects `doc_id`, `text` in scope.
+    * SINGLE line: these fragments interpolate into templates that call
+    * `.stripMargin` AFTER interpolation, which would eat the first `|`
+    * of any `||` that starts a line.
+    */
+  private val piiInjectedSql: String = Seq(
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)",
+    "|| '@mail' || CAST(doc_id % 5 AS VARCHAR) || '.com'",
+    "|| ' call 555-201-'",
+    "|| lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')",
+    "|| ' from 10.' || CAST(doc_id % 256 AS VARCHAR)",
+    "|| '.' || CAST((doc_id * 3) % 256 AS VARCHAR)",
+    "|| '.' || CAST((doc_id * 7) % 256 AS VARCHAR)",
+    "|| CASE WHEN doc_id % 3 = 0 THEN ' ssn '",
+    "|| CAST(doc_id % 900 + 100 AS VARCHAR) || '-'",
+    "|| CAST(doc_id % 90 + 10 AS VARCHAR) || '-'",
+    "|| lpad(CAST((doc_id * 13) % 10000 AS VARCHAR), 4, '0')",
+    "ELSE '' END",
+    "|| CASE WHEN doc_id % 4 = 0 THEN ' card '",
+    "|| lpad(CAST(doc_id * 99991 + 123456789 AS VARCHAR), 16, '0')",
+    "ELSE '' END").mkString(" ")
+
+  /** Oracle fragments generated FROM [[graft.text.Pii.Patterns]] — the
+    * engine's pattern strings and replacement order are the single source
+    * of truth, so the SQL can't drift from the Spark plan. (The patterns
+    * are the RE2-compatible subset and contain no single quotes.)
+    */
+  private def piiPatternSql(name: String): String =
+    graft.text.Pii.Patterns.find(_._1 == name).get._2
+
+  /** Redaction chain over a `content` column, in `Patterns` order. */
+  private val piiRedactSql: String =
+    graft.text.Pii.Patterns.foldLeft("content") {
+      case (acc, (_, pat, tok)) => s"regexp_replace($acc, '$pat', '$tok', 'g')"
+    }
+
+  private def piiCountSql(name: String): String =
+    s"CAST(len(regexp_extract_all(content, '${piiPatternSql(name)}')) AS BIGINT)"
+
+  /** Deterministic PII injection keyed off doc_id (shared by x9/x11): the
+    * corpus is synthetic word salad with no real PII, so email+phone+IP go
+    * on every doc, SSN-shaped on doc_id%3=0, card-shaped on doc_id%4=0.
+    * [[piiInjectedSql]] is the byte-identical oracle expression.
+    */
+  private def piiInjected(d: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def str(c: org.apache.spark.sql.Column) = c.cast("string")
+    val email = concat(lit("user"), str(d), lit("@mail"),
+      str(pmod(d, lit(5L))), lit(".com"))
+    val phone = concat(lit("555-201-"),
+      lpad(str(pmod(d * 7, lit(10000L))), 4, "0"))
+    val ip = concat(lit("10."), str(pmod(d, lit(256L))), lit("."),
+      str(pmod(d * 3, lit(256L))), lit("."), str(pmod(d * 7, lit(256L))))
+    val ssn = when(pmod(d, lit(3L)) === 0, concat(lit(" ssn "),
+        str(pmod(d, lit(900L)) + 100), lit("-"),
+        str(pmod(d, lit(90L)) + 10), lit("-"),
+        lpad(str(pmod(d * 13, lit(10000L))), 4, "0")))
+      .otherwise(lit(""))
+    val cc = when(pmod(d, lit(4L)) === 0, concat(lit(" card "),
+        lpad(str(d * 99991 + 123456789L), 16, "0")))
+      .otherwise(lit(""))
+    concat(text, lit(" contact "), email, lit(" call "), phone,
+      lit(" from "), ip, ssn, cc)
+  }
 
   private def scoreSql(words: Seq[String]): String =
     s"len(list_filter(str_split(content, ' '), t -> list_contains(" +
@@ -497,40 +576,18 @@ object TextPipelineQueries {
     // Identical injected strings, identical RE2-subset patterns; DuckDB
     // needs the explicit 'g' flag (Spark's regexp_replace is global).
     "x9_pii" ->
-      """WITH injected AS (
-        |  SELECT doc_id,
-        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
-        |      || '@mail' || CAST(doc_id % 5 AS VARCHAR) || '.com'
-        |      || ' call 555-201-'
-        |      || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
-        |      || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
-        |      || '.' || CAST((doc_id * 3) % 256 AS VARCHAR)
-        |      || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
-        |      || CASE WHEN doc_id % 3 = 0 THEN ' ssn '
-        |           || CAST(doc_id % 900 + 100 AS VARCHAR) || '-'
-        |           || CAST(doc_id % 90 + 10 AS VARCHAR) || '-'
-        |           || lpad(CAST((doc_id * 13) % 10000 AS VARCHAR), 4, '0')
-        |         ELSE '' END
-        |      || CASE WHEN doc_id % 4 = 0 THEN ' card '
-        |           || lpad(CAST(doc_id * 99991 + 123456789 AS VARCHAR), 16, '0')
-        |         ELSE '' END AS content
-        |  FROM documents
-        |)
-        |SELECT doc_id,
-        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |    regexp_replace(content,
-        |      '\b\d{16}\b', '<CC>', 'g'),
-        |      '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
-        |      '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
-        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
-        |    AS redacted,
-        |  CAST(len(regexp_extract_all(content, '\b\d{16}\b')) AS BIGINT) AS n_cc,
-        |  CAST(len(regexp_extract_all(content, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
-        |  CAST(len(regexp_extract_all(content, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
-        |  CAST(len(regexp_extract_all(content, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
-        |  CAST(len(regexp_extract_all(content, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email
-        |FROM injected ORDER BY doc_id""".stripMargin,
+      s"""WITH injected AS (
+         |  SELECT doc_id, $piiInjectedSql AS content
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  $piiRedactSql AS redacted,
+         |  ${piiCountSql("cc")} AS n_cc,
+         |  ${piiCountSql("ssn")} AS n_ssn,
+         |  ${piiCountSql("phone")} AS n_phone,
+         |  ${piiCountSql("ip")} AS n_ip,
+         |  ${piiCountSql("email")} AS n_email
+         |FROM injected ORDER BY doc_id""".stripMargin,
 
     // The per-stream next-fit forward pass replayed as a recursive CTE:
     // rows are numbered within each (source, shard) stream and the
@@ -558,6 +615,47 @@ object TextPipelineQueries {
         |    AND t.rn = p.rn + 1
         |)
         |SELECT doc_id, source, shard, ntok, bin, bin_fill
-        |FROM pack ORDER BY source, shard, doc_id""".stripMargin
+        |FROM pack ORDER BY source, shard, doc_id""".stripMargin,
+
+    // The composed funnel tail: exact dedup (min doc_id per identical
+    // text) -> inject+redact -> token-count the scrubbed text -> replay
+    // the next-fit recurrence over the SURVIVOR streams.
+    "x11_funnel_pack" ->
+      s"""WITH RECURSIVE canon AS (
+         |  SELECT min(doc_id) AS keep_id FROM documents GROUP BY text
+         |), kept AS (
+         |  SELECT d.doc_id, d.source, $piiInjectedSql AS content
+         |  FROM documents d JOIN canon c ON c.keep_id = d.doc_id
+         |), red AS (
+         |  SELECT doc_id, source, $piiRedactSql AS rtext,
+         |    ${piiCountSql("cc")} + ${piiCountSql("ssn")}
+         |      + ${piiCountSql("phone")} + ${piiCountSql("ip")}
+         |      + ${piiCountSql("email")} AS n_pii
+         |  FROM kept
+         |), toks AS (
+         |  SELECT doc_id, source, doc_id % 4 AS shard,
+         |    CAST(len(str_split(rtext, ' ')) AS BIGINT) AS ntok,
+         |    CAST(length(rtext) AS BIGINT) AS rlen, n_pii,
+         |    row_number() OVER (PARTITION BY source, doc_id % 4
+         |                       ORDER BY doc_id) AS rn
+         |  FROM red
+         |), pack AS (
+         |  SELECT doc_id, source, shard, ntok, rn,
+         |    CAST(0 AS BIGINT) AS bin, ntok AS bin_fill
+         |  FROM toks WHERE rn = 1
+         |  UNION ALL
+         |  SELECT t.doc_id, t.source, t.shard, t.ntok, t.rn,
+         |    CASE WHEN p.bin_fill + t.ntok > 256
+         |         THEN p.bin + 1 ELSE p.bin END,
+         |    CASE WHEN p.bin_fill + t.ntok > 256
+         |         THEN t.ntok ELSE p.bin_fill + t.ntok END
+         |  FROM toks t
+         |  JOIN pack p ON t.source = p.source AND t.shard = p.shard
+         |    AND t.rn = p.rn + 1
+         |)
+         |SELECT p.doc_id, p.source, p.shard, p.ntok, p.bin, p.bin_fill,
+         |  t.rlen, t.n_pii
+         |FROM pack p JOIN toks t ON t.doc_id = p.doc_id
+         |ORDER BY p.source, p.shard, p.doc_id""".stripMargin
   )
 }

@@ -336,6 +336,179 @@ object Pq {
     Ivf.mergeTopK(spark, merged, qids, k)
   }
 
+  /** Residual vectors `v − cents[bucket]` as a typed pass — the training
+    * input for residual codebooks (IVF-ADC: quantizing the residual
+    * removes the bucket offset from every code, which is what keeps PQ
+    * distortion small relative to intra-bucket distances at large n).
+    */
+  def residuals(assigned: DataFrame, cents: Array[Array[Float]],
+      idCol: String = "id", vecCol: String = "vector"): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cents)
+    assigned
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"),
+        col("bucket").cast("long"))
+      .as[(Long, Array[Float], Long)]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, v, b) =>
+          val cv = cs(b.toInt)
+          val r = new Array[Float](v.length)
+          var j = 0
+          while (j < v.length) { r(j) = v(j) - cv(j); j += 1 }
+          (id, r)
+        }
+      }
+      .toDF(idCol, vecCol)
+  }
+
+  /** Bucket-major packed RESIDUAL-PQ index: codes quantize
+    * `v − cents[bucket]` (encoding runs in the packing pass; same block
+    * layout and byte budget as [[servingIndexPq]]).
+    */
+  def servingIndexPqResidual(assigned: DataFrame,
+      cents: Array[Array[Float]], codebook: Array[Array[Array[Float]]],
+      idCol: String = "id", vecCol: String = "vector")
+      : org.apache.spark.rdd.RDD[(Long, Array[Long], Array[Byte])] = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val m = codebook.length
+    val bc = spark.sparkContext.broadcast((cents, codebook))
+    assigned
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"),
+        col("bucket").cast("long"))
+      // One block per bucket (not one per bucket×partition): the scan
+      // builds a per-(query, bucket) LUT, so bucket fragments would
+      // multiply that build by the partition count. One build-time
+      // shuffle buys LUT amortization over the whole bucket.
+      .repartition(col("bucket"))
+      .as[(Long, Array[Float], Long)]
+      .rdd
+      .mapPartitions { it =>
+        val (cs, cb) = bc.value
+        val byBucket = scala.collection.mutable.LongMap
+          .empty[(scala.collection.mutable.ArrayBuffer[Long],
+                  scala.collection.mutable.ArrayBuffer[Array[Float]])]
+        it.foreach { case (id, v, b) =>
+          val e = byBucket.getOrElseUpdate(b,
+            (scala.collection.mutable.ArrayBuffer.empty[Long],
+             scala.collection.mutable.ArrayBuffer.empty[Array[Float]]))
+          e._1 += id
+          e._2 += v
+        }
+        val resid = new Array[Float](if (cs.isEmpty) 0 else cs(0).length)
+        byBucket.iterator.map { case (b, (idBuf, vecBuf)) =>
+          val ids = idBuf.toArray
+          val cv = cs(b.toInt)
+          val codes = new Array[Byte](ids.length * m)
+          var r = 0
+          while (r < ids.length) {
+            val v = vecBuf(r)
+            var j = 0
+            while (j < v.length) { resid(j) = v(j) - cv(j); j += 1 }
+            encodeVec(resid, cb, codes, r * m)
+            r += 1
+          }
+          (b, ids, codes)
+        }
+      }
+  }
+
+  /** Batched residual-IVF-PQ serving. Identical shape to
+    * [[searchBatchedFastPq]], except the ADC LUT is per (query, bucket):
+    * built lazily inside the scan from the residual query
+    * `qvec − cents[bucket]` (m·nCodes·subDim = one LUT costs about the
+    * same as scanning ~2k rows, amortized over the whole block; the
+    * buffer is reused, so no allocation per block).
+    */
+  def searchBatchedFastPqResidual(
+      index: org.apache.spark.rdd.RDD[(Long, Array[Long], Array[Byte])],
+      cents: Array[Array[Float]],
+      codebook: Array[Array[Array[Float]]],
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val m = codebook.length
+    val subDim = codebook(0)(0).length
+    val nCodes = codebook(0).length
+    val adj = Ivf.bucketAdj(cents, "l2")
+    val qrows = queries.select(col("qid"), col("qvec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qids = qrows.map(_._1)
+    val qvecs = qrows.map(_._2)
+    val bucketQs = new Array[Array[Int]](cents.length)
+    qrows.zipWithIndex.foreach { case ((_, qv), qi) =>
+      val probed = cents.indices.map { c =>
+        val cv = cents(c)
+        var dot = 0.0; var j = 0
+        while (j < cv.length) { dot += cv(j).toDouble * qv(j); j += 1 }
+        (adj(c) - dot, c)
+      }.sorted.take(nProbe)
+      probed.foreach { case (_, c) =>
+        bucketQs(c) = if (bucketQs(c) == null) Array(qi) else bucketQs(c) :+ qi
+      }
+    }
+    val bc = spark.sparkContext.broadcast((qvecs, bucketQs, cents, codebook))
+    val partials = index.mapPartitions { it =>
+      val (qvs, bq, cs, cb) = bc.value
+      val heaps = new Ivf.TopK(qvs.length, k)
+      val lut = new Array[Double](m * nCodes)
+      val rq = new Array[Float](if (cs.isEmpty) 0 else cs(0).length)
+      it.foreach { case (b, ids, codes) =>
+        val qs = if (b < bq.length) bq(b.toInt) else null
+        if (qs != null && ids.length > 0) {
+          val cv = cs(b.toInt)
+          var i = 0
+          while (i < qs.length) {
+            val qi = qs(i)
+            val qv = qvs(qi)
+            var j = 0
+            while (j < qv.length) { rq(j) = qv(j) - cv(j); j += 1 }
+            var s = 0
+            while (s < m) {
+              val sub = cb(s)
+              val base = s * subDim
+              var c = 0
+              while (c < nCodes) {
+                val e = sub(c)
+                var d = 0.0
+                var t = 0
+                while (t < subDim) {
+                  val x = rq(base + t).toDouble - e(t); d += x * x; t += 1
+                }
+                lut(s * nCodes + c) = d
+                c += 1
+              }
+              s += 1
+            }
+            var r = 0
+            var off = 0
+            while (r < ids.length) {
+              var d = 0.0
+              var s2 = 0
+              while (s2 < m) {
+                d += lut(s2 * nCodes + (codes(off + s2) & 0xFF))
+                s2 += 1
+              }
+              heaps.insert(qi, d, ids(r))
+              r += 1
+              off += m
+            }
+            i += 1
+          }
+        }
+      }
+      Iterator.single(heaps)
+    }
+    val merged =
+      if (partials.getNumPartitions == 0) new Ivf.TopK(qids.length, k)
+      else partials.treeReduce(_ merge _)
+    Ivf.mergeTopK(spark, merged, qids, k)
+  }
+
   /** Two-stage PQ serving: ADC selects rerankR candidates from codes
     * alone, then ONLY those ids fetch their f32 vectors for an exact
     * re-score — the standard recall repair, and at scale the only step

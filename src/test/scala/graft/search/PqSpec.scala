@@ -164,4 +164,49 @@ class PqSpec extends SparkSpec {
       assert(math.abs(f._3 - sl._3) < 1e-9, s"dist mismatch: $f vs $sl")
     }
   }
+
+  test("residual PQ with a lossless codebook reproduces exact distances") {
+    // v = cents[bucket] + residual. If every residual sub-vector IS a
+    // codebook entry, ADC over residual codes is algebraically the exact
+    // ||q − v||² — so the residual path, probing ALL buckets, must
+    // reproduce brute-force k-NN ids exactly. This pins encode (argmin
+    // finds the zero-error code), the per-(query, bucket) LUT, and the
+    // scan in one assertion.
+    val small = emb.filter(col("id") < 200).cache()
+    val centRows = small.filter(col("id") % 40 === 0).orderBy(col("id"))
+      .select(col("vector")).as[Array[Float]].collect()
+    val assigned = Ivf.assignFast(small, centRows, metric = "l2").cache()
+    // Lossless codebook: every row's residual sub-vector, per sub-space.
+    val resid = Pq.residuals(assigned, centRows).orderBy(col("id"))
+      .select(col("vector")).as[Array[Float]].collect()
+    val cbArrays = Array.tabulate(m) { s =>
+      resid.map(_.slice(s * subDim, (s + 1) * subDim))
+    }
+    val index = Pq.servingIndexPqResidual(assigned, centRows, cbArrays)
+    val q = small.filter(col("id").isin(13L, 77L))
+      .select(col("id").as("qid"), col("vector").as("qvec"))
+    val adc = Pq.searchBatchedFastPqResidual(index, centRows, cbArrays, q,
+        k = 5, nProbe = centRows.length)
+      .select(col("qid"), col("id"), col("distance"))
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (qq, a) =>
+        qq -> a.sortBy(t => (t._3, t._2)).map(_._2).toSeq }
+    val truth = {
+      val rows = small.select(col("id"), col("vector"))
+        .as[(Long, Array[Float])].collect()
+      Seq(13L, 77L).map { qid =>
+        val qv = rows.find(_._1 == qid).get._2
+        qid -> rows.map { case (id, v) =>
+          var d = 0.0; var j = 0
+          while (j < v.length) {
+            val x = v(j).toDouble - qv(j); d += x * x; j += 1
+          }
+          (d, id)
+        }.sortBy(t => (t._1, t._2)).take(5).map(_._2).toSeq
+      }.toMap
+    }
+    assert(adc(13L) == truth(13L), s"${adc(13L)} vs ${truth(13L)}")
+    assert(adc(77L) == truth(77L), s"${adc(77L)} vs ${truth(77L)}")
+    small.unpersist(); assigned.unpersist()
+  }
 }
