@@ -298,6 +298,51 @@ object TextPipelineQueries {
         .join(toks.select(col("doc_id"), col("rlen"), col("n_pii")),
           Seq("doc_id"))
         .orderBy(col("source"), col("shard"), col("doc_id"))
+    }),
+
+    // X12: cluster-balance report — the topic-histogram a pre-training mix
+    // needs over an embedded corpus: assign every doc's embedding to
+    // sampled centroids (v1's deterministic protocol — swap in trained
+    // KMeans at deployment), then per-cluster doc counts, token mass,
+    // token share, and majority-label purity (the embeddings table carries
+    // a ground-truth label). Corpus-total token mass via a broadcast
+    // 1-row agg join (x7's idiom — never a global window); ppm shares in
+    // integer math so the compare is float-free.
+    "x12_cluster_balance" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").cast("long").as("id"), col("embedding"),
+          col("label"))
+      val cents = emb.filter(col("id") % 100 === 0)
+        .select(col("id").as("cid"), col("embedding").as("cvec"))
+      val assigned = graft.search.Ivf.assign(
+        emb.select(col("id"), col("embedding").as("vector")),
+        cents, "id", "vector")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id").as("id"),
+          size(split(col("text"), " ")).cast("long").as("ntok"))
+      val joined = assigned.select(col("id"), col("bucket"))
+        .join(emb.select(col("id"), col("label")), Seq("id"))
+        .join(docs, Seq("id"))
+      val per = joined.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("ws_tokens"))
+      val tot = per.agg(sum(col("ws_tokens")).as("ttotal"))
+      // Majority label per cluster: max count, ties -> lower label.
+      val lab = joined.groupBy(col("bucket"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("bucket"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"),
+          sum(col("c")).as("n"))
+        .select(col("bucket"), (-col("m.nl")).cast("long").as("major_label"),
+          col("m.c").as("mc"), col("n"))
+      per.crossJoin(broadcast(tot)).join(lab, Seq("bucket"))
+        .select(col("bucket").cast("long").as("bucket"), col("n_docs"),
+          col("ws_tokens"),
+          floor(lit(1000000.0) * col("ws_tokens") / col("ttotal"))
+            .cast("long").as("share_ppm"),
+          col("major_label"),
+          floor(lit(1000000.0) * col("mc") / col("n"))
+            .cast("long").as("purity_ppm"))
+        .orderBy(col("bucket"))
     })
   )
 
@@ -656,6 +701,50 @@ object TextPipelineQueries {
          |SELECT p.doc_id, p.source, p.shard, p.ntok, p.bin, p.bin_fill,
          |  t.rlen, t.n_pii
          |FROM pack p JOIN toks t ON t.doc_id = p.doc_id
-         |ORDER BY p.source, p.shard, p.doc_id""".stripMargin
+         |ORDER BY p.source, p.shard, p.doc_id""".stripMargin,
+
+    // v1's centroid/assignment protocol + per-cluster aggregations; the
+    // cosine ordering matches Spark's Ivf.assign (ties -> lower cid).
+    "x12_cluster_balance" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        |  WHERE vec_id % 100 = 0),
+        |assigned AS (
+        |  SELECT vec_id AS id, cid AS bucket FROM (
+        |    SELECT e.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY 1.0 - list_cosine_similarity(
+        |          CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])),
+        |          c.cid) AS rn
+        |    FROM embeddings e CROSS JOIN cents c)
+        |  WHERE rn = 1),
+        |j AS (
+        |  SELECT a.id, a.bucket, e.label,
+        |    CAST(len(str_split(d.text, ' ')) AS BIGINT) AS ntok
+        |  FROM assigned a
+        |  JOIN embeddings e ON e.vec_id = a.id
+        |  JOIN documents d ON d.doc_id = a.id),
+        |per AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(ntok) AS BIGINT) AS ws_tokens
+        |  FROM j GROUP BY bucket),
+        |tot AS (SELECT sum(ws_tokens) AS ttotal FROM per),
+        |lc AS (SELECT bucket, label, CAST(count(*) AS BIGINT) AS c
+        |       FROM j GROUP BY bucket, label),
+        |lm AS (
+        |  SELECT bucket, CAST(label AS BIGINT) AS major_label, c,
+        |    row_number() OVER (PARTITION BY bucket
+        |                       ORDER BY c DESC, label) AS rn,
+        |    sum(c) OVER (PARTITION BY bucket) AS n
+        |  FROM lc)
+        |SELECT CAST(per.bucket AS BIGINT) AS bucket, per.n_docs,
+        |  per.ws_tokens,
+        |  CAST(floor(1000000.0 * per.ws_tokens / tot.ttotal) AS BIGINT)
+        |    AS share_ppm,
+        |  lm.major_label,
+        |  CAST(floor(1000000.0 * lm.c / lm.n) AS BIGINT) AS purity_ppm
+        |FROM per CROSS JOIN tot
+        |JOIN lm ON lm.bucket = per.bucket AND lm.rn = 1
+        |ORDER BY bucket""".stripMargin
   )
 }
