@@ -120,6 +120,38 @@ class StreamsSpec extends SparkSpec {
     assert(Streams.dedupStream(batch, "text", "ts").count() == 2)
   }
 
+  test("streaming PII scrub equals batch scrub (stateless projection)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.text.Pii
+    val rows = Seq(
+      (1L, "mail me a@b.com or call 555-123-4567"),
+      (2L, "host 10.0.0.1 card 4111111111111111"),
+      (3L, "nothing sensitive here"))
+    def scrub(df: org.apache.spark.sql.DataFrame) = {
+      val cnt = Pii.counts(col("text")).map(_._2).reduce(_ + _).as("n_pii")
+      df.select(col("doc_id"), Pii.redact(col("text")).as("rtext"), cnt)
+    }
+    val ms = MemoryStream[(Long, String)]
+    val q = scrub(ms.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("pii_s")
+      .outputMode("append").start()
+    try {
+      ms.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      ms.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("pii_s")
+        .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+      val batch = scrub(rows.toDF("doc_id", "text"))
+        .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+      assert(streamed == batch)
+      assert(streamed.map(_._3) == Seq(2L, 2L, 0L))
+      assert(streamed(0)._2 == "mail me <EMAIL> or call <PHONE>")
+    } finally q.stop()
+  }
+
   test("streaming IVF ingest: assignment equals batch, layout is probe-able") {
     import graft.search.Ivf
     val emb = Tables.embeddings(spark, sf())
