@@ -160,6 +160,34 @@ object AnnQueries {
         .select(col("qid"), col("id"), round(col("dist"), 6).as("dist"),
           col("rank").cast("long").as("rank"))
         .orderBy(col("qid"), col("rank"))
+    }),
+
+    // V18 — v17 served from the MATERIALIZED codes layout: (id, bucket,
+    // codes) written to parquet partitioned by bucket, read back, probed.
+    // Identical results by construction (codes are lossless on disk), and
+    // the probed read is bucket-partition-pruned — the deployment shape
+    // where the f32 vectors stay cold and only code files are touched.
+    "v18_pq_stored" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      val cb = Pq.sampleCodebook(emb, "vec_id", "embedding",
+        m = 8, subDim = 8, nCodes = 16)
+      val cents = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val encodedB = Layouts.stored(s, dir, "pq_codes", Seq("bucket")) {
+        Pq.encode(emb, cb, "vec_id", "embedding", m = 8, subDim = 8)
+          .join(Ivf.assign(
+              emb.select(col("vec_id").as("id"), col("embedding").as("vector")),
+              cents, "id", "vector", metric = "l2")
+            .select(col("id"), col("bucket")), Seq("id"))
+      }.select(col("id"), col("codes"), col("bucket").cast("long").as("bucket"))
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Pq.ivfAdcSearch(encodedB, cb, cents, q, k = 10, nProbe = 2,
+          m = 8, subDim = 8, nCodes = 16)
+        .select(col("qid"), col("id"), round(col("dist"), 6).as("dist"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("qid"), col("rank"))
     })
   )
 
@@ -290,7 +318,15 @@ object AnnQueries {
     // IVF-PQ: the v1 centroid/probe chain composed onto the PQ scoring
     // chain — candidates are restricted to each query's 2 probed buckets
     // BEFORE the ADC fold.
-    "v17_ivfpq" ->
+    // v18 serves v17 from the materialized bucket-partitioned codes
+    // layout — identical results by construction, same oracle.
+    "v18_pq_stored" -> v17Sql,
+
+    "v17_ivfpq" -> v17Sql
+  )
+
+  /** Shared by v17 (in-plan codes) and v18 (stored codes layout). */
+  private lazy val v17Sql =
       s"""WITH $pqCtes,
          |cents AS (
          |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
@@ -326,7 +362,6 @@ object AnnQueries {
          |SELECT CAST(qid AS BIGINT) AS qid, CAST(id AS BIGINT) AS id,
          |  round(dist, 6) AS dist, CAST(rank AS BIGINT) AS rank
          |FROM ir WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
-  )
 
   /** Shared PQ oracle chain: codebooks → encode argmins → query LUTs →
     * sequential ADC fold → ranked `r` (plus `ev`, the double-cast vectors,

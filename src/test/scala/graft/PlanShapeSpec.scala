@@ -105,6 +105,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(buckets.subsetOf(Set(0L, 100L)))
   }
 
+  test("PQ codes layout partition-prunes and reads ONLY the codes column") {
+    // The v18 deployment shape: (id, codes) partitioned by bucket. A
+    // probed ADC scan must hit PartitionFilters on bucket AND keep the
+    // parquet ReadSchema to id+codes — the f32 vectors don't exist in
+    // this table at all, and the codes read must not widen.
+    val emb = graft.core.Tables.embeddings(spark, sf())
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val cb = graft.search.Pq.sampleCodebook(emb, "vec_id", "embedding",
+      m = 8, subDim = 8, nCodes = 16)
+    val cents = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val enc = graft.search.Pq.encode(emb, cb, "vec_id", "embedding",
+        m = 8, subDim = 8)
+      .join(graft.search.Ivf.assign(
+          emb.select(col("vec_id").as("id"), col("embedding").as("vector")),
+          cents, "id", "vector", metric = "l2")
+        .select(col("id"), col("bucket")), Seq("id"))
+    val dir = java.nio.file.Files.createTempDirectory("pq-part").toString
+    enc.write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    val probe = spark.read.parquet(dir)
+      .filter(col("bucket").isin(0L, 100L))
+      .select(col("id"), col("codes"))
+    val p = plan(probe)
+    assert(p.contains("PartitionFilters") && p.contains("bucket"),
+      p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse("")
+    assert(readSchema.contains("codes") && !readSchema.contains("embedding"),
+      readSchema)
+  }
+
   test("no unpartitioned window anywhere in src/main (single-partition funnel ban)") {
     // A Window.orderBy without partitionBy (or an empty partitionBy) moves
     // every row through ONE task — the quantizer-train scale-killer VERDICT
