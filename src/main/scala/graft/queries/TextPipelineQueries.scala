@@ -343,6 +343,48 @@ object TextPipelineQueries {
           floor(lit(1000000.0) * col("mc") / col("n"))
             .cast("long").as("purity_ppm"))
         .orderBy(col("bucket"))
+    }),
+
+    // X13: packing-efficiency report over x10's bins — bins per source,
+    // mean fill in ppm of budget, and the oversized-singleton count. The
+    // oracle recomputes the bins independently, so a fill > budget on a
+    // multi-doc bin (a broken packer) would hash-mismatch here.
+    "x13_pack_stats" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("ntok"))
+      val packed = graft.text.Packing.packNextFit(docs, "doc_id", "source",
+        "ntok", budget = 256L, shards = 4)
+      val bins = packed.groupBy(col("source"), col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("fill"))
+      bins.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_bins"),
+          sum(col("n_docs")).as("n_docs"),
+          sum(col("fill")).as("tokens"),
+          max(col("fill")).as("max_fill"),
+          sum(when(col("fill") > 256L, 1L).otherwise(0L)).as("n_oversized"))
+        .select(col("source"), col("n_bins"), col("n_docs"), col("tokens"),
+          floor(lit(1000000.0) * col("tokens") / (col("n_bins") * 256L))
+            .cast("long").as("mean_fill_ppm"),
+          col("max_fill"), col("n_oversized"))
+        .orderBy(col("source"))
+    }),
+
+    // X14: deterministic train/val/test split — the same multiplicative-
+    // hash ppm gate as x7's sampler (90/5/5), so membership is a pure
+    // function of doc_id: stable across partitioning, cluster size, and
+    // reruns, and disjoint by construction.
+    "x14_split" -> ((s, dir) => {
+      val h = (col("doc_id") * 2654435761L) % 1000000L
+      val split = when(h < 900000L, "train")
+        .when(h < 950000L, "val").otherwise("test")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), split.as("split"),
+          size(org.apache.spark.sql.functions.split(col("text"), " "))
+            .cast("long").as("ntok"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("ws_tokens"))
+        .orderBy(col("source"), col("split"))
     })
   )
 
@@ -745,6 +787,54 @@ object TextPipelineQueries {
         |  CAST(floor(1000000.0 * lm.c / lm.n) AS BIGINT) AS purity_ppm
         |FROM per CROSS JOIN tot
         |JOIN lm ON lm.bucket = per.bucket AND lm.rn = 1
-        |ORDER BY bucket""".stripMargin
+        |ORDER BY bucket""".stripMargin,
+
+    // Independent bin recomputation (the x10 recursive CTE) + per-source
+    // rollup: a packer that overfills a multi-doc bin cannot match this.
+    "x13_pack_stats" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, source, doc_id % 4 AS shard,
+        |    CAST(len(str_split(text, ' ')) AS BIGINT) AS ntok,
+        |    row_number() OVER (PARTITION BY source, doc_id % 4
+        |                       ORDER BY doc_id) AS rn
+        |  FROM documents
+        |), pack AS (
+        |  SELECT doc_id, source, shard, ntok, rn,
+        |    CAST(0 AS BIGINT) AS bin, ntok AS bin_fill
+        |  FROM toks WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.doc_id, t.source, t.shard, t.ntok, t.rn,
+        |    CASE WHEN p.bin_fill + t.ntok > 256
+        |         THEN p.bin + 1 ELSE p.bin END,
+        |    CASE WHEN p.bin_fill + t.ntok > 256
+        |         THEN t.ntok ELSE p.bin_fill + t.ntok END
+        |  FROM toks t
+        |  JOIN pack p ON t.source = p.source AND t.shard = p.shard
+        |    AND t.rn = p.rn + 1
+        |), bins AS (
+        |  SELECT source, shard, bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(ntok) AS BIGINT) AS fill
+        |  FROM pack GROUP BY source, shard, bin
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_bins,
+        |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(sum(fill) AS BIGINT) AS tokens,
+        |  CAST(floor(1000000.0 * sum(fill) / (count(*) * 256)) AS BIGINT)
+        |    AS mean_fill_ppm,
+        |  max(fill) AS max_fill,
+        |  CAST(sum(CASE WHEN fill > 256 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oversized
+        |FROM bins GROUP BY source ORDER BY source""".stripMargin,
+
+    "x14_split" ->
+      """SELECT source,
+        |  CASE WHEN (doc_id * 2654435761) % 1000000 < 900000 THEN 'train'
+        |       WHEN (doc_id * 2654435761) % 1000000 < 950000 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS ws_tokens
+        |FROM documents
+        |GROUP BY source, split
+        |ORDER BY source, split""".stripMargin
   )
 }
