@@ -385,6 +385,28 @@ object TextPipelineQueries {
         .groupBy(col("source"), col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("ws_tokens"))
         .orderBy(col("source"), col("split"))
+    }),
+
+    // X15: per-source vocabulary statistics — token occurrences, exact
+    // distinct vocabulary, and the type/token ratio (vocabulary richness,
+    // a standard corpus-quality signal). count_distinct shuffles keyed by
+    // (source, token) — partitions like any grouped aggregation. The HLL
+    // sketch variant (approx_count_distinct, the 100 TB default where the
+    // exact count's shuffle is unaffordable) is pinned within 5% of exact
+    // in TextPipelineSpec — engine-specific sketch state has no DuckDB
+    // twin, so the oracle checks the exact path.
+    "x15_vocab" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(org.apache.spark.sql.functions.split(col("text"), " "))
+            .as("tok"))
+      toks.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          count_distinct(col("tok")).as("n_vocab"))
+        .select(col("source"), col("n_tokens"), col("n_vocab"),
+          floor(lit(1000000.0) * col("n_vocab") / col("n_tokens"))
+            .cast("long").as("ttr_ppm"))
+        .orderBy(col("source"))
     })
   )
 
@@ -835,6 +857,16 @@ object TextPipelineQueries {
         |  CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS ws_tokens
         |FROM documents
         |GROUP BY source, split
-        |ORDER BY source, split""".stripMargin
+        |ORDER BY source, split""".stripMargin,
+
+    "x15_vocab" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(str_split(text, ' ')) AS tok
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT tok) AS BIGINT) AS n_vocab,
+        |  CAST(floor(1000000.0 * count(DISTINCT tok) / count(*)) AS BIGINT)
+        |    AS ttr_ppm
+        |FROM toks GROUP BY source ORDER BY source""".stripMargin
   )
 }
