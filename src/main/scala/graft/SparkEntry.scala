@@ -26,6 +26,7 @@ object SparkEntry {
       (AnnQueries.queries, AnnQueries.oracleSql),
       (RagQueries.queries, RagQueries.oracleSql),
       (TextPipelineQueries.queries, TextPipelineQueries.oracleSql),
+      (CurationQueries.queries, CurationQueries.oracleSql),
       (StreamQueries.queries, StreamQueries.oracleSql),
       (MiscQueries.queries, MiscQueries.oracleSql),
       (CompilerQueries.queries, CompilerQueries.oracleSql),

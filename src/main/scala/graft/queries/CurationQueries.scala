@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.dedup.Dedup
+import graft.text.TextPipeline
+
+/** X16-X18: corpus-curation queries beyond the reference's own surface —
+  * the cross-document cleanup steps a pre-training pipeline runs between
+  * dedup (d1-d8) and packing (x10/x11): boilerplate span detection,
+  * lexical-rarity quality scoring, and deterministic shard assignment.
+  *
+  * Shared discipline with the rest of the x-family: every fraction is a
+  * `floor(1e6 * a / b)` ppm over exact integer counts (hash-stable across
+  * engines), every whole-corpus scalar rides a broadcast 1-row aggregate
+  * join (never a global window), and every per-doc output is computed
+  * against FULL-corpus statistics but emitted for a bounded id range so
+  * the oracle compare stays small while the plan shape is the at-scale
+  * one.
+  */
+object CurationQueries {
+
+  /** Boilerplate footer injected on doc_id % 3 == 0 — gives the detector
+    * a known high-document-frequency span (the synthetic corpus has no
+    * natural boilerplate). 8 words → 4 footer-internal 5-gram shingles
+    * shared by every third document.
+    */
+  private val Footer = "all rights reserved subscribe to our newsletter today"
+
+  private def withFooter(text: Column, docId: Column): Column =
+    when(docId % 3 === 0, concat(text, lit(" " + Footer))).otherwise(text)
+
+  private val withFooterSql =
+    s"""CASE WHEN doc_id % 3 = 0 THEN text || ' $Footer'
+       |       ELSE text END AS text""".stripMargin
+
+  /** DuckDB twin of [[Dedup.shingles]] with n=5 (distinct word 5-grams),
+    * matching x6_decontaminate's construction exactly.
+    */
+  private def shingleSql(src: String): String =
+    s"""SELECT DISTINCT doc_id AS id, shingle FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(range(1, len(str_split(text, ' ')) - 3),
+       |        i -> array_to_string(list_slice(str_split(text, ' '), i, i + 4), ' '))) AS shingle
+       |    FROM $src)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // X16: boilerplate detection — shingles shared by >= 5% of ALL
+    // documents are boilerplate (nav bars, license footers, cookie
+    // banners); each doc reports what fraction of its distinct 5-gram
+    // shingles is boilerplate, the signal a cleaning pass trims on.
+    // Shape at 100 TB: shingle document-frequency is one map-side-partial
+    // groupBy; the >=5% survivor set is tiny BY CONSTRUCTION (at most
+    // 20 * total_shingle_instances / n_docs shingles can clear a 5% df
+    // bar), so it broadcasts and the per-doc scoring join never shuffles
+    // the corpus shingle stream. The 5% threshold is the integer compare
+    // df * 20 >= n_docs — no float ratio in the cut.
+    "x16_boilerplate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), withFooter(col("text"), col("doc_id")).as("text"))
+      val sh = Dedup.shingles(docs, "doc_id", "text", n = 5)
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val boiler = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nDocs))
+        .filter(col("df") * 20 >= col("n_docs"))
+        .select(col("shingle"))
+      val totals = sh.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
+      val hits = sh.join(broadcast(boiler), Seq("shingle"))
+        .groupBy(col("id")).agg(count(lit(1)).as("n_boiler"))
+      totals.join(hits, Seq("id"), "left")
+        .na.fill(0L, Seq("n_boiler"))
+        .filter(col("id") < 400)
+        .select(col("id").as("doc_id"), col("n_shingles"), col("n_boiler"),
+          floor(lit(1000000.0) * col("n_boiler") / col("n_shingles"))
+            .cast("long").as("boiler_ppm"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // X17: lexical-rarity quality score — the integer-exact analogue of
+    // CCNet's LM-perplexity filter: documents whose tokens are mostly
+    // absent from the frequent vocabulary (df >= 3, capped to the top
+    // 100k by document frequency) are flagged by oov_ppm; mdf_milli is
+    // the mean document-frequency of the doc's tokens (OOV imputed df=1),
+    // low = rare-heavy. Shape at 100 TB: the vocabulary is Zipfian, so
+    // the df>=3 + top-100k cap bounds the broadcast side regardless of
+    // corpus size (the cap IS the point — real pipelines score against a
+    // fixed-size LM vocabulary); the corpus token stream then takes one
+    // broadcast hash join and one keyed aggregation, no token-keyed
+    // shuffle of the corpus and no skew on stopword keys.
+    "x17_rarity" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val vocab = toks.distinct()
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 3)
+        .orderBy(col("df").desc, col("tok")).limit(100000)
+      toks.filter(col("doc_id") < 400)
+        .join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"),
+          sum(when(col("df").isNull, 1L).otherwise(0L)).as("n_oov"),
+          sum(coalesce(col("df"), lit(1L))).as("sum_df"))
+        .select(col("doc_id"), col("n_toks"), col("n_oov"),
+          floor(lit(1000000.0) * col("n_oov") / col("n_toks"))
+            .cast("long").as("oov_ppm"),
+          floor(lit(1000.0) * col("sum_df") / col("n_toks"))
+            .cast("long").as("mdf_milli"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // X18: deterministic training-shard assignment — the write-side step
+    // after packing: every doc lands in one of 16 shards by a pure
+    // integer hash of its id (same shard on any cluster, any
+    // partitioning, any rerun — the property resumable training needs),
+    // and the query reports the balance the hash delivers: per-shard doc
+    // count, whitespace-token mass, and each shard's share of total
+    // tokens in ppm. Shape at 100 TB: one keyed aggregation over 16 keys
+    // (map-side partial collapses everything before the shuffle) + a
+    // broadcast 1-row total; the real writer is then
+    // `df.repartition(col("shard")).write.partitionBy("shard")` with this
+    // exact column.
+    "x18_shard" -> ((s, dir) => {
+      val tc = TextPipeline.tokenCounts(col("text")).toMap
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), tc("ws_tokens").as("ws"),
+          (((col("doc_id") * 2654435761L) % 1000000007L) % 16).as("shard"))
+      val per = d.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("ws_tokens"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      val tot = per.agg(sum(col("ws_tokens")).as("total_ws"))
+      per.crossJoin(broadcast(tot))
+        .select(col("shard").cast("long").as("shard"), col("n_docs"),
+          col("ws_tokens"),
+          floor(lit(1000000.0) * col("ws_tokens") / col("total_ws"))
+            .cast("long").as("share_ppm"),
+          col("min_doc"), col("max_doc"))
+        .orderBy(col("shard"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "x16_boilerplate" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, $withFooterSql
+         |  FROM documents),
+         |sh AS (
+         |  ${shingleSql("docs")}),
+         |nd AS (SELECT count(*) AS n_docs FROM docs),
+         |dfr AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+         |boiler AS (SELECT shingle FROM dfr, nd WHERE df * 20 >= n_docs),
+         |totals AS (SELECT id, count(*) AS n_shingles FROM sh GROUP BY id),
+         |hits AS (
+         |  SELECT id, count(*) AS n_boiler
+         |  FROM sh JOIN boiler USING (shingle) GROUP BY id)
+         |SELECT CAST(t.id AS BIGINT) AS doc_id,
+         |  CAST(t.n_shingles AS BIGINT) AS n_shingles,
+         |  CAST(COALESCE(h.n_boiler, 0) AS BIGINT) AS n_boiler,
+         |  CAST(floor(1000000.0 * COALESCE(h.n_boiler, 0) / t.n_shingles) AS BIGINT)
+         |    AS boiler_ppm
+         |FROM totals t LEFT JOIN hits h ON t.id = h.id
+         |WHERE t.id < 400 ORDER BY doc_id""".stripMargin,
+
+    "x17_rarity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents),
+        |dfr AS (
+        |  SELECT tok, count(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok),
+        |vocab AS (
+        |  SELECT tok, df FROM dfr WHERE df >= 3
+        |  ORDER BY df DESC, tok LIMIT 100000),
+        |j AS (
+        |  SELECT t.doc_id, v.df FROM toks t
+        |  LEFT JOIN vocab v ON t.tok = v.tok
+        |  WHERE t.doc_id < 400)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_toks,
+        |  CAST(sum(CASE WHEN df IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(floor(1000000.0 * sum(CASE WHEN df IS NULL THEN 1 ELSE 0 END)
+        |    / count(*)) AS BIGINT) AS oov_ppm,
+        |  CAST(floor(1000.0 * sum(COALESCE(df, 1)) / count(*)) AS BIGINT)
+        |    AS mdf_milli
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "x18_shard" ->
+      """WITH d AS (
+        |  SELECT doc_id, len(str_split(text, ' ')) AS ws,
+        |    ((doc_id * 2654435761) % 1000000007) % 16 AS shard
+        |  FROM documents),
+        |per AS (
+        |  SELECT shard, count(*) AS n_docs, sum(ws) AS ws_tokens,
+        |    min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |  FROM d GROUP BY shard),
+        |tot AS (SELECT sum(ws_tokens) AS total_ws FROM per)
+        |SELECT CAST(shard AS BIGINT) AS shard, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(ws_tokens AS BIGINT) AS ws_tokens,
+        |  CAST(floor(1000000.0 * ws_tokens / total_ws) AS BIGINT) AS share_ppm,
+        |  CAST(min_doc AS BIGINT) AS min_doc, CAST(max_doc AS BIGINT) AS max_doc
+        |FROM per, tot ORDER BY shard""".stripMargin
+  )
+}
