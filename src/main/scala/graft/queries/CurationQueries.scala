@@ -110,6 +110,62 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // X19: per-source dataset card — the summary table a corpus release
+    // ships with: volume (docs, whitespace tokens), language spread,
+    // exact-duplicate rate (d1's global sha-256 canonicalization, so
+    // cross-source duplicates count against the source holding the copy),
+    // and the quality profile (mean Gopher-style quality score + count of
+    // high-quality docs). One hash-keyed canonicalization join + one
+    // source-keyed aggregation; quality increments are exact binary
+    // fractions (multiples of 0.25), so their sums and the milli-floor
+    // are engine-stable.
+    "x19_dataset_card" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      val sig = TextPipeline.qualitySignals(col("text"),
+        TextPipelineQueries.stop25).toMap
+      val tc = TextPipeline.tokenCounts(col("text")).toMap
+      val canon = docs.groupBy(sha2(col("text"), 256).as("hsh"))
+        .agg(min(col("doc_id")).as("keep_id"))
+      docs.withColumn("hsh", sha2(col("text"), 256))
+        .join(canon, Seq("hsh"))
+        .withColumn("is_dup", col("doc_id") =!= col("keep_id"))
+        .withColumn("quality", sig("quality"))
+        .withColumn("ws", tc("ws_tokens"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("lang")).as("n_langs"),
+          sum(col("ws")).as("ws_tokens"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_exact_dup"),
+          sum(col("quality")).as("q_sum"),
+          sum(when(col("quality") >= 0.75, 1L).otherwise(0L)).as("n_hi_q"))
+        .select(col("source"), col("n_docs"), col("n_langs"),
+          col("ws_tokens"), col("n_exact_dup"),
+          floor(lit(1000000.0) * col("n_exact_dup") / col("n_docs"))
+            .cast("long").as("dup_ppm"),
+          floor(lit(1000.0) * col("q_sum") / col("n_docs"))
+            .cast("long").as("q_mean_milli"),
+          col("n_hi_q"))
+        .orderBy(col("source"))
+    }),
+
+    // X20: corpus-level top bigrams — the n-gram frequency table dataset
+    // cards report (and the quick smell test for template/boilerplate
+    // saturation). Bigrams are NOT deduped per doc (frequency, not
+    // document frequency); the count is a map-side-partial groupBy and
+    // the top-50 rides orderBy().limit() (TakeOrderedAndProject — each
+    // partition forwards only its own top 50), with the bigram itself as
+    // the deterministic tie-break.
+    "x20_top_bigrams" -> ((s, dir) => {
+      val words = split(col("text"), " ")
+      Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .withColumn("nw", size(words)).filter(col("nw") >= 2)
+        .select(explode(transform(sequence(lit(1), col("nw") - 1),
+          i => concat_ws(" ", slice(words, i, lit(2))))).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram")).limit(50)
+    }),
+
     // X18: deterministic training-shard assignment — the write-side step
     // after packing: every doc lands in one of 16 shards by a pure
     // integer hash of its id (same shard on any cluster, any
@@ -183,6 +239,49 @@ object CurationQueries {
         |  CAST(floor(1000.0 * sum(COALESCE(df, 1)) / count(*)) AS BIGINT)
         |    AS mdf_milli
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "x19_dataset_card" -> {
+      val stopList = TextPipelineQueries.stop25.map(w => s"'$w'")
+        .mkString("[", ",", "]")
+      s"""WITH m AS (
+         |  SELECT sha256(text) AS hsh, min(doc_id) AS keep_id
+         |  FROM documents GROUP BY 1),
+         |d AS (
+         |  SELECT doc.doc_id, doc.lang, doc.source,
+         |    doc.doc_id <> m.keep_id AS is_dup,
+         |    str_split(doc.text, ' ') AS toks
+         |  FROM documents doc JOIN m ON sha256(doc.text) = m.hsh),
+         |q AS (
+         |  SELECT source, lang, is_dup, CAST(len(toks) AS BIGINT) AS ws,
+         |    (CASE WHEN len(toks) BETWEEN 40 AND 100000 THEN 0.25 ELSE 0.0 END
+         |     + CASE WHEN list_sum(list_transform(toks, t -> CAST(length(t) AS DOUBLE))) / len(toks)
+         |         BETWEEN 3.0 AND 10.0 THEN 0.25 ELSE 0.0 END
+         |     + CASE WHEN len(list_filter(toks, t -> list_contains($stopList, t))) * 1.0 / len(toks)
+         |         >= 0.05 THEN 0.25 ELSE 0.0 END
+         |     + CASE WHEN len(list_distinct(toks)) * 1.0 / len(toks) >= 0.3
+         |         THEN 0.25 ELSE 0.0 END) AS quality
+         |  FROM d)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  CAST(sum(ws) AS BIGINT) AS ws_tokens,
+         |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+         |  CAST(floor(1000000.0 * sum(CASE WHEN is_dup THEN 1 ELSE 0 END)
+         |    / count(*)) AS BIGINT) AS dup_ppm,
+         |  CAST(floor(1000.0 * sum(quality) / count(*)) AS BIGINT) AS q_mean_milli,
+         |  CAST(sum(CASE WHEN quality >= 0.75 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi_q
+         |FROM q GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    "x20_top_bigrams" ->
+      """WITH d AS (
+        |  SELECT str_split(text, ' ') AS toks FROM documents
+        |  WHERE len(str_split(text, ' ')) >= 2),
+        |b AS (
+        |  SELECT unnest(list_transform(range(1, len(toks)),
+        |    i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS bigram
+        |  FROM d)
+        |SELECT bigram, CAST(count(*) AS BIGINT) AS n
+        |FROM b GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""".stripMargin,
 
     "x18_shard" ->
       """WITH d AS (

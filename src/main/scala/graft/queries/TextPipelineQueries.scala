@@ -41,7 +41,7 @@ object TextPipelineQueries {
       |  FROM documents
       |)""".stripMargin
 
-  private val stop25 = Seq("a", "an", "and", "are", "as", "at", "be", "by",
+  private[queries] val stop25 = Seq("a", "an", "and", "are", "as", "at", "be", "by",
     "for", "from", "has", "he", "in", "is", "it", "its", "of", "on", "that",
     "the", "to", "was", "were", "will", "with")
 

@@ -146,6 +146,31 @@ object Streams {
     else hashed.dropDuplicates("content_hash")
   }
 
+  /** Streaming NEAR-dup suppression — the ingest-time counterpart of the
+    * x4 rolling-hash fingerprint. The fingerprint (min polynomial hash
+    * over word 4-gram shingles) is computed as PURE column math
+    * (`array_min` over a `transform` — no aggregation), so it runs
+    * unchanged on a stream, and near-duplicate arrivals collapse under
+    * the same bounded-state watermark eviction as exact dedup.
+    * Value-identical to [[graft.text.TextPipeline.fingerprint]] for docs
+    * with >= 4 words (min over distinct shingle hashes == min over
+    * hashes); shorter docs — where no 4-gram exists — fall back to the
+    * whole-text hash, i.e. exact dedup.
+    */
+  def nearDedupStream(docs: DataFrame, textCol: String, eventTimeCol: String,
+      lateness: String = "1 hour"): DataFrame = {
+    val fp = coalesce(
+      array_min(transform(
+        graft.functions.VectorFunctions.wordShingles(col(textCol), 4),
+        s => Dedup.polyHash(s))),
+      Dedup.polyHash(col(textCol)))
+    val keyed = docs.withColumn("fingerprint", fp)
+    if (docs.isStreaming)
+      keyed.withWatermark(eventTimeCol, lateness)
+        .dropDuplicatesWithinWatermark("fingerprint")
+    else keyed.dropDuplicates("fingerprint")
+  }
+
   /** Streaming IVF index maintenance: vectors assigned to FROZEN centroids
     * ([[graft.search.Ivf.assignFast]] is a stateless typed transform, so it
     * runs unchanged on a stream) append into the bucket-partitioned parquet

@@ -120,6 +120,54 @@ class StreamsSpec extends SparkSpec {
     assert(Streams.dedupStream(batch, "text", "ts").count() == 2)
   }
 
+  test("streaming near-dup: stream == batch, fingerprint == TextPipeline's") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+
+    // 1/2 share every 4-gram shingle of doc 1 (2 appends a tail, so its
+    // shingle set is a superset — min hash can only move if the tail
+    // wins; assert against the REAL computed fingerprints either way).
+    val base = "the quick brown fox jumps over the lazy dog again"
+    val rows = Seq(
+      (1L, base, t(0)),
+      (2L, base + " and then some trailing words", t(1)),
+      (3L, "completely different content about spark shuffles here", t(2)),
+      (4L, "tiny doc", t(3))) // < 4 words: whole-text-hash fallback
+
+    val batchOut = Streams.nearDedupStream(
+      rows.toDF("doc_id", "text", "ts"), "text", "ts")
+      .select(col("doc_id"), col("fingerprint")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    // Fingerprints of >=4-word docs match the batch x4 fingerprint op.
+    val fpRef = graft.text.TextPipeline.fingerprint(
+        rows.toDF("doc_id", "text", "ts").filter(col("doc_id") <= 3),
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    batchOut.foreach { case (id, fp) =>
+      if (id <= 3 && fpRef.contains(id)) assert(fp == fpRef(id), s"doc $id")
+    }
+
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = Streams.nearDedupStream(
+      ms.toDF.toDF("doc_id", "text", "ts"), "text", "ts")
+    val q = out.writeStream.format("memory").queryName("neardedup_s")
+      .outputMode("append").start()
+    try {
+      ms.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      ms.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("neardedup_s")
+        .select(col("fingerprint")).collect().map(_.getLong(0)).sorted.toSeq
+      // Stream keeps exactly one row per distinct fingerprint — the same
+      // survivor set as the batch call.
+      assert(streamed == batchOut.values.toSeq.distinct.sorted, streamed)
+    } finally q.stop()
+  }
+
   test("streaming PII scrub equals batch scrub (stateless projection)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
