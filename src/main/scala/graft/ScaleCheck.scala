@@ -26,7 +26,8 @@ object ScaleCheck {
   private val Names = Seq("d1_exact_dedup", "d2_minhash_lsh", "d3_simhash",
     "d4_ngram_jaccard", "d5_cosine_neardup", "d6_lsh_skew_cap",
     "d8_dedup_components", "s1_replay", "x5_pipeline", "x9_pii",
-    "x10_packing", "x11_funnel_pack")
+    "x10_packing", "x11_funnel_pack",
+    "x16_boilerplate", "x17_rarity", "x19_dataset_card", "x20_top_bigrams")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
