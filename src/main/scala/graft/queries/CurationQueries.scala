@@ -166,6 +166,36 @@ object CurationQueries {
         .orderBy(col("n").desc, col("bigram")).limit(50)
     }),
 
+    // X21: corpus-version changelog — the diff a dataset release pipeline
+    // publishes between corpus snapshots (v2 here is synthesized from v1
+    // deterministically: %13 removed, %11 edited, %17 re-added under new
+    // ids). Content identity is sha-256, membership is a doc_id-keyed
+    // FULL OUTER join — co-partitioned on the join key, no skew (ids are
+    // unique), and shuffle-free when both snapshots are bucketed by
+    // doc_id, which is how 100 TB snapshot diffs actually run.
+    "x21_corpus_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val v1 = docs.select(col("doc_id"), sha2(col("text"), 256).as("h1"))
+      val v2base = docs.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2 edit")))
+            .otherwise(col("text")).as("text"))
+      val v2added = docs.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 900000).as("doc_id"), col("text"))
+      val v2 = v2base.unionByName(v2added)
+        .select(col("doc_id"), sha2(col("text"), 256).as("h2"))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("h1").isNull, "added")
+            .when(col("h2").isNull, "removed")
+            .when(col("h1") === col("h2"), "unchanged")
+            .otherwise("modified"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy(col("status"))
+    }),
+
     // X18: deterministic training-shard assignment — the write-side step
     // after packing: every doc lands in one of 16 shards by a pure
     // integer hash of its id (same shard on any cluster, any
@@ -282,6 +312,31 @@ object CurationQueries {
         |  FROM d)
         |SELECT bigram, CAST(count(*) AS BIGINT) AS n
         |FROM b GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""".stripMargin,
+
+    "x21_corpus_diff" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, sha256(text) AS h1 FROM documents),
+        |v2 AS (
+        |  SELECT doc_id, sha256(CASE WHEN doc_id % 11 = 0
+        |      THEN text || ' v2 edit' ELSE text END) AS h2
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 900000 AS doc_id, sha256(text) AS h2
+        |  FROM documents WHERE doc_id % 17 = 0),
+        |j AS (
+        |  SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id, h1, h2
+        |  FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id),
+        |st AS (
+        |  SELECT doc_id,
+        |    CASE WHEN h1 IS NULL THEN 'added'
+        |         WHEN h2 IS NULL THEN 'removed'
+        |         WHEN h1 = h2 THEN 'unchanged'
+        |         ELSE 'modified' END AS status
+        |  FROM j)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(doc_id) AS BIGINT) AS min_doc,
+        |  CAST(max(doc_id) AS BIGINT) AS max_doc
+        |FROM st GROUP BY status ORDER BY status""".stripMargin,
 
     "x18_shard" ->
       """WITH d AS (

@@ -168,6 +168,55 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation funnel: quality gate -> PII scrub -> near-dedup, stream == batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+
+    // 40+ words so the quality gate's length band can pass; doc 2 is a
+    // near-dup (same text + tail), doc 3 fails the gate (single repeated
+    // word), doc 4 carries PII to scrub.
+    val long = (1 to 45).map(i => s"word$i").mkString("the quick brown fox ", " ", " end of the doc")
+    val rows = Seq(
+      (1L, long, t(0)),
+      (2L, long + " trailing tail words", t(1)),
+      (3L, ("spam " * 60).trim, t(2)),
+      (4L, long + " mail me at bob@example.com now", t(3)))
+
+    // The funnel: stateless quality gate + PII scrub, then the single
+    // stateful op (watermark-bounded near-dedup) LAST — one stateful
+    // operator per stream, the shape Structured Streaming supports in
+    // append mode without multi-stateful caveats.
+    def funnel(df: org.apache.spark.sql.DataFrame) = {
+      val sig = graft.text.TextPipeline
+        .qualitySignals(col("text"), Nil).toMap
+      val gated = df.filter(sig("n_words") >= 40 && sig("uniq_ratio") >= 0.3)
+        .withColumn("text", graft.text.Pii.redact(col("text")))
+      Streams.nearDedupStream(gated, "text", "ts")
+    }
+
+    val batchKept = funnel(rows.toDF("doc_id", "text", "ts"))
+      .select(col("fingerprint")).collect().map(_.getLong(0)).sorted.toSeq
+
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = funnel(ms.toDF.toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("funnel_s")
+      .outputMode("append").start()
+    try {
+      ms.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      ms.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("funnel_s")
+        .select(col("fingerprint")).collect().map(_.getLong(0)).sorted.toSeq
+      assert(streamed == batchKept, s"stream=$streamed batch=$batchKept")
+      // The gate dropped doc 3; the scrubbed PII doc is distinct content
+      // and survives; the near-dup pair collapsed iff fingerprints agree.
+      assert(spark.table("funnel_s").count() == batchKept.size)
+    } finally q.stop()
+  }
+
   test("streaming PII scrub equals batch scrub (stateless projection)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
