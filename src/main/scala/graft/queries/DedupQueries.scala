@@ -108,6 +108,35 @@ object DedupQueries {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // D10: cross-source duplication matrix — d2's verified near-dup pairs
+    // rolled up by (source, source): which sources copy from which, the
+    // provenance question a curation pass answers before deciding keep
+    // priority. Pairs are symmetric, so each counts once under the
+    // lexicographically sorted source pair. The source dimension rides a
+    // broadcast join (id → source is a dimension lookup; at deployment
+    // scale it's an id-keyed shuffle join, still skew-free — ids are
+    // unique). Planted twins (+100000/+200000) inherit their original's
+    // source via id % 100000.
+    "d10_dup_matrix" -> ((s, dir) => {
+      val sh = Dedup.shingles(corpus(s, dir), "doc_id", "text")
+      val pairs = Dedup.lshCandidatePairs(Dedup.minhashSigs(sh))
+      val dup = Dedup.jaccardOnPairs(pairs, sh)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id1"), col("id2"))
+      val srcs = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long"), col("source"))
+      dup
+        .join(broadcast(srcs.select(col("doc_id").as("o1"),
+          col("source").as("s1"))), (col("id1") % 100000) === col("o1"))
+        .join(broadcast(srcs.select(col("doc_id").as("o2"),
+          col("source").as("s2"))), (col("id2") % 100000) === col("o2"))
+        .select(least(col("s1"), col("s2")).as("src_a"),
+          greatest(col("s1"), col("s2")).as("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     // SimHash: 16-bit tf-weighted signatures; hamming distance between each
     // original and its planted twin (0 for exact, small for near).
     "d3_simhash" -> ((s, dir) => {
@@ -286,6 +315,17 @@ object DedupQueries {
          |SELECT CAST(id1 AS BIGINT) AS id1, CAST(id2 AS BIGINT) AS id2,
          |  round(jaccard, 6) AS jaccard
          |FROM j WHERE jaccard >= 0.5 ORDER BY id1, id2""".stripMargin,
+
+    "d10_dup_matrix" ->
+      s"""WITH $lshJaccardCtes,
+         |p AS (SELECT id1, id2 FROM j WHERE jaccard >= 0.5),
+         |m AS (
+         |  SELECT a.source AS s1, b.source AS s2
+         |  FROM p JOIN documents a ON a.doc_id = p.id1 % 100000
+         |         JOIN documents b ON b.doc_id = p.id2 % 100000)
+         |SELECT least(s1, s2) AS src_a, greatest(s1, s2) AS src_b,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM m GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
 
     // D9: fingerprints are arithmetic (majority over identically-painted
     // frames = the painted target), so the oracle replicates banding +

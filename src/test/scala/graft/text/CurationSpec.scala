@@ -44,6 +44,54 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("x19: dataset card accounts for every doc; quality bounded; dup math exact") {
+    val rows = run("x19_dataset_card").collect()
+    assert(rows.nonEmpty)
+    val totalDocs = rows.map(_.getLong(1)).sum
+    assert(totalDocs ==
+      spark.read.parquet(s"${sf()}/documents.parquet").count())
+    rows.foreach { r =>
+      val (n, dup, dupPpm, qMilli, hiQ) =
+        (r.getLong(1), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+      assert(dup <= n && hiQ <= n)
+      assert(dupPpm == math.floor(1000000.0 * dup / n).toLong)
+      assert(qMilli >= 0 && qMilli <= 1000) // quality in [0, 1]
+    }
+  }
+
+  test("x20: top bigrams are distinct, capped at 50, count-descending") {
+    val rows = run("x20_top_bigrams").collect()
+    assert(rows.length == 50)
+    assert(rows.map(_.getString(0)).distinct.length == 50)
+    val ns = rows.map(_.getLong(1))
+    // The query's own order is (n desc, bigram) — counts never increase.
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    assert(ns.forall(_ >= 1))
+  }
+
+  test("x21: corpus diff statuses partition both snapshots; planted ids respected") {
+    val m = run("x21_corpus_diff").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val nDocs = spark.read.parquet(s"${sf()}/documents.parquet").count()
+    assert(m.keySet == Set("added", "removed", "modified", "unchanged"))
+    // v1 = removed + modified + unchanged; every added id is in the
+    // planted +900000 range; every removed id is a %13 multiple.
+    assert(m("removed")._1 + m("modified")._1 + m("unchanged")._1 == nDocs)
+    assert(m("added")._2 >= 900000)
+    assert(m("removed")._2 % 13 == 0 && m("removed")._3 % 13 == 0)
+    assert(m("modified")._2 % 11 == 0 && m("modified")._3 % 11 == 0)
+  }
+
+  test("d10: dup matrix pairs reconcile with d2's pair count; sources sorted") {
+    val d2n = graft.queries.DedupQueries.queries("d2_minhash_lsh")(
+      spark, sf()).count()
+    val mat = graft.queries.DedupQueries.queries("d10_dup_matrix")(
+      spark, sf()).collect()
+    assert(mat.map(_.getLong(2)).sum == d2n)
+    mat.foreach(r => assert(r.getString(0) <= r.getString(1)))
+  }
+
   test("x18: shard assignment is deterministic, complete, and balanced") {
     val a = run("x18_shard").collect()
     val b = run("x18_shard").collect()
