@@ -44,9 +44,10 @@ object Bench {
     // section; no args = the full driver run.
     val annOnly = args.sameElements(Array("ann"))
     val fusionOnly = args.sameElements(Array("fusion"))
+    val binaryOnly = args.sameElements(Array("binary"))
     val qs0 = SparkEntry.queries.toSeq.sortBy(_._1)
     val qs =
-      if (annOnly || fusionOnly) Seq.empty
+      if (annOnly || fusionOnly || binaryOnly) Seq.empty
       else if (args.isEmpty) qs0
       else qs0.filter { case (n, _) => args.contains(n) }
 
@@ -786,11 +787,74 @@ object Bench {
       s""","f16":[${f16Point(N, 256)},${f16Point(N / 4, 1024)}]"""
     } catch { case _: Throwable => "" }
 
+    // Binary (1-bit) quantization line — the far end of the precision
+    // ladder (f32 → f16 → int8 → PQ → 1-bit): packed sign words (32× less
+    // resident than f32) generate Hamming candidates from the codes column
+    // alone; exact cosine reranks the top-R. Reports the two-stage path's
+    // QPS next to the exact f32 scan and its recall@10 against that exact
+    // ranking — same corpus recipe and interleaved min-of-3 as the f16
+    // section.
+    val binSec = if (args.nonEmpty && !annOnly && !binaryOnly) "" else try {
+      import org.apache.spark.sql.Column
+      import org.apache.spark.sql.functions._
+      import graft.functions.VectorFunctions
+      import graft.search.VectorSearch
+      val N = sys.env.getOrElse("SPARK_GRAFT_BIN_N", "200000").toInt
+      val dim = 256
+      val NQ = 64
+      def hu(seed: Column, j: Column, salt: String): Column =
+        (pmod(xxhash64(seed, j, lit(salt)), lit(2000001L)).cast("double")
+          - 1000000.0) / 1000000.0
+      def vec(idc: Column, noiseSalt: String): Column =
+        VectorFunctions.normalize(
+          transform(sequence(lit(0), lit(dim - 1)), j =>
+            (hu(pmod(idc, lit(1000L)), j, "ctr") +
+              hu(idc, j, noiseSalt) * lit(0.25)).cast("float")))
+      val emb = spark.range(N)
+        .select(col("id"), vec(col("id"), "nz").as("vector")).cache()
+      emb.count()
+      val codes = emb.select(col("id"),
+        VectorFunctions.packSignBits(col("vector")).as("_signs")).cache()
+      codes.count()
+      val q = spark.range(NQ)
+        .select(col("id").as("qid"), vec(col("id"), "qnz").as("qvec")).cache()
+      q.count()
+      // R sized to the recipe's ~N/1000-member latent clusters (signs are
+      // near-identical within a cluster, so Hamming cannot rank inside
+      // one — the rerank has to see the whole cluster), same reasoning as
+      // the PQ section's rerank depth.
+      val R = math.max(100, N / 400)
+      def candOnly() = VectorSearch.binaryCandidates(codes, q, rerank = R)
+      def bin() = VectorSearch.binaryTopKBatch(emb, q, k = 10, rerank = R,
+        prebuiltCodes = Some(codes))
+      def exact() = VectorSearch.topKBatch(emb, q, k = 10, metric = "cosine",
+        normalized = true)
+      noopWrite(bin()); noopWrite(exact()); noopWrite(candOnly())
+      var tb = Double.MaxValue
+      var tx = Double.MaxValue
+      var tc = Double.MaxValue
+      for (_ <- 1 to 3) {
+        tx = math.min(tx, timeIt(noopWrite(exact())))
+        tc = math.min(tc, timeIt(noopWrite(candOnly())))
+        tb = math.min(tb, timeIt(noopWrite(bin())))
+      }
+      val ex = exact().select(col("qid"), col("id")).cache(); ex.count()
+      val ap = bin().select(col("qid"), col("id")).cache(); ap.count()
+      val rec = graft.search.Ivf.recallAt(ap, ex, 10)
+      ex.unpersist(); ap.unpersist()
+      emb.unpersist(); codes.unpersist(); q.unpersist()
+      def c1(d: Double): Double = math.rint(d * 10) / 10
+      s""","binary":{"n":$N,"dim":$dim,"n_queries":$NQ,"rerank":$R,""" +
+        s""""qps_f32_exact":${c1(NQ / tx)},"qps_hamming_scan":${c1(NQ / tc)},""" +
+        s""""qps_bin_rerank":${c1(NQ / tb)},""" +
+        s""""recall_vs_exact_at_10":${r4(rec)}}"""
+    } catch { case _: Throwable => "" }
+
     // Section order matters: the driver's artifact keeps only the LAST
     // ~2000 chars of stdout, so the headline GloVe-100d `ann` block goes
     // last (right before total/sf) and the supporting sections first.
     val json =
-      s"""{"metric":"total","unit":"sec","cpus":$cpus,"failed":$failed,"flaky":$flaky,"queries":$perQuery$fusionBatch$f16Sec$annHiDim$annL2$ann,"value":$total,"sf":"$sfDir"}"""
+      s"""{"metric":"total","unit":"sec","cpus":$cpus,"failed":$failed,"flaky":$flaky,"queries":$perQuery$fusionBatch$f16Sec$binSec$annHiDim$annL2$ann,"value":$total,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outPath), json + "\n")
     println(json)
     // The full line above has exceeded the driver's 2000-char stdout tail

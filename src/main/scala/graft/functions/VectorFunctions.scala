@@ -312,6 +312,34 @@ object ShingleUtil {
     bucket
   }
 
+  /** Packed sign-bit (binary) quantization: one long per 32 dims, bit i of
+    * word j set iff v[32j+i] > 0. 32 bits per word keeps every word in
+    * [0, 2^32) — representable exactly in the oracle's BIGINT arithmetic
+    * with no sign-bit edge cases.
+    */
+  def packSignBits(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val words = new Array[Long]((n + 31) / 32)
+    var i = 0
+    while (i < n) {
+      if (a.getFloat(i) > 0f) words(i >> 5) |= 1L << (i & 31)
+      i += 1
+    }
+    new GenericArrayData(words)
+  }
+
+  /** Hamming distance between two packed sign-bit arrays. */
+  def hammingPacked(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    var s = 0
+    var i = 0
+    while (i < n) {
+      s += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
+      i += 1
+    }
+    s
+  }
+
   def shingles(s: UTF8String, n: Int): ArrayData = {
     val words = s.toString.split(" ", -1)
     val count = math.max(1, words.length - n + 1)
@@ -361,6 +389,40 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   * like the `zip_with`/`aggregate` HOF chain it replaces (and like the
   * DuckDB oracle's list_reduce), so bucket keys are bit-identical.
   */
+/** Binary (1-bit) vector quantization: float vector → packed sign words
+  * (see [[ShingleUtil.packSignBits]]). 32x smaller than f32 — the extreme
+  * end of the engine's precision ladder (f32 → f16 → int8 → PQ → 1-bit),
+  * used as a Hamming-distance candidate generator ahead of exact rerank.
+  */
+case class PackSignBitsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ShingleUtil.packSignBits(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.ShingleUtil.packSignBits($a);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "pack_sign_bits"
+}
+
+/** Hamming distance over packed sign words — popcount of the XOR, summed
+  * across words; stays inside whole-stage codegen like the float kernels.
+  */
+case class HammingPackedExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def nullSafeEval(l: Any, r: Any): Any =
+    ShingleUtil.hammingPacked(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.ShingleUtil.hammingPacked($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "hamming_packed"
+}
+
 case class HyperplaneBucketExpr(child: Expression, planes: Int) extends UnaryExpression {
   require(planes >= 1 && planes <= 62, "plane count")
   override def dataType: DataType = LongType
@@ -407,6 +469,13 @@ object VectorFunctions {
 
   /** Distinct word n-gram shingles (see [[WordShingles]]). */
   def wordShingles(s: Column, n: Int): Column = co(WordShingles(ex(s), n))
+
+  /** Packed sign-bit quantization (see [[PackSignBitsExpr]]). */
+  def packSignBits(v: Column): Column = co(PackSignBitsExpr(ex(v)))
+
+  /** Hamming distance over packed sign words (see [[HammingPackedExpr]]). */
+  def hammingPacked(a: Column, b: Column): Column =
+    co(HammingPackedExpr(ex(a), ex(b)))
 
   /** Hyperplane sign bucket (see [[HyperplaneBucketExpr]]). */
   def hyperplaneBucket(vec: Column, planes: Int): Column =

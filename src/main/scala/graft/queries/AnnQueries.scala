@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.VectorFunctions
-import graft.search.{Ivf, Pq, Quantizer}
+import graft.search.{Ivf, Pq, Quantizer, VectorSearch}
 
 /** V1 — IVF partition-pruned ANN (the scale strategy replacing HNSW).
   *
@@ -102,6 +102,25 @@ object AnnQueries {
     // protocol (codes = sub-vectors of vec_id < 16, the PQ mirror of v1's
     // sampled centroids) so encoding argmins, the query LUT, and the
     // sequential ADC fold are all DuckDB-replicable to the last bit.
+    // V19 — binary (1-bit) quantization serving, the far end of the
+    // precision ladder (f32 → f16 → int8 → PQ → 1-bit): packed sign-bit
+    // codes (one long per 32 dims, 32x smaller than f32) generate
+    // candidates by codegen'd packed-word Hamming popcount; the top-50
+    // rerank by exact double cosine over a BROADCAST candidate list, so
+    // neither the code scan nor the hydration shuffles the corpus.
+    "v19_binary_rerank" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      VectorSearch.binaryTopKBatch(emb, q, k = 10, rerank = 50,
+          idCol = "vec_id", vecCol = "embedding")
+        .select(col("qid"), col("vec_id").as("id"),
+          round(col("distance"), 6).as("dist"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     "v15_pq" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
@@ -321,6 +340,42 @@ object AnnQueries {
     // v18 serves v17 from the materialized bucket-partitioned codes
     // layout — identical results by construction, same oracle.
     "v18_pq_stored" -> v17Sql,
+
+    // V19: the oracle replicates the sign packing (32 bits per BIGINT
+    // word, bit i of word j = embedding[32j+i] > 0 — every word in
+    // [0, 2^32), no sign-bit edge cases), the Hamming candidate cut with
+    // (hamming, id) ties, and the exact-cosine rerank.
+    "v19_binary_rerank" ->
+      s"""WITH words AS (
+         |  SELECT vec_id, list_transform(range(0, 2), j ->
+         |    CAST(list_sum(list_transform(range(0, 32), i ->
+         |      CASE WHEN embedding[CAST(32 * j + i + 1 AS INT)] > 0
+         |        THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+         |        ELSE CAST(0 AS BIGINT) END)) AS BIGINT)) AS signs
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |qw AS (SELECT vec_id AS qid, signs AS qsigns FROM words WHERE vec_id < 5),
+         |h AS (
+         |  SELECT qw.qid, w.vec_id AS id,
+         |    bit_count(xor(w.signs[1], qw.qsigns[1]))
+         |      + bit_count(xor(w.signs[2], qw.qsigns[2])) AS hamming
+         |  FROM words w CROSS JOIN qw),
+         |cand AS (
+         |  SELECT qid, id FROM (
+         |    SELECT qid, id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY hamming, id) AS hrank
+         |    FROM h)
+         |  WHERE hrank <= 50),
+         |ex AS (
+         |  SELECT c.qid, c.id, ${cosSql("e.embedding", "q.qv")} AS d
+         |  FROM cand c JOIN embeddings e ON e.vec_id = c.id
+         |              JOIN q ON q.qid = c.qid),
+         |r AS (SELECT qid, id, d,
+         |        row_number() OVER (PARTITION BY qid ORDER BY d, id) AS rank
+         |      FROM ex)
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(id AS BIGINT) AS id,
+         |  round(d, 6) AS dist, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
 
     "v17_ivfpq" -> v17Sql
   )

@@ -101,6 +101,74 @@ object VectorSearch {
         col("_e.distance").as("distance"), col("_e.rank").as("rank"))
   }
 
+  /** Binary-quantized batched search: 1-bit sign codes (32x smaller than
+    * f32 — the far end of the precision ladder after f16/int8/PQ) generate
+    * candidates by packed-word Hamming distance, then the top `rerank`
+    * candidates per query rerank by exact double-precision cosine.
+    *
+    * Scale shape: the Hamming scan streams the CODES column only (8 bytes
+    * per 64d vector) through a broadcast cross join + the bounded TopK
+    * aggregate — same map-side-partial discipline as [[topKBatch]], but
+    * over 1/32 the bytes. The rerank hydrates only nq x rerank full
+    * vectors via a BROADCAST candidate list, so the f32 table is streamed
+    * map-side too (no shuffle of either table at any stage). Ties break by
+    * id at both stages for engine-independent determinism.
+    */
+  /** Stage 1 of the binary path standalone: top-`rerank` candidates per
+    * query by packed-word Hamming distance, from the CODES table alone —
+    * the scan a deployment actually pays per query (the f32 table stays
+    * cold). Same broadcast + bounded-TopK shape as [[topKBatch]], over
+    * 1/32 the bytes. Output: (qid, id, hamming).
+    */
+  def binaryCandidates(
+      codes: DataFrame,
+      queries: DataFrame,
+      rerank: Int,
+      idCol: String = "id",
+      qidCol: String = "qid",
+      qvecCol: String = "qvec"): DataFrame = {
+    val qcodes = queries.select(col(qidCol),
+      packSignBits(col(qvecCol)).as("_qsigns"))
+    codes.crossJoin(broadcast(qcodes))
+      .withColumn("_h", hammingPacked(col("_signs"), col("_qsigns")))
+      .groupBy(col(qidCol))
+      .agg(graft.functions.TopK.topK(
+        col(idCol), col("_h").cast("double"), rerank).as("_tk"))
+      .select(col(qidCol), explode(col("_tk")).as("_e"))
+      .select(col(qidCol), col("_e.id").as(idCol),
+        col("_e.distance").cast("int").as("hamming"))
+  }
+
+  def binaryTopKBatch(
+      vectors: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      rerank: Int,
+      idCol: String = "id",
+      vecCol: String = "vector",
+      qidCol: String = "qid",
+      qvecCol: String = "qvec",
+      prebuiltCodes: Option[DataFrame] = None): DataFrame = {
+    // Serving keeps the packed codes materialized (8 bytes per 64d vector;
+    // the f32 table stays cold until rerank) — `prebuiltCodes` is that
+    // layout: (idCol, _signs).
+    val codes = prebuiltCodes.getOrElse(
+      vectors.select(col(idCol).cast("long").as(idCol),
+        packSignBits(col(vecCol)).as("_signs")))
+    val cand = binaryCandidates(codes, queries, rerank, idCol, qidCol, qvecCol)
+    val hydrated = vectors
+      .select(col(idCol).cast("long").as(idCol), col(vecCol))
+      .join(broadcast(cand), Seq(idCol))
+      .join(broadcast(queries.select(col(qidCol), col(qvecCol))), Seq(qidCol))
+      .withColumn("_d", lit(1.0) - cosineSimilarityWide(col(vecCol), col(qvecCol)))
+    hydrated
+      .groupBy(col(qidCol))
+      .agg(graft.functions.TopK.topK(col(idCol), col("_d"), k).as("_tk"))
+      .select(col(qidCol), explode(col("_tk")).as("_e"))
+      .select(col(qidCol), col("_e.id").as(idCol),
+        col("_e.distance").as("distance"), col("_e.rank").as("rank"))
+  }
+
   /** H5 `VSearchWithScores` (`pkg/engine/ops.go:1276`): top-k plus the
     * absolute score `1/(1+distance)` (`search_utils.go:48`). Decay is
     * applied by the caller (fusion layer) so `now` stays a parameter.

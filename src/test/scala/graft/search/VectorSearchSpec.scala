@@ -112,4 +112,35 @@ class VectorSearchSpec extends SparkSpec {
       s"plan missing partial top-k aggregate:\n$plan")
     assert(!plan.contains("WindowExec") && !plan.contains("WindowGroupLimit"))
   }
+
+  test("binary quantization: pack/hamming kernels exact; self-match ranks first") {
+    import graft.functions.VectorFunctions
+    import spark.implicits._
+
+    // Kernel ground truth on a hand-packed pattern: dims 0,33,63 positive
+    // → word0 bit0, word1 bits 1 and 31.
+    val v = Array.tabulate(64)(i => if (i == 0 || i == 33 || i == 63) 1f else -1f)
+    val packed = Seq(Tuple1(v)).toDF("v")
+      .select(VectorFunctions.packSignBits(col("v")).as("s"))
+      .collect()(0).getSeq[Long](0)
+    assert(packed == Seq(1L, (1L << 1) | (1L << 31)))
+
+    val ham = Seq((v, Array.fill(64)(-1f))).toDF("a", "b")
+      .select(VectorFunctions.hammingPacked(
+        VectorFunctions.packSignBits(col("a")),
+        VectorFunctions.packSignBits(col("b"))).as("h"))
+      .collect()(0).getInt(0)
+    assert(ham == 3)
+
+    // Self-match: each query is in the table, Hamming 0 to itself, exact
+    // distance 0 → rank 1 for its own id.
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val top = VectorSearch.binaryTopKBatch(emb, q, k = 10, rerank = 50,
+        idCol = "vec_id", vecCol = "embedding")
+      .filter(col("rank") === 1).collect()
+    assert(top.length == 5)
+    top.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+  }
 }
