@@ -121,6 +121,30 @@ object AnnQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // V20 — v19 served from the MATERIALIZED sign-code layout: (id, signs)
+    // written to parquet once, read back for candidate generation — the
+    // deployment shape where only the 8-byte-per-vector code files are
+    // touched per query and the f32 table stays cold until rerank.
+    // Identical results to v19 by construction (sign packing is exact on
+    // disk), so the two entries sharing one oracle IS the layout check.
+    "v20_binary_stored" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      val codes = Layouts.stored(s, dir, "sign_codes") {
+        emb.select(col("vec_id"),
+          VectorFunctions.packSignBits(col("embedding")).as("_signs"))
+      }
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      VectorSearch.binaryTopKBatch(emb, q, k = 10, rerank = 50,
+          idCol = "vec_id", vecCol = "embedding",
+          prebuiltCodes = Some(codes))
+        .select(col("qid"), col("vec_id").as("id"),
+          round(col("distance"), 6).as("dist"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     "v15_pq" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
@@ -344,8 +368,16 @@ object AnnQueries {
     // V19: the oracle replicates the sign packing (32 bits per BIGINT
     // word, bit i of word j = embedding[32j+i] > 0 — every word in
     // [0, 2^32), no sign-bit edge cases), the Hamming candidate cut with
-    // (hamming, id) ties, and the exact-cosine rerank.
-    "v19_binary_rerank" ->
+    // (hamming, id) ties, and the exact-cosine rerank. V20 serves the
+    // same search from the materialized code layout — identical results
+    // by construction, same oracle.
+    "v19_binary_rerank" -> v19Sql,
+    "v20_binary_stored" -> v19Sql,
+
+    "v17_ivfpq" -> v17Sql
+  )
+
+  private lazy val v19Sql =
       s"""WITH words AS (
          |  SELECT vec_id, list_transform(range(0, 2), j ->
          |    CAST(list_sum(list_transform(range(0, 32), i ->
@@ -375,10 +407,7 @@ object AnnQueries {
          |      FROM ex)
          |SELECT CAST(qid AS BIGINT) AS qid, CAST(id AS BIGINT) AS id,
          |  round(d, 6) AS dist, CAST(rank AS BIGINT) AS rank
-         |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
-
-    "v17_ivfpq" -> v17Sql
-  )
+         |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
   /** Shared by v17 (in-plan codes) and v18 (stored codes layout). */
   private lazy val v17Sql =
