@@ -136,6 +136,32 @@ class PlanShapeSpec extends SparkSpec {
       readSchema)
   }
 
+  test("binary sign-code layout: candidate scan reads ONLY the packed words") {
+    // The v20 deployment shape: (vec_id, _signs) on parquet. The Hamming
+    // candidate stage must scan just those 8 bytes per vector — if the
+    // f32 embedding column leaks into the ReadSchema the 32x memory-cut
+    // claim is void.
+    val emb = graft.core.Tables.embeddings(spark, sf())
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("sign-codes").toString
+    emb.select(col("vec_id"),
+        graft.functions.VectorFunctions.packSignBits(col("embedding"))
+          .as("_signs"))
+      .write.mode("overwrite").parquet(dir)
+    val codes = spark.read.parquet(dir)
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val cand = graft.search.VectorSearch.binaryCandidates(
+      codes, q, rerank = 10, idCol = "vec_id")
+    val p = plan(cand)
+    val readSchemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    val codesScan = readSchemas.filter(_.contains("_signs"))
+    assert(codesScan.nonEmpty, p)
+    assert(codesScan.forall(!_.contains("embedding")), codesScan.mkString("\n"))
+    // And the ranking is the bounded top-k aggregate, not a sort/window.
+    assert(p.contains("partial_topk_by_distance") && !p.contains("WindowExec"), p)
+  }
+
   test("no unpartitioned window anywhere in src/main (single-partition funnel ban)") {
     // A Window.orderBy without partitionBy (or an empty partitionBy) moves
     // every row through ONE task — the quantizer-train scale-killer VERDICT
