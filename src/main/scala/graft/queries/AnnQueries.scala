@@ -145,6 +145,34 @@ object AnnQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // V21 — IVF × binary composed: the v1 centroid protocol (vec_id%100
+    // as centroids, cosine assignment) restricts the scan to nProbe=2
+    // probed buckets (row pruning); the v19 sign codes score the
+    // survivors from 8 bytes per vector (32x byte pruning); exact cosine
+    // reranks the top-50. The cheapest-candidate-bytes serving shape.
+    "v21_binary_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      val cents = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val codesB = Ivf.assign(
+          emb.select(col("vec_id").as("id"), col("embedding").as("vector")),
+          cents, "id", "vector", metric = "cosine")
+        .select(col("id").as("vec_id"), col("bucket"))
+        .join(emb.select(col("vec_id"),
+          VectorFunctions.packSignBits(col("embedding")).as("_signs")),
+          Seq("vec_id"))
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      VectorSearch.binaryIvfTopKBatch(emb, cents, codesB, q,
+          k = 10, rerank = 50, nProbe = 2,
+          idCol = "vec_id", vecCol = "embedding")
+        .select(col("qid"), col("vec_id").as("id"),
+          round(col("distance"), 6).as("dist"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     "v15_pq" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
@@ -373,18 +401,25 @@ object AnnQueries {
     // by construction, same oracle.
     "v19_binary_rerank" -> v19Sql,
     "v20_binary_stored" -> v19Sql,
+    "v21_binary_ivf" -> v21Sql,
 
     "v17_ivfpq" -> v17Sql
   )
 
+  /** Sign-packing CTE shared by the binary oracles: 32 bits per BIGINT
+    * word, bit i of word j = embedding[32j+i] > 0.
+    */
+  private lazy val signWordsSql =
+    """words AS (
+      |  SELECT vec_id, list_transform(range(0, 2), j ->
+      |    CAST(list_sum(list_transform(range(0, 32), i ->
+      |      CASE WHEN embedding[CAST(32 * j + i + 1 AS INT)] > 0
+      |        THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+      |        ELSE CAST(0 AS BIGINT) END)) AS BIGINT)) AS signs
+      |  FROM embeddings)""".stripMargin
+
   private lazy val v19Sql =
-      s"""WITH words AS (
-         |  SELECT vec_id, list_transform(range(0, 2), j ->
-         |    CAST(list_sum(list_transform(range(0, 32), i ->
-         |      CASE WHEN embedding[CAST(32 * j + i + 1 AS INT)] > 0
-         |        THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
-         |        ELSE CAST(0 AS BIGINT) END)) AS BIGINT)) AS signs
-         |  FROM embeddings),
+      s"""WITH $signWordsSql,
          |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
          |qw AS (SELECT vec_id AS qid, signs AS qsigns FROM words WHERE vec_id < 5),
          |h AS (
@@ -392,6 +427,54 @@ object AnnQueries {
          |    bit_count(xor(w.signs[1], qw.qsigns[1]))
          |      + bit_count(xor(w.signs[2], qw.qsigns[2])) AS hamming
          |  FROM words w CROSS JOIN qw),
+         |cand AS (
+         |  SELECT qid, id FROM (
+         |    SELECT qid, id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY hamming, id) AS hrank
+         |    FROM h)
+         |  WHERE hrank <= 50),
+         |ex AS (
+         |  SELECT c.qid, c.id, ${cosSql("e.embedding", "q.qv")} AS d
+         |  FROM cand c JOIN embeddings e ON e.vec_id = c.id
+         |              JOIN q ON q.qid = c.qid),
+         |r AS (SELECT qid, id, d,
+         |        row_number() OVER (PARTITION BY qid ORDER BY d, id) AS rank
+         |      FROM ex)
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(id AS BIGINT) AS id,
+         |  round(d, 6) AS dist, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
+  /** V21: v1's cosine assignment + probe protocol composed with the
+    * binary Hamming cut and exact rerank.
+    */
+  private lazy val v21Sql =
+      s"""WITH $signWordsSql,
+         |cents AS (
+         |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+         |  WHERE vec_id % 100 = 0),
+         |assigned AS (
+         |  SELECT vec_id AS id, cid AS bucket FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "c.cvec")}, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN cents c)
+         |  WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |probes AS (
+         |  SELECT qid, cid AS bucket FROM (
+         |    SELECT q.qid, c.cid,
+         |      row_number() OVER (PARTITION BY q.qid
+         |        ORDER BY ${cosSql("q.qv", "c.cvec")}, c.cid) AS rn
+         |    FROM q CROSS JOIN cents c)
+         |  WHERE rn <= 2),
+         |qw AS (SELECT vec_id AS qid, signs AS qsigns FROM words WHERE vec_id < 5),
+         |h AS (
+         |  SELECT p.qid, a.id,
+         |    bit_count(xor(w.signs[1], qw.qsigns[1]))
+         |      + bit_count(xor(w.signs[2], qw.qsigns[2])) AS hamming
+         |  FROM assigned a JOIN probes p ON a.bucket = p.bucket
+         |       JOIN words w ON w.vec_id = a.id
+         |       JOIN qw ON qw.qid = p.qid),
          |cand AS (
          |  SELECT qid, id FROM (
          |    SELECT qid, id,

@@ -169,6 +169,59 @@ object VectorSearch {
         col("_e.distance").as("distance"), col("_e.rank").as("rank"))
   }
 
+  /** IVF × binary composed: probe selection restricts the scan to nProbe
+    * buckets (row pruning), the Hamming stage scores only the probed
+    * buckets' packed sign words (32x byte pruning), exact cosine reranks
+    * the top-R survivors. The 100 TB serving shape with the cheapest
+    * possible candidate bytes: with `codesWithBuckets` materialized
+    * bucket-partitioned, the per-query read is (probed partitions) x
+    * (8 bytes per 64d vector).
+    *
+    * @param cents            (cid, cvec) — driver-bounded, broadcast.
+    * @param codesWithBuckets (idCol, _signs, bucket) — the serving layout.
+    */
+  def binaryIvfTopKBatch(
+      vectors: DataFrame,
+      cents: DataFrame,
+      codesWithBuckets: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      rerank: Int,
+      nProbe: Int,
+      idCol: String = "id",
+      vecCol: String = "vector",
+      qidCol: String = "qid",
+      qvecCol: String = "qvec"): DataFrame = {
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("_pd", lit(1.0) - cosineSimilarityWide(col(qvecCol), col("cvec")))
+      .groupBy(col(qidCol))
+      .agg(graft.functions.TopK.topK(
+        col("cid").cast("long"), col("_pd"), nProbe).as("_tk"))
+      .select(col(qidCol), explode(col("_tk")).as("_e"))
+      .select(col(qidCol), col("_e.id").as("bucket"))
+    val qcodes = queries.select(col(qidCol),
+      packSignBits(col(qvecCol)).as("_qsigns"))
+    val probedQ = probes.join(qcodes, Seq(qidCol))
+    val cand = codesWithBuckets.join(broadcast(probedQ), Seq("bucket"))
+      .withColumn("_h", hammingPacked(col("_signs"), col("_qsigns")))
+      .groupBy(col(qidCol))
+      .agg(graft.functions.TopK.topK(
+        col(idCol), col("_h").cast("double"), rerank).as("_tk"))
+      .select(col(qidCol), explode(col("_tk")).as("_e"))
+      .select(col(qidCol), col("_e.id").as(idCol))
+    val hydrated = vectors
+      .select(col(idCol).cast("long").as(idCol), col(vecCol))
+      .join(broadcast(cand), Seq(idCol))
+      .join(broadcast(queries.select(col(qidCol), col(qvecCol))), Seq(qidCol))
+      .withColumn("_d", lit(1.0) - cosineSimilarityWide(col(vecCol), col(qvecCol)))
+    hydrated
+      .groupBy(col(qidCol))
+      .agg(graft.functions.TopK.topK(col(idCol), col("_d"), k).as("_tk"))
+      .select(col(qidCol), explode(col("_tk")).as("_e"))
+      .select(col(qidCol), col("_e.id").as(idCol),
+        col("_e.distance").as("distance"), col("_e.rank").as("rank"))
+  }
+
   /** H5 `VSearchWithScores` (`pkg/engine/ops.go:1276`): top-k plus the
     * absolute score `1/(1+distance)` (`search_utils.go:48`). Decay is
     * applied by the caller (fusion layer) so `now` stays a parameter.
