@@ -888,7 +888,7 @@ object Bench {
         // Slice up to the next top-level section key; regexes below only
         // match whole points, so a generous slice is fine.
         val ends = Seq("\"ann_hidim\":", "\"ann_l2\":", "\"ann\":{\"n\"",
-          "\"fusion_batch\":", "\"f16\":", "\"value\":")
+          "\"fusion_batch\":", "\"f16\":", "\"binary\":", "\"value\":")
           .map(k => json.indexOf(k, i + key.length + 3)).filter(_ > i)
         json.substring(i, if (ends.isEmpty) json.length else ends.min)
       }
@@ -950,11 +950,18 @@ object Bench {
         if (fs.size >= 2) s""","fused_qps":{"sf":${fs(0)},"synthetic":${fs(1)}}"""
         else ""
       }
+      val binS = section("binary")
+      val binary = (num(binS, "qps_hamming_scan"), num(binS, "qps_bin_rerank"),
+          num(binS, "recall_vs_exact_at_10")) match {
+        case (Some(h), Some(q), Some(r)) =>
+          s""","binary":{"qps_hamming":$h,"qps_rerank":$q,"recall":$r}"""
+        case _ => ""
+      }
       val slowest = results.filter(_._3).sortBy(-_._2).take(15)
         .map { case (k, v, _) => "\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
       val annJson =
         if (annParts.isEmpty) "" else annParts.mkString(""","ann":{""", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"sf":"$sfDir","n_queries":${results.size},"failed":$failed,"flaky":$flaky,"queries":$slowest$annJson$fused,"detail":"bench_out.json"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"sf":"$sfDir","n_queries":${results.size},"failed":$failed,"flaky":$flaky,"queries":$slowest$annJson$fused$binary,"detail":"bench_out.json"}"""
   }
 }
