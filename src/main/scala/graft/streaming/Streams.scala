@@ -171,6 +171,24 @@ object Streams {
     else keyed.dropDuplicates("fingerprint")
   }
 
+  /** Streaming sign-code maintenance — the binary-quantization analogue
+    * of [[ivfIngest]]: packing is a stateless projection
+    * ([[graft.functions.VectorFunctions.packSignBits]] is pure column
+    * math), so arriving vectors append their 8-bytes-per-64d code rows
+    * into the v20 serving layout and become Hamming-scannable on the next
+    * candidate scan, while the f32 vectors stay wherever they landed.
+    */
+  def signCodesIngest(vectors: DataFrame, idCol: String, vecCol: String,
+      path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.select(col(idCol).cast("long").as(idCol),
+        graft.functions.VectorFunctions.packSignBits(col(vecCol)).as("_signs"))
+      .writeStream.format("parquet")
+      .option("path", path).option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Streaming IVF index maintenance: vectors assigned to FROZEN centroids
     * ([[graft.search.Ivf.assignFast]] is a stateless typed transform, so it
     * runs unchanged on a stream) append into the bucket-partitioned parquet

@@ -278,6 +278,41 @@ class StreamsSpec extends SparkSpec {
     assert(stored.select(col("bucket")).distinct().count() === 4)
   }
 
+  test("streaming sign-code ingest: layout equals batch packing, codes serve search") {
+    import graft.search.VectorSearch
+    val emb = Tables.embeddings(spark, sf())
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+      .filter(col("vec_id") < 100)
+
+    val src = tempDir("sign-ingest-src")
+    emb.filter(col("vec_id") < 50).coalesce(1).write.mode("append").parquet(src)
+    emb.filter(col("vec_id") >= 50).coalesce(1).write.mode("append").parquet(src)
+    val layout = tempDir("sign-ingest-layout")
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = Streams.signCodesIngest(stream, "vec_id", "embedding",
+      layout, tempDir("sign-ingest-cp"))
+    q.awaitTermination(120000)
+
+    val stored = spark.read.parquet(layout)
+    val batch = emb.select(col("vec_id"),
+      graft.functions.VectorFunctions.packSignBits(col("embedding")).as("_signs"))
+    assert(stored.count() === 100)
+    assert(stored.exceptAll(batch).isEmpty && batch.exceptAll(stored).isEmpty)
+
+    // The streamed layout serves the binary path: identical results to
+    // packing in-plan.
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val fromLayout = VectorSearch.binaryTopKBatch(emb, qs, k = 5, rerank = 20,
+      idCol = "vec_id", vecCol = "embedding", prebuiltCodes = Some(stored))
+    val inPlan = VectorSearch.binaryTopKBatch(emb, qs, k = 5, rerank = 20,
+      idCol = "vec_id", vecCol = "embedding")
+    assert(fromLayout.exceptAll(inPlan).isEmpty
+      && inPlan.exceptAll(fromLayout).isEmpty)
+  }
+
   test("drift repair: recall recovers to fresh-build level after re-cluster") {
     import graft.functions.VectorFunctions
     import graft.search.Ivf
