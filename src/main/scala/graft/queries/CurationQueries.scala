@@ -196,6 +196,43 @@ object CurationQueries {
         .orderBy(col("status"))
     }),
 
+    // X22: source-URL / domain blocklist filtering — the curation step
+    // that runs BEFORE content-based quality: each doc carries a
+    // provenance URL (injected deterministically from doc_id — the
+    // synthetic corpus has none), the domain is extracted with one
+    // RE2-subset regex (identical semantics in Java regex and DuckDB),
+    // and a broadcast blocklist decides keep/drop. Output is the
+    // per-domain audit table: docs, blocked flag, kept token mass.
+    // Shape at 100 TB: pure column math + one broadcast hash join
+    // (blocklists are thousands of rows); the per-domain rollup is a
+    // low-cardinality keyed aggregation.
+    "x22_domains" -> ((s, dir) => {
+      val domains = Seq("docs.example.com", "blog.example.com",
+        "spam.example.net", "mirror.example.org", "forum.example.io",
+        "ads.example.biz")
+      val blocked = Seq("spam.example.net", "ads.example.biz")
+      val tc = TextPipeline.tokenCounts(col("text")).toMap
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .withColumn("url",
+          concat(lit("http://"),
+            element_at(array(domains.map(lit): _*),
+              (pmod(col("doc_id") * 7L, lit(domains.size.toLong)) + 1)
+                .cast("int")),
+            lit("/page/"), col("doc_id")))
+        .withColumn("domain",
+          regexp_extract(col("url"), "^http://([^/]+)/", 1))
+        .withColumn("is_blocked",
+          col("domain").isin(blocked: _*))
+        .withColumn("ws", tc("ws_tokens"))
+      d.groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("is_blocked").cast("int")).cast("long").as("blocked"),
+          sum(when(!col("is_blocked"), col("ws")).otherwise(0L))
+            .as("ws_kept"))
+        .orderBy(col("domain"))
+    }),
+
     // X18: deterministic training-shard assignment — the write-side step
     // after packing: every doc lands in one of 16 shards by a pure
     // integer hash of its id (same shard on any cluster, any
@@ -337,6 +374,30 @@ object CurationQueries {
         |  CAST(min(doc_id) AS BIGINT) AS min_doc,
         |  CAST(max(doc_id) AS BIGINT) AS max_doc
         |FROM st GROUP BY status ORDER BY status""".stripMargin,
+
+    "x22_domains" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    'http://' || (['docs.example.com','blog.example.com',
+        |      'spam.example.net','mirror.example.org','forum.example.io',
+        |      'ads.example.biz'])[CAST((doc_id * 7) % 6 + 1 AS INT)]
+        |      || '/page/' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id,
+        |    regexp_extract(url, '^http://([^/]+)/', 1) AS domain,
+        |    len(str_split(text, ' ')) AS ws
+        |  FROM d),
+        |f AS (
+        |  SELECT doc_id, domain, ws,
+        |    domain IN ('spam.example.net', 'ads.example.biz') AS is_blocked
+        |  FROM e)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(max(CASE WHEN is_blocked THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS blocked,
+        |  CAST(sum(CASE WHEN is_blocked THEN 0 ELSE ws END) AS BIGINT)
+        |    AS ws_kept
+        |FROM f GROUP BY domain ORDER BY domain""".stripMargin,
 
     "x18_shard" ->
       """WITH d AS (

@@ -92,6 +92,20 @@ class CurationSpec extends SparkSpec {
     mat.foreach(r => assert(r.getString(0) <= r.getString(1)))
   }
 
+  test("x22: domain audit covers all docs; blocked domains keep zero tokens") {
+    val rows = run("x22_domains").collect()
+    assert(rows.length == 6)
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == spark.read.parquet(s"${sf()}/documents.parquet").count())
+    rows.foreach { r =>
+      val (domain, blocked, wsKept) =
+        (r.getString(0), r.getLong(2), r.getLong(3))
+      if (blocked == 1) assert(wsKept == 0, s"blocked $domain kept tokens")
+      else assert(wsKept > 0, s"unblocked $domain kept nothing")
+    }
+    assert(rows.count(_.getLong(2) == 1) == 2)
+  }
+
   test("x18: shard assignment is deterministic, complete, and balanced") {
     val a = run("x18_shard").collect()
     val b = run("x18_shard").collect()
