@@ -156,6 +156,141 @@ object VectorSearch {
       vectors.select(col(idCol).cast("long").as(idCol),
         packSignBits(col(vecCol)).as("_signs")))
     val cand = binaryCandidates(codes, queries, rerank, idCol, qidCol, qvecCol)
+      .select(col(qidCol), col(idCol))
+    exactCosineRerank(vectors, cand, queries, k, idCol, vecCol, qidCol, qvecCol)
+  }
+
+  /** Driver-side sign packing — the scalar twin of
+    * [[graft.functions.ShingleUtil.packSignBits]] (same 32-bits-per-word
+    * layout), for query vectors already collected to the driver.
+    */
+  private[search] def packSignsLocal(v: Array[Float]): Array[Long] = {
+    val words = new Array[Long]((v.length + 31) / 32)
+    var i = 0
+    while (i < v.length) {
+      if (v(i) > 0f) words(i >> 5) |= 1L << (i & 31)
+      i += 1
+    }
+    words
+  }
+
+  /** Serving-path binary index: per-partition primitive blocks of
+    * (ids, row-major packed sign words, wordsPerVector) — the binary
+    * analogue of [[Ivf.servingIndex]]'s contiguous float blocks. 8 bytes
+    * per 64d vector resident; build once, serve every batch.
+    */
+  def servingIndexBinary(vectors: DataFrame, idCol: String = "id",
+      vecCol: String = "vector")
+      : org.apache.spark.rdd.RDD[(Array[Long], Array[Long], Int)] = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    vectors.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .rdd
+      .mapPartitions { it =>
+        val idBuf = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val wordBuf = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+        it.foreach { case (id, v) =>
+          idBuf += id
+          wordBuf += packSignsLocal(v)
+        }
+        if (idBuf.isEmpty) Iterator.empty
+        else {
+          val ids = idBuf.toArray
+          val w = wordBuf(0).length
+          val flat = new Array[Long](ids.length * w)
+          var r = 0
+          while (r < ids.length) {
+            System.arraycopy(wordBuf(r), 0, flat, r * w, w)
+            r += 1
+          }
+          Iterator.single((ids, flat, w))
+        }
+      }
+  }
+
+  /** Serving-path binary search — [[Ivf.searchBatchedFast]]'s discipline
+    * applied to the 1-bit codes: queries are driver-bounded (packed on the
+    * driver, broadcast once), candidates come from ONE xor/popcount pass
+    * over the primitive blocks into per-query bounded insertion buffers,
+    * partials merge with `treeReduce` ON THE EXECUTORS (driver receives
+    * nq×R rows regardless of partition count), and only the nq×R
+    * candidates hydrate f32 vectors for the exact rerank. No shuffle of
+    * the corpus at any stage; resident serving state is 1/32 of f32.
+    */
+  /** Stage 1 of the serving path standalone: top-`rerank` candidates per
+    * query from the primitive sign-word blocks — one xor/popcount pass
+    * into per-query bounded insertion buffers, partials merged with
+    * `treeReduce` ON THE EXECUTORS (driver receives nq×rerank rows
+    * regardless of partition count). This is the per-batch cost the
+    * serving state actually pays; the f32 rerank scan is the tail.
+    * Output: (qid, id, distance = hamming, rank).
+    */
+  def binaryServingCandidates(
+      index: org.apache.spark.rdd.RDD[(Array[Long], Array[Long], Int)],
+      queries: DataFrame,
+      rerank: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val qrows = queries.select(col("qid"), col("qvec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qids = qrows.map(_._1)
+    val bc = spark.sparkContext.broadcast(qrows.map(q => packSignsLocal(q._2)))
+    val partials = index.mapPartitions { it =>
+      val qws = bc.value
+      val heaps = new Ivf.TopK(qws.length, rerank)
+      it.foreach { case (ids, flat, w) =>
+        var qi = 0
+        while (qi < qws.length) {
+          val qw = qws(qi)
+          var r = 0
+          var off = 0
+          while (r < ids.length) {
+            var h = 0
+            var j = 0
+            while (j < w) {
+              h += java.lang.Long.bitCount(flat(off + j) ^ qw(j)); j += 1
+            }
+            heaps.insert(qi, h.toDouble, ids(r))
+            r += 1
+            off += w
+          }
+          qi += 1
+        }
+      }
+      Iterator.single(heaps)
+    }
+    val merged =
+      if (partials.getNumPartitions == 0) new Ivf.TopK(qids.length, rerank)
+      else partials.treeReduce(_ merge _)
+    Ivf.mergeTopK(spark, merged, qids, rerank)
+  }
+
+  def searchBatchedFastBinary(
+      index: org.apache.spark.rdd.RDD[(Array[Long], Array[Long], Int)],
+      vectors: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      rerank: Int,
+      idCol: String = "id",
+      vecCol: String = "vector"): DataFrame = {
+    val cand = binaryServingCandidates(index, queries, rerank)
+      .select(col("qid"), col("id").as(idCol))
+    exactCosineRerank(vectors, cand, queries, k, idCol, vecCol)
+  }
+
+  /** Shared exact-rerank tail: hydrate the (small, broadcast) candidate
+    * list's f32 vectors map-side, score in double cosine, rank with the
+    * k-bounded aggregate.
+    */
+  private def exactCosineRerank(
+      vectors: DataFrame,
+      cand: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String,
+      vecCol: String,
+      qidCol: String = "qid",
+      qvecCol: String = "qvec"): DataFrame = {
     val hydrated = vectors
       .select(col(idCol).cast("long").as(idCol), col(vecCol))
       .join(broadcast(cand), Seq(idCol))

@@ -143,4 +143,19 @@ class VectorSearchSpec extends SparkSpec {
     assert(top.length == 5)
     top.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
   }
+
+  test("binary serving path (primitive blocks + treeReduce) equals distributed path") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val idx = VectorSearch.servingIndexBinary(emb, "vec_id", "embedding")
+    val fast = VectorSearch.searchBatchedFastBinary(idx, emb, q,
+      k = 10, rerank = 50, idCol = "vec_id", vecCol = "embedding")
+    val dist = VectorSearch.binaryTopKBatch(emb, q, k = 10, rerank = 50,
+      idCol = "vec_id", vecCol = "embedding")
+    // Both stages tie-break by id, so the candidate sets — and therefore
+    // the reranked results — are bit-identical.
+    assert(fast.exceptAll(dist).isEmpty && dist.exceptAll(fast).isEmpty)
+    assert(fast.count() == 50)
+  }
 }
