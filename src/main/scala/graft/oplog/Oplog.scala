@@ -27,9 +27,13 @@ import graft.core.Tables
   *   seq LONG       — total order (the AOF byte offset analogue)
   *   ts LONG        — event time (== seq in the generated log)
   *   op STRING      — VCREATE|VDROP|VADD|VMETA|VDEL|GLINK|GUNLINK|SET|DEL
+  *                    |VCONFIG|VAUTOLINKS (the full 11-command inventory)
   *   index_name, id — vector-record coordinates (VADD/VMETA/VDEL)
   *   vector, meta   — VADD payload; VMETA carries a partial meta overlay
   *   src, dst, rel, weight — edge coordinates (GLINK/GUNLINK)
+  *   payload STRING — JSON body of VCONFIG (AutoMaintenanceConfig,
+  *                    `core/hnsw/config.go:67`) / VAUTOLINKS (AutoLinkRule[],
+  *                    `client/client.go:75`); null for every other op
   *
   * Semantics replicated from the reference:
   *   - VADD is an upsert that REPLACES metadata wholly (stale-metadata
@@ -42,10 +46,32 @@ import graft.core.Tables
   *     and appends a new one (edge versioning, `pkg/core/graph.go:112-182`);
   *   - GUNLINK soft-deletes the open version (`graph.go:187-240`);
   *   - VDROP erases the index; a later VCREATE starts empty.
+  *   - VCONFIG/VAUTOLINKS are latest-wins per index and apply only while
+  *     the index exists at the event's position in the stream; VDROP wipes
+  *     them with the index (`recovery.go:367-389`: the handlers mutate
+  *     `indexes[idxName]`, which VDROP deletes at `recovery.go:177`).
   */
 object Oplog {
 
   val MemIdx = "mem"
+
+  /** The reference's full AOF command inventory (`recovery.go:169-389`).
+    * Replay folds fail loudly on anything outside it — silently skipping an
+    * op class is how config/rule state got lost historically.
+    */
+  val KnownOps: Seq[String] = Seq(
+    "VCREATE", "VDROP", "VADD", "VMETA", "VDEL",
+    "GLINK", "GUNLINK", "SET", "DEL", "VCONFIG", "VAUTOLINKS")
+
+  /** Lazy, distributed replay-completeness guard: any row whose `op` is not
+    * in [[KnownOps]] raises at execution time (no extra job, no collect —
+    * the predicate rides the scan).
+    */
+  private def validated(oplog: DataFrame): DataFrame =
+    oplog.filter(
+      when(col("op").isin(KnownOps: _*), lit(true))
+        .otherwise(raise_error(
+          concat(lit("unknown oplog op: "), col("op")))))
 
   /** Uniform row shape for one op class. `base` provides the driving rows. */
   private def opRows(
@@ -59,14 +85,16 @@ object Oplog {
       src: Column = lit(null).cast("string"),
       dst: Column = lit(null).cast("string"),
       rel: Column = lit(null).cast("string"),
-      weight: Column = lit(null).cast("double")): DataFrame =
+      weight: Column = lit(null).cast("double"),
+      payload: Column = lit(null).cast("string")): DataFrame =
     base.select(
       seq.cast("long").as("seq"), seq.cast("long").as("ts"), lit(op).as("op"),
       lit(index).as("index_name"), id.cast("string").as("id"),
       vector.cast("array<float>").as("vector"),
       meta.cast("map<string,string>").as("meta"),
       src.cast("string").as("src"), dst.cast("string").as("dst"),
-      rel.cast("string").as("rel"), weight.cast("double").as("weight"))
+      rel.cast("string").as("rel"), weight.cast("double").as("weight"),
+      payload.cast("string").as("payload"))
 
   /** Deterministic synthetic oplog over the `embeddings` table.
     *
@@ -85,6 +113,30 @@ object Oplog {
     val stream = Seq(
       opRows(one, lit(0), "VCREATE", MemIdx),
       opRows(one, lit(1), "VCREATE", "tmp"),
+      // Config/rule lifecycle (VCONFIG/VAUTOLINKS, recovery.go:367-389):
+      // early mem config+rules are overridden by the late ones below;
+      // 'ghost' has no VCREATE (dropped); tmp's config dies with VDROP@999;
+      // 're' exercises the drop-then-recreate window (config@8 lands while
+      // the index does not exist → dropped; config@14 wins).
+      opRows(one, lit(2), "VCONFIG", MemIdx,
+        payload = lit("""{"delete_threshold":0.5}""")),
+      opRows(one, lit(3), "VAUTOLINKS", MemIdx,
+        payload = lit("""[{"metadata_field":"label","relation_type":"has_label"}]""")),
+      opRows(one, lit(4), "VCONFIG", "ghost",
+        payload = lit("""{"delete_threshold":0.9}""")),
+      opRows(one, lit(6), "VCREATE", "re"),
+      opRows(one, lit(7), "VDROP", "re"),
+      opRows(one, lit(8), "VCONFIG", "re",
+        payload = lit("""{"delete_threshold":0.8}""")),
+      opRows(one, lit(9), "VCREATE", "re"),
+      opRows(one, lit(14), "VCONFIG", "re",
+        payload = lit("""{"vacuum_interval":"1m"}""")),
+      opRows(one, lit(16), "VCONFIG", "tmp",
+        payload = lit("""{"delete_threshold":0.7}""")),
+      opRows(one, lit(10000000000L), "VCONFIG", MemIdx,
+        payload = lit("""{"delete_threshold":0.1,"graph_retention":"720h"}""")),
+      opRows(one, lit(10000000001L), "VAUTOLINKS", MemIdx,
+        payload = lit("""[{"metadata_field":"src","relation_type":"from_src"},{"metadata_field":"label","relation_type":"labeled","create_node":true}]""")),
       // tmp gets 5 adds then is dropped — replay must erase them.
       opRows(emb.filter(v < 5), v * 100 + 5, "VADD", "tmp", id = idS,
         vector = col("embedding"),
@@ -140,7 +192,7 @@ object Oplog {
     * partially-combined row per key.
     */
   def foldVectors(oplog: DataFrame): DataFrame = {
-    val ev = afterDrop(oplog)
+    val ev = afterDrop(validated(oplog))
 
     val adds = ev.filter(col("op") === "VADD")
       .groupBy("index_name", "id")
@@ -182,7 +234,8 @@ object Oplog {
     * feature); `deleted_at IS NULL` = active edge.
     */
   def foldEdges(oplog: DataFrame): DataFrame = {
-    val ev = afterDrop(oplog).filter(col("op").isin("GLINK", "GUNLINK"))
+    val ev = afterDrop(validated(oplog))
+      .filter(col("op").isin("GLINK", "GUNLINK"))
     val key = Seq("index_name", "src", "dst", "rel")
     val byKey = Window.partitionBy(key.map(col): _*).orderBy("seq")
 
@@ -258,6 +311,57 @@ object Oplog {
     dupAdds.unionByName(selfLinks).unionByName(dupCreates)
   }
 
+  /** S4 completion — VCONFIG/VAUTOLINKS replay (`recovery.go:367-389`).
+    *
+    * Output: (index_name, op, payload, cfg_seq) — the surviving config JSON
+    * per (index, command kind). Semantics: latest-wins per index; an event
+    * only applies if the index exists at the event's position in the stream
+    * (the reference mutates `indexes[idxName]`, absent → silently skipped);
+    * VDROP deletes the indexState and its config with it, so only events
+    * after the last VDROP can survive — which is exactly [[afterDrop]],
+    * after which "exists at event time" reduces to "a surviving VCREATE
+    * precedes the event".
+    *
+    * Scale: config traffic is catalog-sized (a handful of rows per index),
+    * so the per-index window here is nowhere near the data path.
+    */
+  def foldConfig(oplog: DataFrame): DataFrame = {
+    val life = afterDrop(validated(oplog))
+      .filter(col("op").isin("VCREATE", "VCONFIG", "VAUTOLINKS"))
+    val w = Window.partitionBy("index_name").orderBy("seq")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    life
+      .withColumn("created",
+        coalesce(max(col("op") === "VCREATE").over(w), lit(false)))
+      .filter(col("op").isin("VCONFIG", "VAUTOLINKS") && col("created"))
+      .groupBy("index_name", "op")
+      .agg(max_by(col("payload"), col("seq")).as("payload"),
+        max("seq").as("cfg_seq"))
+  }
+
+  /** G10 through the log: auto-link edges derived from the REPLAYED
+    * VAUTOLINKS rules (`ops.go:1813` persists the rules; `processAutoLinks`
+    * `ops.go:1699-1737` applies them on write). For each live record whose
+    * metadata carries `rule.metadata_field`, emit
+    * `id -[relation_type]-> meta[field]`. Rules are catalog-sized →
+    * broadcast join against the folded state; no extra shuffle.
+    */
+  def autoLinksFromLog(oplog: DataFrame): DataFrame = {
+    val ruleSchema =
+      "array<struct<metadata_field:string,relation_type:string,create_node:boolean>>"
+    val rules = foldConfig(oplog).filter(col("op") === "VAUTOLINKS")
+      .select(col("index_name"),
+        explode(from_json(col("payload"), ruleSchema,
+          Map.empty[String, String])).as("rule"))
+    foldVectors(oplog).filter(col("alive"))
+      .join(broadcast(rules), Seq("index_name"))
+      .withColumn("dst", try_element_at(col("meta"), col("rule.metadata_field")))
+      .filter(col("dst").isNotNull)
+      .select(col("index_name"), col("id").as("src"), col("dst"),
+        col("rule.relation_type").as("rel"), lit(1.0f).as("weight"),
+        col("rule.create_node").as("create_node"))
+  }
+
   /** S12 — catalog state: per index, whether it exists and its bounds. */
   def catalog(oplog: DataFrame): DataFrame =
     oplog.filter(col("op").isin("VCREATE", "VDROP"))
@@ -283,21 +387,36 @@ object Oplog {
         lit(null).cast("map<string,string>").as("meta"),
         lit(null).cast("string").as("src"), lit(null).cast("string").as("dst"),
         lit(null).cast("string").as("rel"),
-        lit(null).cast("double").as("weight"))
+        lit(null).cast("double").as("weight"),
+        lit(null).cast("string").as("payload"))
     val vadds = foldVectors(head).filter(col("alive"))
       .select(col("add_seq").as("seq"), col("add_seq").as("ts"),
         lit("VADD").as("op"), col("index_name"), col("id"), col("vector"),
         col("meta"), lit(null).cast("string").as("src"),
         lit(null).cast("string").as("dst"), lit(null).cast("string").as("rel"),
-        lit(null).cast("double").as("weight"))
+        lit(null).cast("double").as("weight"),
+        lit(null).cast("string").as("payload"))
     val glinks = foldEdges(head).filter(col("deleted_at").isNull)
       .select(col("created_at").as("seq"), col("created_at").as("ts"),
         lit("GLINK").as("op"), col("index_name"),
         lit(null).cast("string").as("id"),
         lit(null).cast("array<float>").as("vector"),
         lit(null).cast("map<string,string>").as("meta"),
-        col("src"), col("dst"), col("rel"), col("weight"))
-    vcreates.unionByName(vadds).unionByName(glinks)
+        col("src"), col("dst"), col("rel"), col("weight"),
+        lit(null).cast("string").as("payload"))
+    // Surviving config/rules are re-emitted as one command per (index, kind)
+    // at their original seq — the reference's rewrite folds rules into the
+    // VCREATE AUTO_LINKS arg (`recovery.go:746-749`); state-equivalent here.
+    val configs = foldConfig(head)
+      .select(col("cfg_seq").as("seq"), col("cfg_seq").as("ts"),
+        col("op"), col("index_name"),
+        lit(null).cast("string").as("id"),
+        lit(null).cast("array<float>").as("vector"),
+        lit(null).cast("map<string,string>").as("meta"),
+        lit(null).cast("string").as("src"), lit(null).cast("string").as("dst"),
+        lit(null).cast("string").as("rel"),
+        lit(null).cast("double").as("weight"), col("payload"))
+    vcreates.unionByName(vadds).unionByName(glinks).unionByName(configs)
   }
 
   /** S13 — memory transfer: copy filter-matched live records of `from` plus

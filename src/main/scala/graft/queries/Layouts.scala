@@ -31,7 +31,9 @@ object Layouts {
       else "absent"
     }.mkString("_")
     val key = java.lang.Integer.toHexString((dir + fp).hashCode)
-    s"${System.getProperty("java.io.tmpdir")}/graft_layout_v1_$key/$name"
+    // v2: oplog schema gained the VCONFIG/VAUTOLINKS payload column — stale
+    // v1 snapshot layouts would fail the union with the new-schema tail.
+    s"${System.getProperty("java.io.tmpdir")}/graft_layout_v2_$key/$name"
   }
 
   /** Build-once parquet: `build` runs only if the layout is absent. */

@@ -109,6 +109,32 @@ object OplogQueries {
         .orderBy(col("index_name"))
     }),
 
+    // S4 completion: VCONFIG/VAUTOLINKS replay — latest-wins per index,
+    // events while the index doesn't exist are skipped, VDROP wipes config
+    // (recovery.go:367-389). Expected state is a fixed literal set (config
+    // traffic in the generated log is scale-independent).
+    "s14_config_replay" -> ((s, dir) => {
+      val oplog = Oplog.generate(s, dir)
+      Oplog.foldConfig(oplog)
+        .select(col("index_name"), col("op"), col("payload"),
+          col("cfg_seq").cast("long").as("cfg_seq"))
+        .orderBy(col("index_name"), col("op"))
+    }),
+
+    // G10 through the log: auto-link edges derived from the REPLAYED rule
+    // set (ops.go:1813 persists VAUTOLINKS; processAutoLinks applies).
+    // mem's surviving rules: src→from_src (every alive record has src),
+    // label→labeled (revived records lost the label key).
+    "s14_rule_autolinks" -> ((s, dir) => {
+      val oplog = Oplog.generate(s, dir)
+      Oplog.autoLinksFromLog(oplog)
+        .filter(col("index_name") === Oplog.MemIdx)
+        .groupBy("rel")
+        .agg(count(lit(1)).as("n_links"),
+          count_distinct(col("dst")).as("n_dst"))
+        .orderBy(col("rel"))
+    }),
+
     // S13: transfer label-3 live memories + induced active subgraph into
     // 'arch' with one provenance edge per record — reading both folds from
     // the shared materialized state layout.
@@ -188,8 +214,37 @@ object OplogQueries {
          |SELECT 'mem' AS index_name, TRUE AS "exists",
          |  (SELECT CAST(count(*) AS BIGINT) FROM vstate WHERE alive) AS n_alive
          |UNION ALL
+         |SELECT 're', TRUE, CAST(0 AS BIGINT)
+         |UNION ALL
          |SELECT 'tmp', FALSE, CAST(0 AS BIGINT)
          |ORDER BY index_name""".stripMargin,
+
+    // Fixed literal expectation — the config lifecycle in Oplog.generate is
+    // scale-independent; the interesting work is the replay fold itself.
+    "s14_config_replay" ->
+      """SELECT * FROM (
+        |  SELECT 'mem' AS index_name, 'VAUTOLINKS' AS op,
+        |    '[{"metadata_field":"src","relation_type":"from_src"},{"metadata_field":"label","relation_type":"labeled","create_node":true}]' AS payload,
+        |    CAST(10000000001 AS BIGINT) AS cfg_seq
+        |  UNION ALL
+        |  SELECT 'mem', 'VCONFIG',
+        |    '{"delete_threshold":0.1,"graph_retention":"720h"}', 10000000000
+        |  UNION ALL
+        |  SELECT 're', 'VCONFIG', '{"vacuum_interval":"1m"}', 14
+        |) ORDER BY index_name, op""".stripMargin,
+
+    "s14_rule_autolinks" ->
+      s"""WITH $vectorStateSql
+         |SELECT * FROM (
+         |  SELECT 'from_src' AS rel,
+         |    CAST(count(*) AS BIGINT) AS n_links,
+         |    CAST(count(DISTINCT msrc) AS BIGINT) AS n_dst
+         |  FROM vstate WHERE alive
+         |  UNION ALL
+         |  SELECT 'labeled', CAST(count(*) AS BIGINT),
+         |    CAST(count(DISTINCT label) AS BIGINT)
+         |  FROM vstate WHERE alive AND v % 34 <> 0
+         |) ORDER BY rel""".stripMargin,
 
     // Transferred nodes: alive, label=3, and NOT revived (revive replaces
     // metadata, dropping the label key). Edges: active chain edges whose

@@ -31,15 +31,15 @@ class ContractSpec extends SparkSpec {
     spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
 
   private def vadd(seq: Long, id: String, meta: Map[String, String]): Row =
-    Row(seq, seq, "VADD", "i", id, Seq(1f), meta, null, null, null, null)
+    Row(seq, seq, "VADD", "i", id, Seq(1f), meta, null, null, null, null, null)
   private def vmeta(seq: Long, id: String, meta: Map[String, String]): Row =
-    Row(seq, seq, "VMETA", "i", id, null, meta, null, null, null, null)
+    Row(seq, seq, "VMETA", "i", id, null, meta, null, null, null, null, null)
   private def vdel(seq: Long, id: String): Row =
-    Row(seq, seq, "VDEL", "i", id, null, null, null, null, null, null)
+    Row(seq, seq, "VDEL", "i", id, null, null, null, null, null, null, null)
   private def glink(seq: Long, s: String, d: String, rel: String): Row =
-    Row(seq, seq, "GLINK", "i", null, null, null, s, d, rel, 1.0)
+    Row(seq, seq, "GLINK", "i", null, null, null, s, d, rel, 1.0, null)
   private def vcreate(seq: Long, idx: String): Row =
-    Row(seq, seq, "VCREATE", idx, null, null, null, null, null, null, null)
+    Row(seq, seq, "VCREATE", idx, null, null, null, null, null, null, null, null)
 
   test("vadd_duplicate_returns_409: duplicate add on a live id is flagged") {
     val v = Oplog.violations(log(Seq(

@@ -20,7 +20,8 @@ class OplogSpec extends SparkSpec {
     StructField("vector", ArrayType(FloatType)),
     StructField("meta", MapType(StringType, StringType)),
     StructField("src", StringType), StructField("dst", StringType),
-    StructField("rel", StringType), StructField("weight", DoubleType)))
+    StructField("rel", StringType), StructField("weight", DoubleType),
+    StructField("payload", StringType)))
 
   private def log(rows: Seq[Row]): DataFrame =
     spark.createDataFrame(
@@ -28,15 +29,21 @@ class OplogSpec extends SparkSpec {
 
   private def vadd(seq: Long, id: String, meta: Map[String, String],
       idx: String = "i"): Row =
-    Row(seq, seq, "VADD", idx, id, Seq(1f), meta, null, null, null, null)
+    Row(seq, seq, "VADD", idx, id, Seq(1f), meta, null, null, null, null, null)
   private def vmeta(seq: Long, id: String, meta: Map[String, String]): Row =
-    Row(seq, seq, "VMETA", "i", id, null, meta, null, null, null, null)
+    Row(seq, seq, "VMETA", "i", id, null, meta, null, null, null, null, null)
   private def vdel(seq: Long, id: String): Row =
-    Row(seq, seq, "VDEL", "i", id, null, null, null, null, null, null)
+    Row(seq, seq, "VDEL", "i", id, null, null, null, null, null, null, null)
   private def glink(seq: Long, s: String, d: String, w: Double): Row =
-    Row(seq, seq, "GLINK", "i", null, null, null, s, d, "r", w)
+    Row(seq, seq, "GLINK", "i", null, null, null, s, d, "r", w, null)
   private def gunlink(seq: Long, s: String, d: String): Row =
-    Row(seq, seq, "GUNLINK", "i", null, null, null, s, d, "r", null)
+    Row(seq, seq, "GUNLINK", "i", null, null, null, s, d, "r", null, null)
+  private def vcreate(seq: Long, idx: String): Row =
+    Row(seq, seq, "VCREATE", idx, null, null, null, null, null, null, null, null)
+  private def vdrop(seq: Long, idx: String): Row =
+    Row(seq, seq, "VDROP", idx, null, null, null, null, null, null, null, null)
+  private def vconfig(seq: Long, idx: String, op: String, p: String): Row =
+    Row(seq, seq, op, idx, null, null, null, null, null, null, null, p)
 
   test("VADD upsert wholly replaces metadata; VMETA merges keys") {
     val st = Oplog.foldVectors(log(Seq(
@@ -63,7 +70,7 @@ class OplogSpec extends SparkSpec {
   test("VDROP erases index history; other indexes untouched") {
     val rows = Seq(
       vadd(1, "a", Map("x" -> "1"), idx = "gone"),
-      Row(2L, 2L, "VDROP", "gone", null, null, null, null, null, null, null),
+      Row(2L, 2L, "VDROP", "gone", null, null, null, null, null, null, null, null),
       vadd(3, "keep", Map("x" -> "1")))
     val st = Oplog.foldVectors(log(rows)).collect()
     assert(st.map(_.getString(0)).toSeq === Seq("i"))
@@ -99,6 +106,33 @@ class OplogSpec extends SparkSpec {
     assert(df.collect().head.getLong(6) === 2L) // unlink wins, not the VDEL
   }
 
+  test("replay fails loudly on an unknown op string") {
+    val bogus = log(Seq(vadd(1, "a", Map()),
+      Row(2L, 2L, "BOGUS", "i", null, null, null, null, null, null, null, null)))
+    val e = intercept[Exception] { Oplog.foldVectors(bogus).collect() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("unknown oplog op")), e.toString)
+  }
+
+  test("VCONFIG/VAUTOLINKS: latest-wins, need a live index, die with VDROP") {
+    val st = Oplog.foldConfig(log(Seq(
+        vcreate(1, "a"),
+        vconfig(2, "a", "VCONFIG", """{"x":1}"""),      // overridden
+        vconfig(3, "a", "VCONFIG", """{"x":2}"""),      // wins
+        vconfig(4, "a", "VAUTOLINKS", """[{"metadata_field":"f","relation_type":"r"}]"""),
+        vconfig(5, "ghost", "VCONFIG", """{}"""),       // no VCREATE: skipped
+        vcreate(6, "b"), vconfig(7, "b", "VCONFIG", """{"y":1}"""),
+        vdrop(8, "b"),                                  // wipes b's config
+        vcreate(9, "c"), vdrop(10, "c"),
+        vconfig(11, "c", "VCONFIG", """{"z":1}"""),     // dead window: skipped
+        vcreate(12, "c"))))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(st === Map(
+      ("a", "VCONFIG") -> """{"x":2}""",
+      ("a", "VAUTOLINKS") -> """[{"metadata_field":"f","relation_type":"r"}]"""))
+  }
+
   test("snapshot + tail replay == full replay (live state)") {
     val oplog = Oplog.generate(spark, sf("sf0.001"))
     for (cut <- Seq(500L, 1021L, 5000L)) {
@@ -117,6 +151,10 @@ class OplogSpec extends SparkSpec {
         s"vector state diverged at cut=$cut")
       assert(fe.exceptAll(ce).isEmpty && ce.exceptAll(fe).isEmpty,
         s"edge state diverged at cut=$cut")
+      val fc = Oplog.foldConfig(oplog).select("index_name", "op", "payload")
+      val cc = Oplog.foldConfig(compact).select("index_name", "op", "payload")
+      assert(fc.exceptAll(cc).isEmpty && cc.exceptAll(fc).isEmpty,
+        s"config state diverged at cut=$cut")
     }
   }
 }
