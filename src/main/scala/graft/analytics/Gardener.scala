@@ -152,6 +152,130 @@ object Gardener {
         max(col("created_at")).as("last_failure"))
       .filter(col("n_failures") >= minFailures)
 
+  /** C9 family — user-preference insight scaffolding
+    * (`detectUserPreferences`, gardener.go:2430-2567). Deterministic
+    * portion ported: the relevance filter (tags containing
+    * user_interaction/observation AND non-empty content), the ≥2-source
+    * floor, the elementwise-averaged source vector, confidence
+    * min(1, n/10), and source_memory_count. The preference JSON itself is
+    * LLM output (graft.llm.LlmClient) and stays behind the trait.
+    *
+    * Centroid = posexplode + per-(user, position) mean — two keyed
+    * shuffles, map-side partials, no per-row UDF: the reference's
+    * driver-side float loop over VGet results becomes a distributed
+    * aggregation.
+    * `mem`: (user_id, tags array<string>, content, embedding array<float>).
+    */
+  def userPreferenceInsights(mem: DataFrame, minSources: Long = 2): DataFrame = {
+    val relevant = mem.filter(
+      arrays_overlap(col("tags"),
+        array(lit("user_interaction"), lit("observation"))) &&
+        col("content").isNotNull && length(col("content")) > 0)
+    val centroid = relevant
+      .select(col("user_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("user_id"), col("pos"))
+      .agg(avg(col("v")).as("m"))
+      .groupBy(col("user_id"))
+      .agg(sqrt(sum(col("m") * col("m"))).as("centroid_norm"),
+        count(lit(1)).as("dim"))
+    relevant.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sources"))
+      .filter(col("n_sources") >= minSources)
+      .join(centroid, Seq("user_id"))
+      .withColumn("confidence", least(lit(1.0), col("n_sources") / 10.0))
+  }
+
+  /** C9 family — core-fact extraction scaffolding (`detectCoreFacts`,
+    * gardener.go:3694-3750 + `processCoreFactExtraction`). Deterministic
+    * portion ported: the candidate filter
+    * (type='user_interaction' OR memory_layer='episodic', not archived),
+    * the VFilter page cap (lowest ids — the reference's cursor page made
+    * deterministic), the already-processed exclusion (existing
+    * extracted_from back-link), the content fallback chain
+    * (content→text→summary→description, `gardener.go:3766-3780`), user
+    * grouping with ungrouped items processed individually, and the
+    * confidence floor (CoreFactMinConfidence default 0.85). The fact text
+    * is LLM output (LlmClient).
+    * `mem`: (mem_id, user_id nullable, typ, layer, archived, processed,
+    *         content, text, summary, description).
+    */
+  def coreFactGroups(mem: DataFrame, page: Int = 50,
+                     minConfidence: Double = 0.85): DataFrame = {
+    val cand = mem.filter(
+        (col("typ") === "user_interaction" || col("layer") === "episodic") &&
+          !col("archived") && !col("processed"))
+      .orderBy(col("mem_id")).limit(page)
+    cand
+      .withColumn("body", coalesce(
+        Seq("content", "text", "summary", "description")
+          .map(c => when(length(col(c)) > 0, col(c))): _*))
+      .filter(col("body").isNotNull)
+      .withColumn("group_id",
+        when(col("user_id").isNotNull, concat(lit("user:"), col("user_id")))
+          .otherwise(concat(lit("solo:"), col("mem_id"))))
+      .groupBy(col("group_id"))
+      .agg(count(lit(1)).as("n_inputs"), min(col("mem_id")).as("first_mem"))
+      .withColumn("confidence", lit(minConfidence))
+      .withColumn("pinned", lit(true))
+  }
+
+  /** C9 family — knowledge-evolution snapshots (`detectKnowledgeEvolution`,
+    * gardener.go:2977-3143). Deterministic portion ported: root selection
+    * (entity nodes with in-degree ≥ minDegree, top `maxEntities` by degree
+    * then id — the reference's 3-per-cycle cap made deterministic), three
+    * time-travel depth-2 subgraph snapshots, per-snapshot connected-node
+    * counts, confidence min(1, inDegree/20). The timeline narrative is LLM
+    * output (LlmClient).
+    *
+    * Snapshots are SET-BASED — roots × timestamps broadcast against the
+    * symmetric edge view, depth 2 = two keyed hash joins + distinct — not
+    * 9 iterative per-root BFS jobs: one plan whose cost is two shuffles on
+    * the edge key regardless of root count.
+    * `edges`: (src, dst, created_at, deleted_at).
+    */
+  def knowledgeEvolution(
+      edges: DataFrame,
+      entityPred: Column => Column,
+      now: Long,
+      offsets: Seq[(String, Long)] =
+        Seq(("past", 30L * 86400), ("mid", 15L * 86400), ("now", 86400L)),
+      minDegree: Long = 15,
+      maxEntities: Int = 3): DataFrame = {
+    def activeAt(t: Column): Column =
+      col("created_at") <= t &&
+        (col("deleted_at").isNull || col("deleted_at") > t)
+    val roots = edges.filter(activeAt(lit(now)) && entityPred(col("dst")))
+      .groupBy(col("dst").as("root")).agg(count(lit(1)).as("in_degree"))
+      .filter(col("in_degree") >= minDegree)
+      .orderBy(col("in_degree").desc, col("root")).limit(maxEntities)
+    val sym = edges.select(col("src").as("f"), col("dst").as("t"),
+        col("created_at"), col("deleted_at"))
+      .unionByName(edges.select(col("dst").as("f"), col("src").as("t"),
+        col("created_at"), col("deleted_at")))
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val tsdim = offsets.map { case (lbl, off) => (lbl, now - off) }
+      .toDF("snap", "ts")
+    val rootsTs = broadcast(roots.crossJoin(tsdim))
+    def hopActive(a: String): Column =
+      col(s"$a.created_at") <= col("ts") &&
+        (col(s"$a.deleted_at").isNull || col(s"$a.deleted_at") > col("ts"))
+    val h1 = rootsTs.join(sym.alias("s1"),
+        col("s1.f") === col("root") && hopActive("s1"))
+      .select(col("root"), col("snap"), col("ts"), col("s1.t").as("n"))
+    val h2 = h1.join(sym.alias("s2"),
+        col("s2.f") === col("n") && hopActive("s2"))
+      .select(col("root"), col("snap"), col("ts"), col("s2.t").as("n"))
+    val counts = h1.unionByName(h2)
+      .filter(col("n") =!= col("root"))
+      .select(col("root"), col("snap"), col("n")).distinct()
+      .groupBy("root", "snap").agg(count(lit(1)).as("n_connected"))
+    rootsTs.select("root", "snap", "in_degree")
+      .join(counts, Seq("root", "snap"), "left")
+      .withColumn("n_connected", coalesce(col("n_connected"), lit(0L)))
+      .withColumn("confidence", least(lit(1.0), col("in_degree") / 20.0))
+  }
+
   /** C10 — session summarization, deterministic path
     * (`SummarizeSession` gardener.go:1563-1728 + the compiler's `computed`
     * fields, `deterministic.go:180`): per session — memory count, bounds,

@@ -144,6 +144,68 @@ object GardenerQueries {
         .orderBy(col("session_id"))
     }),
 
+    // C13 (C9 family): user-preference insight scaffolding — tagged-memory
+    // relevance filter, ≥2-source floor, elementwise vector centroid,
+    // confidence min(1, n/10). Memory view over `embeddings`: user = vec_id
+    // % 50, tag keyed off label, every 13th content empty (exercises the
+    // non-empty filter).
+    "c13_user_preferences" -> ((s, dir) => {
+      val mem = Tables.embeddings(s, dir).select(
+        (col("vec_id") % 50).cast("long").as("user_id"),
+        array(when(col("label") % 3 === 0, "user_interaction")
+          .when(col("label") % 3 === 1, "observation")
+          .otherwise("note")).as("tags"),
+        when(col("vec_id") % 13 === 0, "")
+          .otherwise(concat(lit("obs "), col("vec_id"))).as("content"),
+        col("embedding"))
+      Gardener.userPreferenceInsights(mem)
+        .select(col("user_id"), col("n_sources"),
+          round(col("confidence"), 6).as("confidence"),
+          col("dim"), round(col("centroid_norm"), 6).as("centroid_norm"))
+        .orderBy(col("user_id"))
+    }),
+
+    // C14 (C9 family): core-fact extraction scaffolding — candidate filter,
+    // page cap, processed exclusion, content fallback chain, user grouping
+    // with solo items. Memory view over `events`.
+    "c14_core_facts" -> ((s, dir) => {
+      val mem = Tables.events(s, dir).select(
+        col("event_id").as("mem_id"),
+        when(col("user_id") % 4 =!= 0, concat(lit("u"), col("user_id")))
+          .otherwise(lit(null)).as("user_id"),
+        when(col("event_type") === "click", "user_interaction")
+          .otherwise("note").as("typ"),
+        when(col("event_type") === "signup", "episodic")
+          .otherwise("semantic").as("layer"),
+        (col("event_id") % 7 === 0).as("archived"),
+        (col("event_id") % 11 === 0).as("processed"),
+        when(col("event_id") % 3 === 0, "")
+          .otherwise(concat(lit("c"), col("event_id"))).as("content"),
+        when(col("event_id") % 6 === 0, concat(lit("t"), col("event_id")))
+          .otherwise("").as("text"),
+        when(col("event_id") % 9 === 0, "")
+          .otherwise(concat(lit("s"), col("event_id"))).as("summary"),
+        lit("").as("description"))
+      Gardener.coreFactGroups(mem)
+        .select(col("group_id"), col("n_inputs"),
+          col("first_mem").cast("long").as("first_mem"),
+          col("confidence"), col("pinned"))
+        .orderBy(col("group_id"))
+    }),
+
+    // C15 (C9 family): knowledge-evolution snapshots — top-3 high-centrality
+    // supp: entities, depth-2 time-travel neighborhoods at now-30d/-15d/-1d
+    // over the temporal edge view (returned lineitems' soft deletes make the
+    // three snapshots genuinely differ).
+    "c15_knowledge_evolution" -> ((s, dir) => {
+      val e = GraphQueries.edgeView(s, dir)
+        .select("src", "dst", "created_at", "deleted_at")
+      Gardener.knowledgeEvolution(e, _.startsWith("supp:"), GraphQueries.T0)
+        .select(col("root"), col("snap"), col("in_degree"),
+          col("n_connected"), round(col("confidence"), 6).as("confidence"))
+        .orderBy(col("root"), col("snap"))
+    }),
+
     // C11: deterministic keyword-based profiles.
     "c11_profiles" -> ((s, dir) => {
       val inter = mentions(s, dir).filter(col("entity") < 30)
@@ -243,6 +305,111 @@ object GardenerQueries {
          |  round((end_ts - start_ts) / 60.0, 4) AS duration_minutes, top_topic
          |FROM stats s JOIN top USING (session_id)
          |ORDER BY session_id""".stripMargin,
+
+    "c13_user_preferences" ->
+      """WITH mem AS (
+        |  SELECT vec_id % 50 AS user_id,
+        |    CASE WHEN label % 3 = 0 THEN 'user_interaction'
+        |         WHEN label % 3 = 1 THEN 'observation' ELSE 'note' END AS tag,
+        |    CASE WHEN vec_id % 13 = 0 THEN '' ELSE 'obs ' || vec_id END AS content,
+        |    embedding
+        |  FROM embeddings),
+        |rel AS (
+        |  SELECT * FROM mem
+        |  WHERE tag IN ('user_interaction', 'observation') AND content <> ''),
+        |-- dim is fixed at 64 across sf dirs (DuckDB's range() can't take a
+        |-- lateral len(embedding) parameter); the Spark side posexplodes and
+        |-- is dimension-agnostic.
+        |cent AS (
+        |  SELECT user_id, r.i AS pos, avg(embedding[r.i]) AS m
+        |  FROM rel, range(1, 65) r(i)
+        |  GROUP BY user_id, r.i),
+        |norms AS (
+        |  SELECT user_id, round(sqrt(sum(m * m)), 6) AS centroid_norm,
+        |    CAST(count(*) AS BIGINT) AS dim
+        |  FROM cent GROUP BY user_id),
+        |agg AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_sources
+        |  FROM rel GROUP BY user_id HAVING count(*) >= 2)
+        |SELECT CAST(a.user_id AS BIGINT) AS user_id, n_sources,
+        |  round(least(1.0, n_sources / 10.0), 6) AS confidence,
+        |  dim, centroid_norm
+        |FROM agg a JOIN norms USING (user_id) ORDER BY user_id""".stripMargin,
+
+    "c14_core_facts" ->
+      """WITH mem AS (
+        |  SELECT event_id AS mem_id,
+        |    CASE WHEN user_id % 4 <> 0 THEN 'u' || user_id END AS user_id,
+        |    CASE WHEN event_type = 'click' THEN 'user_interaction' ELSE 'note' END AS typ,
+        |    CASE WHEN event_type = 'signup' THEN 'episodic' ELSE 'semantic' END AS layer,
+        |    event_id % 7 = 0 AS archived,
+        |    event_id % 11 = 0 AS processed,
+        |    CASE WHEN event_id % 3 = 0 THEN '' ELSE 'c' || event_id END AS content,
+        |    CASE WHEN event_id % 6 = 0 THEN 't' || event_id ELSE '' END AS text,
+        |    CASE WHEN event_id % 9 = 0 THEN '' ELSE 's' || event_id END AS summary,
+        |    '' AS description
+        |  FROM events),
+        |cand AS (
+        |  SELECT * FROM mem
+        |  WHERE (typ = 'user_interaction' OR layer = 'episodic')
+        |    AND NOT archived AND NOT processed
+        |  ORDER BY mem_id LIMIT 50),
+        |resolved AS (
+        |  SELECT mem_id, user_id,
+        |    coalesce(nullif(content, ''), nullif(text, ''),
+        |             nullif(summary, ''), nullif(description, '')) AS body
+        |  FROM cand)
+        |SELECT group_id, CAST(count(*) AS BIGINT) AS n_inputs,
+        |  CAST(min(mem_id) AS BIGINT) AS first_mem,
+        |  0.85 AS confidence, TRUE AS pinned
+        |FROM (
+        |  SELECT CASE WHEN user_id IS NOT NULL THEN 'user:' || user_id
+        |              ELSE 'solo:' || mem_id END AS group_id, mem_id
+        |  FROM resolved WHERE body IS NOT NULL)
+        |GROUP BY group_id ORDER BY group_id""".stripMargin,
+
+    "c15_knowledge_evolution" -> {
+      val t = GraphQueries.T0
+      s"""WITH ${GraphQueries.edgeViewSql},
+         |sym AS (
+         |  SELECT src AS f, dst AS t, created_at, deleted_at FROM edges
+         |  UNION ALL
+         |  SELECT dst, src, created_at, deleted_at FROM edges),
+         |roots AS (
+         |  SELECT dst AS root, CAST(count(*) AS BIGINT) AS in_degree
+         |  FROM edges
+         |  WHERE dst LIKE 'supp:%' AND created_at <= $t
+         |    AND (deleted_at IS NULL OR deleted_at > $t)
+         |  GROUP BY dst HAVING count(*) >= 15
+         |  ORDER BY in_degree DESC, root LIMIT 3),
+         |tsdim AS (
+         |  SELECT 'past' AS snap, $t - 30 * 86400 AS tt
+         |  UNION ALL SELECT 'mid', $t - 15 * 86400
+         |  UNION ALL SELECT 'now', $t - 86400),
+         |rt AS (SELECT * FROM roots CROSS JOIN tsdim),
+         |h1 AS (
+         |  SELECT rt.root, rt.snap, rt.tt, s.t AS n FROM rt
+         |  JOIN sym s ON s.f = rt.root AND s.created_at <= rt.tt
+         |    AND (s.deleted_at IS NULL OR s.deleted_at > rt.tt)),
+         |h2 AS (
+         |  SELECT h1.root, h1.snap, h1.tt, s.t AS n FROM h1
+         |  JOIN sym s ON s.f = h1.n AND s.created_at <= h1.tt
+         |    AND (s.deleted_at IS NULL OR s.deleted_at > h1.tt)),
+         |members AS (
+         |  SELECT DISTINCT root, snap, n FROM (
+         |    SELECT root, snap, n FROM h1
+         |    UNION ALL SELECT root, snap, n FROM h2)
+         |  WHERE n <> root),
+         |cnt AS (
+         |  SELECT root, snap, CAST(count(*) AS BIGINT) AS n_connected
+         |  FROM members GROUP BY root, snap)
+         |SELECT rt.root, rt.snap, r.in_degree,
+         |  CAST(coalesce(cnt.n_connected, 0) AS BIGINT) AS n_connected,
+         |  round(least(1.0, r.in_degree / 20.0), 6) AS confidence
+         |FROM rt JOIN roots r USING (root)
+         |LEFT JOIN cnt ON cnt.root = rt.root AND cnt.snap = rt.snap
+         |ORDER BY 1, 2""".stripMargin
+    },
 
     "c11_profiles" ->
       s"""WITH $mentionsSql,
