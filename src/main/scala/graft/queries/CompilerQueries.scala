@@ -71,6 +71,20 @@ object CompilerQueries {
         .orderBy(col("field"))
     }),
 
+    // K3: LLM-field fallback — best-effort snippet collection at 0.4
+    // confidence, array and string field flavors (compileBestEffort,
+    // deterministic.go:242-270; the LLM path stays behind LlmClient).
+    "k3_compile_fallback" -> ((s, dir) => {
+      val ni = nodeInfo(s, dir)
+      val arr = Compiler.bestEffort(ni, "array")
+        .select(lit("snippets_array").as("field"), col("value"),
+          round(col("confidence"), 2).as("confidence"))
+      val str = Compiler.bestEffort(ni, "string")
+        .select(lit("snippet_first").as("field"), col("value"),
+          round(col("confidence"), 2).as("confidence"))
+      arr.unionByName(str).orderBy(col("field"))
+    }),
+
     // K5: staleness watcher — change events bump staleness; importance-
     // weighted thresholds decide recompilation.
     "k5_staleness" -> ((s, dir) => {
@@ -164,6 +178,21 @@ object CompilerQueries {
          |    FROM ni), 0.8)
          |SELECT field, value,
          |  CASE WHEN value IS NULL THEN 0.0 ELSE confidence END AS confidence
+         |FROM f ORDER BY field""".stripMargin,
+
+    "k3_compile_fallback" ->
+      s"""WITH $nodeInfoSql,
+         |sn AS (
+         |  SELECT rank, content FROM ni
+         |  WHERE content IS NOT NULL AND content <> ''),
+         |f AS (
+         |  SELECT 'snippet_first' AS field,
+         |    (SELECT content FROM sn ORDER BY rank LIMIT 1) AS value
+         |  UNION ALL
+         |  SELECT 'snippets_array',
+         |    (SELECT string_agg(content, '|' ORDER BY rank) FROM sn))
+         |SELECT field, value,
+         |  CASE WHEN value IS NULL OR value = '' THEN 0.0 ELSE 0.4 END AS confidence
          |FROM f ORDER BY field""".stripMargin,
 
     "k5_staleness" ->

@@ -1,7 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.functions._
 
 /** Context compression ("caveman mode") — reference
   * `pkg/textanalyzer/compressor.go:176-211`: remove only SAFE stopwords,
@@ -86,9 +86,28 @@ object Compressor {
     if (o == 0) 0.0 else 1.0 - c.toDouble / o.toDouble
   }
 
-  /** Column form for response-projection compression. */
+  /** Column form for response-projection compression — pure codegen column
+    * math (split + filter + concat_ws), no serialization-boundary UDF.
+    *
+    * The removal set is resolved statically: `isStopWord` = "in the
+    * language's safe set AND NOT in the merged important set", and both
+    * sets are compile-time constants, so the per-row work is one tokenize
+    * regex + a lowercase `isin` against a literal list. Output-identical
+    * to [[compress]] (asserted in StemmerSpec + the t8 oracle).
+    */
   def compressCol(text: Column, lang: String = "english"): Column = {
-    val l = lang
-    udf((s: String) => compress(if (s == null) "" else s, l)).apply(text)
+    val safe = lang.toLowerCase match {
+      case "it" | "ita" | "italian" => italianSafe
+      case _                        => englishSafe
+    }
+    val removal = (safe -- important).toSeq.sorted
+    // smartTokenize as a regex split: letters / decimal digits / ' / - are
+    // word chars (Character.isLetter ≡ \p{L}, isDigit ≡ \p{Nd}); everything
+    // else separates and is dropped. Empty fragments from leading/trailing
+    // separators are filtered.
+    val toks = filter(
+      split(coalesce(text, lit("")), "[^\\p{L}\\p{Nd}'-]+"),
+      t => length(t) > 0)
+    concat_ws(" ", filter(toks, t => !lower(t).isin(removal: _*)))
   }
 }
