@@ -37,13 +37,19 @@ object CurationQueries {
        |       ELSE text END AS text""".stripMargin
 
   /** DuckDB twin of [[Dedup.shingles]] with n=5 (distinct word 5-grams),
-    * matching x6_decontaminate's construction exactly.
+    * matching x6_decontaminate's construction exactly — INCLUDING the
+    * short-doc fallback: for docs with fewer than 5 words, the engine's
+    * shingle kernel emits one truncated shingle equal to the whole text
+    * (`VectorFunctions.shingles`, count = max(1, len-n+1)), so the oracle
+    * emits `[text]` for those rather than nothing.
     */
   private def shingleSql(src: String): String =
     s"""SELECT DISTINCT doc_id AS id, shingle FROM (
-       |    SELECT doc_id,
-       |      unnest(list_transform(range(1, len(str_split(text, ' ')) - 3),
-       |        i -> array_to_string(list_slice(str_split(text, ' '), i, i + 4), ' '))) AS shingle
+       |    SELECT doc_id, unnest(
+       |      CASE WHEN len(str_split(text, ' ')) < 5 THEN [text]
+       |        ELSE list_transform(range(1, len(str_split(text, ' ')) - 3),
+       |          i -> array_to_string(list_slice(str_split(text, ' '), i, i + 4), ' '))
+       |      END) AS shingle
        |    FROM $src)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -201,6 +201,11 @@ object VectorSearch {
           val flat = new Array[Long](ids.length * w)
           var r = 0
           while (r < ids.length) {
+            // Uniform-dim assumption all serving indexes rely on: a ragged
+            // vector must fail fast here, not silently truncate into the
+            // flat block and corrupt Hamming distances.
+            require(wordBuf(r).length == w,
+              s"ragged binary vectors: row ${ids(r)} packs ${wordBuf(r).length} words, expected $w")
             System.arraycopy(wordBuf(r), 0, flat, r * w, w)
             r += 1
           }

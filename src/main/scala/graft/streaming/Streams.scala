@@ -154,16 +154,17 @@ object Streams {
     * the same bounded-state watermark eviction as exact dedup.
     * Value-identical to [[graft.text.TextPipeline.fingerprint]] for docs
     * with >= 4 words (min over distinct shingle hashes == min over
-    * hashes); shorter docs — where no 4-gram exists — fall back to the
-    * whole-text hash, i.e. exact dedup.
+    * hashes). Shorter docs degrade to exact dedup through the shingle
+    * kernel itself: `wordShingles` emits the whole text as one truncated
+    * shingle when no 4-gram exists, so `array_min` IS the whole-text hash
+    * there — no separate fallback branch is needed (null text hashes
+    * null and never groups with real fingerprints).
     */
   def nearDedupStream(docs: DataFrame, textCol: String, eventTimeCol: String,
       lateness: String = "1 hour"): DataFrame = {
-    val fp = coalesce(
-      array_min(transform(
-        graft.functions.VectorFunctions.wordShingles(col(textCol), 4),
-        s => Dedup.polyHash(s))),
-      Dedup.polyHash(col(textCol)))
+    val fp = array_min(transform(
+      graft.functions.VectorFunctions.wordShingles(col(textCol), 4),
+      s => Dedup.polyHash(s)))
     val keyed = docs.withColumn("fingerprint", fp)
     if (docs.isStreaming)
       keyed.withWatermark(eventTimeCol, lateness)
