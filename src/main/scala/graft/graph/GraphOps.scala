@@ -126,6 +126,16 @@ object GraphOps {
     */
   val InlineFrontierLimit = 8192
 
+  /** Above this many accumulated rows, the distributed regime stops
+    * RE-BROADCASTING the monotonically-growing visited/best set on every
+    * level and degrades that anti-join to a shuffle join (the per-level
+    * frontier keeps broadcasting while it alone fits). 4M node ids ≈
+    * low-hundreds of MB broadcast — past that, shipping the whole visited
+    * set to every executor once per level is the scale-killer, while one
+    * shuffle of the (small) candidate level is not.
+    */
+  val BroadcastVisitedLimit: Long = 4L * 1024 * 1024
+
   /** BFS frontier expansion (G7 `resolveGraphFilter` `engine/graph.go:173-247`
     * / G8 both-directions variant). Returns `(node, depth)` with the minimal
     * depth ≤ maxDepth at which each node is reached (roots at 0). Depth caps
@@ -149,15 +159,17 @@ object GraphOps {
   def bfs(edges: DataFrame, roots: DataFrame, rels: Seq[String] = Nil,
           direction: String = "out", maxDepth: Int = 5,
           atTime: Long = 0L, reliable: Boolean = false,
-          broadcastFrontier: Boolean = true): DataFrame =
+          broadcastFrontier: Boolean = true,
+          broadcastVisitedLimit: Long = BroadcastVisitedLimit): DataFrame =
     bfsT(edges, roots, rels, direction, maxDepth, atTime, reliable,
-      broadcastFrontier).result
+      broadcastFrontier, broadcastVisitedLimit).result
 
   /** [[bfs]] with a cache-release handle (see [[Traversal]]). */
   def bfsT(edges: DataFrame, roots: DataFrame, rels: Seq[String] = Nil,
            direction: String = "out", maxDepth: Int = 5,
            atTime: Long = 0L, reliable: Boolean = false,
-           broadcastFrontier: Boolean = true): Traversal = {
+           broadcastFrontier: Boolean = true,
+           broadcastVisitedLimit: Long = BroadcastVisitedLimit): Traversal = {
     require(maxDepth <= 10, "depth cap")
     val spark = edges.sparkSession
     import spark.implicits._
@@ -214,10 +226,16 @@ object GraphOps {
       return Traversal(inlineVisited, () => active.unpersist(blocking = false))
 
     // Distributed regime, seeded with whatever the inline phase covered
-    // (re-expands the level that overflowed).
-    def bc(df: DataFrame): DataFrame = if (broadcastFrontier) broadcast(df) else df
-    def expand(fr: DataFrame): DataFrame = {
-      val f = bc(fr.select(col("node").as("fnode")))
+    // (re-expands the level that overflowed). Broadcasts auto-degrade:
+    // a side is only broadcast while its known row count stays under
+    // `broadcastVisitedLimit` — the monotonically-growing visited set is
+    // the one that flips first (re-broadcasting it per level is the
+    // 100×-scale trap); the per-level frontier usually keeps broadcasting.
+    def bc(df: DataFrame, rows: Long): DataFrame =
+      if (broadcastFrontier && rows <= broadcastVisitedLimit) broadcast(df)
+      else df
+    def expand(fr: DataFrame, frRows: Long): DataFrame = {
+      val f = bc(fr.select(col("node").as("fnode")), frRows)
       def viaSrc = active.join(f, col("src") === col("fnode"))
         .select(col("dst").as("node"))
       def viaDst = active.join(f, col("dst") === col("fnode"))
@@ -229,14 +247,22 @@ object GraphOps {
       }
     }
     var releases = List.empty[() => Unit]
-    var visited = if (rootNodes.length > InlineFrontierLimit)
+    val rootsOverflow = rootNodes.length > InlineFrontierLimit
+    // Exact running size of visited/frontier. The one count() on oversized
+    // roots is a single cheap job before the level loop; every later size
+    // comes free from materializeLevel.
+    val nRoots = if (rootsOverflow) roots.count() else rootNodes.length.toLong
+    var visited = if (rootsOverflow)
       roots.select(col("node"), lit(0).as("depth")) else inlineVisited
-    var frontierDF = if (rootNodes.length > InlineFrontierLimit)
+    var visitedRows = if (rootsOverflow) nRoots
+      else nRoots + inlineLevels.map(_._1.size.toLong).sum
+    var frontierDF = if (rootsOverflow)
       roots.select(col("node")) else frontier.toDF("node")
+    var frontierRows = if (rootsOverflow) nRoots else frontier.size.toLong
     var go = true
     while (d <= maxDepth && go) {
-      val plan = expand(frontierDF)
-        .join(bc(visited.select(col("node").as("seen"))),
+      val plan = expand(frontierDF, frontierRows)
+        .join(bc(visited.select(col("node").as("seen")), visitedRows),
           col("node") === col("seen"), "left_anti")
         .distinct()
         .select(col("node"), lit(d).as("depth"))
@@ -245,7 +271,9 @@ object GraphOps {
       if (lvl.n == 0) go = false
       else {
         visited = visited.unionAll(lvl.df)
+        visitedRows += lvl.n
         frontierDF = lvl.df.select(col("node"))
+        frontierRows = lvl.n
         d += 1
       }
     }
@@ -276,15 +304,17 @@ object GraphOps {
   def shortestPaths(edges: DataFrame, from: String, rels: Seq[String] = Nil,
                     maxDepth: Int = 4, direction: String = "out",
                     atTime: Long = 0L, reliable: Boolean = false,
-                    broadcastFrontier: Boolean = true): DataFrame =
+                    broadcastFrontier: Boolean = true,
+                    broadcastVisitedLimit: Long = BroadcastVisitedLimit): DataFrame =
     shortestPathsT(edges, from, rels, maxDepth, direction, atTime, reliable,
-      broadcastFrontier).result
+      broadcastFrontier, broadcastVisitedLimit).result
 
   /** [[shortestPaths]] with a cache-release handle (see [[Traversal]]). */
   def shortestPathsT(edges: DataFrame, from: String, rels: Seq[String] = Nil,
                      maxDepth: Int = 4, direction: String = "out",
                      atTime: Long = 0L, reliable: Boolean = false,
-                     broadcastFrontier: Boolean = true): Traversal = {
+                     broadcastFrontier: Boolean = true,
+                     broadcastVisitedLimit: Long = BroadcastVisitedLimit): Traversal = {
     require(maxDepth <= 6, "depth cap")
     val spark = edges.sparkSession
     import spark.implicits._
@@ -351,9 +381,14 @@ object GraphOps {
     // Distributed regime, seeded with the inline-covered prefix; re-expands
     // the level that overflowed. Tie-break stays a map-side min over path
     // strings (see Scaladoc).
-    def bc(df: DataFrame): DataFrame = if (broadcastFrontier) broadcast(df) else df
-    def expand(fr: DataFrame): DataFrame = {
-      val f = bc(fr.select(col("node").as("fnode"), col("pstr").as("fpstr")))
+    // Broadcasts auto-degrade exactly as in [[bfsT]]: the growing `best`
+    // set stops broadcasting once it crosses `broadcastVisitedLimit`.
+    def bc(df: DataFrame, rows: Long): DataFrame =
+      if (broadcastFrontier && rows <= broadcastVisitedLimit) broadcast(df)
+      else df
+    def expand(fr: DataFrame, frRows: Long): DataFrame = {
+      val f = bc(fr.select(col("node").as("fnode"), col("pstr").as("fpstr")),
+        frRows)
       def viaSrc = active.join(f, col("src") === col("fnode"))
         .select(col("dst").as("node"), col("fpstr"))
       def viaDst = active.join(f, col("dst") === col("fnode"))
@@ -366,11 +401,13 @@ object GraphOps {
     }
     var releases = List.empty[() => Unit]
     var best = inlineBest
+    var bestRows = 1L + inlineLevels.map(_._1.size.toLong).sum
     var frontierDF = frontier.toSeq.toDF("node", "pstr")
+    var frontierRows = frontier.size.toLong
     var go = true
     while (d <= maxDepth && go) {
-      val plan = expand(frontierDF)
-        .join(bc(best.select(col("node").as("seen"))),
+      val plan = expand(frontierDF, frontierRows)
+        .join(bc(best.select(col("node").as("seen")), bestRows),
           col("node") === col("seen"), "left_anti")
         .groupBy(col("node"))
         .agg(min(concat(col("fpstr"), lit("\t"), col("node"))).as("pstr"))
@@ -380,7 +417,9 @@ object GraphOps {
       if (lvl.n == 0) go = false
       else {
         best = best.unionAll(lvl.df)
+        bestRows += lvl.n
         frontierDF = lvl.df.select(col("node"), col("pstr"))
+        frontierRows = lvl.n
         d += 1
       }
     }

@@ -201,6 +201,56 @@ class GraphOpsSpec extends SparkSpec {
     assert(leaked.isEmpty, s"distributed traversal leaked RDDs: $leaked")
   }
 
+  test("visited-set broadcast auto-degrade: shuffle anti-join == broadcast") {
+    // VERDICT r09 task 7: past broadcastVisitedLimit accumulated rows the
+    // distributed regime must stop re-broadcasting visited/best and flip
+    // the anti-join to a shuffle join — with identical results. Force the
+    // flip immediately with limit = 1 on a distributed-regime traversal.
+    import spark.implicits._
+    val n = GraphOps.InlineFrontierLimit + 808
+    def enrich(df: DataFrame): DataFrame = df.select(
+      col("src"), col("dst"), lit("next").as("rel"), lit(1.0f).as("weight"),
+      lit(null).cast("string").as("props"), lit(1L).as("created_at"),
+      lit(null).cast("long").as("deleted_at"))
+    val bigEdges = enrich(spark.range(n).select(
+        concat(lit("a"), col("id")).as("src"),
+        concat(lit("b"), col("id")).as("dst")))
+      .unionAll(enrich(spark.range(n).select(
+        concat(lit("b"), col("id")).as("src"),
+        concat(lit("c"), pmod(col("id"), lit(10))).as("dst"))))
+    val roots = spark.range(n).select(concat(lit("a"), col("id")).as("node"))
+
+    def runBfs(limit: Long): Set[(String, Int)] =
+      GraphOps.drained(bfsT(bigEdges, roots, direction = "out", maxDepth = 3,
+          broadcastVisitedLimit = limit))
+        .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    val viaBroadcast = runBfs(GraphOps.BroadcastVisitedLimit)
+    val viaShuffle = runBfs(1L)
+    assert(viaBroadcast == viaShuffle)
+    assert(viaShuffle.size == n + n + 10)
+
+    // Single-source shortest paths overflowing into the distributed regime:
+    // s -> d_i (9000) -> t_(i%10); both modes must agree on hops AND the
+    // deterministic minimal path strings.
+    val spEdges = enrich(Seq(("s", "dummy")).toDF("src", "dst")
+        .limit(0)) // typed empty seed
+      .unionAll(enrich(spark.range(n).select(
+        lit("s").as("src"), concat(lit("d"), col("id")).as("dst"))))
+      .unionAll(enrich(spark.range(n).select(
+        concat(lit("d"), col("id")).as("src"),
+        concat(lit("t"), pmod(col("id"), lit(10))).as("dst"))))
+    def runSp(limit: Long): Set[(String, Int, String)] =
+      GraphOps.shortestPaths(spEdges, "s", maxDepth = 2,
+          broadcastVisitedLimit = limit)
+        .select(col("node"), col("hops"), concat_ws("/", col("path")))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+        .toSet
+    val spBroadcast = runSp(GraphOps.BroadcastVisitedLimit)
+    val spShuffle = runSp(1L)
+    assert(spBroadcast == spShuffle)
+    assert(spShuffle.count(_._2 == 2) == 10)
+  }
+
   test("auto-links derivation (ops.go:1699-1737)") {
     import spark.implicits._
     val t = Seq(("v1", "projA"), ("v2", null), ("v3", "projB"))
