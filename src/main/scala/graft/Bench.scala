@@ -136,12 +136,28 @@ object Bench {
       t.toMap
     }
 
+    /** A built-and-timed ANN section whose caches stay alive so its timed
+      * points can be RE-MEASURED later (VERDICT r09 next-round #1: the r9
+      * artifact's GloVe-200d/SIFT sections landed on one steal window —
+      * within-section interleaving can't defend against a window that
+      * spans the whole section). The bench now takes extra full passes
+      * over ALL ANN sections AFTER every section is built, keeping
+      * per-point minima: repeats of one section are spaced minutes apart,
+      * so a steal window must recur across the whole bench to survive
+      * into the artifact. Each section reports `"runs": N`.
+      */
+    abstract class AnnHandle {
+      var runs = 1
+      def remeasure(): Unit
+      def finish(): String
+    }
+
     // ANN section at the reference's own benchmark scale (BENCHMARKS.md:
     // 400k × 100d, GloVe-like): batched QPS at measured recall@10, exact
     // float vs int8-domain vs KMeans-IVF at √N centroids. The corpus is a
     // seeded clustered synthetic (1000 latent clusters + noise, normalized)
     // — the structure real embedding corpora have and uniform-random lacks.
-    val ann = if (args.nonEmpty && !annOnly) "" else try {
+    val annH: Option[AnnHandle] = if (args.nonEmpty && !annOnly) None else try {
       import org.apache.spark.sql.{Column, DataFrame}
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.expressions.Window
@@ -189,7 +205,7 @@ object Bench {
       def exactRun() = VectorSearch.topKBatch(emb, queries, k = 10,
         metric = "cosine", idCol = "id", vecCol = "vector", normalized = true)
       noopWrite(exactRun())
-      val exactSec = Seq.fill(2)(timeIt(noopWrite(exactRun()))).min
+      var exactSec = Seq.fill(2)(timeIt(noopWrite(exactRun()))).min
       val exact = exactRun().cache()
       exact.count()
 
@@ -213,42 +229,26 @@ object Bench {
         .select(col("qid"), col("id")).cache()
       val int8Sec = timeIt(int8.count())
       val int8Recall = Ivf.recallAt(int8, exact, 10)
-      // Release the int8 scan inputs and the raw embedding cache now —
-      // everything after this point reads `assigned`/`serving`/the parquet
-      // layout, and keeping ~1 GB of dead cache inflates GC pauses that
-      // show up as timing noise in the remaining sections.
-      codes.unpersist(); qcodes.unpersist(); int8.unpersist(); emb.unpersist()
+      // Release the int8 scan inputs; `emb` STAYS cached — the spaced
+      // remeasure passes re-time the exact scan (32 GiB driver, ~160 MB
+      // kept; the steal-robustness is worth the extra resident cache).
+      codes.unpersist(); qcodes.unpersist(); int8.unpersist()
 
       // IVF probe sweep: batched QPS + recall@10 vs the exact ground truth.
       // Interleaved min-of-3 + implausibility re-measure (see sweepTimes).
       val sweepNps = Seq(8, 16, 24, 32, 64)
       def sweepRun(np: Int) =
         Ivf.searchBatchedFast(serving, cents, queries, k = 10, nProbe = np)
-      val sweepT = sweepTimes(sweepNps, floorSec = exactSec)(sweepRun)
-      val sweep = sweepNps.map { np =>
-        val approx = sweepRun(np).cache()
-        approx.count()
-        val recall = Ivf.recallAt(approx, exact, 10)
-        approx.unpersist()
-        s"""{"n_probe":$np,"qps":${math.rint(NQ / sweepT(np) * 10) / 10},"recall_at_10":${r4(recall)}}"""
-      }.mkString("[", ",", "]")
+      var sweepT = sweepTimes(sweepNps, floorSec = exactSec)(sweepRun)
       // Compressed index: IVF probe + int8-domain rerank (the reference's
       // Compress mode) — 4x less resident memory, integer-dot scan.
       val absMaxV = am.collect().head.getDouble(0)
       val servingI8 = Ivf.servingIndexInt8(assigned, absMaxV).cache()
       servingI8.count()
-      val int8Ivf = {
-        def run() = Ivf.searchBatchedFastInt8(servingI8, cents, queries,
-          k = 10, nProbe = 24, absMax = absMaxV)
-        run().write.format("noop").mode("overwrite").save()
-        val sec = Seq.fill(3)(
-          timeIt(run().write.format("noop").mode("overwrite").save())).min
-        val approx = run().cache()
-        approx.count()
-        val recall = Ivf.recallAt(approx, exact, 10)
-        approx.unpersist()
-        s"""{"n_probe":24,"qps":${math.rint(NQ / sec * 10) / 10},"recall_at_10":${r4(recall)}}"""
-      }
+      def int8IvfRun() = Ivf.searchBatchedFastInt8(servingI8, cents, queries,
+        k = 10, nProbe = 24, absMax = absMaxV)
+      noopWrite(int8IvfRun())
+      var int8IvfSec = Seq.fill(3)(timeIt(noopWrite(int8IvfRun()))).min
 
       // The pure-DataFrame probe-join plan, one point for comparison (the
       // cluster-scale path when queries are themselves a distributed table).
@@ -297,25 +297,52 @@ object Bench {
       val singlePruned = Seq.fill(3)(timeIt(singleK(prunedScan()))).min
       val singleFull = Seq.fill(3)(timeIt(singleK(fullScan()))).min
 
-      queries.unpersist(); assigned.unpersist()
-      serving.unpersist(); servingI8.unpersist(); exact.unpersist()
-      q0.unpersist()
-      def c3(d: Double): Double = math.rint(d * 1000) / 1000
-      def c1(d: Double): Double = math.rint(d * 10) / 10
-      s""","ann":{"n":$N,"dim":$DIM,"n_queries":$NQ,"n_centroids":$K,""" +
-        s""""build_sec":${c3(buildSec)},"exact_qps":${c1(NQ / exactSec)},""" +
-        s""""int8_exact_qps":${c1(NQ / int8Sec)},""" +
-        s""""int8_recall_at_10":${r4(int8Recall)},"ivf":$sweep,"ivf_int8":$int8Ivf,""" +
-        s""""ivf_plan":$planRun,""" +
-        s""""single_query":{"n_probe":16,"pruned_sec":${c3(singlePruned)},"full_scan_sec":${c3(singleFull)}}}"""
-    } catch { case _: Throwable => "" }
+      assigned.unpersist(); q0.unpersist()
+      Some(new AnnHandle {
+        def remeasure(): Unit = {
+          runs += 1
+          exactSec = math.min(exactSec,
+            Seq.fill(2)(timeIt(noopWrite(exactRun()))).min)
+          val t2 = sweepTimes(sweepNps, floorSec = exactSec)(sweepRun)
+          sweepT = sweepT.map { case (np, t) => np -> math.min(t, t2(np)) }
+          int8IvfSec = math.min(int8IvfSec,
+            timeIt(noopWrite(int8IvfRun())))
+        }
+        def finish(): String = {
+          val sweep = sweepNps.map { np =>
+            val approx = sweepRun(np).cache()
+            approx.count()
+            val recall = Ivf.recallAt(approx, exact, 10)
+            approx.unpersist()
+            s"""{"n_probe":$np,"qps":${math.rint(NQ / sweepT(np) * 10) / 10},"recall_at_10":${r4(recall)}}"""
+          }.mkString("[", ",", "]")
+          val int8Ivf = {
+            val approx = int8IvfRun().cache()
+            approx.count()
+            val recall = Ivf.recallAt(approx, exact, 10)
+            approx.unpersist()
+            s"""{"n_probe":24,"qps":${math.rint(NQ / int8IvfSec * 10) / 10},"recall_at_10":${r4(recall)}}"""
+          }
+          emb.unpersist(); queries.unpersist()
+          serving.unpersist(); servingI8.unpersist(); exact.unpersist()
+          def c3(d: Double): Double = math.rint(d * 1000) / 1000
+          def c1(d: Double): Double = math.rint(d * 10) / 10
+          s""","ann":{"n":$N,"dim":$DIM,"n_queries":$NQ,"n_centroids":$K,"runs":$runs,""" +
+            s""""build_sec":${c3(buildSec)},"exact_qps":${c1(NQ / exactSec)},""" +
+            s""""int8_exact_qps":${c1(NQ / int8Sec)},""" +
+            s""""int8_recall_at_10":${r4(int8Recall)},"ivf":$sweep,"ivf_int8":$int8Ivf,""" +
+            s""""ivf_plan":$planRun,""" +
+            s""""single_query":{"n_probe":16,"pruned_sec":${c3(singlePruned)},"full_scan_sec":${c3(singleFull)}}}"""
+        }
+      })
+    } catch { case _: Throwable => None }
 
     // Second baseline workload: SIFT-shaped squared-L2 (BENCHMARKS.md:55-69
     // runs SIFT-1M 128d; reference bar 881 QPS @ recall 0.9906). Same
     // clustered-synthetic recipe, NOT normalized — L2 exercises the metric
     // dispatch through KMeans assignment, probe ranking, and the serving
     // kernel's fused dot+normsq loop.
-    val annL2 = if (args.nonEmpty && !annOnly) "" else try {
+    val annL2H: Option[AnnHandle] = if (args.nonEmpty && !annOnly) None else try {
       import org.apache.spark.sql.Column
       import org.apache.spark.sql.functions._
       import graft.search.{Ivf, VectorSearch}
@@ -353,39 +380,24 @@ object Bench {
       def exactRun() = VectorSearch.topKBatch(emb, queries, k = 10,
         metric = "euclidean", idCol = "id", vecCol = "vector", wide = true)
       noopWrite(exactRun())
-      val exactSec = Seq.fill(2)(timeIt(noopWrite(exactRun()))).min
+      var exactSec = Seq.fill(2)(timeIt(noopWrite(exactRun()))).min
       val exact = exactRun().cache()
       exact.count()
-      emb.unpersist() // sweeps read only `serving`; drop ~0.5 GB before timing
+      // `emb` stays cached for the spaced exact-scan remeasures (~0.5 GB
+      // resident on a 32 GiB driver — the steal-robustness is worth it).
       val sweepNps = Seq(16, 32, 64, 96)
       def sweepRun(np: Int) = Ivf.searchBatchedFast(serving, cents, queries,
         k = 10, nProbe = np, metric = "l2")
-      val sweepT = sweepTimes(sweepNps, floorSec = exactSec)(sweepRun)
-      val sweep = sweepNps.map { np =>
-        val approx = sweepRun(np).cache()
-        approx.count()
-        val recall = Ivf.recallAt(approx, exact, 10)
-        approx.unpersist()
-        s"""{"n_probe":$np,"qps":${math.rint(NQ / sweepT(np) * 10) / 10},"recall_at_10":${r4(recall)}}"""
-      }.mkString("[", ",", "]")
+      var sweepT = sweepTimes(sweepNps, floorSec = exactSec)(sweepRun)
       // Half-precision index (reference Float16 mode, euclidean-only):
       // same probes, f16 diff² ranking over packed blocks — half the
       // resident index bytes.
       val servingF16 = graft.search.Ivf.servingIndexF16(assigned).cache()
       servingF16.count()
-      serving.unpersist() // f16 sweep reads only the f16 blocks
-      val f16Ivf = {
-        def run() = Ivf.searchBatchedFastF16(servingF16, cents, queries,
-          k = 10, nProbe = 32)
-        noopWrite(run())
-        val sec = Seq.fill(3)(timeIt(noopWrite(run()))).min
-        val approx = run().cache()
-        approx.count()
-        val recall = Ivf.recallAt(approx, exact, 10)
-        approx.unpersist()
-        s"""{"n_probe":32,"qps":${math.rint(NQ / sec * 10) / 10},"recall_at_10":${r4(recall)}}"""
-      }
-      servingF16.unpersist()
+      def f16Run() = Ivf.searchBatchedFastF16(servingF16, cents, queries,
+        k = 10, nProbe = 32)
+      noopWrite(f16Run())
+      var f16Sec2 = Seq.fill(3)(timeIt(noopWrite(f16Run()))).min
       // IVF-PQ: trained per-sub-space codebooks (m=16 × 256 codes → 16 B
       // per vector, 32× less resident than f32), packed code blocks,
       // probe-restricted ADC scan; the rerank point re-scores the ADC
@@ -447,21 +459,48 @@ object Bench {
           s""""ivf_pq_rerank":{"n_probe":$np,"rerank":$rerankR,""" +
           s""""qps":${c1i(NQ / rrSec)},"recall_at_10":${r4(rrRecall)}}"""
       }
-      emb.unpersist(); queries.unpersist(); assigned.unpersist()
-      exact.unpersist()
-      def c3(d: Double): Double = math.rint(d * 1000) / 1000
-      def c1(d: Double): Double = math.rint(d * 10) / 10
-      s""","ann_l2":{"n":$N,"dim":$DIM,"n_queries":$NQ,"n_centroids":$K,""" +
-        s""""build_sec":${c3(buildSec)},"exact_qps":${c1(NQ / exactSec)},""" +
-        s""""ivf":$sweep,"ivf_f16":$f16Ivf,$pqIvf}"""
-    } catch { case _: Throwable => "" }
+      assigned.unpersist()
+      Some(new AnnHandle {
+        def remeasure(): Unit = {
+          runs += 1
+          exactSec = math.min(exactSec,
+            Seq.fill(2)(timeIt(noopWrite(exactRun()))).min)
+          val t2 = sweepTimes(sweepNps, floorSec = exactSec)(sweepRun)
+          sweepT = sweepT.map { case (np, t) => np -> math.min(t, t2(np)) }
+          f16Sec2 = math.min(f16Sec2, timeIt(noopWrite(f16Run())))
+        }
+        def finish(): String = {
+          val sweep = sweepNps.map { np =>
+            val approx = sweepRun(np).cache()
+            approx.count()
+            val recall = Ivf.recallAt(approx, exact, 10)
+            approx.unpersist()
+            s"""{"n_probe":$np,"qps":${math.rint(NQ / sweepT(np) * 10) / 10},"recall_at_10":${r4(recall)}}"""
+          }.mkString("[", ",", "]")
+          val f16Ivf = {
+            val approx = f16Run().cache()
+            approx.count()
+            val recall = Ivf.recallAt(approx, exact, 10)
+            approx.unpersist()
+            s"""{"n_probe":32,"qps":${math.rint(NQ / f16Sec2 * 10) / 10},"recall_at_10":${r4(recall)}}"""
+          }
+          emb.unpersist(); queries.unpersist(); exact.unpersist()
+          serving.unpersist(); servingF16.unpersist()
+          def c3(d: Double): Double = math.rint(d * 1000) / 1000
+          def c1(d: Double): Double = math.rint(d * 10) / 10
+          s""","ann_l2":{"n":$N,"dim":$DIM,"n_queries":$NQ,"n_centroids":$K,"runs":$runs,""" +
+            s""""build_sec":${c3(buildSec)},"exact_qps":${c1(NQ / exactSec)},""" +
+            s""""ivf":$sweep,"ivf_f16":$f16Ivf,$pqIvf}"""
+        }
+      })
+    } catch { case _: Throwable => None }
 
     // Third baseline family: higher-dimension GloVe rows (BENCHMARKS.md:42,50
     // — 200k×200d 701 QPS @ 0.978, 200k×300d 586 QPS @ 0.957, cosine). Same
     // clustered-synthetic + √N-IVF recipe, condensed: build + exact ground
     // truth + probe sweep, no int8/single-query extras (those are measured
     // once on the 400k corpus above).
-    val annHiDim = if (args.nonEmpty && !annOnly) "" else try {
+    val annHiDimH: Option[AnnHandle] = if (args.nonEmpty && !annOnly) None else try {
       import org.apache.spark.sql.Column
       import org.apache.spark.sql.functions._
       import graft.search.{Ivf, VectorSearch}
@@ -512,8 +551,10 @@ object Bench {
         /** Exact-scan element throughput — the machine-speed proxy the
           * sibling check compares (same recipe, so rates must be close). */
         def exactRate: Double = n.toDouble * dim * nq / exactSec
+        var runs = 1
         /** One more full measurement pass, keeping elementwise minima. */
         def remeasure(): Unit = {
+          runs += 1
           exactSec = math.min(exactSec,
             Seq.fill(2)(timeIt(noopWrite(exactRun()))).min)
           val t2 = sweepTimes(sweepNps, floorSec = exactSec)(sweepRun)
@@ -527,7 +568,7 @@ object Bench {
             approx.unpersist()
             s"""{"n_probe":$np,"qps":${c1(nq / sweepT(np))},"recall_at_10":${r4(recall)}}"""
           }.mkString("[", ",", "]")
-          s"""{"n":$n,"dim":$dim,"n_queries":$nq,"n_centroids":$kC,""" +
+          s"""{"n":$n,"dim":$dim,"n_queries":$nq,"n_centroids":$kC,"runs":$runs,""" +
             s""""build_sec":${c3(buildSec)},"exact_qps":${c1(nq / exactSec)},""" +
             s""""ivf":$sweep}"""
         }
@@ -543,10 +584,15 @@ object Bench {
       // match within ~3×; a slower block re-measures once, keeping minima.
       if (blocks.map(_.exactRate).max > 3.0 * blocks.map(_.exactRate).min)
         blocks.minBy(_.exactRate).remeasure()
-      val out = blocks.map(_.json).mkString("[", ",", "]")
-      blocks.foreach(_.release())
-      s""","ann_hidim":$out"""
-    } catch { case _: Throwable => "" }
+      Some(new AnnHandle {
+        def remeasure(): Unit = { runs += 1; blocks.foreach(_.remeasure()) }
+        def finish(): String = {
+          val out = blocks.map(_.json).mkString("[", ",", "]")
+          blocks.foreach(_.release())
+          s""","ann_hidim":$out"""
+        }
+      })
+    } catch { case _: Throwable => None }
 
     // Batched hybrid-fusion serving throughput — the flagship h1 path
     // amortized over a driver-bounded query batch (VERDICT r07 next-round
@@ -864,6 +910,17 @@ object Bench {
         s""""recall_vs_exact_at_10":${r4(rec)}}"""
     } catch { case _: Throwable => "" }
 
+    // Spaced extra measurement passes over the still-cached ANN sections
+    // (see AnnHandle): the fusion/f16/binary sections just ran between the
+    // build pass and these, and each extra pass walks ALL sections, so
+    // repeats of any one timed point are separated by minutes — a steal
+    // window now has to recur across the whole bench to survive the min.
+    val annHandles = Seq(annH, annL2H, annHiDimH).flatten
+    for (_ <- 1 to 2) annHandles.foreach(_.remeasure())
+    val ann = annH.map(_.finish()).getOrElse("")
+    val annL2 = annL2H.map(_.finish()).getOrElse("")
+    val annHiDim = annHiDimH.map(_.finish()).getOrElse("")
+
     // Section order matters: the driver's artifact keeps only the LAST
     // ~2000 chars of stdout, so the headline GloVe-100d `ann` block goes
     // last (right before total/sf) and the supporting sections first.
@@ -937,6 +994,7 @@ object Bench {
         if (a < 0) "" else sect.substring(a, math.max(a, sect.indexOf("]", a)) + 1)
       }
       val annParts = Seq(
+        num(annS, "runs").map(v => s""""runs":$v"""),
         pick(ivfArray(annS), 0.94)
           .map(p => s""""glove100_400k":$p"""),
         ("\"ivf_int8\":\\{\"n_probe\":(\\d+),\"qps\":([0-9.]+)," +

@@ -73,9 +73,101 @@ object ScaleCheck {
       val b = times((n, base)); val s = times((n, scaled))
       s""""$n":{"base_sec":${r3(b)},"x${factor}_sec":${r3(s)},"ratio":${r3(s / b)}}"""
     }.mkString(",")
+    val ann = annServing(spark, factor)
     println(s"""{"metric":"scale$factor","unit":"sec","cpus":$cpus,""" +
-      s""""base":"$base","queries":{$per}}""")
+      s""""base":"$base","queries":{$per},"ann_serving":$ann}""")
     spark.stop()
+  }
+
+  /** ANN serving paths at 1× vs `factor`× corpus (VERDICT r09 next-round
+    * #8): searchBatchedFast f32 / int8 / f16 / PQ-residual / binary over
+    * the clustered-synthetic recipe, √N centroids at EACH scale (the build
+    * policy), fixed probe count and query batch. Expected shape: per-batch
+    * work ≈ nProbe × N/√N = nProbe·√N, so a 10× corpus costs ~√10 ≈ 3.2×
+    * per batch — sub-linear in corpus size, which is the serving-layer
+    * scaling claim this section evidences (ratio ≫ √factor = red flag).
+    */
+  private def annServing(spark: SparkSession, factor: Int): String = {
+    import org.apache.spark.sql.{Column, DataFrame}
+    import graft.functions.VectorFunctions
+    import graft.search.{Ivf, Pq, Quantizer, VectorSearch}
+    val baseN = sys.env.getOrElse("SPARK_GRAFT_SCALE_ANN_N", "100000").toInt
+    val dim = 64
+    val nq = 100
+    def hu(seed: Column, j: Column, salt: String): Column =
+      (pmod(xxhash64(seed, j, lit(salt)), lit(2000001L)).cast("double")
+        - 1000000.0) / 1000000.0
+    def vecCol(idc: Column, salt: String): Column =
+      VectorFunctions.normalize(
+        transform(sequence(lit(0), lit(dim - 1)), j =>
+          (hu(pmod(idc, lit(1000L)), j, "ctr") +
+            hu(idc, j, salt) * lit(0.25)).cast("float")))
+    def timeIt(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def r3(d: Double): Double = math.rint(d * 1000) / 1000
+
+    /** Per-scale timings: path name → seconds (min of 2, warmed). */
+    def measure(n: Int): Map[String, Double] = {
+      val emb = spark.range(n)
+        .select(col("id"), vecCol(col("id"), "nz").as("vector")).cache()
+      emb.count()
+      val queries = spark.range(nq)
+        .select(col("id").as("qid"), vecCol(col("id"), "qnz").as("qvec")).cache()
+      queries.count()
+      val k = math.max(32, math.sqrt(n.toDouble).round).toInt
+      val cents = Ivf.trainKMeansArrays(
+        emb.filter(col("id") % 16 === 0), k, iters = 4)
+      val assigned = Ivf.assignFast(emb, cents).cache()
+      assigned.count()
+      val serving = Ivf.servingIndex(assigned).cache()
+      serving.count()
+      val absMax = Quantizer.train(emb, "vector", idCol = "id")
+        .collect().head.getDouble(0)
+      val servingI8 = Ivf.servingIndexInt8(assigned, absMax).cache()
+      servingI8.count()
+      val servingF16 = Ivf.servingIndexF16(assigned).cache()
+      servingF16.count()
+      val cb = Pq.trainCodebookArrays(
+        Pq.residuals(assigned.filter(col("id") % 16 === 0), cents),
+        "id", "vector", 8, 8, 256, iters = 4)
+      val pqIndex = Pq.servingIndexPqResidual(assigned, cents, cb).cache()
+      pqIndex.count()
+      val sIdx = VectorSearch.servingIndexBinary(emb).cache()
+      sIdx.count()
+      val rerank = math.max(100, n / 400)
+      val np = 16
+      val paths: Seq[(String, () => DataFrame)] = Seq(
+        "f32" -> (() =>
+          Ivf.searchBatchedFast(serving, cents, queries, k = 10, nProbe = np)),
+        "int8" -> (() => Ivf.searchBatchedFastInt8(servingI8, cents, queries,
+          k = 10, nProbe = np, absMax = absMax)),
+        "f16" -> (() => Ivf.searchBatchedFastF16(servingF16, cents, queries,
+          k = 10, nProbe = np)),
+        "pq" -> (() => Pq.searchBatchedFastPqResidual(pqIndex, cents, cb,
+          queries, k = 10, nProbe = np)),
+        "binary" -> (() => VectorSearch.searchBatchedFastBinary(sIdx, emb,
+          queries, k = 10, rerank = rerank)))
+      paths.foreach { case (_, run) => noop(run()) } // warm
+      val t = paths.map { case (name, run) =>
+        name -> Seq.fill(2)(timeIt(noop(run()))).min
+      }.toMap
+      Seq[DataFrame](emb, queries, assigned).foreach(_.unpersist())
+      serving.unpersist(); servingI8.unpersist(); servingF16.unpersist()
+      pqIndex.unpersist(); sIdx.unpersist()
+      t
+    }
+
+    try {
+      val b = measure(baseN)
+      val s = measure(baseN * factor)
+      b.keys.toSeq.sorted.map { p =>
+        s""""$p":{"base_sec":${r3(b(p))},"x${factor}_sec":${r3(s(p))},""" +
+          s""""ratio":${r3(s(p) / b(p))}}"""
+      }.mkString("{", ",", "}")
+    } catch { case _: Throwable => "{}" }
   }
 
   /** Replicate documents + embeddings `factor`× with per-replica
