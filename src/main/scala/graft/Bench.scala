@@ -220,14 +220,19 @@ object Bench {
           queries.withColumnRenamed("qvec", "vector"), "vector", am)
         .select(col("qid"), col("qcodes").as("qqc"), col("qnorm").as("qn")).cache()
       qcodes.count()
-      val int8 = codes.crossJoin(broadcast(qcodes))
+      def int8Run() = codes.crossJoin(broadcast(qcodes))
         .withColumn("distance", VectorFunctions.int8CosineDistance(
           col("qcodes"), col("qqc"), col("qnorm"), col("qn")))
         .withColumn("rank", row_number().over(
           Window.partitionBy(col("qid")).orderBy(col("distance"), col("id"))))
         .filter(col("rank") <= 10)
-        .select(col("qid"), col("id")).cache()
-      val int8Sec = timeIt(int8.count())
+        .select(col("qid"), col("id"))
+      // Warm + min-of-2: the r10 artifact's 13 QPS here was a single cold
+      // timing that also paid the broadcast build and the cache write.
+      noopWrite(int8Run())
+      val int8Sec = Seq.fill(2)(timeIt(noopWrite(int8Run()))).min
+      val int8 = int8Run().cache()
+      int8.count()
       val int8Recall = Ivf.recallAt(int8, exact, 10)
       // Release the int8 scan inputs; `emb` STAYS cached — the spaced
       // remeasure passes re-time the exact scan (32 GiB driver, ~160 MB
