@@ -137,9 +137,23 @@ object ScaleCheck {
       pqIndex.count()
       val sIdx = VectorSearch.servingIndexBinary(emb).cache()
       sIdx.count()
+      // IVF-composed binary (the v21 shape): probes bound the Hamming scan
+      // to nProbe buckets, so THIS is binary's sub-linear scale path — the
+      // plain `binary` row below is a whole-corpus scan and is expected to
+      // ratio ~linearly with N.
+      val centsDF = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          cents.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }, 1))
+        .toDF("cid", "cvec")
+        .select(col("cid"), col("cvec").cast("array<float>").as("cvec"))
+      val codesB = assigned.select(col("id"), col("bucket"),
+        VectorFunctions.packSignBits(col("vector")).as("_signs")).cache()
+      codesB.count()
       val rerank = math.max(100, n / 400)
       val np = 16
       val paths: Seq[(String, () => DataFrame)] = Seq(
+        "binary_ivf" -> (() => VectorSearch.binaryIvfTopKBatch(emb, centsDF,
+          codesB, queries, k = 10, rerank = 200, nProbe = np)),
         "f32" -> (() =>
           Ivf.searchBatchedFast(serving, cents, queries, k = 10, nProbe = np)),
         "int8" -> (() => Ivf.searchBatchedFastInt8(servingI8, cents, queries,
@@ -154,7 +168,7 @@ object ScaleCheck {
       val t = paths.map { case (name, run) =>
         name -> Seq.fill(2)(timeIt(noop(run()))).min
       }.toMap
-      Seq[DataFrame](emb, queries, assigned).foreach(_.unpersist())
+      Seq[DataFrame](emb, queries, assigned, codesB).foreach(_.unpersist())
       serving.unpersist(); servingI8.unpersist(); servingF16.unpersist()
       pqIndex.unpersist(); sIdx.unpersist()
       t

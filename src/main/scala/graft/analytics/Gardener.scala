@@ -244,16 +244,23 @@ object Gardener {
     def activeAt(t: Column): Column =
       col("created_at") <= t &&
         (col("deleted_at").isNull || col("deleted_at") > t)
-    val roots = edges.filter(activeAt(lit(now)) && entityPred(col("dst")))
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // The selected roots are ≤ maxEntities rows by construction (the
+    // reference's 3-per-cycle cap) — collect them once and continue from a
+    // literal frame: the plan otherwise re-runs the whole degree
+    // aggregation for every consumer (rootsTs, the final re-join), and a
+    // 3-row local relation broadcasts for free.
+    val rootRows = edges.filter(activeAt(lit(now)) && entityPred(col("dst")))
       .groupBy(col("dst").as("root")).agg(count(lit(1)).as("in_degree"))
       .filter(col("in_degree") >= minDegree)
       .orderBy(col("in_degree").desc, col("root")).limit(maxEntities)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val roots = rootRows.toDF("root", "in_degree")
     val sym = edges.select(col("src").as("f"), col("dst").as("t"),
         col("created_at"), col("deleted_at"))
       .unionByName(edges.select(col("dst").as("f"), col("src").as("t"),
         col("created_at"), col("deleted_at")))
-    val spark = edges.sparkSession
-    import spark.implicits._
     val tsdim = offsets.map { case (lbl, off) => (lbl, now - off) }
       .toDF("snap", "ts")
     val rootsTs = broadcast(roots.crossJoin(tsdim))
