@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -266,10 +267,138 @@ object CurationQueries {
             .cast("long").as("share_ppm"),
           col("min_doc"), col("max_doc"))
         .orderBy(col("shard"))
+    }),
+
+    // X23: Gopher-style document quality rules (Rae et al. 2021 §A1.1 —
+    // public filter battery every large pretraining corpus applies):
+    // word-count bounds, mean-word-length bounds, symbol-to-word ratio
+    // (# and ellipses), alphabetic-word fraction, and the stop-word
+    // presence rule (≥2 of the 8 canonical function words). All pure
+    // column math over the text column — no shuffle, no UDF; at 100 TB
+    // this is a single codegen'd projection the scan fuses with.
+    "x23_gopher_rules" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val words = split(col("text"), " ")
+      val nw = size(words)
+      val totLen = aggregate(words, lit(0), (acc, w) => acc + length(w))
+      val meanLen = totLen.cast("double") / nw
+      val hashes = length(col("text")) -
+        length(replace(col("text"), lit("#"), lit("")))
+      val ellipses = (length(col("text")) -
+        length(replace(col("text"), lit("..."), lit("")))) / 3
+      val symRatio = (hashes + ellipses).cast("double") / nw
+      val fracAlpha =
+        size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") / nw
+      val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      val nStop = stops.map(w0 =>
+        when(array_contains(words, w0), 1).otherwise(0)).reduce(_ + _)
+      docs.select(
+          col("doc_id"),
+          nw.cast("long").as("n_words"),
+          round(meanLen, 6).as("mean_word_len"),
+          round(symRatio, 6).as("symbol_ratio"),
+          round(fracAlpha, 6).as("frac_alpha_words"),
+          nStop.cast("long").as("n_stop_classes"),
+          (nw.between(50, 100000) && meanLen.between(3.0, 10.0) &&
+            symRatio < 0.1 && fracAlpha > 0.8 && nStop >= 2).as("passes"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // X24: per-source distinctive keywords — the dataset-card vocabulary
+    // view: for each source, the tokens most over-represented relative to
+    // the whole corpus (lift = within-source TF share / corpus TF share),
+    // min-count floored, top-5 per source with a deterministic tie-break.
+    // Shape at 100 TB: token counting is one (source, token) keyed agg
+    // (vocab-bounded output, map-side partials absorb the corpus scan);
+    // corpus totals are a second vocab-keyed agg joined back on token;
+    // the final per-source top-5 is a window over a few sources × vocab —
+    // catalog-sized, nowhere near the data path.
+    "x24_source_keywords" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(col("source"),
+        explode(split(col("text"), " ")).as("token"))
+      val bySrc = toks.groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 10)
+      val srcTot = toks.groupBy(col("source"))
+        .agg(count(lit(1)).as("src_total"))
+      val tokTot = toks.groupBy(col("token"))
+        .agg(count(lit(1)).as("tok_total"))
+      val total = toks.agg(count(lit(1)).as("total"))
+      val lift = bySrc
+        .join(srcTot, Seq("source"))
+        .join(tokTot, Seq("token"))
+        .crossJoin(broadcast(total))
+        .withColumn("lift",
+          (col("n").cast("double") / col("src_total")) /
+            (col("tok_total").cast("double") / col("total")))
+      lift
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("lift").desc, col("token"))))
+        .filter(col("rank") <= 5)
+        .select(col("source"), col("rank").cast("long").as("rank"),
+          col("token"), col("n"), round(col("lift"), 6).as("lift"))
+        .orderBy(col("source"), col("rank"))
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "x23_gopher_rules" ->
+      """WITH w AS (
+        |  SELECT doc_id, text, str_split(text, ' ') AS ws FROM documents),
+        |m AS (
+        |  SELECT doc_id, len(ws) AS nw,
+        |    list_sum(list_transform(ws, x -> len(x))) AS tot,
+        |    len(text) - len(replace(text, '#', '')) AS hashes,
+        |    (len(text) - len(replace(text, '...', ''))) / 3 AS ellipses,
+        |    len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha,
+        |    (CASE WHEN list_contains(ws, 'the') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(ws, 'be') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(ws, 'to') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(ws, 'of') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(ws, 'and') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(ws, 'that') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(ws, 'have') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(ws, 'with') THEN 1 ELSE 0 END) AS nstop
+        |  FROM w)
+        |SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+        |  round(CAST(tot AS DOUBLE) / nw, 6) AS mean_word_len,
+        |  round(CAST(hashes + ellipses AS DOUBLE) / nw, 6) AS symbol_ratio,
+        |  round(CAST(alpha AS DOUBLE) / nw, 6) AS frac_alpha_words,
+        |  CAST(nstop AS BIGINT) AS n_stop_classes,
+        |  (nw BETWEEN 50 AND 100000
+        |   AND CAST(tot AS DOUBLE) / nw BETWEEN 3.0 AND 10.0
+        |   AND CAST(hashes + ellipses AS DOUBLE) / nw < 0.1
+        |   AND CAST(alpha AS DOUBLE) / nw > 0.8
+        |   AND nstop >= 2) AS passes
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "x24_source_keywords" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(str_split(text, ' ')) AS token
+        |  FROM documents),
+        |by_src AS (
+        |  SELECT source, token, CAST(count(*) AS BIGINT) AS n
+        |  FROM toks GROUP BY source, token HAVING count(*) >= 10),
+        |src_tot AS (SELECT source, count(*) AS src_total FROM toks GROUP BY source),
+        |tok_tot AS (SELECT token, count(*) AS tok_total FROM toks GROUP BY token),
+        |tot AS (SELECT count(*) AS total FROM toks),
+        |lift AS (
+        |  SELECT b.source, b.token, b.n,
+        |    (CAST(b.n AS DOUBLE) / s.src_total)
+        |      / (CAST(t.tok_total AS DOUBLE) / tot.total) AS lift
+        |  FROM by_src b
+        |  JOIN src_tot s USING (source) JOIN tok_tot t USING (token)
+        |  CROSS JOIN tot),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY source ORDER BY lift DESC, token) AS rank
+        |  FROM lift)
+        |SELECT source, CAST(rank AS BIGINT) AS rank, token, n,
+        |  round(lift, 6) AS lift
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY source, rank""".stripMargin,
     "x16_boilerplate" ->
       s"""WITH docs AS (
          |  SELECT doc_id, $withFooterSql
