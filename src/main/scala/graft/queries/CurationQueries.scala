@@ -317,14 +317,19 @@ object CurationQueries {
       val docs = Tables.documents(s, dir)
       val toks = docs.select(col("source"),
         explode(split(col("text"), " ")).as("token"))
-      val bySrc = toks.groupBy(col("source"), col("token"))
+      // Every downstream aggregate derives from the SAME (source, token)
+      // grouped pass so its exchange is canonically identical and Spark's
+      // ReuseExchange serves all four consumers from one corpus scan —
+      // the totals then re-aggregate the vocab-bounded counts, never the
+      // token stream.
+      val tokCounts = toks.groupBy(col("source"), col("token"))
         .agg(count(lit(1)).as("n"))
-        .filter(col("n") >= 10)
-      val srcTot = toks.groupBy(col("source"))
-        .agg(count(lit(1)).as("src_total"))
-      val tokTot = toks.groupBy(col("token"))
-        .agg(count(lit(1)).as("tok_total"))
-      val total = toks.agg(count(lit(1)).as("total"))
+      val bySrc = tokCounts.filter(col("n") >= 10)
+      val srcTot = tokCounts.groupBy(col("source"))
+        .agg(sum(col("n")).as("src_total"))
+      val tokTot = tokCounts.groupBy(col("token"))
+        .agg(sum(col("n")).as("tok_total"))
+      val total = tokCounts.agg(sum(col("n")).as("total"))
       val lift = bySrc
         .join(srcTot, Seq("source"))
         .join(tokTot, Seq("token"))

@@ -162,6 +162,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_topk_by_distance") && !p.contains("WindowExec"), p)
   }
 
+  test("x24 keyword lift reuses ONE (source, token) exchange for all totals") {
+    // The four aggregates (counts, per-source totals, per-token totals,
+    // grand total) must all derive from the same canonical exchange so
+    // the exploded corpus is scanned once — at 100 TB the difference
+    // between one token-stream shuffle and four.
+    val df = graft.queries.CurationQueries.queries("x24_source_keywords")(
+      spark, sf())
+    df.collect() // AQE finalizes reuse at execution
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("reused"),
+      "expected the (source, token) count exchange to be reused:\n" +
+        p.take(2000))
+  }
+
   test("no unpartitioned window anywhere in src/main (single-partition funnel ban)") {
     // A Window.orderBy without partitionBy (or an empty partitionBy) moves
     // every row through ONE task — the quantizer-train scale-killer VERDICT
