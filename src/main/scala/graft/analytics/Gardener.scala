@@ -171,17 +171,18 @@ object Gardener {
       arrays_overlap(col("tags"),
         array(lit("user_interaction"), lit("observation"))) &&
         col("content").isNotNull && length(col("content")) > 0)
-    val centroid = relevant
+    // ONE corpus pass: the per-(user, position) aggregate carries both the
+    // running mean and the row count (identical at every position of a
+    // uniform-dim corpus), so n_sources falls out of the same exchange
+    // that builds the centroid — no second scan of the memory table.
+    relevant
       .select(col("user_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("user_id"), col("pos"))
-      .agg(avg(col("v")).as("m"))
+      .agg(avg(col("v")).as("m"), count(lit(1)).as("cnt"))
       .groupBy(col("user_id"))
       .agg(sqrt(sum(col("m") * col("m"))).as("centroid_norm"),
-        count(lit(1)).as("dim"))
-    relevant.groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n_sources"))
+        count(lit(1)).as("dim"), max(col("cnt")).as("n_sources"))
       .filter(col("n_sources") >= minSources)
-      .join(centroid, Seq("user_id"))
       .withColumn("confidence", least(lit(1.0), col("n_sources") / 10.0))
   }
 

@@ -198,8 +198,13 @@ object GardenerQueries {
     // over the temporal edge view (returned lineitems' soft deletes make the
     // three snapshots genuinely differ).
     "c15_knowledge_evolution" -> ((s, dir) => {
+      // The derived edge view (with its DISTINCT supplied_by leg) feeds
+      // the root selection plus two hop joins — materialize it once
+      // (deployment shape: the edge view IS a stored table; see the
+      // oplog-fold layouts) instead of recomputing it per consumer.
       val e = GraphQueries.edgeView(s, dir)
         .select("src", "dst", "created_at", "deleted_at")
+        .localCheckpoint(true)
       Gardener.knowledgeEvolution(e, _.startsWith("supp:"), GraphQueries.T0)
         .select(col("root"), col("snap"), col("in_degree"),
           col("n_connected"), round(col("confidence"), 6).as("confidence"))
