@@ -346,14 +346,19 @@ object Oplog {
     * `id -[relation_type]-> meta[field]`. Rules are catalog-sized →
     * broadcast join against the folded state; no extra shuffle.
     */
-  def autoLinksFromLog(oplog: DataFrame): DataFrame = {
+  def autoLinksFromLog(
+      oplog: DataFrame,
+      prebuiltState: Option[DataFrame] = None): DataFrame = {
     val ruleSchema =
       "array<struct<metadata_field:string,relation_type:string,create_node:boolean>>"
     val rules = foldConfig(oplog).filter(col("op") === "VAUTOLINKS")
       .select(col("index_name"),
         explode(from_json(col("payload"), ruleSchema,
           Map.empty[String, String])).as("rule"))
-    foldVectors(oplog).filter(col("alive"))
+    // A deployment applies rules against its MATERIALIZED state table, not
+    // a fresh replay — pass it via `prebuiltState` (the fold is the
+    // fallback for ad-hoc use).
+    prebuiltState.getOrElse(foldVectors(oplog)).filter(col("alive"))
       .join(broadcast(rules), Seq("index_name"))
       .withColumn("dst", try_element_at(col("meta"), col("rule.metadata_field")))
       .filter(col("dst").isNotNull)

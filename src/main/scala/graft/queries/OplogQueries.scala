@@ -127,7 +127,8 @@ object OplogQueries {
     // label→labeled (revived records lost the label key).
     "s14_rule_autolinks" -> ((s, dir) => {
       val oplog = Oplog.generate(s, dir)
-      Oplog.autoLinksFromLog(oplog)
+      Oplog.autoLinksFromLog(oplog,
+          prebuiltState = Some(storedVectorFold(s, dir)))
         .filter(col("index_name") === Oplog.MemIdx)
         .groupBy("rel")
         .agg(count(lit(1)).as("n_links"),
