@@ -201,10 +201,21 @@ object Gardener {
     *         content, text, summary, description).
     */
   def coreFactGroups(mem: DataFrame, page: Int = 50,
-                     minConfidence: Double = 0.85): DataFrame = {
-    val cand = mem.filter(
+                     minConfidence: Double = 0.85,
+                     extractedFrom: Option[DataFrame] = None): DataFrame = {
+    // Already-processed exclusion: the reference checks for an existing
+    // incoming `extracted_from` link (`gardener.go:3712-3717`) — when an
+    // edge view is supplied, derive the exclusion as a left-anti join on
+    // its target ids; the `processed` flag column is the precomputed form.
+    val unprocessed = extractedFrom match {
+      case Some(ef) => mem.join(
+        ef.select(col("dst").as("mem_id")).distinct(),
+        Seq("mem_id"), "left_anti")
+      case None => mem.filter(!col("processed"))
+    }
+    val cand = unprocessed.filter(
         (col("typ") === "user_interaction" || col("layer") === "episodic") &&
-          !col("archived") && !col("processed"))
+          !col("archived"))
       .orderBy(col("mem_id")).limit(page)
     cand
       .withColumn("body", coalesce(

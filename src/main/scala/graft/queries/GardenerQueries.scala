@@ -169,7 +169,14 @@ object GardenerQueries {
     // page cap, processed exclusion, content fallback chain, user grouping
     // with solo items. Memory view over `events`.
     "c14_core_facts" -> ((s, dir) => {
-      val mem = Tables.events(s, dir).select(
+      // Every 11th memory already has an incoming extracted_from edge (a
+      // previously-created core_fact node points at it) — the exclusion is
+      // DERIVED from the edge view by anti-join, as the reference does.
+      val ev = Tables.events(s, dir)
+      val extractedFrom = ev.filter(col("event_id") % 11 === 0)
+        .select(concat(lit("cf:"), col("event_id")).as("src"),
+          col("event_id").as("dst"), lit("extracted_from").as("rel"))
+      val mem = ev.select(
         col("event_id").as("mem_id"),
         when(col("user_id") % 4 =!= 0, concat(lit("u"), col("user_id")))
           .otherwise(lit(null)).as("user_id"),
@@ -178,7 +185,7 @@ object GardenerQueries {
         when(col("event_type") === "signup", "episodic")
           .otherwise("semantic").as("layer"),
         (col("event_id") % 7 === 0).as("archived"),
-        (col("event_id") % 11 === 0).as("processed"),
+        lit(false).as("processed"),
         when(col("event_id") % 3 === 0, "")
           .otherwise(concat(lit("c"), col("event_id"))).as("content"),
         when(col("event_id") % 6 === 0, concat(lit("t"), col("event_id")))
@@ -186,7 +193,7 @@ object GardenerQueries {
         when(col("event_id") % 9 === 0, "")
           .otherwise(concat(lit("s"), col("event_id"))).as("summary"),
         lit("").as("description"))
-      Gardener.coreFactGroups(mem)
+      Gardener.coreFactGroups(mem, extractedFrom = Some(extractedFrom))
         .select(col("group_id"), col("n_inputs"),
           col("first_mem").cast("long").as("first_mem"),
           col("confidence"), col("pinned"))
