@@ -295,6 +295,30 @@ object Gardener {
       .withColumn("confidence", least(lit(1.0), col("in_degree") / 20.0))
   }
 
+  /** C9 family — cross-validator meta-detector (`detectCrossValidator`,
+    * gardener.go:3145-3243): entities flagged by ≥2 distinct detector
+    * types in a cycle get a high-confidence composite reflection whose
+    * confidence is the geometric mean of the contributing confidences
+    * scaled by a diversity boost 0.7 + 0.3·min(1, nDetectors/3), capped
+    * at 1. Fully deterministic — one keyed aggregation over the flag
+    * stream (geo-mean as exp∘avg∘ln, a map-side-partial aggregate; no
+    * driver loop over reflections).
+    * `flags`: (entity, detector, confidence).
+    */
+  def crossValidator(flags: DataFrame): DataFrame =
+    flags.groupBy(col("entity"))
+      .agg(
+        count_distinct(col("detector")).as("detector_count"),
+        count(lit(1)).as("n_sources"),
+        exp(avg(log(col("confidence")))).as("geo_mean"),
+        concat_ws(",", array_sort(collect_set(col("detector"))))
+          .as("detector_types"))
+      .filter(col("detector_count") >= 2)
+      .withColumn("composite_confidence",
+        least(lit(1.0), col("geo_mean") *
+          (lit(0.7) + lit(0.3) *
+            least(lit(1.0), col("detector_count") / 3.0))))
+
   /** C10 — session summarization, deterministic path
     * (`SummarizeSession` gardener.go:1563-1728 + the compiler's `computed`
     * fields, `deterministic.go:180`): per session — memory count, bounds,

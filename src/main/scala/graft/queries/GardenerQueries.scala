@@ -218,6 +218,36 @@ object GardenerQueries {
         .orderBy(col("root"), col("snap"))
     }),
 
+    // C16 (C9 family): cross-validator meta-detector — entities flagged by
+    // >=2 of the c4-c7 detectors this cycle get a composite reflection:
+    // geometric-mean confidence x diversity boost (gardener.go:3145-3243).
+    "c16_cross_validator" -> ((s, dir) => {
+      val m = mentions(s, dir)
+      val imp = Gardener.importanceShifts(m, Now).filter(col("spike"))
+        .select(col("entity"), lit("importance").as("detector"),
+          col("confidence"))
+      val sen = Gardener.sentimentShifts(m, Now).filter(col("shifted"))
+        .select(col("entity"), lit("sentiment").as("detector"),
+          col("confidence"))
+      val edges = m.select(col("entity").as("node"), col("created_at"),
+        lit(null).cast("long").as("deleted_at"))
+      val cen = Gardener.centralityShifts(edges, Now, Jan2)
+        .filter(col("shifted"))
+        .select(col("node").as("entity"), lit("centrality").as("detector"),
+          col("confidence"))
+      val forg = Gardener.forgettingPatterns(m, Now, idleSecs = 2L * 86400)
+        .filter(col("forgotten"))
+        .select(col("entity"), lit("forgetting").as("detector"),
+          col("confidence"))
+      Gardener.crossValidator(
+          imp.unionByName(sen).unionByName(cen).unionByName(forg))
+        .select(col("entity"), col("detector_count"), col("n_sources"),
+          col("detector_types"),
+          round(col("geo_mean"), 6).as("geo_mean"),
+          round(col("composite_confidence"), 6).as("composite_confidence"))
+        .orderBy(col("entity"))
+    }),
+
     // C11: deterministic keyword-based profiles.
     "c11_profiles" -> ((s, dir) => {
       val inter = mentions(s, dir).filter(col("entity") < 30)
@@ -317,6 +347,64 @@ object GardenerQueries {
          |  round((end_ts - start_ts) / 60.0, 4) AS duration_minutes, top_topic
          |FROM stats s JOIN top USING (session_id)
          |ORDER BY session_id""".stripMargin,
+
+    "c16_cross_validator" ->
+      s"""WITH $mentionsSql,
+         |imp AS (
+         |  SELECT entity, 'importance' AS detector,
+         |    least(1.0, recent / 10.0) AS confidence
+         |  FROM (
+         |    SELECT entity,
+         |      sum(CASE WHEN created_at > $Now - 3*86400 THEN 1 ELSE 0 END) AS recent,
+         |      sum(CASE WHEN created_at <= $Now - 3*86400 THEN 1 ELSE 0 END) AS old
+         |    FROM mentions GROUP BY entity)
+         |  WHERE recent + old >= 5 AND recent > 5 AND recent > old * 2.0),
+         |sen AS (
+         |  SELECT entity, 'sentiment' AS detector,
+         |    least(1.0, (abs(avg_recent - avg_past) / 3.0)
+         |      * least(1.0, (past_n + recent_n) / 8.0)) AS confidence
+         |  FROM (
+         |    SELECT entity,
+         |      sum(CASE WHEN created_at < $Now - 14*86400 THEN 1 ELSE 0 END) AS past_n,
+         |      sum(CASE WHEN created_at >= $Now - 14*86400 THEN 1 ELSE 0 END) AS recent_n,
+         |      avg(CASE WHEN created_at < $Now - 14*86400 THEN $sentimentSql END) AS avg_past,
+         |      avg(CASE WHEN created_at >= $Now - 14*86400 THEN $sentimentSql END) AS avg_recent
+         |    FROM mentions GROUP BY entity)
+         |  WHERE past_n + recent_n >= 4 AND past_n > 0 AND recent_n > 0
+         |    AND abs(avg_recent - avg_past) >= 1.5),
+         |cen AS (
+         |  SELECT node AS entity, 'centrality' AS detector,
+         |    least(1.0, deg_now / deg_past / 5.0) AS confidence
+         |  FROM (
+         |    SELECT entity AS node,
+         |      sum(CASE WHEN created_at <= $Now THEN 1 ELSE 0 END) AS deg_now,
+         |      sum(CASE WHEN created_at <= $Jan2 THEN 1 ELSE 0 END) AS deg_past
+         |    FROM mentions GROUP BY entity)
+         |  WHERE deg_now >= 10 AND deg_past > 0 AND deg_now > deg_past * 3.0),
+         |forg AS (
+         |  SELECT entity, 'forgetting' AS detector,
+         |    least(1.0, total / 10.0) AS confidence
+         |  FROM (
+         |    SELECT entity, count(*) AS total, max(created_at) AS last_mention
+         |    FROM mentions GROUP BY entity)
+         |  WHERE total >= 5 AND last_mention <= $Now - 2*86400),
+         |flags AS (
+         |  SELECT * FROM imp UNION ALL SELECT * FROM sen
+         |  UNION ALL SELECT * FROM cen UNION ALL SELECT * FROM forg),
+         |agg AS (
+         |  SELECT entity,
+         |    CAST(count(DISTINCT detector) AS BIGINT) AS detector_count,
+         |    CAST(count(*) AS BIGINT) AS n_sources,
+         |    exp(avg(ln(confidence))) AS geo_mean,
+         |    array_to_string(list_sort(list_distinct(list(detector))), ',') AS detector_types
+         |  FROM flags GROUP BY entity
+         |  HAVING count(DISTINCT detector) >= 2)
+         |SELECT CAST(entity AS BIGINT) AS entity, detector_count, n_sources,
+         |  detector_types, round(geo_mean, 6) AS geo_mean,
+         |  round(least(1.0, geo_mean
+         |    * (0.7 + 0.3 * least(1.0, detector_count / 3.0))), 6)
+         |    AS composite_confidence
+         |FROM agg ORDER BY entity""".stripMargin,
 
     "c13_user_preferences" ->
       """WITH mem AS (
