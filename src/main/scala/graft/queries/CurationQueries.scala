@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.dedup.Dedup
+import graft.functions.VectorFunctions
 import graft.text.TextPipeline
 
 /** X16-X18: corpus-curation queries beyond the reference's own surface —
@@ -345,6 +346,37 @@ object CurationQueries {
         .select(col("source"), col("rank").cast("long").as("rank"),
           col("token"), col("n"), round(col("lift"), 6).as("lift"))
         .orderBy(col("source"), col("rank"))
+    }),
+
+    // X25: SEMANTIC decontamination — the embedding-space complement of
+    // x6's exact-shingle check: corpus items whose cosine similarity to
+    // any held-out benchmark embedding clears the bar are contamination
+    // candidates (catches paraphrases/translations that shingles miss).
+    // Benchmark view: every 50th embedding, slightly perturbed — its
+    // corpus original must flag at ~0.999 while unrelated items stay
+    // below the bar. Shape at 100 TB: the benchmark side is SMALL by
+    // definition → broadcast; ONE corpus scan computes all sims
+    // (BroadcastNestedLoop, never a shuffle cartesian); per-doc best
+    // match is a map-side-partial max_by.
+    "x25_semantic_decontam" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val bench = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("bench_id"),
+          concat(
+            array(element_at(col("embedding"), 1) + lit(0.02f)),
+            slice(col("embedding"), lit(2), size(col("embedding")) - 1))
+            .as("bvec"))
+      e.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(bench))
+        .withColumn("sim",
+          VectorFunctions.cosineSimilarityWide(col("embedding"), col("bvec")))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("sim"), col("bench_id")),
+          struct(col("sim"), col("bench_id"))).as("best"))
+        .select(col("vec_id"), col("best.bench_id").as("bench_id"),
+          round(col("best.sim"), 6).as("sim"))
+        .filter(col("sim") >= 0.98)
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -378,6 +410,24 @@ object CurationQueries {
         |   AND CAST(alpha AS DOUBLE) / nw > 0.8
         |   AND nstop >= 2) AS passes
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "x25_semantic_decontam" ->
+      """WITH bench AS (
+        |  SELECT vec_id AS bench_id,
+        |    [embedding[1] + CAST(0.02 AS FLOAT)] || embedding[2:] AS bvec
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |sims AS (
+        |  SELECT e.vec_id, b.bench_id,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                           CAST(b.bvec AS DOUBLE[])) AS sim
+        |  FROM embeddings e CROSS JOIN bench b),
+        |best AS (
+        |  SELECT vec_id, bench_id, round(sim, 6) AS sim,
+        |    row_number() OVER (PARTITION BY vec_id
+        |                       ORDER BY sim DESC, bench_id DESC) AS rn
+        |  FROM sims)
+        |SELECT vec_id, bench_id, sim FROM best
+        |WHERE rn = 1 AND sim >= 0.98 ORDER BY vec_id""".stripMargin,
 
     "x24_source_keywords" ->
       """WITH toks AS (
