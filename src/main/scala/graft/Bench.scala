@@ -220,13 +220,19 @@ object Bench {
           queries.withColumnRenamed("qvec", "vector"), "vector", am)
         .select(col("qid"), col("qcodes").as("qqc"), col("qnorm").as("qn")).cache()
       qcodes.count()
+      // Bounded top-k aggregate, not a row_number window: the window rank
+      // shuffles all N×NQ scored rows (it read as 26 QPS in the r10
+      // artifact — the ranking, not the int8 scan, was the cost); the
+      // TopK aggregate keeps k-sized partial buffers map-side, same as
+      // the float exact baseline's path.
       def int8Run() = codes.crossJoin(broadcast(qcodes))
         .withColumn("distance", VectorFunctions.int8CosineDistance(
           col("qcodes"), col("qqc"), col("qnorm"), col("qn")))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy(col("qid")).orderBy(col("distance"), col("id"))))
-        .filter(col("rank") <= 10)
-        .select(col("qid"), col("id"))
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopK.topK(
+          col("id").cast("long"), col("distance"), 10).as("_tk"))
+        .select(col("qid"), explode(col("_tk")).as("_e"))
+        .select(col("qid"), col("_e.id").as("id"))
       // Warm + min-of-2: the r10 artifact's 13 QPS here was a single cold
       // timing that also paid the broadcast build and the cache write.
       noopWrite(int8Run())
