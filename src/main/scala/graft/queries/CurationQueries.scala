@@ -377,6 +377,56 @@ object CurationQueries {
           round(col("best.sim"), 6).as("sim"))
         .filter(col("sim") >= 0.98)
         .orderBy(col("vec_id"))
+    }),
+
+    // X26: mixture sampling plan — the planning math a training-data
+    // pipeline runs before materializing a mix: sources land in quality
+    // tiers, each tier has a target share of the token budget (one
+    // epoch-equivalent of the corpus), and the plan reports the sampling
+    // weight (epochs) each tier needs, capped at maxEpochs=4 (a tier that
+    // can't fill its target share without >4 repeats gets truncated —
+    // the standard upsampling guard). Shape at 100 TB: a 20-key (and at
+    // scale, still catalog-sized) aggregation + scalar arithmetic; the
+    // actual sampler then reuses x7's deterministic ppm gates with these
+    // weights.
+    "x26_mixture_plan" -> ((s, dir) => {
+      val tc = TextPipeline.tokenCounts(col("text")).toMap
+      val docs = Tables.documents(s, dir)
+        .select(col("source"), tc("ws_tokens").as("ws"))
+        .withColumn("tier",
+          when(regexp_extract(col("source"), "(\\d+)", 1)
+            .cast("long") % 3 === 0, "web")
+            .when(regexp_extract(col("source"), "(\\d+)", 1)
+              .cast("long") % 3 === 1, "curated")
+            .otherwise("code"))
+      val perTier = docs.groupBy(col("tier"))
+        .agg(count_distinct(col("source")).as("n_sources"),
+          sum(col("ws")).as("available_tokens"))
+      val budget = perTier.agg(sum(col("available_tokens")).as("budget"))
+      val target = Seq(("web", 500000L), ("curated", 300000L),
+        ("code", 200000L))
+      val s2 = s
+      import s2.implicits._
+      val targetDF = target.toDF("tier", "target_ppm")
+      val planned = perTier
+        .join(broadcast(targetDF), Seq("tier"))
+        .crossJoin(broadcast(budget))
+        .withColumn("weight",
+          (col("target_ppm") / 1000000.0) * col("budget") /
+            col("available_tokens"))
+        .withColumn("epochs", least(col("weight"), lit(4.0)))
+        .withColumn("achieved_tokens",
+          floor(col("epochs") * col("available_tokens")).cast("long"))
+      val achievedTot = planned.agg(sum(col("achieved_tokens")).as("ach_tot"))
+      planned.crossJoin(broadcast(achievedTot))
+        .select(col("tier"), col("n_sources"), col("available_tokens"),
+          col("target_ppm"),
+          round(col("weight"), 6).as("weight"),
+          round(col("epochs"), 6).as("epochs"),
+          col("achieved_tokens"),
+          floor(lit(1000000.0) * col("achieved_tokens") / col("ach_tot"))
+            .cast("long").as("achieved_ppm"))
+        .orderBy(col("tier"))
     })
   )
 
@@ -428,6 +478,39 @@ object CurationQueries {
         |  FROM sims)
         |SELECT vec_id, bench_id, sim FROM best
         |WHERE rn = 1 AND sim >= 0.98 ORDER BY vec_id""".stripMargin,
+
+    "x26_mixture_plan" ->
+      """WITH docs AS (
+        |  SELECT source, len(str_split(text, ' ')) AS ws,
+        |    CASE CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 3
+        |      WHEN 0 THEN 'web' WHEN 1 THEN 'curated' ELSE 'code' END AS tier
+        |  FROM documents),
+        |per AS (
+        |  SELECT tier, CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |    CAST(sum(ws) AS BIGINT) AS available_tokens
+        |  FROM docs GROUP BY tier),
+        |budget AS (SELECT sum(available_tokens) AS budget FROM per),
+        |target AS (
+        |  SELECT 'web' AS tier, CAST(500000 AS BIGINT) AS target_ppm
+        |  UNION ALL SELECT 'curated', 300000
+        |  UNION ALL SELECT 'code', 200000),
+        |planned AS (
+        |  SELECT p.tier, p.n_sources, p.available_tokens, t.target_ppm,
+        |    (t.target_ppm / 1000000.0) * b.budget / p.available_tokens AS weight,
+        |    least((t.target_ppm / 1000000.0) * b.budget / p.available_tokens,
+        |          4.0) AS epochs
+        |  FROM per p JOIN target t USING (tier) CROSS JOIN budget b),
+        |ach AS (
+        |  SELECT *, CAST(floor(epochs * available_tokens) AS BIGINT)
+        |    AS achieved_tokens
+        |  FROM planned),
+        |tot AS (SELECT sum(achieved_tokens) AS ach_tot FROM ach)
+        |SELECT tier, n_sources, available_tokens, target_ppm,
+        |  round(weight, 6) AS weight, round(epochs, 6) AS epochs,
+        |  achieved_tokens,
+        |  CAST(floor(1000000.0 * achieved_tokens / tot.ach_tot) AS BIGINT)
+        |    AS achieved_ppm
+        |FROM ach CROSS JOIN tot ORDER BY tier""".stripMargin,
 
     "x24_source_keywords" ->
       """WITH toks AS (
