@@ -27,7 +27,12 @@ object ScaleCheck {
     "d4_ngram_jaccard", "d5_cosine_neardup", "d6_lsh_skew_cap",
     "d8_dedup_components", "s1_replay", "x5_pipeline", "x9_pii",
     "x10_packing", "x11_funnel_pack",
-    "x16_boilerplate", "x17_rarity", "x19_dataset_card", "x20_top_bigrams")
+    "x16_boilerplate", "x17_rarity", "x19_dataset_card", "x20_top_bigrams",
+    // Graph traversals (VERDICT r09 #7): the scaled dir replicates
+    // orders/lineitem as disjoint subgraph copies, so the traversal from
+    // the replica-0 root walks the same frontier over a 10× edge table —
+    // the ratio isolates what edge-volume alone costs the BFS levels.
+    "g8_subgraph", "g9_shortest_paths")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -44,7 +49,9 @@ object ScaleCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val scaled = s"${System.getProperty("java.io.tmpdir")}/graft_scale${factor}_" +
+    // v2: the scaled dir gained orders/lineitem replicas for the graph
+    // traversal entries — stale v1 dirs lack them.
+    val scaled = s"${System.getProperty("java.io.tmpdir")}/graft_scale${factor}v2_" +
       java.lang.Integer.toHexString(base.hashCode)
     if (!Files.exists(Paths.get(scaled, "_done"))) {
       buildScaled(spark, base, scaled, factor)
@@ -220,5 +227,27 @@ object ScaleCheck {
     }.reduce(_ unionByName _)
     embX.repartition(32).write.mode("overwrite")
       .parquet(s"$out/embeddings.parquet")
+
+    // Graph tables: each replica is a DISJOINT copy (keys shifted by
+    // r × max) — the edge view becomes factor× larger while any one
+    // root's reachable subgraph stays replica-local, which is what real
+    // 10× graph data looks like to a single traversal.
+    val orders = spark.read.parquet(s"$base/orders.parquet")
+    val li = spark.read.parquet(s"$base/lineitem.parquet")
+    val maxOrd = orders.agg(max("o_orderkey")).head.getLong(0) + 1
+    val maxCust = orders.agg(max("o_custkey")).head.getLong(0) + 1
+    val maxPart = li.agg(max("l_partkey")).head.getLong(0) + 1
+    val maxSupp = li.agg(max("l_suppkey")).head.getLong(0) + 1
+    val ordX = (0 until factor).map { r =>
+      orders.withColumn("o_orderkey", col("o_orderkey") + lit(r * maxOrd))
+        .withColumn("o_custkey", col("o_custkey") + lit(r * maxCust))
+    }.reduce(_ unionByName _)
+    ordX.repartition(32).write.mode("overwrite").parquet(s"$out/orders.parquet")
+    val liX = (0 until factor).map { r =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(r * maxOrd))
+        .withColumn("l_partkey", col("l_partkey") + lit(r * maxPart))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(r * maxSupp))
+    }.reduce(_ unionByName _)
+    liX.repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
   }
 }
