@@ -101,14 +101,11 @@ object ScaleCheck {
     val baseN = sys.env.getOrElse("SPARK_GRAFT_SCALE_ANN_N", "100000").toInt
     val dim = 64
     val nq = 100
-    def hu(seed: Column, j: Column, salt: String): Column =
-      (pmod(xxhash64(seed, j, lit(salt)), lit(2000001L)).cast("double")
-        - 1000000.0) / 1000000.0
+    // SAME recipe as the bench sections by construction — see
+    // graft.core.SyntheticVectors (the ratios are only meaningful if the
+    // scale check runs the corpus the bench measures).
     def vecCol(idc: Column, salt: String): Column =
-      VectorFunctions.normalize(
-        transform(sequence(lit(0), lit(dim - 1)), j =>
-          (hu(pmod(idc, lit(1000L)), j, "ctr") +
-            hu(idc, j, salt) * lit(0.25)).cast("float")))
+      graft.core.SyntheticVectors.clusteredVec(idc, dim, 1000L, salt)
     def timeIt(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }

@@ -63,15 +63,23 @@ object Oplog {
     "VCREATE", "VDROP", "VADD", "VMETA", "VDEL",
     "GLINK", "GUNLINK", "SET", "DEL", "VCONFIG", "VAUTOLINKS")
 
-  /** Lazy, distributed replay-completeness guard: any row whose `op` is not
-    * in [[KnownOps]] raises at execution time (no extra job, no collect —
-    * the predicate rides the scan).
+  /** EAGER replay-completeness gate, not an in-plan predicate: the folds
+    * stack op filters (`op = 'VADD'`, …) on top of this, and the optimizer
+    * rightly pushes those into a file-backed scan — row-group pruning can
+    * then drop an unknown-op row before any lazy per-row `raise_error`
+    * would evaluate it, silently bypassing the guard. One dedicated
+    * op-column scan per fold is the replay-integrity price (the reference
+    * CRC-checks every frame on recovery for the same reason,
+    * `recovery.go:120-148`).
     */
-  private def validated(oplog: DataFrame): DataFrame =
-    oplog.filter(
-      when(col("op").isin(KnownOps: _*), lit(true))
-        .otherwise(raise_error(
-          concat(lit("unknown oplog op: "), col("op")))))
+  private def validated(oplog: DataFrame): DataFrame = {
+    val bad = oplog.select(col("op"))
+      .filter(!col("op").isin(KnownOps: _*) || col("op").isNull)
+      .limit(1).collect()
+    require(bad.isEmpty,
+      s"unknown oplog op: ${bad.headOption.map(_.getString(0)).orNull}")
+    oplog
+  }
 
   /** Uniform row shape for one op class. `base` provides the driving rows. */
   private def opRows(

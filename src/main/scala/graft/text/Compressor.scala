@@ -45,7 +45,10 @@ object Compressor {
     "sono", "sia", "siano")
 
   private def isStopWord(word: String, lang: String): Boolean = {
-    val lower = word.toLowerCase
+    // Locale.ROOT: the reference's strings.ToLower and Spark's lower() are
+    // both locale-independent; the JVM default-locale toLowerCase is not
+    // (Turkish dotless-i would diverge).
+    val lower = word.toLowerCase(java.util.Locale.ROOT)
     if (important.contains(lower)) false
     else lang match {
       case "italian" | "it" => italianSafe.contains(lower)
@@ -55,16 +58,21 @@ object Compressor {
 
   /** `smartTokenize` (`compressor.go:135-172`): letters/digits/'/- are word
     * chars; whitespace and punctuation split; punctuation dropped; case
-    * preserved.
+    * preserved. Iterates CODE POINTS like Go's `range` over a string —
+    * per-char iteration would split supplementary-plane letters (e.g.
+    * mathematical alphanumerics) into unpaired surrogates and diverge from
+    * both the reference and the column form's \\p{L} regex.
     */
   def smartTokenize(text: String): Seq[String] = {
     val tokens = Seq.newBuilder[String]
     val cur = new StringBuilder
-    for (r <- text) {
-      if (r.isLetter || r.isDigit || r == '\'' || r == '-') cur += r
-      else {
-        if (cur.nonEmpty) { tokens += cur.result(); cur.clear() }
-      }
+    var i = 0
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      if (Character.isLetter(cp) || Character.isDigit(cp) ||
+          cp == '\'' || cp == '-') cur.appendAll(Character.toChars(cp))
+      else if (cur.nonEmpty) { tokens += cur.result(); cur.clear() }
+      i += Character.charCount(cp)
     }
     if (cur.nonEmpty) tokens += cur.result()
     tokens.result()

@@ -22,7 +22,10 @@ class CompressorColSpec extends SparkSpec {
     "all of the things are here",  // 'all' important, 'of'/'the'/'are' safe
     "numbers 42 and 7-11 do count",
     "punct...only???",
-    "è solo una prova, non il solito test")
+    "è solo una prova, non il solito test",
+    // supplementary-plane letters (mathematical double-struck X) — code
+    // points, not UTF-16 chars, decide word membership on both paths
+    "the 𝕏 factor is 𝕏𝕐 here")
 
   test("compressCol == compress on english samples") {
     val s = spark
