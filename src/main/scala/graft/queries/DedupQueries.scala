@@ -296,6 +296,33 @@ object DedupQueries {
         .select(col("component"), col("id").as("doc_id"),
           (col("id") === col("component")).as("keep"))
         .orderBy(col("component"), col("doc_id"))
+    }),
+
+    // D11: survivor selection per duplicate cluster — the DECISION step
+    // after d8's components: keep the highest-quality member (quality =
+    // token mass here; in production the x2/x23 score), ties to the
+    // smallest id. One keyed max_by over (component, quality) — the
+    // components are the expensive part and they're already computed; the
+    // keep-choice adds one map-side-partial aggregation.
+    "d11_keep_best" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val sh = Dedup.shingles(c, "doc_id", "text")
+      val pairs = Dedup
+        .jaccardOnPairs(Dedup.lshCandidatePairs(Dedup.minhashSigs(sh)), sh)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id1"), col("id2"))
+      val quality = c.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("q"))
+      Dedup.connectedComponents(pairs)
+        .join(quality, col("id") === col("doc_id"))
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"),
+          max_by(col("doc_id"), struct(col("q"), -col("doc_id")))
+            .as("survivor"),
+          max(col("q")).as("best_q"))
+        .select(col("component"), col("survivor"), col("n_members"),
+          col("best_q"))
+        .orderBy(col("component"))
     })
   )
 
@@ -370,6 +397,35 @@ object DedupQueries {
          |  CAST(doc_id AS BIGINT) AS doc_id,
          |  doc_id = component AS keep
          |FROM comp ORDER BY component, doc_id""".stripMargin,
+
+    "d11_keep_best" ->
+      s"""WITH RECURSIVE $lshJaccardCtes,
+         |p AS (SELECT id1, id2 FROM j WHERE jaccard >= 0.5),
+         |und AS (
+         |  SELECT id1 AS u, id2 AS v FROM p
+         |  UNION SELECT id2, id1 FROM p),
+         |reach(u, r) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM und)
+         |  UNION
+         |  SELECT und.u, reach.r FROM und JOIN reach ON und.v = reach.u),
+         |comp AS (SELECT u AS doc_id, min(r) AS component FROM reach GROUP BY u),
+         |q AS (
+         |  SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS q
+         |  FROM corpus),
+         |m AS (
+         |  SELECT comp.component, comp.doc_id, q.q
+         |  FROM comp JOIN q USING (doc_id)),
+         |r2 AS (
+         |  SELECT component, doc_id, q,
+         |    row_number() OVER (PARTITION BY component
+         |                       ORDER BY q DESC, doc_id ASC) AS rn,
+         |    count(*) OVER (PARTITION BY component) AS n_members,
+         |    max(q) OVER (PARTITION BY component) AS best_q
+         |  FROM m)
+         |SELECT CAST(component AS BIGINT) AS component,
+         |  CAST(doc_id AS BIGINT) AS survivor,
+         |  CAST(n_members AS BIGINT) AS n_members, best_q
+         |FROM r2 WHERE rn = 1 ORDER BY component""".stripMargin,
 
     "d3_simhash" ->
       s"""WITH $corpusSql,
