@@ -298,11 +298,16 @@ object Bench {
       // latencies are the most GC/scheduler-sensitive numbers in the bench.
       var singlePruned = Seq.fill(3)(timeIt(singleK(prunedScan()))).min
       var singleFull = Seq.fill(3)(timeIt(singleK(fullScan()))).min
-
-      q0.unpersist()
+      // Capacity-mode single-query point: the int8 serving index answers
+      // one query through the same probe-pruned path the batch timing uses
+      // — the serving-latency story must cover the compressed modes, not
+      // just the f32 layout.
+      def singleInt8() = noopWrite(Ivf.searchBatchedFastInt8(
+        servingI8, cents, q0, k = 10, nProbe = 16, absMax = absMaxV))
+      singleInt8()
+      var singleInt8Sec = Seq.fill(3)(timeIt(singleInt8())).min
       Some(new AnnHandle {
         def remeasure(): Unit = {
-          runs += 1
           exactSec = math.min(exactSec,
             Seq.fill(2)(timeIt(noopWrite(exactRun()))).min)
           val t2 = sweepTimes(sweepNps, floorSec = exactSec)(sweepRun)
@@ -313,6 +318,11 @@ object Bench {
           planSec = math.min(planSec, timeIt(noopWrite(planPoint())))
           singlePruned = math.min(singlePruned, timeIt(singleK(prunedScan())))
           singleFull = math.min(singleFull, timeIt(singleK(fullScan())))
+          singleInt8Sec = math.min(singleInt8Sec, timeIt(singleInt8()))
+          // Counted LAST: the driver swallows remeasure failures, so a pass
+          // that throws partway must not inflate the artifact's completed-
+          // passes count.
+          runs += 1
         }
         def finish(): String = {
           val sweep = sweepNps.map { np =>
@@ -330,7 +340,7 @@ object Bench {
             s"""{"n_probe":24,"qps":${math.rint(NQ / int8IvfSec * 10) / 10},"recall_at_10":${r4(recall)}}"""
           }
           emb.unpersist(); queries.unpersist(); assigned.unpersist()
-          codes.unpersist(); qcodes.unpersist()
+          codes.unpersist(); qcodes.unpersist(); q0.unpersist()
           serving.unpersist(); servingI8.unpersist(); exact.unpersist()
           def c3(d: Double): Double = math.rint(d * 1000) / 1000
           def c1(d: Double): Double = math.rint(d * 10) / 10
@@ -339,7 +349,7 @@ object Bench {
             s""""int8_exact_qps":${c1(NQ / int8Sec)},""" +
             s""""int8_recall_at_10":${r4(int8Recall)},"ivf":$sweep,"ivf_int8":$int8Ivf,""" +
             s""""ivf_plan":{"n_probe":16,"qps":${math.rint(NQ / planSec * 10) / 10}},""" +
-            s""""single_query":{"n_probe":16,"pruned_sec":${c3(singlePruned)},"full_scan_sec":${c3(singleFull)}}}"""
+            s""""single_query":{"n_probe":16,"pruned_sec":${c3(singlePruned)},"full_scan_sec":${c3(singleFull)},"int8_pruned_sec":${c3(singleInt8Sec)}}}"""
         }
       })
     } catch { case _: Throwable => None }
@@ -401,6 +411,14 @@ object Bench {
         k = 10, nProbe = 32)
       noopWrite(f16Run())
       var f16Sec2 = Seq.fill(3)(timeIt(noopWrite(f16Run()))).min
+      // f16 single-query serving latency (capacity-mode counterpart of the
+      // cosine section's single_query points).
+      val q0f16 = queries.filter(col("qid") === 0).cache()
+      q0f16.count()
+      def f16Single() = noopWrite(Ivf.searchBatchedFastF16(
+        servingF16, cents, q0f16, k = 10, nProbe = 16))
+      f16Single()
+      var f16SingleSec = Seq.fill(3)(timeIt(f16Single())).min
       // IVF-PQ: trained per-sub-space codebooks (m=16 × 256 codes → 16 B
       // per vector, 32× less resident than f32), packed code blocks,
       // probe-restricted ADC scan; the rerank point re-scores the ADC
@@ -454,23 +472,34 @@ object Bench {
         val rrSec = Seq.fill(3)(timeIt(noopWrite(rrRun()))).min
         val rr = rrRun().cache(); rr.count()
         val rrRecall = Ivf.recallAt(rr, exact, 10)
-        rr.unpersist(); pqIndex.unpersist()
+        rr.unpersist()
+        // Capacity-mode single-query latency: one query through the ADC
+        // probe-pruned scan — the PQ leg of the serving-latency story.
+        val q0pq = queries.filter(col("qid") === 0)
+        def pqSingle() = noopWrite(Pq.searchBatchedFastPqResidual(
+          pqIndex, cents, cbArrays, q0pq, k = 10, nProbe = np))
+        pqSingle()
+        val pqSingleSec = Seq.fill(3)(timeIt(pqSingle())).min
+        pqIndex.unpersist()
         def c1i(d: Double): Double = math.rint(d * 10) / 10
+        def c3i(d: Double): Double = math.rint(d * 1000) / 1000
         s""""ivf_pq":{"n_probe":$np,"m":$mPq,"bytes_per_vec":$mPq,"residual":true,""" +
           s""""build_sec":${math.rint(pqBuildSec * 1000) / 1000},""" +
-          s""""qps":${c1i(NQ / adcSec)},"recall_at_10":${r4(adcRecall)}},""" +
+          s""""qps":${c1i(NQ / adcSec)},"recall_at_10":${r4(adcRecall)},""" +
+          s""""single_query_sec":${c3i(pqSingleSec)}},""" +
           s""""ivf_pq_rerank":{"n_probe":$np,"rerank":$rerankR,""" +
           s""""qps":${c1i(NQ / rrSec)},"recall_at_10":${r4(rrRecall)}}"""
       }
       assigned.unpersist()
       Some(new AnnHandle {
         def remeasure(): Unit = {
-          runs += 1
           exactSec = math.min(exactSec,
             Seq.fill(2)(timeIt(noopWrite(exactRun()))).min)
           val t2 = sweepTimes(sweepNps, floorSec = exactSec)(sweepRun)
           sweepT = sweepT.map { case (np, t) => np -> math.min(t, t2(np)) }
           f16Sec2 = math.min(f16Sec2, timeIt(noopWrite(f16Run())))
+          f16SingleSec = math.min(f16SingleSec, timeIt(f16Single()))
+          runs += 1 // counted last — see the cosine section's note
         }
         def finish(): String = {
           val sweep = sweepNps.map { np =>
@@ -488,11 +517,12 @@ object Bench {
             s"""{"n_probe":32,"qps":${math.rint(NQ / f16Sec2 * 10) / 10},"recall_at_10":${r4(recall)}}"""
           }
           emb.unpersist(); queries.unpersist(); exact.unpersist()
-          serving.unpersist(); servingF16.unpersist()
+          serving.unpersist(); servingF16.unpersist(); q0f16.unpersist()
           def c3(d: Double): Double = math.rint(d * 1000) / 1000
           def c1(d: Double): Double = math.rint(d * 10) / 10
           s""","ann_l2":{"n":$N,"dim":$DIM,"n_queries":$NQ,"n_centroids":$K,"runs":$runs,""" +
             s""""build_sec":${c3(buildSec)},"exact_qps":${c1(NQ / exactSec)},""" +
+            s""""single_query":{"n_probe":16,"f16_pruned_sec":${c3(f16SingleSec)}},""" +
             s""""ivf":$sweep,"ivf_f16":$f16Ivf,$pqIvf}"""
         }
       })
@@ -552,11 +582,11 @@ object Bench {
         var runs = 1
         /** One more full measurement pass, keeping elementwise minima. */
         def remeasure(): Unit = {
-          runs += 1
           exactSec = math.min(exactSec,
             Seq.fill(2)(timeIt(noopWrite(exactRun()))).min)
           val t2 = sweepTimes(sweepNps, floorSec = exactSec)(sweepRun)
           sweepT = sweepT.map { case (np, t) => np -> math.min(t, t2(np)) }
+          runs += 1 // counted last — see the cosine section's note
         }
         def json: String = {
           val sweep = sweepNps.map { np =>
@@ -583,7 +613,7 @@ object Bench {
       if (blocks.map(_.exactRate).max > 3.0 * blocks.map(_.exactRate).min)
         blocks.minBy(_.exactRate).remeasure()
       Some(new AnnHandle {
-        def remeasure(): Unit = { runs += 1; blocks.foreach(_.remeasure()) }
+        def remeasure(): Unit = { blocks.foreach(_.remeasure()); runs += 1 }
         def finish(): String = {
           val out = blocks.map(_.json).mkString("[", ",", "]")
           blocks.foreach(_.release())
@@ -891,12 +921,22 @@ object Bench {
       val ap = serve().select(col("qid"), col("id")).cache(); ap.count()
       val rec = graft.search.Ivf.recallAt(ap, ex, 10)
       ex.unpersist(); ap.unpersist()
+      // Binary-mode single-query serving latency: one query end-to-end
+      // through the sign-word scan + f32 rerank — completes the capacity-
+      // mode coverage of the single_query story (f32/int8/f16/PQ/binary).
+      val q1 = q.filter(col("qid") === 0)
+      def serveSingle() = noopWrite(VectorSearch.searchBatchedFastBinary(
+        sIdx, emb, q1, k = 10, rerank = R))
+      serveSingle()
+      val singleSec = Seq.fill(3)(timeIt(serveSingle())).min
       emb.unpersist(); codes.unpersist(); q.unpersist(); sIdx.unpersist()
       def c1(d: Double): Double = math.rint(d * 10) / 10
+      def c3b(d: Double): Double = math.rint(d * 1000) / 1000
       s""","binary":{"n":$N,"dim":$dim,"n_queries":$NQ,"rerank":$R,""" +
         s""""qps_f32_exact":${c1(NQ / tx)},"qps_hamming_scan":${c1(NQ / tc)},""" +
         s""""qps_bin_rerank":${c1(NQ / tb)},"qps_bin_serving":${c1(NQ / ts)},""" +
         s""""qps_serving_scan":${c1(NQ / tsc)},""" +
+        s""""single_query_sec":${c3b(singleSec)},""" +
         s""""recall_vs_exact_at_10":${r4(rec)}}"""
     } catch { case _: Throwable => "" }
 

@@ -166,22 +166,33 @@ object Gardener {
     * aggregation.
     * `mem`: (user_id, tags array<string>, content, embedding array<float>).
     */
-  def userPreferenceInsights(mem: DataFrame, minSources: Long = 2): DataFrame = {
-    val relevant = mem.filter(
+  /** The C13 candidate filter, exposed as its own seam: these rows' contents
+    * are exactly what the preference-synthesis LLM would see per user
+    * (LlmFrameGoldenSpec pins them), and the centroid math below aggregates
+    * the same set — one definition serves both.
+    */
+  def preferenceCandidates(mem: DataFrame): DataFrame =
+    mem.filter(
       arrays_overlap(col("tags"),
         array(lit("user_interaction"), lit("observation"))) &&
         col("content").isNotNull && length(col("content")) > 0)
+
+  def userPreferenceInsights(mem: DataFrame, minSources: Long = 2): DataFrame = {
+    val relevant = preferenceCandidates(mem)
     // ONE corpus pass: the per-(user, position) aggregate carries both the
-    // running mean and the row count (identical at every position of a
-    // uniform-dim corpus), so n_sources falls out of the same exchange
-    // that builds the centroid — no second scan of the memory table.
+    // running mean and the row count, so n_sources falls out of the same
+    // exchange that builds the centroid — no second scan of the memory
+    // table. n_sources is the position-0 row count (= the number of
+    // non-empty embeddings, exactly the rows contributing to the
+    // centroid), NOT a per-position max — a ragged corpus can't skew it.
     relevant
       .select(col("user_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("user_id"), col("pos"))
       .agg(avg(col("v")).as("m"), count(lit(1)).as("cnt"))
       .groupBy(col("user_id"))
       .agg(sqrt(sum(col("m") * col("m"))).as("centroid_norm"),
-        count(lit(1)).as("dim"), max(col("cnt")).as("n_sources"))
+        count(lit(1)).as("dim"),
+        max(when(col("pos") === 0, col("cnt"))).as("n_sources"))
       .filter(col("n_sources") >= minSources)
       .withColumn("confidence", least(lit(1.0), col("n_sources") / 10.0))
   }
@@ -200,9 +211,13 @@ object Gardener {
     * `mem`: (mem_id, user_id nullable, typ, layer, archived, processed,
     *         content, text, summary, description).
     */
-  def coreFactGroups(mem: DataFrame, page: Int = 50,
-                     minConfidence: Double = 0.85,
-                     extractedFrom: Option[DataFrame] = None): DataFrame = {
+  /** The C14 candidate pipeline up to the LLM boundary, exposed as its own
+    * seam: (group_id, mem_id, body) — the exact per-group bodies the fact-
+    * extraction LLM would see (LlmFrameGoldenSpec pins them).
+    * [[coreFactGroups]] aggregates the same rows.
+    */
+  def coreFactCandidates(mem: DataFrame, page: Int = 50,
+                         extractedFrom: Option[DataFrame] = None): DataFrame = {
     // Already-processed exclusion: the reference checks for an existing
     // incoming `extracted_from` link (`gardener.go:3712-3717`) — when an
     // edge view is supplied, derive the exclusion as a left-anti join on
@@ -213,11 +228,10 @@ object Gardener {
         Seq("mem_id"), "left_anti")
       case None => mem.filter(!col("processed"))
     }
-    val cand = unprocessed.filter(
+    unprocessed.filter(
         (col("typ") === "user_interaction" || col("layer") === "episodic") &&
           !col("archived"))
       .orderBy(col("mem_id")).limit(page)
-    cand
       .withColumn("body", coalesce(
         Seq("content", "text", "summary", "description")
           .map(c => when(length(col(c)) > 0, col(c))): _*))
@@ -225,6 +239,13 @@ object Gardener {
       .withColumn("group_id",
         when(col("user_id").isNotNull, concat(lit("user:"), col("user_id")))
           .otherwise(concat(lit("solo:"), col("mem_id"))))
+      .select(col("group_id"), col("mem_id"), col("body"))
+  }
+
+  def coreFactGroups(mem: DataFrame, page: Int = 50,
+                     minConfidence: Double = 0.85,
+                     extractedFrom: Option[DataFrame] = None): DataFrame = {
+    coreFactCandidates(mem, page, extractedFrom)
       .groupBy(col("group_id"))
       .agg(count(lit(1)).as("n_inputs"), min(col("mem_id")).as("first_mem"))
       .withColumn("confidence", lit(minConfidence))
@@ -310,9 +331,16 @@ object Gardener {
       .agg(
         count_distinct(col("detector")).as("detector_count"),
         count(lit(1)).as("n_sources"),
-        exp(avg(log(col("confidence")))).as("geo_mean"),
+        exp(avg(log(col("confidence")))).as("geo_raw"),
+        min(col("confidence")).as("min_conf"),
         concat_ws(",", array_sort(collect_set(col("detector"))))
           .as("detector_types"))
+      // The reference MULTIPLIES confidences, so any non-positive factor
+      // collapses the product; Spark's log returns NULL below 0 (dropped
+      // from avg), so collapse explicitly instead of silently skipping.
+      .withColumn("geo_mean",
+        when(col("min_conf") <= 0, lit(0.0)).otherwise(col("geo_raw")))
+      .drop("geo_raw", "min_conf")
       .filter(col("detector_count") >= 2)
       .withColumn("composite_confidence",
         least(lit(1.0), col("geo_mean") *

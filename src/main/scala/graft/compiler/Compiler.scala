@@ -92,8 +92,15 @@ object Compiler {
     * array fields get all snippets (rank order), string fields the first.
     * The LLM path itself sits behind graft.llm.LlmClient.
     */
+  /** The K3 snippet filter — the exact source rows the LLM compile path
+    * would rank and prompt with (LlmFrameGoldenSpec pins them); the
+    * model-less [[bestEffort]] fallback aggregates the same rows.
+    */
+  def compileSnippets(nodes: DataFrame): DataFrame =
+    nodes.filter(col("content").isNotNull && col("content") =!= "")
+
   def bestEffort(nodes: DataFrame, fieldType: String): DataFrame = {
-    val snippets = nodes.filter(col("content").isNotNull && col("content") =!= "")
+    val snippets = compileSnippets(nodes)
     val value = fieldType match {
       case "array" =>
         snippets.agg(concat_ws("|", transform(

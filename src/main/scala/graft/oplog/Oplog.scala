@@ -67,22 +67,35 @@ object Oplog {
     * stack op filters (`op = 'VADD'`, …) on top of this, and the optimizer
     * rightly pushes those into a file-backed scan — row-group pruning can
     * then drop an unknown-op row before any lazy per-row `raise_error`
-    * would evaluate it, silently bypassing the guard. One dedicated
-    * op-column scan per fold is the replay-integrity price (the reference
-    * CRC-checks every frame on recovery for the same reason,
-    * `recovery.go:120-148`).
+    * would evaluate it, silently bypassing the guard. The op-column scan is
+    * the replay-integrity price (the reference CRC-checks every frame on
+    * recovery for the same reason, `recovery.go:120-148`) — but it is paid
+    * ONCE per log identity, not once per fold: the scan result is memoized
+    * on the canonicalized analyzed plan (structural equality, so a replay
+    * that calls foldVectors + foldEdges + foldConfig over the same log —
+    * even via separate `generate` calls — validates a single time). Keys
+    * are weakly held; dropping the log frees the memo entry.
     */
+  private val validatedPlans = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      java.lang.Boolean]())
+
   private def validated(oplog: DataFrame): DataFrame = {
-    val bad = oplog.select(col("op"))
-      .filter(!col("op").isin(KnownOps: _*) || col("op").isNull)
-      .limit(1).collect()
-    require(bad.isEmpty,
-      s"unknown oplog op: ${bad.headOption.map(_.getString(0)).orNull}")
+    val key = oplog.queryExecution.analyzed.canonicalized
+    if (!validatedPlans.containsKey(key)) {
+      val bad = oplog.select(col("op"))
+        .filter(!col("op").isin(KnownOps: _*) || col("op").isNull)
+        .limit(1).collect()
+      require(bad.isEmpty,
+        s"unknown oplog op: ${bad.headOption.map(_.getString(0)).orNull}")
+      validatedPlans.put(key, java.lang.Boolean.TRUE)
+    }
     oplog
   }
 
   /** Uniform row shape for one op class. `base` provides the driving rows. */
-  private def opRows(
+  private[graft] def opRows(
       base: DataFrame,
       seq: Column,
       op: String,
@@ -180,6 +193,52 @@ object Oplog {
         vector = col("embedding"), meta = map(lit("src"), lit("revived"))))
 
     stream.reduce(_ unionByName _)
+  }
+
+  /** S1's corruption-recovery half — permissive resync past damaged frames.
+    *
+    * The reference recovers from a torn/corrupt AOF by scanning forward to
+    * the next valid frame boundary, counting the skipped bytes, and
+    * continuing the replay (`pkg/engine/recovery.go:32-77`, exercised by
+    * `recovery_corrupt_aof_test.go`) — corruption costs the damaged frames,
+    * never the whole log. The Spark analogue of "frame fails to parse" is a
+    * row that fails the per-op shape contract; `resync` splits the raw log
+    * into (valid, quarantined) in one declarative pass, tagging each
+    * quarantined row with a `_corrupt` reason:
+    *   - `unknown_op`:   op is null or outside [[KnownOps]] (a frame whose
+    *     command byte didn't match any handler);
+    *   - `missing_seq`:  no total-order position (unrecoverable offset);
+    *   - `torn_payload`: a known op missing its required arguments (VADD
+    *     without id/vector, GLINK without src/dst/rel, …) — the truncated-
+    *     write case the reference's resync exists for.
+    *
+    * The valid side replays through the normal folds (whose eager
+    * [[validated]] gate then passes by construction); the quarantined side
+    * is the `_corrupt` side channel — count it, alert on it, keep serving.
+    * Strictness note: [[validated]]-then-fold remains the default path
+    * because silently skipping frames is how state loss hides; `resync` is
+    * the OPERATOR'S CHOICE recovery mode, mirroring the reference where
+    * resync is the recovery path, not the happy path.
+    *
+    * Scale: one column-pruned predicate pass, no shuffle, no collect.
+    */
+  def resync(raw: DataFrame): (DataFrame, DataFrame) = {
+    val reason =
+      when(col("op").isNull || !col("op").isin(KnownOps: _*), "unknown_op")
+        .when(col("seq").isNull, "missing_seq")
+        .when(col("op") === "VADD" &&
+          (col("id").isNull || col("vector").isNull), "torn_payload")
+        .when(col("op") === "VMETA" &&
+          (col("id").isNull || col("meta").isNull), "torn_payload")
+        .when(col("op") === "VDEL" && col("id").isNull, "torn_payload")
+        .when(col("op").isin("GLINK", "GUNLINK") &&
+          (col("src").isNull || col("dst").isNull || col("rel").isNull),
+          "torn_payload")
+        .when(col("op").isin("VCONFIG", "VAUTOLINKS") &&
+          col("payload").isNull, "torn_payload")
+    val tagged = raw.withColumn("_corrupt", reason)
+    (tagged.filter(col("_corrupt").isNull).drop("_corrupt"),
+      tagged.filter(col("_corrupt").isNotNull))
   }
 
   /** Events surviving the last VDROP of their index (drop erases history). */
@@ -369,7 +428,10 @@ object Oplog {
     prebuiltState.getOrElse(foldVectors(oplog)).filter(col("alive"))
       .join(broadcast(rules), Seq("index_name"))
       .withColumn("dst", try_element_at(col("meta"), col("rule.metadata_field")))
-      .filter(col("dst").isNotNull)
+      // The reference also skips empty-string targets, not just missing
+      // fields (processAutoLinks: `targetID == "" -> continue`,
+      // ops.go:1699-1737).
+      .filter(col("dst").isNotNull && col("dst") =!= "")
       .select(col("index_name"), col("id").as("src"), col("dst"),
         col("rule.relation_type").as("rel"), lit(1.0f).as("weight"),
         col("rule.create_node").as("create_node"))

@@ -37,6 +37,35 @@ object OplogQueries {
       Oplog.foldEdges(Oplog.generate(s, dir))
     }
 
+  /** Deterministic corruption injection for s15 — the Spark analogue of
+    * `recovery_corrupt_aof_test.go`'s garbage-bytes-mid-file fixture.
+    * Scale-linear with the log (one damaged frame per modulus hit), at seq
+    * slots unused by [[Oplog.generate]] so a correct resync reproduces the
+    * clean state exactly:
+    *   - v%13=0 → op "VJUNK" (command byte matching no handler);
+    *   - v%29=0 → torn VADD (id present, vector lost mid-write) — if
+    *     replayed it WOULD corrupt state (wipes the meta of its id), so the
+    *     oracle matching the clean fold proves the quarantine is real;
+    *   - v%31=0 → torn GLINK (rel lost);
+    *   - one null-op frame at seq 5.
+    */
+  private def corruptFrames(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Tables
+    val emb = Tables.embeddings(s, dir)
+    val v = col("vec_id")
+    val idS = v.cast("string")
+    val one = s.range(1).toDF()
+    Seq(
+      Oplog.opRows(emb.filter(v % 13 === 0), v * 100 + 26, "VJUNK", Oplog.MemIdx,
+        id = idS),
+      Oplog.opRows(emb.filter(v % 29 === 0), v * 100 + 27, "VADD", Oplog.MemIdx,
+        id = idS, meta = map(lit("src"), lit("torn"))),
+      Oplog.opRows(emb.filter(v % 31 === 0), v * 100 + 28, "GLINK", Oplog.MemIdx,
+        src = idS, dst = (v + 1).cast("string"), weight = lit(9.0)),
+      Oplog.opRows(one, lit(5), null, Oplog.MemIdx)
+    ).reduce(_ unionByName _)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1/S4/S5/S11/S12: full replay of the vector lifecycle — upsert resets
     // metadata, VMETA merges, VDEL tombstones, revive-after-delete, VDROP.
@@ -93,6 +122,32 @@ object OplogQueries {
         .agg(count(lit(1)).as("n_active_edges"),
           round(sum(col("weight")), 2).as("active_weight"))
       vs.crossJoin(es)
+    }),
+
+    // S1's recovery half: corruption resync (recovery.go:32-77). A log with
+    // injected garbage frames (unknown ops, torn payloads, a null op) must
+    // replay — through the permissive resync split — to EXACTLY the clean
+    // state, with every damaged frame quarantined and counted. The torn
+    // VADDs would wipe live metadata if they slipped through, so the hash
+    // match against the clean-state oracle is the proof of quarantine.
+    "s15_corrupt_resync" -> ((s, dir) => {
+      val corrupted = Oplog.generate(s, dir)
+        .unionByName(corruptFrames(s, dir))
+      val (valid, quarantined) = Oplog.resync(corrupted)
+      val st = Oplog.foldVectors(valid)
+        .filter(col("index_name") === Oplog.MemIdx && col("alive"))
+        .agg(count(lit(1)).as("n_alive"),
+          sum(when(try_element_at(col("meta"), lit("status")) === "hot", 1L)
+            .otherwise(0L)).as("n_hot"),
+          sum(when(try_element_at(col("meta"), lit("src")) === "revived", 1L)
+            .otherwise(0L)).as("n_revived"))
+      val sk = quarantined.agg(
+        count(lit(1)).as("n_skipped"),
+        sum(when(col("_corrupt") === "unknown_op", 1L).otherwise(0L))
+          .as("n_unknown_op"),
+        sum(when(col("_corrupt") === "torn_payload", 1L).otherwise(0L))
+          .as("n_torn"))
+      st.crossJoin(sk)
     }),
 
     // S12: catalog — created+dropped index states with live counts, served
@@ -209,6 +264,26 @@ object OplogQueries {
          |  (SELECT CAST(count(*) AS BIGINT) FROM vstate WHERE alive) AS n_alive,
          |  (SELECT CAST(count(*) AS BIGINT) FROM estate WHERE deleted_at IS NULL) AS n_active_edges,
          |  (SELECT round(sum(final_weight), 2) FROM estate WHERE deleted_at IS NULL) AS active_weight""".stripMargin,
+
+    // Clean state (quarantine worked) + analytic skip counts from the same
+    // moduli corruptFrames injects with.
+    "s15_corrupt_resync" ->
+      s"""WITH $vectorStateSql
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM vstate WHERE alive) AS n_alive,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM vstate
+         |     WHERE alive AND status = 'hot') AS n_hot,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM vstate
+         |     WHERE alive AND msrc = 'revived') AS n_revived,
+         |  (SELECT CAST(count(*) FILTER (WHERE v % 13 = 0)
+         |     + count(*) FILTER (WHERE v % 29 = 0)
+         |     + count(*) FILTER (WHERE v % 31 = 0) + 1 AS BIGINT)
+         |     FROM vstate) AS n_skipped,
+         |  (SELECT CAST(count(*) FILTER (WHERE v % 13 = 0) + 1 AS BIGINT)
+         |     FROM vstate) AS n_unknown_op,
+         |  (SELECT CAST(count(*) FILTER (WHERE v % 29 = 0)
+         |     + count(*) FILTER (WHERE v % 31 = 0) AS BIGINT)
+         |     FROM vstate) AS n_torn""".stripMargin,
 
     "s12_catalog" ->
       s"""WITH $vectorStateSql

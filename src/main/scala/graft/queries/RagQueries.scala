@@ -148,8 +148,10 @@ object RagQueries {
     "r5_hyde" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val docs = Tables.documents(s, dir)
-      val rewritten = graft.llm.StubLlm.complete(s"cqr: $R5Query | $R5History")
-      val hydoc = graft.llm.StubLlm.complete(s"hyde: $rewritten")
+      // The prompt chain comes from the shared frame builder so the golden
+      // spec pins exactly what this query hands the stub.
+      val hydePrompt = graft.llm.LlmFrames.r5Frames(R5Query, R5History).last._2
+      val hydoc = graft.llm.StubLlm.complete(hydePrompt)
       val qvec = graft.streaming.Streams.hashEmbedding(lit(hydoc), dim = 64)
       emb
         .withColumn("d", lit(1.0) -

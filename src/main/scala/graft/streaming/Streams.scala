@@ -90,6 +90,56 @@ object Streams {
       writesSinceLast >= writeThreshold && (nowMs - lastThinkMs) >= minIntervalMs
   }
 
+  /** E3 replayed over an event log: every think cycle [[ThinkScheduler]]
+    * would have fired, per agent stream.
+    *
+    * Firing RESETS both gates (counter → 0, clock → fire time), so each
+    * fire depends on the previous one — inherently sequential WITHIN a
+    * stream, exactly like sequence packing. Same scale shape as
+    * [[graft.text.Packing.packNextFit]]: hash-partition by the agent key,
+    * sort (key, ts, seq) within partitions, one forward pass per stream in
+    * `mapPartitions`. Parallelism = #agents; 100 TB of events across 10M
+    * agents replays with zero coordination.
+    *
+    * The replay clock starts at epoch (lastThink = 0): the first cycle of a
+    * stream is gated by the write threshold alone, matching a scheduler
+    * that has never thought before.
+    *
+    * `tsMsCol` must be a numeric epoch-milliseconds column (the caller
+    * normalizes whatever physical type the log's timestamp landed as —
+    * same contract as [[graft.core.Tables.tsSecExpr]]).
+    *
+    * Returns one row per fired cycle: (key, fire_ms, writes_since_last).
+    */
+  def thinkTriggers(events: DataFrame, keyCol: String, tsMsCol: String,
+      seqCol: String, writeThreshold: Long, minIntervalMs: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val sched = ThinkScheduler(writeThreshold, minIntervalMs)
+    val prepared = events
+      .select(col(keyCol).cast("long").as("k"),
+        col(tsMsCol).cast("long").as("tms"),
+        col(seqCol).cast("long").as("seq"))
+      .repartition(col("k"))
+      .sortWithinPartitions("k", "tms", "seq")
+      .as[(Long, Long, Long)]
+    prepared.mapPartitions { it =>
+      // Hash partitioning never splits a key; reset state on stream change.
+      var curKey = Long.MinValue
+      var writes = 0L
+      var lastThink = 0L
+      it.flatMap { case (k, tms, _) =>
+        if (k != curKey) { curKey = k; writes = 0L; lastThink = 0L }
+        writes += 1
+        if (sched.shouldThink(writes, lastThink, tms)) {
+          val fired = (k, tms, writes)
+          writes = 0L; lastThink = tms
+          Some(fired)
+        } else None
+      }
+    }.toDF("key", "fire_ms", "writes_since_last")
+  }
+
   /** Deterministic hash embedder — the pluggable-embedder test double
     * (SURVEY §7.2 M6): dim pseudo-random-but-deterministic components in
     * [-0.5, 0.5) derived from the content's polynomial hash.

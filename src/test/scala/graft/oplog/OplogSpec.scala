@@ -115,6 +115,34 @@ class OplogSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("unknown oplog op")), e.toString)
   }
 
+  test("resync quarantines damaged frames and replays the valid rest") {
+    val raw = log(Seq(
+      vadd(1, "a", Map("x" -> "1")),
+      Row(2L, 2L, "BOGUS", "i", null, null, null, null, null, null, null, null),
+      // torn VADD: would wipe a's meta if replayed
+      Row(3L, 3L, "VADD", "i", "a", null, null, null, null, null, null, null),
+      Row(4L, 4L, null, "i", null, null, null, null, null, null, null, null),
+      // torn GLINK: rel lost mid-write
+      Row(5L, 5L, "GLINK", "i", null, null, null, "a", "b", null, 1.0, null),
+      glink(6, "a", "b", 2.0)))
+    val (valid, quarantined) = Oplog.resync(raw)
+    val reasons = quarantined.groupBy("_corrupt").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(reasons === Map("unknown_op" -> 2L, "torn_payload" -> 2L))
+    // valid side replays cleanly: a alive with its original meta, one edge
+    val st = Oplog.foldVectors(valid).collect().head
+    assert(st.getMap[String, String](st.fieldIndex("meta")).toMap ===
+      Map("x" -> "1"))
+    assert(Oplog.foldEdges(valid).count() === 1L)
+  }
+
+  test("resync on a clean log quarantines nothing") {
+    val raw = log(Seq(vadd(1, "a", Map("x" -> "1")), glink(2, "a", "b", 1.0)))
+    val (valid, quarantined) = Oplog.resync(raw)
+    assert(quarantined.isEmpty)
+    assert(valid.count() === 2L)
+  }
+
   test("VCONFIG/VAUTOLINKS: latest-wins, need a live index, die with VDROP") {
     val st = Oplog.foldConfig(log(Seq(
         vcreate(1, "a"),
