@@ -25,7 +25,13 @@ object ScaleCheck {
 
   private val Names = Seq("d1_exact_dedup", "d2_minhash_lsh", "d3_simhash",
     "d4_ngram_jaccard", "d5_cosine_neardup", "d6_lsh_skew_cap",
-    "d8_dedup_components", "s1_replay", "x5_pipeline", "x9_pii",
+    "d8_dedup_components",
+    // Replay/fold family (VERDICT r10 #6): all three heavy oplog folds over
+    // a 10× log — vector fold, edge fold + cascade, snapshot + tail replay
+    // (the snapshot layout builds during warmup, so the timed reps measure
+    // the steady-state fold like the bench does).
+    "s1_replay", "s2_snapshot_compact", "s11_delete_cascade",
+    "x5_pipeline", "x9_pii",
     "x10_packing", "x11_funnel_pack",
     "x16_boilerplate", "x17_rarity", "x19_dataset_card", "x20_top_bigrams",
     // Graph traversals (VERDICT r09 #7): the scaled dir replicates

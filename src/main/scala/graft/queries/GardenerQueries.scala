@@ -205,13 +205,13 @@ object GardenerQueries {
     // over the temporal edge view (returned lineitems' soft deletes make the
     // three snapshots genuinely differ).
     "c15_knowledge_evolution" -> ((s, dir) => {
-      // The derived edge view (with its DISTINCT supplied_by leg) feeds
-      // the root selection plus two hop joins — materialize it once
-      // (deployment shape: the edge view IS a stored table; see the
-      // oplog-fold layouts) instead of recomputing it per consumer.
+      // The edge view is served from the shared stored layout (see
+      // GraphQueries.edgeView — the state table IS materialized in a
+      // deployment), so the steady-state cost here is a pruned parquet
+      // read, not re-deriving + eagerly checkpointing the view per run
+      // (the localCheckpoint this replaces was the bench's slowest line).
       val e = GraphQueries.edgeView(s, dir)
         .select("src", "dst", "created_at", "deleted_at")
-        .localCheckpoint(true)
       Gardener.knowledgeEvolution(e, _.startsWith("supp:"), GraphQueries.T0)
         .select(col("root"), col("snap"), col("in_degree"),
           col("n_connected"), round(col("confidence"), 6).as("confidence"))

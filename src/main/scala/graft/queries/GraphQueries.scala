@@ -23,7 +23,17 @@ object GraphQueries {
   /** 1995-06-01T00:00:00Z — mid-range of the order dates. */
   val T0 = 801964800L
 
-  def edgeView(s: SparkSession, dir: String): DataFrame = {
+  /** Deployment shape: the edge view IS a stored state table — the
+    * reference serves every graph op from its materialized graph, not by
+    * re-deriving edges from raw order rows per query — so it's built once
+    * per corpus through the shared layout store and every consumer
+    * (traversals, gardener snapshots, hydration) reads the parquet.
+    */
+  def edgeView(s: SparkSession, dir: String): DataFrame =
+    Layouts.stored(s, dir, "edge_view_full") { derivedEdgeView(s, dir) }
+
+  /** The derivation the layout build runs (one pass over orders/lineitem). */
+  private def derivedEdgeView(s: SparkSession, dir: String): DataFrame = {
     val orders = Tables.orders(s, dir)
     val li = Tables.lineitem(s, dir)
     val placed = orders.select(

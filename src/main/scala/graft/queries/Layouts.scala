@@ -23,8 +23,11 @@ object Layouts {
   private def root(dir: String, name: String): String = {
     // Key on the source tables' identity AND content fingerprint (size +
     // mtime): /tmp outlives test-data regeneration, and serving a stale
-    // layout for fresh data would silently corrupt results.
-    val fp = Seq("documents.parquet", "embeddings.parquet").map { f =>
+    // layout for fresh data would silently corrupt results. Covers every
+    // table any layout derives from (docs/embeddings + the graph tables
+    // behind the stored edge view).
+    val fp = Seq("documents.parquet", "embeddings.parquet",
+      "orders.parquet", "lineitem.parquet").map { f =>
       val p = Paths.get(dir, f)
       if (Files.exists(p))
         s"${Files.size(p)}-${Files.getLastModifiedTime(p).toMillis}"

@@ -90,6 +90,37 @@ class StreamsSpec extends SparkSpec {
     assert(s.shouldThink(500, 100000, 130000))
   }
 
+  test("thinkTriggers: fire resets both gates; streams are independent") {
+    import spark.implicits._
+    // key 1: writes every second t=0..9s, threshold 3, interval 5000 ms.
+    // The replay clock starts at epoch (lastThink = 0), so with these tiny
+    // timestamps the FIRST fire is interval-gated too: threshold crosses
+    // at t=2000 but Δt<5000 until t=5000 → fire@5000 with 6 accumulated
+    // writes; then writes reach 3 again at t=8000 but Δt from 5000 stays
+    // <5000 through t=9000 → no second fire.
+    // key 2: only 2 writes — below threshold, never fires.
+    val ev = ((0L to 9L).map(i => (1L, i * 1000, i)) ++
+      Seq((2L, 0L, 100L), (2L, 1000L, 101L)))
+      .toDF("user_id", "ts_ms", "event_id")
+    val fires = Streams.thinkTriggers(ev, "user_id", "ts_ms", "event_id",
+        writeThreshold = 3L, minIntervalMs = 5000L)
+      .orderBy("key", "fire_ms").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(fires.toSeq === Seq((1L, 5000L, 6L)))
+  }
+
+  test("thinkTriggers: event at exactly lastThink + interval fires (>=)") {
+    import spark.implicits._
+    val ev = Seq((1L, 0L, 0L), (1L, 1L, 1L), (1L, 5001L, 2L))
+      .toDF("user_id", "ts_ms", "event_id")
+    val fires = Streams.thinkTriggers(ev, "user_id", "ts_ms", "event_id",
+        writeThreshold = 2L, minIntervalMs = 5000L)
+      .orderBy("fire_ms").collect().map(r => (r.getLong(1), r.getLong(2)))
+    // First fire at t=1 (clock starts at epoch 0... 1-0 < 5000 → hold;
+    // writes keep accumulating until 5001-0 >= 5000 → fire with 3 writes).
+    assert(fires.toSeq === Seq((5001L, 3L)))
+  }
+
   test("streaming exact dedup suppresses duplicate content across batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
