@@ -73,7 +73,7 @@ object MiscQueries {
 
     // F8: valid-id scan over the replayed oplog state (non-deleted only).
     "f8_valid_ids" -> ((s, dir) => {
-      Oplog.foldVectors(Oplog.generate(s, dir))
+      Oplog.foldVectors(OplogQueries.storedOplog(s, dir))
         .filter(col("index_name") === Oplog.MemIdx && col("alive") &&
           col("id").cast("long") < 50)
         .select(col("id").cast("long").as("id"))
@@ -131,7 +131,7 @@ object MiscQueries {
     // G11: 1-hop hydrated connections + broken-link detection (the
     // self-repair scan: active edge whose target is not alive).
     "g11_connections" -> ((s, dir) => {
-      val oplog = Oplog.generate(s, dir)
+      val oplog = OplogQueries.storedOplog(s, dir)
       val alive = Oplog.foldVectors(oplog)
         .filter(col("index_name") === Oplog.MemIdx && col("alive"))
         .select(col("id").as("dst"), lit(true).as("dst_alive"))

@@ -140,6 +140,60 @@ object Streams {
     }.toDF("key", "fire_ms", "writes_since_last")
   }
 
+  /** E3 live: the think trigger as a STATEFUL STREAMING transform — the
+    * true analogue of the reference's always-on background scheduler
+    * (`gardener.go:506-528` runs per write; [[thinkTriggers]] is its batch
+    * replay, which e3's oracle checks).
+    *
+    * `flatMapGroupsWithState` keeps exactly the scheduler's state per agent
+    * key — (writes_since_last, last_think_ms), two longs, so state size is
+    * O(#agents) and never grows with event volume. Each micro-batch's
+    * events are folded in (ts, seq) order through the same
+    * [[ThinkScheduler]] gate; fires append as they happen. Applied to a
+    * batch frame the same fold degrades to [[thinkTriggers]] (asserted
+    * stream ≡ batch in StreamsSpec).
+    *
+    * Ordering contract: event-time order is guaranteed WITHIN a micro-batch
+    * (explicit sort); across batches the fold consumes arrival order, the
+    * same contract the reference's live scheduler has (it counts writes as
+    * they happen — it cannot re-order history either).
+    */
+  def thinkTriggerStream(events: DataFrame, keyCol: String, tsMsCol: String,
+      seqCol: String, writeThreshold: Long, minIntervalMs: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    if (!events.isStreaming)
+      return thinkTriggers(events, keyCol, tsMsCol, seqCol,
+        writeThreshold, minIntervalMs)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val sched = ThinkScheduler(writeThreshold, minIntervalMs)
+    events
+      .select(col(keyCol).cast("long").as("k"),
+        col(tsMsCol).cast("long").as("tms"),
+        col(seqCol).cast("long").as("seq"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k: Long, it: Iterator[(Long, Long, Long)],
+         state: GroupState[(Long, Long)]) =>
+          var (writes, lastThink) = state.getOption.getOrElse((0L, 0L))
+          val fires = Seq.newBuilder[(Long, Long, Long)]
+          // Sort THIS batch's events by event time (group iterators carry
+          // no order guarantee); a micro-batch is small by construction.
+          it.toArray.sortBy(e => (e._2, e._3)).foreach { case (_, tms, _) =>
+            writes += 1
+            if (sched.shouldThink(writes, lastThink, tms)) {
+              fires += ((k, tms, writes))
+              writes = 0L; lastThink = tms
+            }
+          }
+          state.update((writes, lastThink))
+          fires.result().iterator
+      }
+      .toDF("key", "fire_ms", "writes_since_last")
+  }
+
   /** Deterministic hash embedder — the pluggable-embedder test double
     * (SURVEY §7.2 M6): dim pseudo-random-but-deterministic components in
     * [-0.5, 0.5) derived from the content's polynomial hash.

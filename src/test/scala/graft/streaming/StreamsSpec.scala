@@ -121,6 +121,46 @@ class StreamsSpec extends SparkSpec {
     assert(fires.toSeq === Seq((5001L, 3L)))
   }
 
+  test("thinkTriggerStream: stateful stream across micro-batches == batch replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // Same workload as the batch gate test (key 1 fires at t=5000 with 6
+    // writes; key 2 never fires) — but split mid-stream so the fire
+    // depends on state carried ACROSS batches: at the batch-1 boundary
+    // (t≤3000) nothing has fired yet, the counter is 4.
+    val all = ((0L to 9L).map(i => (1L, i * 1000, i)) ++
+      Seq((2L, 0L, 100L), (2L, 1000L, 101L)))
+    val (b1, b2) = all.partition(_._2 <= 3000)
+
+    val ms = MemoryStream[(Long, Long, Long)]
+    val out = Streams.thinkTriggerStream(
+      ms.toDF.toDF("user_id", "ts_ms", "event_id"),
+      "user_id", "ts_ms", "event_id",
+      writeThreshold = 3L, minIntervalMs = 5000L)
+    val q = out.writeStream.format("memory").queryName("think_s")
+      .outputMode("append").start()
+    val streamed = try {
+      ms.addData(b1: _*); q.processAllAvailable()
+      assert(spark.table("think_s").isEmpty,
+        "no fire may happen before the interval gate passes")
+      ms.addData(b2: _*); q.processAllAvailable()
+      spark.table("think_s").orderBy("key", "fire_ms").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    } finally q.stop()
+    assert(streamed === Seq((1L, 5000L, 6L)))
+
+    // Batch degradation: the same entry point folds identically.
+    val batch = Streams.thinkTriggerStream(
+      all.toDF("user_id", "ts_ms", "event_id"),
+      "user_id", "ts_ms", "event_id",
+      writeThreshold = 3L, minIntervalMs = 5000L)
+      .orderBy("key", "fire_ms").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(batch === streamed)
+  }
+
   test("streaming exact dedup suppresses duplicate content across batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
