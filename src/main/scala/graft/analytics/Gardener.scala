@@ -152,6 +152,59 @@ object Gardener {
         max(col("created_at")).as("last_failure"))
       .filter(col("n_failures") >= minFailures)
 
+  /** Meta-node types the contradiction detector must never scan — avoids
+    * circular contradictions between derived nodes and wasted LLM calls
+    * (`detectContradictions`, gardener.go:1331-1337; the list grew to four
+    * types in the reference's 0.5.2 "meta-node contradiction loop
+    * prevention" fix).
+    */
+  val ContradictionMetaTypes: Seq[String] =
+    Seq("reflection", "consolidated_memory", "consolidated_belief",
+      "evolved_memory")
+
+  /** C8 candidate generation — the full deterministic scaffolding in front
+    * of the contradiction-judge LLM (`detectContradictions`,
+    * gardener.go:1310-1371): per scanned node of the current cursor page,
+    * its top-`k` semantic neighbors kept only in the similarity band
+    * [`lo`, `hi`] (similar topic, but not the same text), skipping
+    * empty-content and meta-type nodes, the node itself, and pairs already
+    * analyzed in a previous cycle (an `analyzed_against` edge from the
+    * scanned node).
+    *
+    * Scale shape = the reference's own serving shape: the page is a small
+    * batch (50 ids per cycle) BROADCAST against the corpus through
+    * [[graft.search.VectorSearch.topKBatch]]'s bounded top-k aggregate —
+    * the corpus is scanned once per cycle, never shuffled, never joined
+    * all-pairs. `analyzed` stays a keyed anti-join: at 100 TB the edge
+    * set is a table, not a driver set.
+    *
+    * `mem`: (mem_id, embedding, typ, content); `page`: (mem_id) — the
+    * cursor batch; `analyzed`: (src, dst) directed analyzed_against edges.
+    * Output: (src_mem, dst_mem, sim) — exactly the pairs the judge LLM
+    * would receive ([[graft.llm.LlmFrames.contradictionFrames]] formats
+    * the c8 sentiment seam; this is the similarity seam).
+    */
+  def contradictionCandidates(
+      mem: DataFrame,
+      page: DataFrame,
+      analyzed: DataFrame,
+      k: Int = 5,
+      lo: Double = 0.70,
+      hi: Double = 0.95): DataFrame = {
+    val scanned = mem.join(page.select(col("mem_id")), Seq("mem_id"))
+      .filter(col("content").isNotNull && col("content") =!= "" &&
+        !col("typ").isin(ContradictionMetaTypes: _*))
+      .select(col("mem_id").as("qid"), col("embedding").as("qvec"))
+    graft.search.VectorSearch.topKBatch(
+        mem.select(col("mem_id").as("id"), col("embedding").as("vector")),
+        scanned, k = k, metric = "cosine", wide = true)
+      .withColumn("sim", round(lit(1.0) - col("distance"), 6))
+      .filter(col("id") =!= col("qid") && col("sim") >= lo && col("sim") <= hi)
+      .join(analyzed.select(col("src").as("qid"), col("dst").as("id")),
+        Seq("qid", "id"), "left_anti")
+      .select(col("qid").as("src_mem"), col("id").as("dst_mem"), col("sim"))
+  }
+
   /** C9 family — user-preference insight scaffolding
     * (`detectUserPreferences`, gardener.go:2430-2567). Deterministic
     * portion ported: the relevance filter (tags containing

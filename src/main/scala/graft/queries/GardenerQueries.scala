@@ -248,6 +248,39 @@ object GardenerQueries {
         .orderBy(col("entity"))
     }),
 
+    // C17 (C8's similarity seam): contradiction candidate generation — the
+    // deterministic scaffolding in front of the judge LLM
+    // (detectContradictions, gardener.go:1310-1371). Two gardener cycles:
+    // cycle 1 scans the even half of the 50-id cursor page and its
+    // candidate pairs become analyzed_against edges; cycle 2 scans the full
+    // page and must exclude exactly cycle 1's pairs — the reference's
+    // incremental cursor semantics. Top-5 neighbors per scanned node, kept
+    // in the similarity band, skipping meta-nodes/empty content/self. Band
+    // scaled to the synthetic corpus's similarity range (top-5 sims span
+    // ~0.27-0.60 here; the API defaults keep the reference's 0.70/0.95,
+    // which assume its normalized real-text embeddings).
+    "c17_contradiction_candidates" -> ((s, dir) => {
+      val mem = Tables.embeddings(s, dir).select(
+        col("vec_id").cast("long").as("mem_id"), col("embedding"),
+        when(col("vec_id") % 19 === 0, "reflection")
+          .when(col("vec_id") % 19 === 1, "consolidated_memory")
+          .when(col("vec_id") % 19 === 2, "consolidated_belief")
+          .when(col("vec_id") % 19 === 3, "evolved_memory")
+          .otherwise("memory").as("typ"),
+        when(col("vec_id") % 13 === 0, "")
+          .otherwise(concat(lit("m"), col("vec_id"))).as("content"))
+      val page1 = mem.filter(col("mem_id") % 2 === 0 && col("mem_id") < 50)
+      val page2 = mem.filter(col("mem_id") < 50)
+      val none = mem.select(col("mem_id").as("src"), col("mem_id").as("dst"))
+        .limit(0)
+      val analyzed = Gardener.contradictionCandidates(mem, page1, none,
+          lo = 0.30, hi = 0.45)
+        .select(col("src_mem").as("src"), col("dst_mem").as("dst"))
+      Gardener.contradictionCandidates(mem, page2, analyzed,
+          lo = 0.30, hi = 0.45)
+        .orderBy(col("src_mem"), col("dst_mem"))
+    }),
+
     // C11: deterministic keyword-based profiles.
     "c11_profiles" -> ((s, dir) => {
       val inter = mentions(s, dir).filter(col("entity") < 30)
@@ -262,6 +295,44 @@ object GardenerQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Independent re-derivation of both gardener cycles: brute-force
+    // ranked similarity (window row_number) vs the engine's bounded TopK
+    // aggregate; the cycle-1 CTE re-computes the analyzed_against set.
+    // Restricting queries per page AFTER ranking is sound: top-5 is
+    // per-qid independent, so one `cand` CTE serves both cycles, exactly
+    // like the Spark side's per-page calls.
+    "c17_contradiction_candidates" ->
+      """WITH mem AS (
+        |  SELECT vec_id AS mem_id, embedding,
+        |    CASE WHEN vec_id % 19 = 0 THEN 'reflection'
+        |         WHEN vec_id % 19 = 1 THEN 'consolidated_memory'
+        |         WHEN vec_id % 19 = 2 THEN 'consolidated_belief'
+        |         WHEN vec_id % 19 = 3 THEN 'evolved_memory'
+        |         ELSE 'memory' END AS typ,
+        |    CASE WHEN vec_id % 13 = 0 THEN '' ELSE concat('m', vec_id) END AS content
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.mem_id AS qid, c.mem_id AS id,
+        |    list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |      CAST(q.embedding AS DOUBLE[])) AS s
+        |  FROM mem AS q, mem AS c
+        |  WHERE q.content <> '' AND q.typ NOT IN
+        |    ('reflection','consolidated_memory','consolidated_belief','evolved_memory')),
+        |ranked AS (
+        |  SELECT qid, id, round(s, 6) AS sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY (1.0 - s), id) AS rn
+        |  FROM scored),
+        |cand AS (
+        |  SELECT qid, id, sim FROM ranked
+        |  WHERE rn <= 5 AND id <> qid AND sim >= 0.30 AND sim <= 0.45)
+        |SELECT CAST(c2.qid AS BIGINT) AS src_mem,
+        |  CAST(c2.id AS BIGINT) AS dst_mem, c2.sim
+        |FROM (SELECT qid, id, sim FROM cand WHERE qid < 50) AS c2
+        |LEFT JOIN (SELECT qid, id FROM cand WHERE qid % 2 = 0 AND qid < 50) AS c1
+        |  ON c1.qid = c2.qid AND c1.id = c2.id
+        |WHERE c1.qid IS NULL
+        |ORDER BY 1, 2""".stripMargin,
+
     "c4_importance_shifts" ->
       s"""WITH $mentionsSql,
          |agg AS (
