@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -107,6 +107,30 @@ object RagQueries {
           col("depth").cast("long").as("depth"), round(col("final"), 6).as("final"),
           col("tokens"), col("kept"))
         .orderBy(col("doc_id"))
+    }),
+
+    // R8 (R2's DEFAULT strategy, ExpansionStrategy "graph"): weighted
+    // multi-depth BFS expansion — per-relation score weights, shortest-
+    // depth dedup, disallowed-relation filter (the 'cites' edges must not
+    // contribute), and the 25-node discovery cap truncating the
+    // overflowing level by (derived desc, id).
+    "r8_graph_expansion" -> ((s, dir) => {
+      val di = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long").as("i"))
+      def e(rel: String, dst: Column): DataFrame =
+        di.select(col("i").as("src"), dst.cast("long").as("dst"),
+          lit(rel).as("rel"))
+      val edges = e("next", col("i") + 1)
+        .unionByName(e("prev", col("i") - 1))
+        .unionByName(e("parent", col("i") - pmod(col("i"), lit(5))))
+        .unionByName(e("mentions", pmod(col("i") * 7, lit(1000))))
+        .unionByName(e("cites", pmod(col("i") * 11, lit(1000))))
+      val seedSet = graft.core.Local.materialized(seeds(s, dir))
+      Rag.expandGraphBfs(seedSet, edges, depth = 2, maxNodes = 25)
+        .select(col("id").cast("long").as("id"),
+          col("depth").cast("long").as("depth"),
+          round(col("derived"), 6).as("derived"))
+        .orderBy(col("id"))
     }),
 
     // R3: information density (unique-token ratio).
@@ -271,6 +295,55 @@ object RagQueries {
          |FROM ord o LEFT JOIN (SELECT kept_id FROM pack WHERE kept_id IS NOT NULL) k
          |  ON k.kept_id = o.id
          |ORDER BY doc_id""".stripMargin,
+
+    // Independent level-by-level re-derivation of the capped weighted BFS
+    // (depth is a fixed 2, so plain CTEs — no recursion needed). The
+    // 'cites' edges are deliberately absent: the Spark side must filter
+    // them via the relation allow-list.
+    "r8_graph_expansion" ->
+      s"""WITH $memSql,
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |scored AS (
+         |  SELECT m.doc_id, ${cosSql("m.embedding", "q.qv")} AS d
+         |  FROM mem m CROSS JOIN q),
+         |seeds AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS id, 1.0 / (1.0 + d) AS derived
+         |  FROM (SELECT *, row_number() OVER (ORDER BY d, doc_id) AS rn FROM scored)
+         |  WHERE rn <= 5),
+         |di AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+         |edges AS (
+         |  SELECT i AS src, i + 1 AS dst, 0.95 AS w FROM di
+         |  UNION ALL SELECT i, i - 1, 0.95 FROM di
+         |  UNION ALL SELECT i, i - (i % 5), 0.80 FROM di
+         |  UNION ALL SELECT i, (i * 7) % 1000, 0.50 FROM di),
+         |lvl1 AS (
+         |  SELECT e.dst AS id, max(s.derived * e.w) AS derived
+         |  FROM seeds s JOIN edges e ON e.src = s.id
+         |  WHERE e.dst NOT IN (SELECT id FROM seeds)
+         |  GROUP BY e.dst),
+         |lvl1c AS (
+         |  SELECT id, derived FROM (
+         |    SELECT id, derived,
+         |      row_number() OVER (ORDER BY derived DESC, id) AS rn FROM lvl1)
+         |  WHERE rn <= 25 - (SELECT count(*) FROM seeds)),
+         |vis1 AS (
+         |  SELECT id, 0 AS depth, derived FROM seeds
+         |  UNION ALL SELECT id, 1, derived FROM lvl1c),
+         |lvl2 AS (
+         |  SELECT e.dst AS id, max(f.derived * e.w) AS derived
+         |  FROM lvl1c f JOIN edges e ON e.src = f.id
+         |  WHERE e.dst NOT IN (SELECT id FROM vis1)
+         |  GROUP BY e.dst),
+         |lvl2c AS (
+         |  SELECT id, derived FROM (
+         |    SELECT id, derived,
+         |      row_number() OVER (ORDER BY derived DESC, id) AS rn FROM lvl2)
+         |  WHERE rn <= 25 - (SELECT count(*) FROM vis1))
+         |SELECT CAST(id AS BIGINT) AS id, CAST(depth AS BIGINT) AS depth,
+         |  round(derived, 6) AS derived
+         |FROM (SELECT id, depth, derived FROM vis1
+         |      UNION ALL SELECT id, 2, derived FROM lvl2c)
+         |ORDER BY id""".stripMargin,
 
     "r3_density" ->
       """SELECT doc_id,

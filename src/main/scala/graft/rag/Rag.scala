@@ -59,6 +59,92 @@ object Rag {
     seeds.withColumn("depth", lit(0)).unionByName(expanded)
   }
 
+  /** The reference's default graph-expansion config
+    * (`DefaultAdaptiveConfig`, config.go:93-116): relation allow-list and
+    * per-relation score weights (sequential strong → associative weak),
+    * 0.3 for a relation with no configured weight.
+    */
+  val DefaultGraphRelations: Seq[String] =
+    Seq("next", "prev", "parent", "child", "mentions", "related_to")
+  val DefaultEdgeWeights: Map[String, Double] = Map(
+    "next" -> 0.95, "prev" -> 0.95, "parent" -> 0.80, "child" -> 0.70,
+    "mentions" -> 0.50, "related_to" -> 0.40)
+  val DefaultEdgeWeight: Double = 0.3
+
+  /** R2 — the reference's DEFAULT expansion strategy: weighted graph BFS
+    * (`expandGraphBFS`, adaptive_retriever.go:213-297; `ExpansionStrategy:
+    * "graph"`). Per level: frontier × allowed edges, score = parent score ×
+    * relation weight, shortest-depth dedup (a node keeps the depth it was
+    * first reached at), capped at `maxNodes` total discovered nodes.
+    *
+    * Determinism deviations from the queue-order reference, both documented
+    * because Go map iteration makes its tie outcomes unstable anyway:
+    * multiple same-depth parents → MAX derived (the reference keeps
+    * whichever dequeued first and only upgrades on strictly-shorter paths,
+    * `updateChunkScore` :449-457); the node cap truncates the OVERFLOWING
+    * LEVEL by (derived desc, id) instead of discovery order.
+    *
+    * Scale shape: one keyed join + keyed max per level, depth ≤ 2-3 by
+    * config; the edge table is never shuffled more than once per level and
+    * the frontier/visited joins follow the same keyed anti-join discipline
+    * as [[graft.graph.GraphOps.bfs]].
+    *
+    * seeds: (id, derived); edges: (src, dst, rel).
+    * Returns (id, depth, derived).
+    */
+  def expandGraphBfs(
+      seeds: DataFrame,
+      edges: DataFrame,
+      depth: Int = 2,
+      edgeWeights: Map[String, Double] = DefaultEdgeWeights,
+      allowedRels: Seq[String] = DefaultGraphRelations,
+      maxNodes: Int = 200): DataFrame = {
+    val weightCol = edgeWeights
+      .map { case (r, wt) => when(col("rel") === r, lit(wt)) }
+      .reduceOption(coalesce(_, _))
+      .map(c => coalesce(c, lit(DefaultEdgeWeight)))
+      .getOrElse(lit(DefaultEdgeWeight))
+    val e = edges.filter(col("rel").isin(allowedRels: _*))
+      .select(col("src"), col("dst"), weightCol.as("_w"))
+    var visited = seeds.select(col("id"), lit(0).as("depth"),
+      col("derived")).localCheckpoint(true)
+    var frontier = visited
+    var total = visited.count()
+    var d = 1
+    while (d <= depth && total < maxNodes && !frontier.isEmpty) {
+      val next = frontier.join(e, frontier("id") === e("src"))
+        .select(col("dst").as("id"), (col("derived") * col("_w")).as("derived"))
+        .groupBy(col("id")).agg(max(col("derived")).as("derived"))
+        .join(visited.select(col("id")), Seq("id"), "left_anti")
+        .withColumn("depth", lit(d))
+        .select(col("id"), col("depth"), col("derived"))
+        .localCheckpoint(true)
+      val n = next.count()
+      val room = maxNodes - total
+      frontier =
+        if (n > room)
+          next.orderBy(col("derived").desc, col("id")).limit(room.toInt)
+            .localCheckpoint(true)
+        else next
+      visited = visited.unionByName(frontier)
+      total += math.min(n, room)
+      d += 1
+    }
+    visited
+  }
+
+  /** R2 — the "density" expansion strategy (`expandWithDensityFilter`,
+    * adaptive_retriever.go:197-211): greedy 1-hop expansion, then drop
+    * candidates whose information density is below `minRatio`.
+    * contents: (id, content).
+    */
+  def expandDensityFilter(seeds: DataFrame, edges: DataFrame,
+      contents: DataFrame, minRatio: Double = 0.5,
+      decay: Double = 0.7): DataFrame =
+    expandSeeds(seeds, edges, decay)
+      .join(contents, Seq("id"))
+      .filter(density(col("content")) >= minRatio)
+
   /** R2 — token-budget context packing (assembleContext,
     * adaptive_retriever.go:300-414). Documents ordered by the max depth-0
     * derived score (ties by parent id), chunks within a document by
