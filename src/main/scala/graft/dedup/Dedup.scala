@@ -304,4 +304,53 @@ object Dedup {
       .union(edges.select(col("v").as("id"), col("v").as("component")))
       .distinct()
   }
+
+  /** Cross-document repeated-SPAN detection — span-level exact dedup, the
+    * operator the doc-level family (d1-d5) cannot express: two documents
+    * that share one long verbatim passage but differ elsewhere never clear
+    * a doc-level near-dup threshold, yet that passage is exactly what
+    * memorization/boilerplate removal must find (the duplicated-substring
+    * setting of Lee et al. 2022's training-data dedup, here at k-gram
+    * granularity instead of suffix arrays, which don't distribute).
+    *
+    * Pipeline: k-gram positions per doc → gram document-frequency (keyed
+    * agg on the gram) → keep grams in ≥ minDf docs → per doc, merge
+    * consecutive hot positions into maximal spans (gaps-and-islands:
+    * `pos - row_number()` per doc — a PARTITIONED window, parallel across
+    * docs). A span of hot grams [p, q] covers tokens [p, q + k - 1].
+    *
+    * Scale shape: one shuffle on the gram for the df, one keyed join back
+    * (the hot-gram table can be huge at 100 TB — never broadcast), one
+    * per-doc window. Gram identity is the joined TOKEN TEXT, not an engine
+    * hash, so the DuckDB oracle reproduces it verbatim.
+    *
+    * `docs`: (doc_id, textCol). Returns one row per maximal span:
+    * (doc_id, span_start, span_end, span_tokens, n_grams) at 1-based token
+    * positions.
+    */
+  def repeatedSpans(docs: DataFrame, textCol: String = "text", k: Int = 5,
+      minDf: Long = 3): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), split(col(textCol), " ").as("w"))
+      // sequence(1, n) with n < 1 counts DOWN — guard short docs out.
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), size(col("w")) - (k - 1))).as("pos"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        concat_ws(" ", slice(col("w"), col("pos"), lit(k))).as("g"))
+    val hot = grams.groupBy(col("g"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("g"))
+    grams.join(hot, Seq("g"))
+      .withColumn("grp", col("pos") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (k - 1)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"),
+        col("n_grams"))
+  }
 }

@@ -427,10 +427,48 @@ object CurationQueries {
           floor(lit(1000000.0) * col("achieved_tokens") / col("ach_tot"))
             .cast("long").as("achieved_ppm"))
         .orderBy(col("tier"))
+    }),
+
+    // x27: cross-document repeated SPANS — span-level exact dedup (Lee et
+    // al. 2022's duplicated-substring setting at 5-gram granularity): the
+    // verbatim passages shared by >= 3 docs, merged into maximal spans via
+    // per-doc gaps-and-islands. Finds what doc-level near-dup can't: the
+    // corpus's shared boilerplate passages inside otherwise-distinct docs.
+    "x27_repeated_spans" -> ((s, dir) => {
+      graft.dedup.Dedup.repeatedSpans(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          k = 5, minDf = 3)
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          col("span_tokens"), col("n_grams"))
+        .orderBy(col("doc_id"), col("span_start"))
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Same pipeline re-derived: gram df over the joined token text (no
+    // engine hash anywhere), hot-position islands via pos - row_number().
+    "x27_repeated_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, str_split(text, ' ') AS w FROM documents
+        |  WHERE len(str_split(text, ' ')) >= 5),
+        |grams AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    array_to_string(list_slice(w, i, i + 4), ' ') AS g
+        |  FROM toks, unnest(generate_series(1, len(w) - 4)) AS t(i)),
+        |hot AS (
+        |  SELECT g FROM grams GROUP BY g
+        |  HAVING count(DISTINCT doc_id) >= 3),
+        |hp AS (
+        |  SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM grams JOIN hot USING (g))
+        |SELECT doc_id, min(pos) AS span_start,
+        |  max(pos) + 4 AS span_end,
+        |  max(pos) + 4 - min(pos) + 1 AS span_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_grams
+        |FROM hp GROUP BY doc_id, grp
+        |ORDER BY doc_id, span_start""".stripMargin,
+
     "x23_gopher_rules" ->
       """WITH w AS (
         |  SELECT doc_id, text, str_split(text, ' ') AS ws FROM documents),

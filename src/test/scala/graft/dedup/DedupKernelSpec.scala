@@ -152,4 +152,29 @@ class DedupKernelSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(capped == Set((1L, 2L)))
   }
+
+  test("repeatedSpans: maximal cross-doc spans, df floor, short-doc guard") {
+    import spark.implicits._
+    // Docs 1-3 share the 7-token passage "p q r s t u v" (3 hot 5-grams →
+    // ONE maximal span each, positions differ per doc); doc 4 shares a
+    // passage with only doc 1 (df=2 < 3 → no span); doc 5 is shorter than
+    // one 5-gram (guarded out, would otherwise make sequence() count down).
+    val shared = "p q r s t u v"
+    val docs = Seq(
+      (1L, s"a b $shared c d"),
+      (2L, s"$shared x y z w"),
+      (3L, s"k l m n $shared"),
+      (4L, "a b c d e f g h i j"),
+      (5L, "x y z"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(docs, k = 5, minDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // Span = 3 consecutive hot gram positions covering the 7 tokens:
+    // doc 1 starts at token 3, doc 2 at 1, doc 3 at 5.
+    assert(spans == Set(
+      (1L, 3L, 9L, 7L, 3L),
+      (2L, 1L, 7L, 7L, 3L),
+      (3L, 5L, 11L, 7L, 3L)))
+  }
 }
