@@ -33,6 +33,10 @@ object ScaleCheck {
     "s1_replay", "s2_snapshot_compact", "s11_delete_cascade",
     "x5_pipeline", "x9_pii",
     "x10_packing", "x11_funnel_pack",
+    // Span-level dedup (r11): the gram-df shuffle is the scale-critical
+    // stage — the translated replicas share no shingles, so hot grams and
+    // spans stay replica-local and the df table grows ~linearly.
+    "x27_repeated_spans",
     "x16_boilerplate", "x17_rarity", "x19_dataset_card", "x20_top_bigrams",
     // Graph traversals (VERDICT r09 #7): the scaled dir replicates
     // orders/lineitem as disjoint subgraph copies, so the traversal from
