@@ -178,6 +178,13 @@ object Gardener {
     * all-pairs. `analyzed` stays a keyed anti-join: at 100 TB the edge
     * set is a table, not a driver set.
     *
+    * Neighbor-side skips mirror the reference's loop exactly: meta-type
+    * and MISSING-content neighbors are dropped AFTER the top-k selection
+    * (they still occupy ranking slots — `detectContradictions` skips them
+    * per-neighbor at prompt time, not before the search), and an
+    * empty-but-present content string is only fatal on the SCANNED side
+    * (`contentA == ""` is checked, contentB is not — :1327, :1372-1380).
+    *
     * `mem`: (mem_id, embedding, typ, content); `page`: (mem_id) — the
     * cursor batch; `analyzed`: (src, dst) directed analyzed_against edges.
     * Output: (src_mem, dst_mem, sim) — exactly the pairs the judge LLM
@@ -195,11 +202,16 @@ object Gardener {
       .filter(col("content").isNotNull && col("content") =!= "" &&
         !col("typ").isin(ContradictionMetaTypes: _*))
       .select(col("mem_id").as("qid"), col("embedding").as("qvec"))
+    val neighborOk = mem
+      .filter(col("content").isNotNull &&
+        !col("typ").isin(ContradictionMetaTypes: _*))
+      .select(col("mem_id").as("id"))
     graft.search.VectorSearch.topKBatch(
         mem.select(col("mem_id").as("id"), col("embedding").as("vector")),
         scanned, k = k, metric = "cosine", wide = true)
       .withColumn("sim", round(lit(1.0) - col("distance"), 6))
       .filter(col("id") =!= col("qid") && col("sim") >= lo && col("sim") <= hi)
+      .join(neighborOk, Seq("id"))
       .join(analyzed.select(col("src").as("qid"), col("dst").as("id")),
         Seq("qid", "id"), "left_anti")
       .select(col("qid").as("src_mem"), col("id").as("dst_mem"), col("sim"))

@@ -53,6 +53,30 @@ object LlmFrames {
           lit("\nB["), col("neg_mem").cast("string"), lit("]: "),
           col("neg_body")).as("prompt"))
 
+  /** C8 similarity seam — the judge's user prompt for one candidate pair
+    * from [[graft.analytics.Gardener.contradictionCandidates]], exactly
+    * the reference's format (`gardener.go:1408`):
+    * `Memory A (from <yyyy-MM-dd>): <contentA>\nMemory B (from ...): <contentB>`.
+    * `pairs`: (src_mem, dst_mem, ...); `mem`: (mem_id, content, created_at
+    * epoch seconds).
+    */
+  def contradictionPairFrames(pairs: DataFrame, mem: DataFrame): DataFrame = {
+    def side(key: String, as: String) = mem.select(
+      col("mem_id").as(key), col("content").as(s"${as}_body"),
+      date_format(to_utc_timestamp(timestamp_seconds(col("created_at")), "UTC"),
+        "yyyy-MM-dd").as(s"${as}_date"))
+    pairs
+      .join(side("src_mem", "a"), Seq("src_mem"))
+      .join(side("dst_mem", "b"), Seq("dst_mem"))
+      .select(
+        concat(col("src_mem").cast("string"), lit(":"),
+          col("dst_mem").cast("string")).as("frame_id"),
+        concat(lit("Memory A (from "), col("a_date"), lit("): "),
+          col("a_body"),
+          lit("\nMemory B (from "), col("b_date"), lit("): "),
+          col("b_body")).as("prompt"))
+  }
+
   /** C13 — preference synthesis: one frame per user, that user's candidate
     * contents numbered in (content, …) sorted order.
     * `candidates`: [[graft.analytics.Gardener.preferenceCandidates]] output

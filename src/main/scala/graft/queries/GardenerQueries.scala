@@ -323,8 +323,12 @@ object GardenerQueries {
         |    row_number() OVER (PARTITION BY qid ORDER BY (1.0 - s), id) AS rn
         |  FROM scored),
         |cand AS (
-        |  SELECT qid, id, sim FROM ranked
-        |  WHERE rn <= 5 AND id <> qid AND sim >= 0.30 AND sim <= 0.45)
+        |  SELECT r.qid, r.id, r.sim FROM ranked r
+        |  JOIN mem n ON n.mem_id = r.id
+        |  WHERE r.rn <= 5 AND r.id <> r.qid
+        |    AND r.sim >= 0.30 AND r.sim <= 0.45
+        |    AND n.content IS NOT NULL AND n.typ NOT IN
+        |      ('reflection','consolidated_memory','consolidated_belief','evolved_memory'))
         |SELECT CAST(c2.qid AS BIGINT) AS src_mem,
         |  CAST(c2.id AS BIGINT) AS dst_mem, c2.sim
         |FROM (SELECT qid, id, sim FROM cand WHERE qid < 50) AS c2

@@ -39,26 +39,28 @@ class GardenerSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
   }
 
-  test("contradiction candidates: band, self/meta/empty scan skips, neighbor asymmetry") {
+  test("contradiction candidates: band, scan skips, neighbor-side skips") {
     // Scanning node 1: top-5 by distance = {self, 3, 5, 2, 6} (4 ranks 6th,
     // dropped by the k cap before the band is even consulted — the
     // reference band-filters the TOP-5, not the corpus). Self skipped,
-    // 3 over-band, so candidates are 5 (a meta NEIGHBOR — allowed), 2, 6.
+    // 3 over-band, 5 is a meta-type NEIGHBOR (skipped post-ranking — it
+    // still consumed a top-5 slot), 6 has EMPTY-but-present content
+    // (fatal only on the scanned side, gardener.go:1372-1375) → kept.
     val got = pairs(page = Seq(1L), analyzed = Nil)
-    assert(got.map(p => (p._1, p._2)).toSeq === Seq((1L, 2L), (1L, 5L), (1L, 6L)))
+    assert(got.map(p => (p._1, p._2)).toSeq === Seq((1L, 2L), (1L, 6L)))
     val bySim = got.map(p => (p._2, p._3)).toMap
     assert(math.abs(bySim(2L) - math.cos(math.toRadians(30))) < 1e-5)
-    assert(math.abs(bySim(5L) - math.cos(math.toRadians(28))) < 1e-5)
+    assert(math.abs(bySim(6L) - math.cos(math.toRadians(32))) < 1e-5)
     assert(got.forall(p => p._3 >= 0.70 && p._3 <= 0.95))
   }
 
   test("contradiction candidates: analyzed_against excludes the DIRECTED pair only") {
     assert(pairs(Seq(1L), Seq((1L, 2L))).map(p => (p._1, p._2)).toSeq ===
-      Seq((1L, 5L), (1L, 6L)))
+      Seq((1L, 6L)))
     // Reverse-direction edge does not suppress (VGetLinks(node.ID) checks
     // outgoing links of the scanned node only).
     assert(pairs(Seq(1L), Seq((2L, 1L))).map(p => (p._1, p._2)).toSeq ===
-      Seq((1L, 2L), (1L, 5L), (1L, 6L)))
+      Seq((1L, 2L), (1L, 6L)))
   }
 
   test("contradiction candidates: meta-type and empty-content nodes are never scanned") {

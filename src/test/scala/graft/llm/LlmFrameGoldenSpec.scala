@@ -38,6 +38,20 @@ class LlmFrameGoldenSpec extends SparkSpec {
         "B[9]: globex audit failed")))
   }
 
+  test("C8 golden: similarity-seam judge frames (reference user-prompt format)") {
+    import spark.implicits._
+    val pairs = Seq((11L, 42L, 0.83)).toDF("src_mem", "dst_mem", "sim")
+    // 2021-03-01T12:00:00Z and 2023-07-15T23:59:59Z — the date formats to
+    // the reference's time.Unix(...).Format("2006-01-02").
+    val mem = Seq(
+      (11L, "the deploy failed on friday", 1614600000L),
+      (42L, "the deploy succeeded on friday", 1689465599L))
+      .toDF("mem_id", "content", "created_at")
+    assert(frames(LlmFrames.contradictionPairFrames(pairs, mem)) === Map(
+      "11:42" -> ("Memory A (from 2021-03-01): the deploy failed on friday\n" +
+        "Memory B (from 2023-07-15): the deploy succeeded on friday")))
+  }
+
   test("C13 golden: preference synthesis frames over the candidate seam") {
     import spark.implicits._
     val mem = Seq(
