@@ -441,6 +441,18 @@ object CurationQueries {
         .select(col("doc_id"), col("span_start"), col("span_end"),
           col("span_tokens"), col("n_grams"))
         .orderBy(col("doc_id"), col("span_start"))
+    }),
+
+    // x28: WITHIN-document repetition — the other half of the Gopher
+    // filter battery (x23 = quality rules, this = §A1.1 repetition rules):
+    // top-{2,3,4}-gram char fraction and duplicated-{5..10}-gram char
+    // fraction per document, with the published removal thresholds. One
+    // corpus scan emits all 9 gram sizes; the only shuffle is the keyed
+    // (doc_id, n, gram) count — see graft.text.Repetition.
+    "x28_repetition_rules" -> ((s, dir) => {
+      graft.text.Repetition.ngramRepetition(
+          Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -468,6 +480,72 @@ object CurationQueries {
         |  CAST(count(*) AS BIGINT) AS n_grams
         |FROM hp GROUP BY doc_id, grp
         |ORDER BY doc_id, span_start""".stripMargin,
+
+    // Independent re-derivation: grams via lateral generate_series slices
+    // (no shared code with the engine's transform/flatten construction),
+    // top gram via a window, dup chars via a filtered re-aggregation.
+    "x28_repetition_rules" ->
+      """WITH w AS (
+        |  SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+        |base AS (
+        |  SELECT doc_id, ws,
+        |    CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE) AS tot
+        |  FROM w),
+        |grams AS (
+        |  SELECT doc_id, tot, n,
+        |    array_to_string(list_slice(ws, i, i + n - 1), ' ') AS gram
+        |  FROM base,
+        |    unnest(generate_series(2, 10)) AS tn(n),
+        |    unnest(generate_series(1, len(ws) - n + 1)) AS ti(i)),
+        |counted AS (
+        |  SELECT doc_id, n, tot, gram, count(*) AS cnt,
+        |    CAST(len(gram) - (n - 1) AS DOUBLE) AS chars
+        |  FROM grams GROUP BY doc_id, n, tot, gram),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id, n
+        |    ORDER BY cnt DESC, chars DESC) AS rn
+        |  FROM counted),
+        |pern AS (
+        |  SELECT t.doc_id, t.n,
+        |    round(t.cnt * t.chars / t.tot, 6) AS topfrac,
+        |    round(least(1.0, coalesce(d.dupchars, 0) / t.tot), 6) AS dupfrac
+        |  FROM (SELECT * FROM ranked WHERE rn = 1) t
+        |  LEFT JOIN (SELECT doc_id, n, sum(cnt * chars) AS dupchars
+        |             FROM counted WHERE cnt >= 2 GROUP BY doc_id, n) d
+        |    ON t.doc_id = d.doc_id AND t.n = d.n),
+        |wide AS (
+        |  SELECT doc_id,
+        |    coalesce(max(CASE WHEN n = 2 THEN topfrac END), 0.0) AS top_2gram_frac,
+        |    coalesce(max(CASE WHEN n = 3 THEN topfrac END), 0.0) AS top_3gram_frac,
+        |    coalesce(max(CASE WHEN n = 4 THEN topfrac END), 0.0) AS top_4gram_frac,
+        |    coalesce(max(CASE WHEN n = 5 THEN dupfrac END), 0.0) AS dup_5gram_frac,
+        |    coalesce(max(CASE WHEN n = 6 THEN dupfrac END), 0.0) AS dup_6gram_frac,
+        |    coalesce(max(CASE WHEN n = 7 THEN dupfrac END), 0.0) AS dup_7gram_frac,
+        |    coalesce(max(CASE WHEN n = 8 THEN dupfrac END), 0.0) AS dup_8gram_frac,
+        |    coalesce(max(CASE WHEN n = 9 THEN dupfrac END), 0.0) AS dup_9gram_frac,
+        |    coalesce(max(CASE WHEN n = 10 THEN dupfrac END), 0.0) AS dup_10gram_frac
+        |  FROM pern GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(w.top_2gram_frac, 0.0) AS top_2gram_frac,
+        |  coalesce(w.top_3gram_frac, 0.0) AS top_3gram_frac,
+        |  coalesce(w.top_4gram_frac, 0.0) AS top_4gram_frac,
+        |  coalesce(w.dup_5gram_frac, 0.0) AS dup_5gram_frac,
+        |  coalesce(w.dup_6gram_frac, 0.0) AS dup_6gram_frac,
+        |  coalesce(w.dup_7gram_frac, 0.0) AS dup_7gram_frac,
+        |  coalesce(w.dup_8gram_frac, 0.0) AS dup_8gram_frac,
+        |  coalesce(w.dup_9gram_frac, 0.0) AS dup_9gram_frac,
+        |  coalesce(w.dup_10gram_frac, 0.0) AS dup_10gram_frac,
+        |  (coalesce(w.top_2gram_frac, 0.0) <= 0.20
+        |   AND coalesce(w.top_3gram_frac, 0.0) <= 0.18
+        |   AND coalesce(w.top_4gram_frac, 0.0) <= 0.16
+        |   AND coalesce(w.dup_5gram_frac, 0.0) <= 0.15
+        |   AND coalesce(w.dup_6gram_frac, 0.0) <= 0.14
+        |   AND coalesce(w.dup_7gram_frac, 0.0) <= 0.13
+        |   AND coalesce(w.dup_8gram_frac, 0.0) <= 0.12
+        |   AND coalesce(w.dup_9gram_frac, 0.0) <= 0.11
+        |   AND coalesce(w.dup_10gram_frac, 0.0) <= 0.10) AS passes
+        |FROM documents d LEFT JOIN wide w ON d.doc_id = w.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "x23_gopher_rules" ->
       """WITH w AS (
