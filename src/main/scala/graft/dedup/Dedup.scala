@@ -353,4 +353,65 @@ object Dedup {
         (col("span_end") - col("span_start") + 1).as("span_tokens"),
         col("n_grams"))
   }
+
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540):
+    * embedding-level dedup that clusters the corpus, finds semantic
+    * duplicate groups WITHIN each cluster, and keeps exactly one survivor
+    * per group — the member with the LOWEST cosine to its cluster centroid
+    * (the paper's keep-low-centroid-sim rule: the outlier carries the most
+    * marginal information).
+    *
+    * Spark shape: cluster = hyperplane sign bucket (the same deterministic
+    * partitioner [[cosineNearDups]] uses — at production scale swap in
+    * trained [[graft.search.Ivf]] centroids; the pruning geometry is
+    * identical and the rest of the plan is unchanged). Duplicate groups =
+    * connected components of the within-bucket cos >= threshold graph
+    * (pairs never cross buckets, so components stay bucket-local).
+    * Centroids are per-bucket per-dimension means computed in ONE
+    * posexplode + two keyed aggregations, then broadcast back (bucket
+    * count is at most 2^planes — tiny). The member→centroid cosine is a
+    * sequential array fold (zip_with + aggregate), deterministic across
+    * partitionings. No step is all-pairs; the quadratic work is confined
+    * to within-bucket candidate pairs exactly as in [[cosineNearDups]].
+    *
+    * Returns one row per duplicate group:
+    * (component, survivor, n_members, centroid_sim) where component = min
+    * member id, survivor = argmin (centroid cosine, id) and centroid_sim
+    * is the survivor's raw cosine to its cluster centroid. Singleton docs
+    * (no duplicate partner) are not emitted — they are all survivors.
+    */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int = 8,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val b = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", hyperplaneBucket(col("v"), planes))
+    val pairs = cosineNearDups(emb, idCol, vecCol, threshold, planes, maxBucket)
+    val comp = connectedComponents(pairs.select(col("id1"), col("id2")))
+    // Per-cluster centroid over ALL cluster members (not just duplicates),
+    // double accumulation: one narrow shuffle on (bucket, pos), then a
+    // bucket-sized collect_list — never a per-row state blowup.
+    val cent = b
+      .select(col("bucket"), posexplode(col("v")).as(Seq("pos", "e")))
+      .groupBy(col("bucket"), col("pos"))
+      .agg(avg(col("e").cast("double")).as("c"))
+      .groupBy(col("bucket"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("centroid"))
+    val vd = transform(col("v"), e => e.cast("double"))
+    val dot = aggregate(zip_with(vd, col("centroid"), (a, x) => a * x),
+      lit(0.0), (acc, x) => acc + x)
+    val norm = (arr: Column) => sqrt(aggregate(
+      transform(arr, a => a * a), lit(0.0), (acc, x) => acc + x))
+    val members = b.join(comp, Seq("id"))
+      .join(broadcast(cent), Seq("bucket"))
+      .withColumn("csim", dot / (norm(vd) * norm(col("centroid"))))
+    val byComp = Window.partitionBy(col("component"))
+    members
+      .withColumn("rn", row_number().over(byComp.orderBy(col("csim").asc, col("id").asc)))
+      .withColumn("n_members", count(lit(1)).over(byComp))
+      .filter(col("rn") === 1)
+      .select(col("component"), col("id").as("survivor"),
+        col("n_members"), col("csim").as("centroid_sim"))
+  }
 }

@@ -122,6 +122,27 @@ object CoreQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // V22: hard-negative mining for contrastive embedding training — for
+    // each query, the k nearest candidates by cosine whose label DIFFERS
+    // from the query's (the classic "hard negative": semantically close,
+    // known-different class). Same broadcast-cross-join + bounded-TopK
+    // shape as v2; the label predicate prunes pairs before the aggregate,
+    // so 100 TB cost is one corpus scan per query batch regardless of k.
+    "v22_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("label").as("qlabel"))
+      VectorSearch.topKBatch(emb, q, k = 5, metric = "cosine",
+          idCol = "vec_id", vecCol = "embedding", wide = true,
+          pairFilter = Some(col("label") =!= col("qlabel") &&
+            col("vec_id") =!= col("qid")))
+        .select(col("qid"), col("vec_id").as("neg_id"),
+          round(col("distance"), 6).as("dist"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // H5: search-with-scores — 1/(1+d) absolute normalization
     // (search_utils.go:48; deliberately not min-max).
     "h5_search_scores" -> ((s, dir) => {
@@ -183,6 +204,17 @@ object CoreQueries {
         |r AS (SELECT qid, id, d, row_number() OVER (PARTITION BY qid ORDER BY d, id) AS rank FROM s)
         |SELECT qid, id, round(d, 6) AS dist, rank FROM r WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
+
+    "v22_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+        |           FROM embeddings WHERE vec_id % 97 = 0),
+        |s AS (SELECT q.qid, e.vec_id AS neg_id,
+        |        1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) AS d
+        |      FROM embeddings e CROSS JOIN q
+        |      WHERE e.label <> q.qlabel AND e.vec_id <> q.qid),
+        |r AS (SELECT qid, neg_id, d, row_number() OVER (PARTITION BY qid ORDER BY d, neg_id) AS rank FROM s)
+        |SELECT qid, neg_id, round(d, 6) AS dist, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "v2_knn_filtered" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3),

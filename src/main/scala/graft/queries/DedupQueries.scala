@@ -323,6 +323,26 @@ object DedupQueries {
         .select(col("component"), col("survivor"), col("n_members"),
           col("best_q"))
         .orderBy(col("component"))
+    }),
+
+    // D12: SemDeDup (arXiv:2303.09540) — semantic dedup at the embedding
+    // level: cluster (hyperplane buckets), duplicate components within
+    // clusters, keep the member FURTHEST from the cluster centroid. Same
+    // planted-twin corpus as d5 so duplicate groups exist; the oracle
+    // recomputes components with its own recursive CTE and the centroid
+    // with its own unnest+avg — an independent derivation, not an echo.
+    "d12_semdedup" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val twins = e.filter(col("vec_id") % 13 === 0).select(
+        (col("vec_id") + 100000).as("vec_id"),
+        concat(
+          array((element_at(col("embedding"), 1) + lit(0.05f))),
+          slice(col("embedding"), lit(2), size(col("embedding")) - 1)).as("embedding"))
+      val all = e.select(col("vec_id"), col("embedding")).unionByName(twins)
+      Dedup.semDedup(all, "vec_id", "embedding", threshold = 0.9)
+        .select(col("component"), col("survivor"), col("n_members"),
+          round(col("centroid_sim"), 6).as("centroid_sim"))
+        .orderBy(col("component"))
     })
   )
 
@@ -426,6 +446,64 @@ object DedupQueries {
          |  CAST(doc_id AS BIGINT) AS survivor,
          |  CAST(n_members AS BIGINT) AS n_members, best_q
          |FROM r2 WHERE rn = 1 ORDER BY component""".stripMargin,
+
+    "d12_semdedup" ->
+      """WITH RECURSIVE ecorpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000,
+        |    [embedding[1] + CAST(0.05 AS FLOAT)] || embedding[2:]
+        |  FROM embeddings WHERE vec_id % 13 = 0
+        |),
+        |ex AS (
+        |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS e,
+        |         generate_subscripts(embedding, 1) AS pos
+        |  FROM ecorpus),
+        |dots AS (
+        |  SELECT vec_id, j,
+        |    sum(e * (((131 * j + 31 * (pos - 1)) % 17) - 8)) AS dot
+        |  FROM ex CROSS JOIN range(8) t(j)
+        |  GROUP BY vec_id, j),
+        |buckets AS (
+        |  SELECT vec_id, CAST(sum(CASE WHEN dot > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM dots GROUP BY vec_id),
+        |p AS (
+        |  SELECT l.vec_id AS id1, r.vec_id AS id2
+        |  FROM buckets l JOIN buckets r ON l.bucket = r.bucket AND l.vec_id < r.vec_id),
+        |dup AS (
+        |  SELECT p.id1, p.id2 FROM p
+        |  JOIN ecorpus a ON a.vec_id = p.id1 JOIN ecorpus b ON b.vec_id = p.id2
+        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])) >= 0.9),
+        |und AS (
+        |  SELECT id1 AS u, id2 AS v FROM dup
+        |  UNION SELECT id2, id1 FROM dup),
+        |reach(u, r) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM und)
+        |  UNION
+        |  SELECT und.u, reach.r FROM und JOIN reach ON und.v = reach.u),
+        |comp AS (SELECT u AS vec_id, min(r) AS component FROM reach GROUP BY u),
+        |cent AS (
+        |  SELECT bucket, pos, avg(e) AS c
+        |  FROM ex JOIN buckets USING (vec_id) GROUP BY bucket, pos),
+        |centl AS (SELECT bucket, list(c ORDER BY pos) AS centroid FROM cent GROUP BY bucket),
+        |msim AS (
+        |  SELECT comp.component, comp.vec_id,
+        |    list_cosine_similarity(CAST(ec.embedding AS DOUBLE[]), cl.centroid) AS csim
+        |  FROM comp
+        |  JOIN ecorpus ec ON ec.vec_id = comp.vec_id
+        |  JOIN buckets b ON b.vec_id = comp.vec_id
+        |  JOIN centl cl ON cl.bucket = b.bucket),
+        |r2 AS (
+        |  SELECT component, vec_id, csim,
+        |    row_number() OVER (PARTITION BY component ORDER BY csim ASC, vec_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY component) AS n_members
+        |  FROM msim)
+        |SELECT CAST(component AS BIGINT) AS component,
+        |  CAST(vec_id AS BIGINT) AS survivor,
+        |  CAST(n_members AS BIGINT) AS n_members,
+        |  round(csim, 6) AS centroid_sim
+        |FROM r2 WHERE rn = 1 ORDER BY component""".stripMargin,
 
     "d3_simhash" ->
       s"""WITH $corpusSql,

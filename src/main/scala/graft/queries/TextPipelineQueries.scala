@@ -407,6 +407,34 @@ object TextPipelineQueries {
           floor(lit(1000000.0) * col("n_vocab") / col("n_tokens"))
             .cast("long").as("ttr_ppm"))
         .orderBy(col("source"))
+    }),
+
+    // X30: cross-split contamination audit — after x14's deterministic
+    // split, does any document fingerprint (x4's min-shingle-hash, which
+    // collapses exact AND near duplicates) appear in more than one split?
+    // That's test-set leakage: an eval doc whose twin sits in train. One
+    // keyed agg per fingerprint, then a handful-of-rows rollup keyed by
+    // the sorted split-set — both shuffles are on high-cardinality keys;
+    // nothing is all-pairs, nothing collects. Rows with n_splits >= 2 are
+    // the leaks; the single-split rows make the audit a full accounting
+    // (every fingerprinted doc lands in exactly one output bucket).
+    "x30_split_leakage" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val fp = TextPipeline.fingerprint(docs, "doc_id", "text")
+      val h = (col("id") * 2654435761L) % 1000000L
+      val split = when(h < 900000L, "train")
+        .when(h < 950000L, "val").otherwise("test")
+      fp.select(col("id"), col("fingerprint"), split.as("split"))
+        .groupBy(col("fingerprint"))
+        .agg(array_join(array_sort(collect_set(col("split"))), ",")
+            .as("split_set"),
+          count_distinct(col("split")).as("n_splits"),
+          count(lit(1)).as("nd"))
+        .groupBy(col("split_set"))
+        .agg(max(col("n_splits")).as("n_splits"),
+          count(lit(1)).as("n_fingerprints"),
+          sum(col("nd")).as("n_docs"))
+        .orderBy(col("split_set"))
     })
   )
 
@@ -867,6 +895,35 @@ object TextPipelineQueries {
         |  CAST(count(DISTINCT tok) AS BIGINT) AS n_vocab,
         |  CAST(floor(1000000.0 * count(DISTINCT tok) / count(*)) AS BIGINT)
         |    AS ttr_ppm
-        |FROM toks GROUP BY source ORDER BY source""".stripMargin
+        |FROM toks GROUP BY source ORDER BY source""".stripMargin,
+
+    "x30_split_leakage" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id AS id, shingle FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, len(str_split(text, ' ')) - 2),
+        |        i -> array_to_string(list_slice(str_split(text, ' '), i, i + 3), ' '))) AS shingle
+        |    FROM documents)),
+        |h AS (
+        |  SELECT id, list_reduce([CAST(0 AS BIGINT)] ||
+        |    list_transform(str_split(shingle, ''), c -> CAST(ord(c) AS BIGINT)),
+        |    (acc, x) -> (acc * 31 + x) % 2147483647) AS h
+        |  FROM sh),
+        |fp AS (SELECT id, min(h) AS fingerprint FROM h GROUP BY id),
+        |sp AS (
+        |  SELECT fingerprint,
+        |    CASE WHEN (id * 2654435761) % 1000000 < 900000 THEN 'train'
+        |         WHEN (id * 2654435761) % 1000000 < 950000 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM fp),
+        |g AS (
+        |  SELECT fingerprint,
+        |    array_to_string(list_sort(list(DISTINCT split)), ',') AS split_set,
+        |    count(DISTINCT split) AS n_splits, count(*) AS nd
+        |  FROM sp GROUP BY fingerprint)
+        |SELECT split_set, CAST(max(n_splits) AS BIGINT) AS n_splits,
+        |  CAST(count(*) AS BIGINT) AS n_fingerprints,
+        |  CAST(sum(nd) AS BIGINT) AS n_docs
+        |FROM g GROUP BY split_set ORDER BY split_set""".stripMargin
   )
 }

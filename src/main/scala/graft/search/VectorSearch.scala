@@ -80,7 +80,8 @@ object VectorSearch {
       qvecCol: String = "qvec",
       filter: Option[Column] = None,
       wide: Boolean = false,
-      normalized: Boolean = false): DataFrame = {
+      normalized: Boolean = false,
+      pairFilter: Option[Column] = None): DataFrame = {
     val base = filter.fold(vectors)(vectors.filter)
     val d: Column = (metric, wide) match {
       case ("euclidean", false)            => euclideanSq(col(vecCol), col(qvecCol))
@@ -90,7 +91,12 @@ object VectorSearch {
       case ("cosine", true)     => lit(1.0) - cosineSimilarityWide(col(vecCol), col(qvecCol))
       case (m, _) => throw new IllegalArgumentException(s"unsupported metric: $m")
     }
-    val scored = base.crossJoin(broadcast(queries))
+    // pairFilter sees both sides of the broadcast cross join — the
+    // per-(query, candidate) predicate filtered-kNN can't express (e.g.
+    // hard-negative mining's label(candidate) != label(query)). It prunes
+    // BEFORE the TopK aggregate, so the map-side partial state stays k.
+    val scored = pairFilter.foldLeft(
+        base.crossJoin(broadcast(queries)))((df, p) => df.filter(p))
       .withColumn("distance", d)
     scored
       .groupBy(col(qidCol))

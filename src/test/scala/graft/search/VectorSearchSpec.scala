@@ -158,4 +158,37 @@ class VectorSearchSpec extends SparkSpec {
     assert(fast.exceptAll(dist).isEmpty && dist.exceptAll(fast).isEmpty)
     assert(fast.count() == 50)
   }
+
+  test("pairFilter mines hard negatives: no same-label or self results") {
+    import spark.implicits._
+    val emb = data.toDF("id", "vector")
+      .withColumn("label", (col("id") % 3).cast("int"))
+    val q = emb.filter(col("id") < 4)
+      .select(col("id").as("qid"), col("vector").as("qvec"),
+        col("label").as("qlabel"))
+    val out = VectorSearch.topKBatch(emb, q, k = 7, metric = "cosine",
+        idCol = "id", vecCol = "vector", wide = true,
+        pairFilter = Some(col("label") =!= col("qlabel") &&
+          col("id") =!= col("qid")))
+      .collect()
+    assert(out.length === 4 * 7)
+    out.foreach { r =>
+      val qid = r.getAs[Long]("qid"); val id = r.getAs[Long]("id")
+      assert(id != qid)
+      assert(id % 3 != qid % 3, s"same label leaked: q=$qid id=$id")
+    }
+    // rank 1 per query is the true nearest among different-label candidates
+    val byQ = out.filter(_.getAs[Int]("rank") == 1)
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("id")).toMap
+    byQ.foreach { case (qid, got) =>
+      val qv = data(qid.toInt)._2
+      val expected = data.filter { case (i, _) => i != qid && i % 3 != qid % 3 }
+        .minBy { case (i, v) =>
+          val dot = v.lazyZip(qv).map(_.toDouble * _.toDouble).sum
+          val n = (a: Array[Float]) => math.sqrt(a.map(x => x.toDouble * x).sum)
+          (1.0 - dot / (n(v) * n(qv)), i)
+        }._1
+      assert(got === expected, s"q=$qid")
+    }
+  }
 }
