@@ -26,12 +26,17 @@ object ScaleCheck {
   private val Names = Seq("d1_exact_dedup", "d2_minhash_lsh", "d3_simhash",
     "d4_ngram_jaccard", "d5_cosine_neardup", "d6_lsh_skew_cap",
     "d8_dedup_components",
+    // Semantic dedup (r11): adds the per-bucket centroid aggregation +
+    // within-bucket components on top of d5's candidate join — the
+    // perturbed replica embeddings spread across buckets, so centroid
+    // state stays ≤2^planes rows regardless of corpus size.
+    "d12_semdedup",
     // Replay/fold family (VERDICT r10 #6): all three heavy oplog folds over
     // a 10× log — vector fold, edge fold + cascade, snapshot + tail replay
     // (the snapshot layout builds during warmup, so the timed reps measure
     // the steady-state fold like the bench does).
     "s1_replay", "s2_snapshot_compact", "s11_delete_cascade",
-    "x5_pipeline", "x9_pii",
+    "x5_pipeline", "x9_pii", "x30_split_leakage",
     "x10_packing", "x11_funnel_pack",
     // Span-level dedup (r11): the gram-df shuffle is the scale-critical
     // stage — the translated replicas share no shingles, so hot grams and
