@@ -83,6 +83,31 @@ object TextPipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // X32: tokenizer fertility per (lang, source) — the multilingual
+    // mixture-planning signal: how many (estimated BPE) tokens a corpus
+    // slice costs per word and per character. Languages with high
+    // fertility burn budget faster; mixture weights (x7/x26) that ignore
+    // this over-train on cheap-token languages. One keyed agg over
+    // per-row column math; ratios in integer ppm via integer div — no
+    // float anywhere, so engine parity is exact.
+    "x32_token_fertility" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tc = TextPipeline.tokenCounts(col("text")).toMap
+      docs.select(col("lang"), col("source"),
+          length(col("text")).cast("long").as("nch"),
+          tc("ws_tokens").as("ws"), tc("re_tokens").as("re"),
+          tc("est_bpe").as("bpe"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nch")).as("n_chars"),
+          sum(col("ws")).as("ws_tokens"), sum(col("re")).as("re_tokens"),
+          sum(col("bpe")).as("bpe_tokens"))
+        .select(col("lang"), col("source"), col("n_docs"), col("n_chars"),
+          col("ws_tokens"), col("re_tokens"), col("bpe_tokens"),
+          expr("(1000000 * bpe_tokens) div ws_tokens").as("fertility_ppm"),
+          expr("(1000000 * n_chars) div bpe_tokens").as("chars_per_tok_ppm"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
     // X4: rolling-hash fingerprint over word 4-gram shingles.
     "x4_fingerprint" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
@@ -170,6 +195,42 @@ object TextPipelineQueries {
         .agg(count(lit(1)).as("n_overlap"))
         .select(col("id").as("doc_id"), col("n_overlap"))
         .orderBy(col("doc_id"))
+    }),
+
+    // X31: overlap-FRACTION decontamination — the published n-gram-
+    // fraction rule (GPT-3 appendix C / PaLM's decontamination): a train
+    // doc is contaminated w.r.t. an eval doc when a large fraction of the
+    // eval doc's n-grams appear in it — per-PAIR attribution with a
+    // threshold, where x6 only flags ≥1 shared shingle against the pooled
+    // eval set. Eval suites are small by definition → both the per-bench
+    // shingle sets and the per-bench sizes broadcast; the corpus shingle
+    // stream takes ONE hash join and one keyed (corpus_doc, bench_doc)
+    // count — fan-out is bounded by the bench shingle total, never
+    // all-pairs. The cut and the reported fraction are pure integer math
+    // (n_shared*4 >= n_bench; ppm via integer div) — no float anywhere.
+    // Planted half-doc copies (the realistic partial-quote leak) are the
+    // ground truth the threshold must catch.
+    "x31_contamination_frac" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val w = org.apache.spark.sql.functions.split(col("text"), " ")
+      val planted = bench.select((col("doc_id") + 600000).as("doc_id"),
+        concat_ws(" ", slice(w, lit(1),
+          ((size(w) + lit(1)) / lit(2)).cast("int"))).as("text"))
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0).unionByName(planted)
+      val bsh = Dedup.shingles(bench, "doc_id", "text", n = 5)
+        .select(col("id").as("bid"), col("shingle"))
+      val bn = bsh.groupBy(col("bid")).agg(count(lit(1)).as("n_bench"))
+      Dedup.shingles(corpus, "doc_id", "text", n = 5)
+        .join(broadcast(bsh), Seq("shingle"))
+        .groupBy(col("id"), col("bid"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(bn), Seq("bid"))
+        .filter(col("n_shared") * 4 >= col("n_bench"))
+        .select(col("id").as("doc_id"), col("bid").as("bench_id"),
+          col("n_shared"), col("n_bench"),
+          expr("(1000000 * n_shared) div n_bench").as("frac_ppm"))
+        .orderBy(col("doc_id"), col("bench_id"))
     }),
 
     // X7: data-mixing weights + reproducible sampling — the step that
@@ -561,6 +622,24 @@ object TextPipelineQueries {
         |       t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS est_bpe
         |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,
 
+    "x32_token_fertility" ->
+      """WITH d AS (
+        |  SELECT lang, source,
+        |    CAST(length(text) AS BIGINT) AS nch,
+        |    CAST(len(str_split(text, ' ')) AS BIGINT) AS ws,
+        |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS BIGINT) AS re,
+        |    CAST(list_sum(list_transform(str_split(text, ' '),
+        |         t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS bpe
+        |  FROM documents)
+        |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nch) AS BIGINT) AS n_chars,
+        |  CAST(sum(ws) AS BIGINT) AS ws_tokens,
+        |  CAST(sum(re) AS BIGINT) AS re_tokens,
+        |  CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+        |  CAST((1000000 * sum(bpe)) // sum(ws) AS BIGINT) AS fertility_ppm,
+        |  CAST((1000000 * sum(nch)) // sum(bpe) AS BIGINT) AS chars_per_tok_ppm
+        |FROM d GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
     // Same stage formulas as d1/x2/x4's oracles, composed into the funnel.
     "x5_pipeline" -> {
       val stopList = stop25.map(w => s"'$w'").mkString("[", ",", "]")
@@ -656,6 +735,40 @@ object TextPipelineQueries {
          |SELECT CAST(id AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_overlap
          |FROM csh JOIN bsh USING (shingle)
          |GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "x31_contamination_frac" ->
+      s"""WITH bench AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+         |planted AS (
+         |  SELECT doc_id + 600000 AS doc_id,
+         |    array_to_string(list_slice(str_split(text, ' '), 1,
+         |      (len(str_split(text, ' ')) + 1) // 2), ' ') AS text
+         |  FROM bench),
+         |corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+         |  UNION ALL SELECT doc_id, text FROM planted),
+         |bsh AS (
+         |  SELECT DISTINCT doc_id AS bid, shingle FROM (
+         |    SELECT doc_id,
+         |      unnest(list_transform(range(1, len(str_split(text, ' ')) - 3),
+         |        i -> array_to_string(list_slice(str_split(text, ' '), i, i + 4), ' '))) AS shingle
+         |    FROM bench)),
+         |bn AS (SELECT bid, CAST(count(*) AS BIGINT) AS n_bench FROM bsh GROUP BY bid),
+         |csh AS (
+         |  SELECT DISTINCT doc_id AS id, shingle FROM (
+         |    SELECT doc_id,
+         |      unnest(list_transform(range(1, len(str_split(text, ' ')) - 3),
+         |        i -> array_to_string(list_slice(str_split(text, ' '), i, i + 4), ' '))) AS shingle
+         |    FROM corpus)),
+         |p AS (
+         |  SELECT id, bid, CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM csh JOIN bsh USING (shingle) GROUP BY id, bid)
+         |SELECT CAST(id AS BIGINT) AS doc_id, CAST(bid AS BIGINT) AS bench_id,
+         |  n_shared, n_bench,
+         |  CAST((1000000 * n_shared) // n_bench AS BIGINT) AS frac_ppm
+         |FROM p JOIN bn USING (bid)
+         |WHERE n_shared * 4 >= n_bench
+         |ORDER BY doc_id, bench_id""".stripMargin,
 
     "x7_source_mix" ->
       s"""WITH tok AS (

@@ -120,4 +120,27 @@ class CurationSpec extends SparkSpec {
     val ppm = a.map(_.getLong(3)).sum
     assert(ppm > 999984 && ppm <= 1000000, s"share_ppm sum $ppm")
   }
+
+  test("x31: every planted half-doc is flagged against its bench source") {
+    val rows = graft.queries.TextPipelineQueries
+      .queries("x31_contamination_frac")(spark, sf())
+      .collect()
+    assert(rows.nonEmpty)
+    val planted = rows.filter(_.getLong(0) >= 600000)
+    // every bench doc's planted half-copy is caught, attributed to ITS
+    // bench source, with the fraction the prefix construction predicts
+    // ((h-4)/(n-4) for an (n+1)/2-word prefix → well above the 25% cut)
+    val benchIds = spark.read.parquet(s"${sf()}/documents.parquet")
+      .filter(col("doc_id") % 97 === 0)
+      .filter(size(split(col("text"), " ")) >= 9) // half must still shingle
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(benchIds.subsetOf(planted.map(_.getLong(1)).toSet),
+      s"missing planted leaks: ${benchIds -- planted.map(_.getLong(1)).toSet}")
+    planted.foreach { r =>
+      assert(r.getLong(0) === r.getLong(1) + 600000, r.toString)
+      assert(r.getLong(4) >= 250000 && r.getLong(4) < 600000, r.toString)
+    }
+    // integer cut: nothing below 25% survives in ANY row
+    rows.foreach(r => assert(4 * r.getLong(2) >= r.getLong(3), r.toString))
+  }
 }
