@@ -33,6 +33,32 @@ object AnnQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // V23: filtered ANN at the IVF serving layer — the scale path of
+    // v2_knn_filtered's exact scan: the metadata predicate restricts the
+    // candidate set INSIDE the probed buckets, so filter selectivity
+    // MULTIPLIES with partition pruning instead of forcing a full exact
+    // scan. Centroids/bucket geometry stay those of the full corpus (the
+    // filter changes per query class; the index does not), and per-vector
+    // assignment is independent, so filter-then-assign here ≡ the
+    // deployment shape (stored full layout, predicate pushed into the
+    // probed-partition scan).
+    "v23_ivf_filtered" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").cast("long").as("cid"), col("embedding").as("cvec"))
+      val allowed = emb.filter(col("label") >= 3 && col("label") =!= 7)
+      val assigned = Ivf.assign(
+        allowed.select(col("vec_id").cast("long").as("id"),
+          col("embedding").as("vector")),
+        cents, "id", "vector")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").cast("long").as("qid"), col("embedding").as("qvec"))
+      Ivf.search(assigned, cents, q, k = 10, nProbe = 2)
+        .select(col("qid"), col("id"),
+          round(col("distance"), 6).as("dist"), col("rank").cast("long").as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // V1-stored: the same IVF search served from the bucket-partitioned
     // parquet layout (probe join → partition pruning at scale) — shares
     // v1's oracle, proving the layout round-trips losslessly.
@@ -265,7 +291,11 @@ object AnnQueries {
   private def cosSql(a: String, b: String): String =
     s"1.0 - list_cosine_similarity(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
 
-  private lazy val v1Sql =
+  /** v1's oracle protocol, parameterized by the corpus predicate feeding
+    * the assigned set (v23's filtered serving uses `label`-based
+    * selectivity; v1 takes the full corpus).
+    */
+  private def v1SqlWhere(pred: String) =
       s"""WITH cents AS (
          |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 100 = 0),
          |assigned AS (
@@ -273,7 +303,7 @@ object AnnQueries {
          |    SELECT e.vec_id, e.embedding, c.cid,
          |      row_number() OVER (PARTITION BY e.vec_id
          |        ORDER BY ${cosSql("e.embedding", "c.cvec")}, c.cid) AS rn
-         |    FROM embeddings e CROSS JOIN cents c)
+         |    FROM embeddings e CROSS JOIN cents c WHERE $pred)
          |  WHERE rn = 1),
          |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
          |probes AS (
@@ -293,6 +323,8 @@ object AnnQueries {
          |  round(d, 6) AS dist, CAST(rank AS BIGINT) AS rank
          |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
+  private lazy val v1Sql = v1SqlWhere("TRUE")
+
   private def l2Sql(a: String, b: String): String =
     s"list_distance(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
 
@@ -301,6 +333,8 @@ object AnnQueries {
 
     // Identical results by construction — the stored layout is lossless.
     "v1_ivf_stored" -> v1Sql,
+
+    "v23_ivf_filtered" -> v1SqlWhere("e.label >= 3 AND e.label <> 7"),
 
     // Same protocol under L2: list_distance ranks identically to the
     // squared-L2 the Spark side computes; dist column compares after sqrt.

@@ -108,6 +108,32 @@ object TextPipelineQueries {
         .orderBy(col("lang"), col("source"))
     }),
 
+    // X33: distilled quality-classifier INFERENCE at corpus scale — the
+    // FineWeb-Edu pattern: a cheap linear model over hashed bag-of-words
+    // scores every document, and a threshold keeps the high-quality
+    // slice. The plumbing is the point (at deployment the weight table
+    // comes from a trained classifier, broadcast or folded into the
+    // expression): per-row column math only — tokenize, hash each token
+    // with the engine-independent PolyHash kernel, look up a weight,
+    // fold — ZERO shuffle, no UDF, scales like a scan. Stand-in weights
+    // derive deterministically from the hash ((h % 1001) - 500) so the
+    // oracle replays inference exactly; the mean is computed over a
+    // +500-shifted numerator so Spark's truncating `div` and DuckDB's
+    // flooring `//` agree (non-negative operands).
+    "x33_quality_classifier" -> ((s, dir) => {
+      val toks = org.apache.spark.sql.functions.split(col("text"), " ")
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          aggregate(
+            transform(toks, t => (Dedup.polyHash(t) % 1001L) - 500L),
+            lit(0L), (acc, x) => acc + x).as("raw"))
+        .select(col("doc_id"), col("n_tokens"),
+          expr("(raw + 500 * n_tokens) div n_tokens").as("score_milli"))
+        .withColumn("keep", col("score_milli") >= 510)
+        .orderBy(col("doc_id"))
+    }),
+
     // X4: rolling-hash fingerprint over word 4-gram shingles.
     "x4_fingerprint" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
@@ -621,6 +647,21 @@ object TextPipelineQueries {
         |  CAST(list_sum(list_transform(str_split(text, ' '),
         |       t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS est_bpe
         |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,
+
+    "x33_quality_classifier" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(list_sum(list_transform(str_split(text, ' '),
+        |      t -> (list_reduce([CAST(0 AS BIGINT)] ||
+        |              list_transform(str_split(t, ''), c -> CAST(ord(c) AS BIGINT)),
+        |              (acc, x) -> (acc * 31 + x) % 2147483647) % 1001) - 500))
+        |      AS BIGINT) AS raw
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  CAST((raw + 500 * n_tokens) // n_tokens AS BIGINT) AS score_milli,
+        |  (raw + 500 * n_tokens) // n_tokens >= 510 AS keep
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "x32_token_fertility" ->
       """WITH d AS (
