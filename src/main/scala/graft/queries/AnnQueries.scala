@@ -59,6 +59,37 @@ object AnnQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // V24: IVF recall audit — the index-quality monitoring job a serving
+    // deployment runs continuously: per query, recall@k of the probed
+    // IVF result against the exact scan, as ONE plan (both branches read
+    // the corpus once each; the intersection is a (qid,id)-keyed join of
+    // two k-row-per-query sets — tiny). Integer-exact output (ppm via
+    // integer div) so the oracle replays the measurement bit-for-bit.
+    // Drift in this number is what triggers Ivf.repairLayout.
+    "v24_ivf_recall_audit" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").cast("long").as("cid"), col("embedding").as("cvec"))
+      val assigned = Ivf.assign(
+        emb.select(col("vec_id").cast("long").as("id"),
+          col("embedding").as("vector")),
+        cents, "id", "vector")
+      val q = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").cast("long").as("qid"), col("embedding").as("qvec"))
+      val ivf = Ivf.search(assigned, cents, q, k = 10, nProbe = 2)
+        .select(col("qid"), col("id"))
+      val exact = VectorSearch.topKBatch(emb, q, k = 10, metric = "cosine",
+          idCol = "vec_id", vecCol = "embedding", wide = true)
+        .select(col("qid"), col("vec_id").as("id"))
+      exact.join(ivf, Seq("qid", "id"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+        .join(q.select(col("qid")), Seq("qid"), "right_outer")
+        .select(col("qid"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .withColumn("recall_ppm", expr("(1000000 * n_hit) div 10"))
+        .orderBy(col("qid"))
+    }),
+
     // V1-stored: the same IVF search served from the bucket-partitioned
     // parquet layout (probe join → partition pruning at scale) — shares
     // v1's oracle, proving the layout round-trips losslessly.
@@ -335,6 +366,47 @@ object AnnQueries {
     "v1_ivf_stored" -> v1Sql,
 
     "v23_ivf_filtered" -> v1SqlWhere("e.label >= 3 AND e.label <> 7"),
+
+    "v24_ivf_recall_audit" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 100 = 0),
+         |assigned AS (
+         |  SELECT vec_id AS id, embedding, cid AS bucket FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "c.cvec")}, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN cents c)
+         |  WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
+         |probes AS (
+         |  SELECT qid, qv, cid AS bucket FROM (
+         |    SELECT q.qid, q.qv, c.cid,
+         |      row_number() OVER (PARTITION BY q.qid
+         |        ORDER BY ${cosSql("q.qv", "c.cvec")}, c.cid) AS rn
+         |    FROM q CROSS JOIN cents c)
+         |  WHERE rn <= 2),
+         |ivf AS (
+         |  SELECT qid, id FROM (
+         |    SELECT p.qid, a.id,
+         |      row_number() OVER (PARTITION BY p.qid
+         |        ORDER BY ${cosSql("a.embedding", "p.qv")}, a.id) AS rank
+         |    FROM assigned a JOIN probes p ON a.bucket = p.bucket)
+         |  WHERE rank <= 10),
+         |exact AS (
+         |  SELECT qid, id FROM (
+         |    SELECT q.qid, e.vec_id AS id,
+         |      row_number() OVER (PARTITION BY q.qid
+         |        ORDER BY ${cosSql("e.embedding", "q.qv")}, e.vec_id) AS rank
+         |    FROM embeddings e CROSS JOIN q)
+         |  WHERE rank <= 10),
+         |hits AS (
+         |  SELECT e.qid, CAST(count(*) AS BIGINT) AS n_hit
+         |  FROM exact e JOIN ivf i ON e.qid = i.qid AND e.id = i.id
+         |  GROUP BY e.qid)
+         |SELECT CAST(q.qid AS BIGINT) AS qid,
+         |  coalesce(n_hit, 0) AS n_hit,
+         |  CAST((1000000 * coalesce(n_hit, 0)) // 10 AS BIGINT) AS recall_ppm
+         |FROM q LEFT JOIN hits USING (qid) ORDER BY qid""".stripMargin,
 
     // Same protocol under L2: list_distance ranks identically to the
     // squared-L2 the Spark side computes; dist column compares after sqrt.
