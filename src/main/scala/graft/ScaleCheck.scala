@@ -36,7 +36,7 @@ object ScaleCheck {
     // (the snapshot layout builds during warmup, so the timed reps measure
     // the steady-state fold like the bench does).
     "s1_replay", "s2_snapshot_compact", "s11_delete_cascade",
-    "x5_pipeline", "x9_pii", "x30_split_leakage",
+    "x5_pipeline", "x9_pii", "x30_split_leakage", "x33_quality_classifier",
     "x10_packing", "x11_funnel_pack",
     // Span-level dedup (r11): the gram-df shuffle is the scale-critical
     // stage — the translated replicas share no shingles, so hot grams and

@@ -37,6 +37,32 @@ class SemDedupSpec extends SparkSpec {
     assert(r.getAs[Double]("centroid_sim") < 1.0)
   }
 
+  test("output is invariant to input partitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 60L).map { i =>
+      // 20 groups of 3: two near-identical members + the group's base
+      val g = (i % 20).toInt
+      val seed = Array.tabulate(8)(d => (math.sin(g * 8 + d) * 10).toFloat + 11f)
+      val eps = (i / 20).toFloat * 0.02f
+      (i, seed.map(_ + eps).toSeq)
+    }
+    val df1 = base.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val df2 = df1.repartition(7, col("vec_id") % 3)
+    val a = Dedup.semDedup(df1, "vec_id", "embedding", threshold = 0.9)
+      .orderBy("component").collect().toSeq
+    val b = Dedup.semDedup(df2, "vec_id", "embedding", threshold = 0.9)
+      .orderBy("component").collect().toSeq
+    assert(a.nonEmpty)
+    assert(a.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) ===
+      b.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
+    // centroid sims agree to float-noise tolerance (avg order may differ)
+    a.zip(b).foreach { case (x, y) =>
+      assert(math.abs(x.getDouble(3) - y.getDouble(3)) < 1e-9)
+    }
+  }
+
   test("exact ties fall to the smallest id") {
     val emb = Seq((7L, v.toSeq), (8L, v.toSeq), (9L, v.toSeq))
       .toDF("vec_id", "embedding")
