@@ -212,6 +212,16 @@ object ScaleCheck {
     val emb = spark.read.parquet(s"$base/embeddings.parquet")
     val nDocs = docs.count()
     val nVec = emb.count()
+    // The registered queries plant twins at fixed id offsets (+100000 on
+    // vec_id in d5/d12, +100000/+200000/+500000/+600000 on doc_id in the
+    // dedup/decontamination family). A factor large enough to push scaled
+    // ids into those ranges would silently alias planted twins onto real
+    // rows and corrupt the very semantics being timed — fail loudly
+    // instead of measuring garbage.
+    require(factor * nVec <= 100000,
+      s"scaled vec_ids (${factor * nVec}) would collide with the +100000 twin offset")
+    require(factor * nDocs <= 100000,
+      s"scaled doc_ids (${factor * nDocs}) would collide with the +100000 plant offset")
     // 10 distinct mappings of the most frequent letters — rotating within
     // the set changes most words, so replicas share no shingles.
     val src = "etaoinshrd"

@@ -216,9 +216,18 @@ object Dedup {
     */
   def cosineNearDups(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, planes: Int = 8,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
-    val b0 = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", hyperplaneBucket(col("v"), planes))
+      maxBucket: Int = Int.MaxValue): DataFrame =
+    cosineNearDupsFromBuckets(
+      emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+        .withColumn("bucket", hyperplaneBucket(col("v"), planes)),
+      threshold, maxBucket)
+
+  /** [[cosineNearDups]] over an already-bucketed `(id, v, bucket)` frame —
+    * callers that need the bucketing for other steps too ([[semDedup]]'s
+    * centroids) avoid a second full-corpus bucket-kernel scan.
+    */
+  private def cosineNearDupsFromBuckets(b0: DataFrame, threshold: Double,
+      maxBucket: Int): DataFrame = {
     val b =
       if (maxBucket == Int.MaxValue) b0
       else b0
@@ -386,7 +395,7 @@ object Dedup {
       maxBucket: Int = Int.MaxValue): DataFrame = {
     val b = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .withColumn("bucket", hyperplaneBucket(col("v"), planes))
-    val pairs = cosineNearDups(emb, idCol, vecCol, threshold, planes, maxBucket)
+    val pairs = cosineNearDupsFromBuckets(b, threshold, maxBucket)
     val comp = connectedComponents(pairs.select(col("id1"), col("id2")))
     // Per-cluster centroid over ALL cluster members (not just duplicates),
     // double accumulation: one narrow shuffle on (bucket, pos), then a

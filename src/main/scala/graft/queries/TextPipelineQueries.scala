@@ -648,14 +648,19 @@ object TextPipelineQueries {
         |       t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS est_bpe
         |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,
 
+    // The empty-token CASE matches PolyHash('') = 0: DuckDB's
+    // str_split('', '') is [''] with ord('') = -1, which would skew the
+    // hash by one for every empty token a doubled/leading/trailing space
+    // produces (latent on the space-normalized fixtures, wrong on real
+    // corpora).
     "x33_quality_classifier" ->
       """WITH d AS (
         |  SELECT doc_id,
         |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
         |    CAST(list_sum(list_transform(str_split(text, ' '),
-        |      t -> (list_reduce([CAST(0 AS BIGINT)] ||
+        |      t -> (CASE WHEN t = '' THEN 0 ELSE list_reduce([CAST(0 AS BIGINT)] ||
         |              list_transform(str_split(t, ''), c -> CAST(ord(c) AS BIGINT)),
-        |              (acc, x) -> (acc * 31 + x) % 2147483647) % 1001) - 500))
+        |              (acc, x) -> (acc * 31 + x) % 2147483647) END % 1001) - 500))
         |      AS BIGINT) AS raw
         |  FROM documents)
         |SELECT doc_id, n_tokens,

@@ -130,9 +130,13 @@ class CurationSpec extends SparkSpec {
     // every bench doc's planted half-copy is caught, attributed to ITS
     // bench source, with the fraction the prefix construction predicts
     // ((h-4)/(n-4) for an (n+1)/2-word prefix → well above the 25% cut)
+    // n >= 11 is where the half-prefix clears the 25% cut for every n:
+    // shared = (n+1)/2 - 4 vs n_bench = n - 4 gives 4*shared >= n_bench
+    // iff n >= 10 (odd) / n >= 12 (even); n in {9, 10} shingles but
+    // falls below the cut.
     val benchIds = spark.read.parquet(s"${sf()}/documents.parquet")
       .filter(col("doc_id") % 97 === 0)
-      .filter(size(split(col("text"), " ")) >= 9) // half must still shingle
+      .filter(size(split(col("text"), " ")) >= 11)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(benchIds.subsetOf(planted.map(_.getLong(1)).toSet),
       s"missing planted leaks: ${benchIds -- planted.map(_.getLong(1)).toSet}")
