@@ -217,11 +217,16 @@ object ScaleCheck {
     // dedup/decontamination family). A factor large enough to push scaled
     // ids into those ranges would silently alias planted twins onto real
     // rows and corrupt the very semantics being timed — fail loudly
-    // instead of measuring garbage.
-    require(factor * nVec <= 100000,
-      s"scaled vec_ids (${factor * nVec}) would collide with the +100000 twin offset")
-    require(factor * nDocs <= 100000,
-      s"scaled doc_ids (${factor * nDocs}) would collide with the +100000 plant offset")
+    // instead of measuring garbage. Replicas are offset by r * n ADDED to
+    // the original id, so the true ceiling is max(base_id) + (factor-1)*n,
+    // not factor * count (those differ whenever base ids are sparse or
+    // non-zero-based).
+    val maxVecId = emb.agg(max(col("vec_id")).cast("long")).head.getLong(0)
+    val maxDocId = docs.agg(max(col("doc_id")).cast("long")).head.getLong(0)
+    require(maxVecId + (factor - 1) * nVec < 100000,
+      s"scaled vec_ids (max ${maxVecId + (factor - 1) * nVec}) would collide with the +100000 twin offset")
+    require(maxDocId + (factor - 1) * nDocs < 100000,
+      s"scaled doc_ids (max ${maxDocId + (factor - 1) * nDocs}) would collide with the +100000 plant offset")
     // 10 distinct mappings of the most frequent letters — rotating within
     // the set changes most words, so replicas share no shingles.
     val src = "etaoinshrd"

@@ -190,6 +190,16 @@ object Gardener {
     * Output: (src_mem, dst_mem, sim) — exactly the pairs the judge LLM
     * would receive ([[graft.llm.LlmFrames.contradictionFrames]] formats
     * the c8 sentiment seam; this is the similarity seam).
+    *
+    * DOCUMENTED DEVIATION: the [lo, hi] band is applied to the
+    * 6-decimal-ROUNDED similarity, where the reference checks the raw
+    * score (`gardener.go:1343` skips on `neighbor.Score > 0.95` before any
+    * formatting). A pair whose raw sim is within 5e-7 of a boundary (e.g.
+    * 0.9500004 → rounds to 0.95) can therefore differ. This is deliberate:
+    * rounding before the cut makes the band decision identical across
+    * engines (Spark vs the DuckDB oracle can disagree in the last ulp of a
+    * raw float dot product, which would flip boundary pairs
+    * nondeterministically), and the deviation's width is one rounding ulp.
     */
   def contradictionCandidates(
       mem: DataFrame,

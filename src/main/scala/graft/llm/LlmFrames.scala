@@ -61,10 +61,15 @@ object LlmFrames {
     * epoch seconds).
     */
   def contradictionPairFrames(pairs: DataFrame, mem: DataFrame): DataFrame = {
+    // UTC calendar date via pure day arithmetic on DateType, which carries
+    // no timezone — unlike date_format(timestamp), whose rendering follows
+    // spark.sql.session.timeZone, this cannot shift across day boundaries
+    // in a non-UTC session (floor handles pre-epoch seconds correctly).
     def side(key: String, as: String) = mem.select(
       col("mem_id").as(key), col("content").as(s"${as}_body"),
-      date_format(to_utc_timestamp(timestamp_seconds(col("created_at")), "UTC"),
-        "yyyy-MM-dd").as(s"${as}_date"))
+      date_add(to_date(lit("1970-01-01")),
+        floor(col("created_at") / 86400L).cast("int")).cast("string")
+        .as(s"${as}_date"))
     pairs
       .join(side("src_mem", "a"), Seq("src_mem"))
       .join(side("dst_mem", "b"), Seq("dst_mem"))

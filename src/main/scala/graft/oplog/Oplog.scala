@@ -70,26 +70,48 @@ object Oplog {
     * would evaluate it, silently bypassing the guard. The op-column scan is
     * the replay-integrity price (the reference CRC-checks every frame on
     * recovery for the same reason, `recovery.go:120-148`) — but it is paid
-    * ONCE per log identity, not once per fold: the scan result is memoized
-    * on the canonicalized analyzed plan (structural equality, so a replay
-    * that calls foldVectors + foldEdges + foldConfig over the same log —
-    * even via separate `generate` calls — validates a single time). Keys
-    * are weakly held; dropping the log frees the memo entry.
+    * ONCE per log DataFrame, not once per fold: the scan result is memoized
+    * on the canonicalized analyzed plan, so a replay that calls
+    * foldVectors + foldEdges + foldConfig over the same frame validates a
+    * single time. Scope, precisely: file-source relations compare by
+    * reference, so two separate `spark.read` calls over the same path
+    * build distinct keys and each validates once — the memo's contract is
+    * "same DataFrame lineage", which is exactly what the replay folds
+    * share. The memo VALUE is a fingerprint of the file footprint
+    * (paths + total bytes), so a long-lived frame over a path whose files
+    * are swapped in-session is re-validated rather than served a stale
+    * verdict. Keys are weakly held; dropping the log frees the entry.
     */
   private val validatedPlans = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      java.lang.Boolean]())
+      String]())
+
+  /** Stable identity of the frame's file-backed sources: sorted input
+    * paths plus the relation's byte size. In-memory (local) relations have
+    * no file footprint and fingerprint to a constant — their contents are
+    * immutable, so plan identity alone is sufficient for them.
+    */
+  private def sourceFingerprint(oplog: DataFrame): String =
+    oplog.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.inputFiles.sorted.mkString(",") + "#" + fs.sizeInBytes
+          case _ => ""
+        }
+    }.mkString("|")
 
   private def validated(oplog: DataFrame): DataFrame = {
     val key = oplog.queryExecution.analyzed.canonicalized
-    if (!validatedPlans.containsKey(key)) {
+    val fp = sourceFingerprint(oplog)
+    if (validatedPlans.get(key) != fp) {
       val bad = oplog.select(col("op"))
         .filter(!col("op").isin(KnownOps: _*) || col("op").isNull)
         .limit(1).collect()
       require(bad.isEmpty,
         s"unknown oplog op: ${bad.headOption.map(_.getString(0)).orNull}")
-      validatedPlans.put(key, java.lang.Boolean.TRUE)
+      validatedPlans.put(key, fp)
     }
     oplog
   }

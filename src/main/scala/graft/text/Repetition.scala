@@ -50,17 +50,19 @@ object Repetition {
       col(idCol).as("doc_id"),
       RepetitionStatsExpression.statsCol(split(col(textCol), " ")).as("st"))
     val tot = col("st").getField("tot").cast("double")
-    // topcnt = 0 (no grams at this n) guards the 0/0 -> NaN edge on
-    // empty-word documents; the fraction is 0.0 by definition there.
+    // topcnt = 0 (no grams at this n) and tot = 0 (a document whose words
+    // are all empty strings — consecutive-space text splits to empty
+    // words, so grams exist but carry zero characters) both guard the
+    // 0/0 -> NaN edge; the fraction is 0.0 by definition in either case.
     def topF(n: Int): Column = {
       val cnt = col("st").getField(s"top${n}cnt")
-      when(cnt === 0, lit(0.0))
+      when(cnt === 0 || tot === 0, lit(0.0))
         .otherwise(round((cnt * col("st").getField(s"top${n}chars")) / tot, 6))
         .as(s"top_${n}gram_frac")
     }
     def dupF(n: Int): Column = {
       val dup = col("st").getField(s"dup$n")
-      when(dup === 0, lit(0.0))
+      when(dup === 0 || tot === 0, lit(0.0))
         .otherwise(round(least(lit(1.0), dup / tot), 6))
         .as(s"dup_${n}gram_frac")
     }
