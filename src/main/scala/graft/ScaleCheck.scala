@@ -31,6 +31,11 @@ object ScaleCheck {
     // perturbed replica embeddings spread across buckets, so centroid
     // state stays ≤2^planes rows regardless of corpus size.
     "d12_semdedup",
+    // IVF-clustered SemDeDup (r12): same chain over served centroid
+    // clusters — assignment is a broadcast argmin (no shuffle), clusters
+    // scale with the corpus (vec_id % 100 sampling), so cluster occupancy
+    // — and with it the quadratic pair step — stays ~constant per cluster.
+    "d12_semdedup_ivf",
     // Replay/fold family (VERDICT r10 #6): all three heavy oplog folds over
     // a 10× log — vector fold, edge fold + cascade, snapshot + tail replay
     // (the snapshot layout builds during warmup, so the timed reps measure

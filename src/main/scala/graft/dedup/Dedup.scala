@@ -415,6 +415,15 @@ object Dedup {
     val members = b.join(comp, Seq("id"))
       .join(broadcast(cent), Seq("bucket"))
       .withColumn("csim", dot / (norm(vd) * norm(col("centroid"))))
+    keepLowestCentroidSim(members)
+  }
+
+  /** The paper's survivor rule, shared by [[semDedup]] and
+    * [[semDedupClustered]]: per component keep the member with the LOWEST
+    * centroid cosine (ties to the smallest id) — the outlier carries the
+    * most marginal information. `members`: (component, id, csim, ...).
+    */
+  private def keepLowestCentroidSim(members: DataFrame): DataFrame = {
     val byComp = Window.partitionBy(col("component"))
     members
       .withColumn("rn", row_number().over(byComp.orderBy(col("csim").asc, col("id").asc)))
@@ -422,5 +431,39 @@ object Dedup {
       .filter(col("rn") === 1)
       .select(col("component"), col("id").as("survivor"),
         col("n_members"), col("csim").as("centroid_sim"))
+  }
+
+  /** [[semDedup]] over TRAINED/served clusters — the production clustering
+    * path the paper actually runs (Abbas et al. §3 cluster with k-means):
+    * cluster = nearest centroid under full cosine
+    * ([[graft.search.Ivf.assign]]'s argmin, ties to the smallest cid),
+    * duplicate groups = within-cluster cos ≥ threshold components, survivor
+    * = the member with the LOWEST cosine to its ASSIGNED centroid. With
+    * KMeans-trained centroids ([[graft.search.Ivf.trainKMeansArrays]]) the
+    * centroid IS the cluster mean at convergence, so this is the paper's
+    * keep-low-centroid-sim rule verbatim; with sampled centroids (the v1
+    * oracle protocol) the same geometry is DuckDB-replicable. Every
+    * downstream step matches [[semDedup]] — only the partitioner changes.
+    *
+    * `centroids`: (cid long, cvec array<float>). `maxBucket` caps the
+    * within-cluster quadratic pair step; at production scale ALWAYS supply
+    * it — an encoder that collapses a mode concentrates mass in one
+    * cluster, and the cap bounds the damage exactly like the LSH skew cap.
+    */
+  def semDedupClustered(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, centroids: DataFrame,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val b = graft.search.Ivf.assign(
+        emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")),
+        centroids, "id", "v")
+      .select(col("id"), col("v"), col("bucket"))
+    val pairs = cosineNearDupsFromBuckets(b, threshold, maxBucket)
+    val comp = connectedComponents(pairs.select(col("id1"), col("id2")))
+    val members = b.join(comp, Seq("id"))
+      .join(broadcast(centroids.select(col("cid").as("bucket"), col("cvec"))),
+        Seq("bucket"))
+      .withColumn("csim",
+        VectorFunctions.cosineSimilarityWide(col("v"), col("cvec")))
+    keepLowestCentroidSim(members)
   }
 }

@@ -339,7 +339,41 @@ object DedupQueries {
           array((element_at(col("embedding"), 1) + lit(0.05f))),
           slice(col("embedding"), lit(2), size(col("embedding")) - 1)).as("embedding"))
       val all = e.select(col("vec_id"), col("embedding")).unionByName(twins)
-      Dedup.semDedup(all, "vec_id", "embedding", threshold = 0.9)
+      // maxBucket caps the within-bucket pair step (a degenerate embedding
+      // distribution — mass in one orthant — would otherwise go quadratic);
+      // semantics-neutral at test scale (≤540 vectors across 256 buckets)
+      // and the oracle replicates the cap, so both over- and under-capping
+      // hash-mismatch.
+      Dedup.semDedup(all, "vec_id", "embedding", threshold = 0.9,
+          maxBucket = 512)
+        .select(col("component"), col("survivor"), col("n_members"),
+          round(col("centroid_sim"), 6).as("centroid_sim"))
+        .orderBy(col("component"))
+    }),
+
+    // D12-IVF: SemDeDup's PRODUCTION clustering path — the same
+    // keep-lowest-centroid-sim rule over served IVF clusters instead of
+    // hyperplane sign buckets (the paper clusters with k-means; the
+    // hyperplane variant is the trainless stand-in). Centroids here follow
+    // the v1 sampled-centroid protocol (vec_id % 100 == 0, cosine argmin
+    // assignment) so the whole chain is DuckDB-replicable; the
+    // KMeans-trained swap (Ivf.trainKMeansArrays → same semDedupClustered
+    // call) is pinned by SemDedupSpec. Survivor similarity is measured
+    // against the ASSIGNED centroid — with trained centroids that is the
+    // cluster mean, the paper's rule verbatim.
+    "d12_semdedup_ivf" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val twins = e.filter(col("vec_id") % 13 === 0).select(
+        (col("vec_id") + 100000).as("vec_id"),
+        concat(
+          array((element_at(col("embedding"), 1) + lit(0.05f))),
+          slice(col("embedding"), lit(2), size(col("embedding")) - 1)).as("embedding"))
+      val all = e.select(col("vec_id"), col("embedding")).unionByName(twins)
+      val cents = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").cast("long").as("cid"),
+          col("embedding").as("cvec"))
+      Dedup.semDedupClustered(all, "vec_id", "embedding", threshold = 0.9,
+          centroids = cents, maxBucket = 512)
         .select(col("component"), col("survivor"), col("n_members"),
           round(col("centroid_sim"), 6).as("centroid_sim"))
         .orderBy(col("component"))
@@ -467,9 +501,13 @@ object DedupQueries {
         |buckets AS (
         |  SELECT vec_id, CAST(sum(CASE WHEN dot > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
         |  FROM dots GROUP BY vec_id),
+        |bsz AS (SELECT bucket, count(*) AS n FROM buckets GROUP BY bucket),
+        |bok AS (
+        |  SELECT b.vec_id, b.bucket FROM buckets b
+        |  JOIN bsz USING (bucket) WHERE bsz.n <= 512),
         |p AS (
         |  SELECT l.vec_id AS id1, r.vec_id AS id2
-        |  FROM buckets l JOIN buckets r ON l.bucket = r.bucket AND l.vec_id < r.vec_id),
+        |  FROM bok l JOIN bok r ON l.bucket = r.bucket AND l.vec_id < r.vec_id),
         |dup AS (
         |  SELECT p.id1, p.id2 FROM p
         |  JOIN ecorpus a ON a.vec_id = p.id1 JOIN ecorpus b ON b.vec_id = p.id2
@@ -494,6 +532,71 @@ object DedupQueries {
         |  JOIN ecorpus ec ON ec.vec_id = comp.vec_id
         |  JOIN buckets b ON b.vec_id = comp.vec_id
         |  JOIN centl cl ON cl.bucket = b.bucket),
+        |r2 AS (
+        |  SELECT component, vec_id, csim,
+        |    row_number() OVER (PARTITION BY component ORDER BY csim ASC, vec_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY component) AS n_members
+        |  FROM msim)
+        |SELECT CAST(component AS BIGINT) AS component,
+        |  CAST(vec_id AS BIGINT) AS survivor,
+        |  CAST(n_members AS BIGINT) AS n_members,
+        |  round(csim, 6) AS centroid_sim
+        |FROM r2 WHERE rn = 1 ORDER BY component""".stripMargin,
+
+    // D12-IVF: the v1 sampled-centroid assignment protocol feeding the
+    // d12 recursive-CTE component chain — an independent re-derivation of
+    // semDedupClustered: argmin cosine assignment (ties to smallest cid),
+    // the 512 hot-cluster cap, within-cluster cos ≥ 0.9 pairs, min-label
+    // transitive closure, and survivor = lowest cosine to the ASSIGNED
+    // centroid.
+    "d12_semdedup_ivf" ->
+      """WITH RECURSIVE ecorpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000,
+        |    [embedding[1] + CAST(0.05 AS FLOAT)] || embedding[2:]
+        |  FROM embeddings WHERE vec_id % 13 = 0
+        |),
+        |cents AS (
+        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        |  WHERE vec_id % 100 = 0),
+        |assigned AS (
+        |  SELECT vec_id, cid AS bucket FROM (
+        |    SELECT e.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY 1.0 - list_cosine_similarity(
+        |          CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])),
+        |          c.cid) AS rn
+        |    FROM ecorpus e CROSS JOIN cents c)
+        |  WHERE rn = 1),
+        |bsz AS (SELECT bucket, count(*) AS n FROM assigned GROUP BY bucket),
+        |bok AS (
+        |  SELECT a.vec_id, a.bucket FROM assigned a
+        |  JOIN bsz USING (bucket) WHERE bsz.n <= 512),
+        |p AS (
+        |  SELECT l.vec_id AS id1, r.vec_id AS id2
+        |  FROM bok l JOIN bok r ON l.bucket = r.bucket AND l.vec_id < r.vec_id),
+        |dup AS (
+        |  SELECT p.id1, p.id2 FROM p
+        |  JOIN ecorpus a ON a.vec_id = p.id1 JOIN ecorpus b ON b.vec_id = p.id2
+        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])) >= 0.9),
+        |und AS (
+        |  SELECT id1 AS u, id2 AS v FROM dup
+        |  UNION SELECT id2, id1 FROM dup),
+        |reach(u, r) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM und)
+        |  UNION
+        |  SELECT und.u, reach.r FROM und JOIN reach ON und.v = reach.u),
+        |comp AS (SELECT u AS vec_id, min(r) AS component FROM reach GROUP BY u),
+        |msim AS (
+        |  SELECT comp.component, comp.vec_id,
+        |    list_cosine_similarity(CAST(ec.embedding AS DOUBLE[]),
+        |                           CAST(c.cvec AS DOUBLE[])) AS csim
+        |  FROM comp
+        |  JOIN ecorpus ec ON ec.vec_id = comp.vec_id
+        |  JOIN assigned a ON a.vec_id = comp.vec_id
+        |  JOIN cents c ON c.cid = a.bucket),
         |r2 AS (
         |  SELECT component, vec_id, csim,
         |    row_number() OVER (PARTITION BY component ORDER BY csim ASC, vec_id ASC) AS rn,

@@ -63,6 +63,56 @@ class SemDedupSpec extends SparkSpec {
     }
   }
 
+  test("clustered variant over TRAINED KMeans centroids applies the same rule") {
+    import graft.search.Ivf
+    // Two well-separated latent clusters (v-side and its mirror), each a
+    // near-dup trio. KMeans k=2 (init = two smallest ids = one per side)
+    // recovers the sides; the survivor is the member with the LOWEST cosine
+    // to its TRAINED centroid — the cluster mean, i.e. the paper's rule
+    // with real trained centroids, not the hyperplane stand-in.
+    val emb = Seq(
+      (1L, v.toSeq), (2L, v.map(-_).toSeq),
+      (3L, v.toSeq), (4L, v.map(-_).toSeq),
+      (5L, w.toSeq), (6L, w.map(-_).toSeq))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val cents = Ivf.trainKMeansArrays(emb, k = 2, iters = 5,
+      idCol = "vec_id", vecCol = "embedding")
+    val centsDf = cents.zipWithIndex.toSeq
+      .map { case (cv, i) => (i.toLong, cv.toSeq) }
+      .toDF("cid", "cvec")
+      .select(col("cid"), col("cvec").cast("array<float>").as("cvec"))
+    val out = Dedup.semDedupClustered(emb, "vec_id", "embedding",
+        threshold = 0.9, centroids = centsDf)
+      .orderBy("component").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[Long]("component") === 1L)
+    assert(out(0).getAs[Long]("n_members") === 3L)
+    // centroid = mean(v, v, w): w is the outlier → survivor
+    assert(out(0).getAs[Long]("survivor") === 5L)
+    assert(out(1).getAs[Long]("component") === 2L)
+    assert(out(1).getAs[Long]("n_members") === 3L)
+    assert(out(1).getAs[Long]("survivor") === 6L)
+  }
+
+  test("clustered variant's maxBucket drops hot clusters before the pair step") {
+    // Hot cluster: 5 members around v (over the cap of 4); cold cluster: a
+    // pair around -v. The cap must remove the hot cluster's pairs entirely
+    // while the organic cold pair survives.
+    val emb = (Seq.tabulate(5)(i => ((i + 1).toLong, v.toSeq)) ++
+      Seq((10L, v.map(-_).toSeq), (11L, v.map(-_).toSeq)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val centsDf = Seq((0L, v.toSeq), (1L, v.map(-_).toSeq))
+      .toDF("cid", "cvec")
+      .select(col("cid"), col("cvec").cast("array<float>").as("cvec"))
+    val out = Dedup.semDedupClustered(emb, "vec_id", "embedding",
+        threshold = 0.9, centroids = centsDf, maxBucket = 4)
+      .collect()
+    assert(out.map(_.getAs[Long]("component")).toSeq === Seq(10L))
+    assert(out.head.getAs[Long]("n_members") === 2L)
+  }
+
   test("exact ties fall to the smallest id") {
     val emb = Seq((7L, v.toSeq), (8L, v.toSeq), (9L, v.toSeq))
       .toDF("vec_id", "embedding")
