@@ -201,6 +201,41 @@ object OplogQueries {
         .orderBy(col("rel"))
     }),
 
+    // S16: the API-contract validation surface (Oplog.violations) over a
+    // log with INJECTED illegal writes — duplicate VADD on a live id,
+    // self-link, duplicate VCREATE (api_contracts.json cases
+    // vadd_duplicate_returns_409 / vlink_self_link_rejected /
+    // create_duplicate_index_returns_409) — on top of the generated log's
+    // own upsert re-adds (v%10=0), which the API boundary 409s even though
+    // replay folds them as upserts. Each injected class pairs with a LEGAL
+    // twin that must stay unflagged: the duplicate add lands after a VDEL
+    // for v%17 hits (legal re-add), and VCREATE tmp @1500 follows its
+    // VDROP @999 (legal recreate) — so both over- and under-flagging
+    // hash-mismatch. Injection seq slots (+35/+36, 17, 18, 1500) are unused
+    // by Oplog.generate.
+    "s16_violations" -> ((s, dir) => {
+      import graft.core.Tables
+      val emb = Tables.embeddings(s, dir)
+      val v = col("vec_id")
+      val idS = v.cast("string")
+      val one = s.range(1).toDF()
+      val illegal = Seq(
+        Oplog.opRows(emb.filter(v % 21 === 0), v * 100 + 35, "VADD",
+          Oplog.MemIdx, id = idS, vector = col("embedding"),
+          meta = map(lit("src"), lit("dup"))),
+        Oplog.opRows(emb.filter(v % 27 === 0), v * 100 + 36, "GLINK",
+          Oplog.MemIdx, src = idS, dst = idS, rel = lit("self"),
+          weight = lit(1.0)),
+        Oplog.opRows(one, lit(17), "VCREATE", Oplog.MemIdx),
+        Oplog.opRows(one, lit(18), "VCREATE", "tmp"),
+        Oplog.opRows(one, lit(1500), "VCREATE", "tmp")
+      ).reduce(_ unionByName _)
+      Oplog.violations(storedOplog(s, dir).unionByName(illegal))
+        .select(col("seq").cast("long").as("seq"), col("op"),
+          col("index_name"), col("violation"))
+        .orderBy(col("seq"))
+    }),
+
     // S13: transfer label-3 live memories + induced active subgraph into
     // 'arch' with one provenance edge per record — reading both folds from
     // the shared materialized state layout.
@@ -331,6 +366,35 @@ object OplogQueries {
          |    CAST(count(DISTINCT label) AS BIGINT)
          |  FROM vstate WHERE alive AND v % 34 <> 0
          |) ORDER BY rel""".stripMargin,
+
+    // The flagged set, derived analytically from the generate layout + the
+    // injection moduli — an independent window-function-free twin (the
+    // Spark side computes lag() over the event stream; the oracle encodes
+    // which event directly precedes each probe):
+    //   - v%10=0: the log's own re-add @+22 (prev is always the VADD @+20);
+    //   - v%21=0 injected @+35: prev is a VADD unless the id sits deleted,
+    //     i.e. v%17=0 without the v%34=0 revive @+25;
+    //   - v%27=0 injected self-link @+36: always flagged;
+    //   - VCREATE mem @17 / tmp @18: both live → flagged; tmp @1500 follows
+    //     VDROP @999 → legal, absent from the expected set.
+    "s16_violations" ->
+      """SELECT CAST(seq AS BIGINT) AS seq, op, index_name, violation
+        |FROM (
+        |  SELECT vec_id * 100 + 22 AS seq, 'VADD' AS op,
+        |    'mem' AS index_name, 'duplicate_add' AS violation
+        |  FROM embeddings WHERE vec_id % 10 = 0
+        |  UNION ALL
+        |  SELECT vec_id * 100 + 35, 'VADD', 'mem', 'duplicate_add'
+        |  FROM embeddings WHERE vec_id % 21 = 0
+        |    AND NOT (vec_id % 17 = 0 AND vec_id % 34 <> 0)
+        |  UNION ALL
+        |  SELECT vec_id * 100 + 36, 'GLINK', 'mem', 'self_link'
+        |  FROM embeddings WHERE vec_id % 27 = 0
+        |  UNION ALL
+        |  SELECT 17, 'VCREATE', 'mem', 'duplicate_create'
+        |  UNION ALL
+        |  SELECT 18, 'VCREATE', 'tmp', 'duplicate_create'
+        |) ORDER BY seq""".stripMargin,
 
     // Transferred nodes: alive, label=3, and NOT revived (revive replaces
     // metadata, dropping the label key). Edges: active chain edges whose
