@@ -161,6 +161,72 @@ class StreamsSpec extends SparkSpec {
     assert(batch === streamed)
   }
 
+  test("thinkTriggerStream: cross-batch arrival out of event-time order " +
+      "follows the documented arrival-order contract") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // One key, threshold 2, interval 5000 ms. Batch 1 delivers the LATER
+    // event times (t=6000, 7000); batch 2 delivers the EARLIER ones
+    // (t=1000, 2000) plus t=13000. The contract (Streams.scala ordering
+    // note; the reference's live scheduler counts writes as they arrive,
+    // gardener.go:506-528) is that the fold consumes ARRIVAL order across
+    // batches — late-arriving old events are new writes against the
+    // scheduler's current clock, never a rewind:
+    //   batch 1: w=2 @7000, 7000-0 >= 5000        -> fire (7000, 2)
+    //   batch 2: w=2 @2000, 2000-7000 < 5000      -> held (no clock rewind)
+    //            w=3 @13000, 13000-7000 >= 5000   -> fire (13000, 3)
+    val b1 = Seq((1L, 6000L, 10L), (1L, 7000L, 11L))
+    val b2 = Seq((1L, 1000L, 1L), (1L, 2000L, 2L), (1L, 13000L, 12L))
+
+    val ms = MemoryStream[(Long, Long, Long)]
+    val out = Streams.thinkTriggerStream(
+      ms.toDF.toDF("user_id", "ts_ms", "event_id"),
+      "user_id", "ts_ms", "event_id",
+      writeThreshold = 2L, minIntervalMs = 5000L)
+    val q = out.writeStream.format("memory").queryName("think_ooo")
+      .outputMode("append").start()
+    val streamed = try {
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+      spark.table("think_ooo").orderBy("fire_ms").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    } finally q.stop()
+    assert(streamed === Seq((1L, 7000L, 2L), (1L, 13000L, 3L)))
+
+    // The same events replayed IN event-time order give a different
+    // answer — the divergence is the contract, not a bug: batch replay
+    // reconstructs what a scheduler that saw history in order would have
+    // done, the live stream tracks what the always-on scheduler actually
+    // does with the arrival sequence it got.
+    val batch = Streams.thinkTriggers(
+      (b1 ++ b2).toDF("user_id", "ts_ms", "event_id"),
+      "user_id", "ts_ms", "event_id",
+      writeThreshold = 2L, minIntervalMs = 5000L)
+      .orderBy("fire_ms").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(batch === Seq((1L, 6000L, 3L), (1L, 13000L, 2L)))
+
+    // And in-order delivery across batches still degrades to batch replay
+    // (the r11 equivalence stays green alongside the adversarial case).
+    val ms2 = MemoryStream[(Long, Long, Long)]
+    val out2 = Streams.thinkTriggerStream(
+      ms2.toDF.toDF("user_id", "ts_ms", "event_id"),
+      "user_id", "ts_ms", "event_id",
+      writeThreshold = 2L, minIntervalMs = 5000L)
+    val q2 = out2.writeStream.format("memory").queryName("think_inorder")
+      .outputMode("append").start()
+    val inOrder = try {
+      val sorted = (b1 ++ b2).sortBy(e => (e._2, e._3))
+      ms2.addData(sorted.take(3): _*); q2.processAllAvailable()
+      ms2.addData(sorted.drop(3): _*); q2.processAllAvailable()
+      spark.table("think_inorder").orderBy("fire_ms").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    } finally q2.stop()
+    assert(inOrder === batch)
+  }
+
   test("streaming exact dedup suppresses duplicate content across batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
