@@ -368,18 +368,7 @@ object Ivf {
     val qids = qrows.map(_._1)
     val qvecs = qrows.map(_._2)
     // bucket → indices of the queries probing it (null = unprobed).
-    val bucketQs = new Array[Array[Int]](cents.length)
-    qrows.zipWithIndex.foreach { case ((_, qv), qi) =>
-      val probed = cents.indices.map { c =>
-        val cv = cents(c)
-        var dot = 0.0; var j = 0
-        while (j < cv.length) { dot += cv(j).toDouble * qv(j); j += 1 }
-        (if (l2) adj(c) - dot else -dot * adj(c), c)
-      }.sorted.take(nProbe)
-      probed.foreach { case (_, c) =>
-        bucketQs(c) = if (bucketQs(c) == null) Array(qi) else bucketQs(c) :+ qi
-      }
-    }
+    val bucketQs = probeAssignments(cents, adj, l2, qvecs, nProbe)
     val bc = spark.sparkContext.broadcast((qvecs, bucketQs))
     // ONE stage: per-partition bounded top-k over contiguous bucket blocks
     // (query-outer loop — each probing query streams the whole block
@@ -429,20 +418,17 @@ object Ivf {
       }
       Iterator.single(heaps)
     }
-    val merged =
-      if (partials.getNumPartitions == 0) new TopK(qids.length, k)
-      else partials.treeReduce(_ merge _)
+    val merged = reducePartials(partials, new TopK(qids.length, k), (a: TopK, b: TopK) => a merge b)
     mergeTopK(spark, merged, qids, k)
   }
 
   /** Per-query bounded top-k accumulator: insertion into k-sized sorted
     * parallel arrays, ties by id — the partial state both the executor pass
-    * and the distributed merge share. Serializable because partials are
-    * combined with `treeReduce` ON THE EXECUTORS: the driver receives ONE
-    * merged state (nq×k entries) regardless of partition count, so the
-    * serving path's driver cost does not grow with cluster size (a
-    * `collect` of per-partition partials would be partitions×nq×k rows —
-    * fine at local[32], a bottleneck at 1000 executors).
+    * and the distributed merge share. Partials combine through
+    * [[reducePartials]]: one reduce job at serving partition counts (each
+    * task's state is nq×k entries — tiny), `treeReduce` above the
+    * threshold so the driver never receives more than √partitions states
+    * at 1000-executor scale.
     */
   private[search] final class TopK(nq: Int, k: Int) extends Serializable {
     val heapD: Array[Array[Double]] = Array.fill(nq)(Array.fill(k)(Double.MaxValue))
@@ -582,17 +568,8 @@ object Ivf {
     val qids = qrows.map(_._1)
     val qcodes = qrows.map { case (_, qv) => quantizeArray(qv, absMax) }
     val qnorms = qcodes.map(int8Norm)
-    val bucketQs = new Array[Array[Int]](cents.length)
-    qrows.zipWithIndex.foreach { case ((_, qv), qi) =>
-      cents.indices.map { c =>
-        val cv = cents(c)
-        var dot = 0.0; var j = 0
-        while (j < cv.length) { dot += cv(j).toDouble * qv(j); j += 1 }
-        (-dot * inv(c), c)
-      }.sorted.take(nProbe).foreach { case (_, c) =>
-        bucketQs(c) = if (bucketQs(c) == null) Array(qi) else bucketQs(c) :+ qi
-      }
-    }
+    val bucketQs =
+      probeAssignments(cents, inv, l2 = false, qrows.map(_._2), nProbe)
     val bc = spark.sparkContext.broadcast((qcodes, qnorms, bucketQs))
     val partials = index.mapPartitions { it =>
       val (qcs, qns, bq) = bc.value
@@ -631,9 +608,7 @@ object Ivf {
       }
       Iterator.single(heaps)
     }
-    val merged =
-      if (partials.getNumPartitions == 0) new TopK(qids.length, k)
-      else partials.treeReduce(_ merge _)
+    val merged = reducePartials(partials, new TopK(qids.length, k), (a: TopK, b: TopK) => a merge b)
     mergeTopK(spark, merged, qids, k)
   }
 
@@ -705,17 +680,8 @@ object Ivf {
     // The effective query the f16 index compares against: round-tripped
     // through binary16, decoded back to float for the kernel loop.
     val qf16 = qrows.map { case (_, qv) => qv.map(graft.functions.F16.roundTrip) }
-    val bucketQs = new Array[Array[Int]](cents.length)
-    qrows.zipWithIndex.foreach { case ((_, qv), qi) =>
-      cents.indices.map { c =>
-        val cv = cents(c)
-        var dot = 0.0; var j = 0
-        while (j < cv.length) { dot += cv(j).toDouble * qv(j); j += 1 }
-        (adj(c) - dot, c)
-      }.sorted.take(nProbe).foreach { case (_, c) =>
-        bucketQs(c) = if (bucketQs(c) == null) Array(qi) else bucketQs(c) :+ qi
-      }
-    }
+    val bucketQs =
+      probeAssignments(cents, adj, l2 = true, qrows.map(_._2), nProbe)
     val bc = spark.sparkContext.broadcast((qf16, bucketQs))
     val partials = index.mapPartitions { it =>
       val (qvs, bq) = bc.value
@@ -747,9 +713,7 @@ object Ivf {
       }
       Iterator.single(heaps)
     }
-    val merged =
-      if (partials.getNumPartitions == 0) new TopK(qids.length, k)
-      else partials.treeReduce(_ merge _)
+    val merged = reducePartials(partials, new TopK(qids.length, k), (a: TopK, b: TopK) => a merge b)
     mergeTopK(spark, merged, qids, k)
   }
 
@@ -799,6 +763,98 @@ object Ivf {
   /** Centroid score adjustments for [[bestBucket]] under `metric`. */
   private[search] def bucketAdj(cents: Array[Array[Float]], metric: String): Array[Float] =
     if (metric == "l2") halfNormSqs(cents) else invNorms(cents)
+
+  /** Probe selection for a serving batch: the nProbe lexicographically
+    * (score, centroid-id)-smallest buckets per query, returned as
+    * bucket → probing query indices (null = unprobed, ascending qi within
+    * a bucket). Score: l2 → `adj(c) − dot` (adj = ‖c‖²/2), cosine →
+    * `−dot × adj(c)` (adj = 1/‖c‖) — the formulas the serving kernels
+    * always used. Two things make this the fast path of the per-batch
+    * FIXED cost (which dominates serving latency once the probed scan is
+    * small): selection is a bounded insertion into nProbe-sized sorted
+    * arrays (K·log nProbe, no boxed K-tuple sort per query), and queries
+    * rank their probes in parallel on the driver's cores. Double
+    * comparisons go through `java.lang.Double.compare`, which orders
+    * −0.0 < 0.0 exactly like the scala `Ordering[Double]` total order the
+    * old `.sorted.take(nProbe)` used — selection is bit-identical.
+    */
+  private[search] def probeAssignments(
+      cents: Array[Array[Float]],
+      adj: Array[Float],
+      l2: Boolean,
+      qvecs: Array[Array[Float]],
+      nProbe: Int): Array[Array[Int]] = {
+    val nq = qvecs.length
+    val np = math.min(nProbe, cents.length)
+    val sel = new Array[Array[Int]](nq)
+    java.util.stream.IntStream.range(0, nq).parallel().forEach { qi =>
+      val qv = qvecs(qi)
+      val bd = Array.fill(np)(Double.MaxValue)
+      val bi = Array.fill(np)(Int.MaxValue)
+      val last = np - 1
+      var c = 0
+      while (c < cents.length) {
+        val cv = cents(c)
+        var dot = 0.0; var j = 0
+        while (j < cv.length) { dot += cv(j).toDouble * qv(j); j += 1 }
+        val s = if (l2) adj(c) - dot else -dot * adj(c)
+        val cl = java.lang.Double.compare(s, bd(last))
+        if (cl < 0 || (cl == 0 && c < bi(last))) {
+          var p = last
+          while (p > 0 && {
+            val cp = java.lang.Double.compare(bd(p - 1), s)
+            cp > 0 || (cp == 0 && bi(p - 1) > c)
+          }) { bd(p) = bd(p - 1); bi(p) = bi(p - 1); p -= 1 }
+          bd(p) = s; bi(p) = c
+        }
+        c += 1
+      }
+      sel(qi) = bi
+    }
+    // Deterministic assembly outside the parallel region: qi ascending
+    // within each bucket's probe list, same order the sequential loop
+    // produced.
+    val bufs = new Array[scala.collection.mutable.ArrayBuilder.ofInt](cents.length)
+    var qi = 0
+    while (qi < nq) {
+      val bs = sel(qi); var i = 0
+      while (i < bs.length) {
+        val c = bs(i)
+        if (bufs(c) == null) bufs(c) = new scala.collection.mutable.ArrayBuilder.ofInt
+        bufs(c) += qi
+        i += 1
+      }
+      qi += 1
+    }
+    val bucketQs = new Array[Array[Int]](cents.length)
+    var b = 0
+    while (b < cents.length) {
+      if (bufs(b) != null) bucketQs(b) = bufs(b).result()
+      b += 1
+    }
+    bucketQs
+  }
+
+  /** Merge the per-partition bounded-top-k partials. Below `treeAt`
+    * partitions, ONE reduce job sends each task's tiny state straight to
+    * the driver — the tree's intermediate shuffle level is a whole extra
+    * stage that costs more than the ≤treeAt small merges it saves, and at
+    * serving batch sizes that stage was a visible slice of per-batch
+    * latency. Above it (cluster scale: thousands of partitions), the
+    * two-level treeReduce bounds driver inflow at √partitions states, the
+    * property the TopK scaladoc promises. Merge is commutative +
+    * associative, so the two shapes are result-identical.
+    */
+  private[search] def reducePartials[T](
+      partials: org.apache.spark.rdd.RDD[T],
+      zero: => T,
+      combine: (T, T) => T,
+      treeAt: Int = 256): T = {
+    val parts = partials.getNumPartitions
+    if (parts == 0) zero
+    else if (parts <= treeAt) partials.reduce(combine)
+    else partials.treeReduce(combine)
+  }
 
   /** Lloyd's KMeans for LARGE k (√N-scale centroid counts): per-partition
     * primitive-array argmin with cluster-sum accumulators, merged on the

@@ -265,18 +265,8 @@ object Pq {
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val qids = qrows.map(_._1)
     // bucket → indices of the queries probing it (null = unprobed).
-    val bucketQs = new Array[Array[Int]](cents.length)
-    qrows.zipWithIndex.foreach { case ((_, qv), qi) =>
-      val probed = cents.indices.map { c =>
-        val cv = cents(c)
-        var dot = 0.0; var j = 0
-        while (j < cv.length) { dot += cv(j).toDouble * qv(j); j += 1 }
-        (adj(c) - dot, c)
-      }.sorted.take(nProbe)
-      probed.foreach { case (_, c) =>
-        bucketQs(c) = if (bucketQs(c) == null) Array(qi) else bucketQs(c) :+ qi
-      }
-    }
+    val bucketQs =
+      Ivf.probeAssignments(cents, adj, l2 = true, qrows.map(_._2), nProbe)
     // Flat per-query LUTs (sub-major, code-minor) — nq × m × nCodes
     // doubles; built on the driver where probe selection already runs.
     val luts = qrows.map { case (_, qv) =>
@@ -330,9 +320,8 @@ object Pq {
       }
       Iterator.single(heaps)
     }
-    val merged =
-      if (partials.getNumPartitions == 0) new Ivf.TopK(qids.length, k)
-      else partials.treeReduce(_ merge _)
+    val merged = Ivf.reducePartials(partials,
+      new Ivf.TopK(qids.length, k), (a: Ivf.TopK, b: Ivf.TopK) => a merge b)
     Ivf.mergeTopK(spark, merged, qids, k)
   }
 
@@ -439,18 +428,8 @@ object Pq {
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val qids = qrows.map(_._1)
     val qvecs = qrows.map(_._2)
-    val bucketQs = new Array[Array[Int]](cents.length)
-    qrows.zipWithIndex.foreach { case ((_, qv), qi) =>
-      val probed = cents.indices.map { c =>
-        val cv = cents(c)
-        var dot = 0.0; var j = 0
-        while (j < cv.length) { dot += cv(j).toDouble * qv(j); j += 1 }
-        (adj(c) - dot, c)
-      }.sorted.take(nProbe)
-      probed.foreach { case (_, c) =>
-        bucketQs(c) = if (bucketQs(c) == null) Array(qi) else bucketQs(c) :+ qi
-      }
-    }
+    val bucketQs =
+      Ivf.probeAssignments(cents, adj, l2 = true, qvecs, nProbe)
     val bc = spark.sparkContext.broadcast((qvecs, bucketQs, cents, codebook))
     val partials = index.mapPartitions { it =>
       val (qvs, bq, cs, cb) = bc.value
@@ -503,9 +482,8 @@ object Pq {
       }
       Iterator.single(heaps)
     }
-    val merged =
-      if (partials.getNumPartitions == 0) new Ivf.TopK(qids.length, k)
-      else partials.treeReduce(_ merge _)
+    val merged = Ivf.reducePartials(partials,
+      new Ivf.TopK(qids.length, k), (a: Ivf.TopK, b: Ivf.TopK) => a merge b)
     Ivf.mergeTopK(spark, merged, qids, k)
   }
 

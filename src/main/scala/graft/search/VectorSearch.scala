@@ -224,16 +224,16 @@ object VectorSearch {
     * applied to the 1-bit codes: queries are driver-bounded (packed on the
     * driver, broadcast once), candidates come from ONE xor/popcount pass
     * over the primitive blocks into per-query bounded insertion buffers,
-    * partials merge with `treeReduce` ON THE EXECUTORS (driver receives
-    * nq×R rows regardless of partition count), and only the nq×R
+    * partials merge through [[Ivf.reducePartials]] (one reduce job at
+    * serving partition counts, treeReduce above it), and only the nq×R
     * candidates hydrate f32 vectors for the exact rerank. No shuffle of
     * the corpus at any stage; resident serving state is 1/32 of f32.
     */
   /** Stage 1 of the serving path standalone: top-`rerank` candidates per
     * query from the primitive sign-word blocks — one xor/popcount pass
-    * into per-query bounded insertion buffers, partials merged with
-    * `treeReduce` ON THE EXECUTORS (driver receives nq×rerank rows
-    * regardless of partition count). This is the per-batch cost the
+    * into per-query bounded insertion buffers, partials merged through
+    * [[Ivf.reducePartials]] (one reduce job at serving partition counts,
+    * treeReduce above it). This is the per-batch cost the
     * serving state actually pays; the f32 rerank scan is the tail.
     * Output: (qid, id, distance = hamming, rank).
     */
@@ -270,9 +270,8 @@ object VectorSearch {
       }
       Iterator.single(heaps)
     }
-    val merged =
-      if (partials.getNumPartitions == 0) new Ivf.TopK(qids.length, rerank)
-      else partials.treeReduce(_ merge _)
+    val merged = Ivf.reducePartials(partials,
+      new Ivf.TopK(qids.length, rerank), (a: Ivf.TopK, b: Ivf.TopK) => a merge b)
     Ivf.mergeTopK(spark, merged, qids, rerank)
   }
 
