@@ -453,10 +453,59 @@ object CurationQueries {
       graft.text.Repetition.ngramRepetition(
           Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // x35: BPE vocabulary induction — tokenizer TRAINING over the corpus
+    // (Sennrich et al. 2016), the step that produces the merges x3/x32's
+    // token estimates stand in for. One corpus scan folds to the word-
+    // frequency table; each of the 8 merge rounds is one keyed agg over
+    // that vocabulary-bounded table (Heaps' law: 10x the corpus barely
+    // grows it). Marker-string symbols make the merge a plain substring
+    // replace with identical left-to-right non-overlap semantics in both
+    // engines — the oracle replays all 8 rounds as chained CTEs.
+    "x35_bpe_merges" -> ((s, dir) =>
+      graft.text.Bpe.learnMerges(
+          Tables.documents(s, dir), "text", steps = 8)
+        .orderBy(col("step")))
   )
 
   val oracleSql: Map[String, String] = Map(
+    // The full 8-round training loop unrolled as chained CTEs: each round
+    // re-derives pair counts positionally (1-indexed list slicing — no
+    // zip-struct naming dependence), picks the (count DESC, lhs, rhs)
+    // argmax, and rewrites symbols with the same left-to-right
+    // non-overlapping replace the Spark side uses.
+    "x35_bpe_merges" -> {
+      def round(i: Int): String =
+        s"""p$i AS (
+           |  SELECT ss[i] AS lhs, ss[i + 1] AS rhs, CAST(sum(cnt) AS BIGINT) AS c
+           |  FROM (SELECT cnt, regexp_extract_all(sym, '[^<>]+') AS ss FROM w${i - 1}),
+           |    unnest(range(1, len(ss))) t(i)
+           |  GROUP BY 1, 2),
+           |m$i AS (SELECT lhs, rhs, c FROM p$i ORDER BY c DESC, lhs, rhs LIMIT 1),
+           |w$i AS (
+           |  SELECT word, cnt,
+           |    replace(sym, '<' || lhs || '><' || rhs || '>', '<' || lhs || rhs || '>') AS sym
+           |  FROM w${i - 1} CROSS JOIN m$i)""".stripMargin
+      val steps = 8
+      val rounds = (1 to steps).map(round).mkString(",\n")
+      val finals = (1 to steps).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS step, lhs, rhs, lhs || rhs AS merged, c AS pair_count FROM m$i")
+        .mkString("\nUNION ALL\n")
+      s"""WITH wf AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents)
+         |  WHERE regexp_matches(word, '^[a-z0-9]+$$') AND length(word) >= 2
+         |  GROUP BY word),
+         |w0 AS (
+         |  SELECT word, cnt,
+         |    '<' || array_to_string(regexp_extract_all(word, '[a-z0-9]'), '><') || '>' AS sym
+         |  FROM wf),
+         |$rounds
+         |$finals
+         |ORDER BY step""".stripMargin
+    },
+
     // Same pipeline re-derived: gram df over the joined token text (no
     // engine hash anywhere), hot-position islands via pos - row_number().
     "x27_repeated_spans" ->

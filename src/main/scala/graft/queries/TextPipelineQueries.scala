@@ -134,6 +134,89 @@ object TextPipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // X34: DSIR data selection (Xie et al. 2023, arXiv:2302.03169) — the
+    // published importance-resampling recipe for picking raw-pool docs
+    // that look like a curated target: hashed-feature (unigram → 4096
+    // buckets via the engine-independent PolyHash) distributions for the
+    // TARGET slice (lang = 'en', the curated stand-in) and the RAW pool,
+    // then per-doc importance = Σ over tokens of the target-vs-raw bucket
+    // probability difference. Probabilities are integer ppm (exact in
+    // both engines; the linearized difference replaces the paper's
+    // log-ratio so the weight stays integer — same sign, same ordering on
+    // the common case). Shape at 100 TB: both distribution tables are
+    // ≤4096 rows (broadcast), the raw token stream takes ONE map-side
+    // broadcast join, and the only shuffle is the per-doc keyed agg.
+    "x34_dsir" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val tok = docs.select(col("doc_id"), col("lang"),
+        explode(transform(split(col("text"), " "),
+          t => Dedup.polyHash(t) % 4096L)).as("bucket"))
+      val tgt = tok.filter(col("lang") === "en")
+        .groupBy(col("bucket")).agg(count(lit(1)).as("tc"))
+      val tt = tgt.agg(sum(col("tc")).as("ts"))
+      val raw = tok.filter(col("lang") =!= "en")
+        .groupBy(col("bucket")).agg(count(lit(1)).as("rc"))
+      val rt = raw.agg(sum(col("rc")).as("rs"))
+      val diff = raw.crossJoin(broadcast(tt)).crossJoin(broadcast(rt))
+        .join(tgt, Seq("bucket"), "left")
+        .select(col("bucket"),
+          (coalesce(expr("(1000000 * tc) div ts"), lit(0L)) -
+            expr("(1000000 * rc) div rs")).as("d"))
+      tok.filter(col("lang") =!= "en")
+        .join(broadcast(diff), Seq("bucket"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("d")).as("dsir_weight"))
+        .withColumn("keep", col("dsir_weight") > 0)
+        .orderBy(col("doc_id"))
+    }),
+
+    // X36: n-gram LM surprisal scoring — CCNet's actual mechanism (x17 is
+    // the vocabulary-rarity analogue): train a bigram LM on a reference
+    // slice (doc_id % 5 = 0), score every document by per-bigram
+    // surprisal, keep the docs at-or-below the corpus-average surprisal
+    // (CCNet keeps the low-perplexity slice; the corpus mean is the
+    // deterministic, self-calibrating cut). Surprisal is quantized to
+    // INTEGER floor-log2 bits — `length(bin(q)) - 1` is exact in both
+    // engines — of the add-smoothed inverse probability
+    // (c1 + V) / (c12 + 1), so no transcendental function ever enters the
+    // hash compare. Shape at 100 TB: the LM tables scale with the corpus,
+    // so they are KEYED joins (never broadcast) — one (w1,w2) hash join,
+    // one w1 hash join (stopword-headed keys skew mildly; AQE's skew
+    // split handles it), one per-doc agg; V and the corpus mean ride
+    // broadcast 1-row aggregates.
+    "x36_lm_surprisal" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bg = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(col("doc_id"), explode(zip_with(
+          slice(col("ts"), lit(1), size(col("ts")) - 1),
+          slice(col("ts"), lit(2), size(col("ts")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val lm = bg.filter(col("doc_id") % 5 === 0)
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val uni = lm.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+      val v = docs.filter(col("doc_id") % 5 === 0)
+        .select(explode(split(col("text"), " ")).as("t"))
+        .agg(countDistinct(col("t")).as("nv"))
+      val sc = bg.crossJoin(broadcast(v))
+        .join(lm, Seq("w1", "w2"), "left")
+        .join(uni, Seq("w1"), "left")
+        .withColumn("bits",
+          (length(bin(expr("(coalesce(c1, 0) + nv) div (coalesce(c12, 0) + 1)"))) - 1)
+            .cast("long"))
+      val per = sc.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("surprisal_bits"))
+        .withColumn("mean_milli", expr("(1000 * surprisal_bits) div n_bigrams"))
+      val corp = per.agg(
+        expr("(1000 * sum(surprisal_bits)) div sum(n_bigrams)").as("cm"))
+      per.crossJoin(broadcast(corp))
+        .select(col("doc_id"), col("n_bigrams"), col("surprisal_bits"),
+          col("mean_milli"), (col("mean_milli") <= col("cm")).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // X4: rolling-hash fingerprint over word 4-gram shingles.
     "x4_fingerprint" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
@@ -667,6 +750,65 @@ object TextPipelineQueries {
         |  CAST((raw + 500 * n_tokens) // n_tokens AS BIGINT) AS score_milli,
         |  (raw + 500 * n_tokens) // n_tokens >= 510 AS keep
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // Same PolyHash replication as x33 (the empty-token CASE matches
+    // PolyHash('') = 0); ppm division is non-negative on both sides so
+    // `//` and `div` agree.
+    "x34_dsir" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    (CASE WHEN t = '' THEN 0 ELSE list_reduce([CAST(0 AS BIGINT)] ||
+        |       list_transform(str_split(t, ''), c -> CAST(ord(c) AS BIGINT)),
+        |       (acc, x) -> (acc * 31 + x) % 2147483647) END) % 4096 AS bucket
+        |  FROM (SELECT doc_id, lang, unnest(str_split(text, ' ')) AS t
+        |        FROM documents)),
+        |tgt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS tc FROM tok
+        |        WHERE lang = 'en' GROUP BY 1),
+        |tt AS (SELECT CAST(sum(tc) AS BIGINT) AS ts FROM tgt),
+        |raw AS (SELECT bucket, CAST(count(*) AS BIGINT) AS rc FROM tok
+        |        WHERE lang <> 'en' GROUP BY 1),
+        |rt AS (SELECT CAST(sum(rc) AS BIGINT) AS rs FROM raw),
+        |diff AS (
+        |  SELECT raw.bucket,
+        |    COALESCE((1000000 * tgt.tc) // tt.ts, 0) -
+        |      (1000000 * raw.rc) // rt.rs AS d
+        |  FROM raw CROSS JOIN tt CROSS JOIN rt
+        |  LEFT JOIN tgt ON raw.bucket = tgt.bucket)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(d) AS BIGINT) AS dsir_weight, sum(d) > 0 AS keep
+        |FROM tok JOIN diff USING (bucket) WHERE lang <> 'en'
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // floor-log2 via length(bin(q)) - 1 — exact integers in both engines;
+    // the LM/backoff divisions are non-negative so `//` and `div` agree.
+    "x36_lm_surprisal" ->
+      """WITH tok AS (
+        |  SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
+        |bg AS (
+        |  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+        |  FROM tok, unnest(range(1, len(ts))) t(i)),
+        |lm AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |       FROM bg WHERE doc_id % 5 = 0 GROUP BY 1, 2),
+        |uni AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM lm GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS nv
+        |      FROM (SELECT unnest(ts) AS t FROM tok WHERE doc_id % 5 = 0)),
+        |sc AS (
+        |  SELECT bg.doc_id,
+        |    CAST(length(bin((COALESCE(uni.c1, 0) + v.nv) //
+        |      (COALESCE(lm.c12, 0) + 1))) - 1 AS BIGINT) AS bits
+        |  FROM bg CROSS JOIN v
+        |  LEFT JOIN lm ON bg.w1 = lm.w1 AND bg.w2 = lm.w2
+        |  LEFT JOIN uni ON bg.w1 = uni.w1),
+        |per AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(bits) AS BIGINT) AS surprisal_bits,
+        |    CAST((1000 * sum(bits)) // count(*) AS BIGINT) AS mean_milli
+        |  FROM sc GROUP BY doc_id),
+        |corp AS (SELECT CAST((1000 * sum(surprisal_bits)) // sum(n_bigrams)
+        |                AS BIGINT) AS cm FROM per)
+        |SELECT doc_id, n_bigrams, surprisal_bits, mean_milli,
+        |  mean_milli <= cm AS keep
+        |FROM per CROSS JOIN corp ORDER BY doc_id""".stripMargin,
 
     "x32_token_fertility" ->
       """WITH d AS (

@@ -1,0 +1,67 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** BPE vocabulary induction: merge semantics against hand-computed
+  * expectations, the left-to-right non-overlap rewrite convention, the
+  * (count DESC, lhs, rhs) tie-break, and partitioning invariance.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-computed merges on a tiny corpus") {
+    // Words: low(5) lower(2) newest(6) widest(3) — the Sennrich running
+    // example. Adjacent-pair counts round 1:
+    //   es: 6+3=9, st: 9, ne: 6, ew: 6, we: 6, ... wi: 3, id: 3, de: 3,
+    //   lo: 7, ow: 7, er: 2
+    // Max is a tie es=9, st=9 → lexicographic: ('e','s') wins.
+    val docs = Seq(
+      ("low low low low low lower lower",
+       "newest newest newest newest newest newest widest widest widest"))
+      .toDF("a", "b")
+      .select(concat_ws(" ", col("a"), col("b")).as("text"))
+    val m = Bpe.learnMerges(docs, "text", steps = 4)
+      .orderBy(col("step")).collect()
+    assert(m.length === 4)
+    // Step 1: ('e','s') at 9 — the es/st tie broken lexicographically.
+    assert((m(0).getString(1), m(0).getString(2), m(0).getLong(4)) ===
+      (("e", "s", 9L)))
+    // Step 2: after es merges, 'es'+'t' appears 9 times — the BPE chain.
+    assert((m(1).getString(1), m(1).getString(2), m(1).getLong(4)) ===
+      (("es", "t", 9L)))
+    // Merged symbol concatenates.
+    assert(m(1).getString(3) === "est")
+  }
+
+  test("left-to-right non-overlapping rewrite: aaaa + (a,a) -> (aa)(aa)") {
+    // 'aaaa' ×3: pair (a,a) counts 3 adjacent positions × 3 = 9
+    // (counting is overlapping); the rewrite is non-overlapping, so after
+    // merge 1 the word is <aa><aa> and merge 2 is (aa,aa).
+    val docs = Seq("aaaa aaaa aaaa").toDF("text")
+    val m = Bpe.learnMerges(docs, "text", steps = 2)
+      .orderBy(col("step")).collect()
+    assert((m(0).getString(1), m(0).getString(2), m(0).getLong(4)) ===
+      (("a", "a", 9L)))
+    assert((m(1).getString(1), m(1).getString(2), m(1).getLong(4)) ===
+      (("aa", "aa", 3L)))
+  }
+
+  test("word filter: non-alphanumeric and single-char words never train") {
+    val docs = Seq("a b c d! e? x,y").toDF("text")
+    // Every word is either 1 char or contains punctuation → empty table,
+    // learnMerges stops early and returns 0 rows.
+    assert(Bpe.learnMerges(docs, "text", steps = 3).count() === 0L)
+  }
+
+  test("partitioning invariance") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select(col("text"))
+    val a = Bpe.learnMerges(docs.repartition(1), "text", steps = 3)
+      .orderBy(col("step")).collect().toSeq
+    val b = Bpe.learnMerges(docs.repartition(7), "text", steps = 3)
+      .orderBy(col("step")).collect().toSeq
+    assert(a === b)
+  }
+}
