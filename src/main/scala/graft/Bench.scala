@@ -696,11 +696,35 @@ object Bench {
         }
         run() // warm: codegen + broadcasts
         val sec = Seq.fill(3)(timeIt(run())).min
+        // Fused single-query latency (VERDICT r11 #6): the flagship hybrid
+        // path one query at a time, completing the serving-latency story —
+        // the f32/int8/PQ/binary ANN legs publish single_query numbers;
+        // this is the fusion leg. Same prepared state, a batch of ONE.
+        val q1 = qsN.filter(col("qid") === 0).cache(); q1.count()
+        val qt1 = qTokens.filter(col("qid") === 0).cache(); qt1.count()
+        val qs1 = qs.filter(col("qid") === 0)
+        def run1(): Unit = {
+          val raw = Bm25.searchPostingsBatch(
+              table.select(col("doc_id")), post, "doc_id", qt1,
+              prebuiltDocLengths = Some(dls), prebuiltTokenDf = Some(tdf))
+            .localCheckpoint(true)
+          val vtop = Ivf.searchBatchedFast(serving, cents, q1, k = 10,
+              nProbe = 8)
+            .select(col("qid"), col("id").as("doc_id"), col("distance"))
+            .localCheckpoint(true)
+          noopWrite(Fusion.searchWithFusionBatch(
+            table, "doc_id", "embedding", "text", qs1, params,
+            prebuiltVecTopK = Some(vtop), prebuiltTextScores = Some(raw)))
+        }
+        run1()
+        val sec1 = Seq.fill(3)(timeIt(run1())).min
+        q1.unpersist(); qt1.unpersist()
         assigned.unpersist(); serving.unpersist(); qsN.unpersist()
         qTokens.unpersist(); dls.unpersist(); tdf.unpersist()
         s"""{"n_queries":$nq,"corpus":$corpusN,""" +
           s""""hits_per_query":${c1(hits.toDouble / nq)},""" +
-          s""""fused_qps":${c1(nq / sec)},"batch_sec":${r3(sec)}}"""
+          s""""fused_qps":${c1(nq / sec)},"batch_sec":${r3(sec)},""" +
+          s""""single_query_fused_sec":${r3(sec1)}}"""
       }
 
       val NQ = sys.env.getOrElse("SPARK_GRAFT_FUSION_NQ", "4096").toInt
