@@ -6,6 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
 import graft.filter.FilterDsl
+import graft.functions.VectorFunctions
 import graft.search.VectorSearch
 
 /** M0/M1 queries: filter DSL, projection/hydration, exact k-NN.
@@ -143,6 +144,73 @@ object CoreQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // V25: MMR diversity re-ranking (Carbonell & Goldstein 1998) — the
+    // step between ANN retrieval and context assembly that trades
+    // relevance against redundancy: greedily pick k results maximizing
+    // λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s). Near-duplicate
+    // passages (which d1–d12 remove OFFLINE) are suppressed at QUERY
+    // time. Fully declarative: one corpus scan for the top-24 candidate
+    // pool (bounded TopK), candidate-pair sims as a qid-keyed self-join
+    // of the nq×24 pool (hash join, partitions by query — never touches
+    // the corpus again), then the k=5 greedy rounds unrolled as
+    // anti-join → max-sim agg → argmax. Cross-engine determinism: rel is
+    // 1.0 − distance computed IDENTICALLY on both sides, pair sims use
+    // the wide cosine ≡ list_cosine_similarity identity (v2/d5
+    // precedent), λ-blend is two IEEE ops on bit-identical inputs, ties
+    // break by id.
+    "v25_mmr_rerank" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      // λ = 0.7 / (1−λ) = 0.3 as PARSED literals on both sides: Scala's
+      // computed 1.0 − 0.7 is 0.30000000000000004, one ulp off the parsed
+      // 0.3 the SQL text would carry.
+      val lam = lit(0.7)
+      val oneMinusLam = lit(0.3)
+      val q = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val cand = VectorSearch.topKBatch(emb, q, k = 24, metric = "cosine",
+          idCol = "vec_id", vecCol = "embedding", wide = true)
+        .select(col("qid"), col("vec_id").as("id"),
+          (lit(1.0) - col("distance")).as("rel"))
+      val candV = cand.join(
+        emb.select(col("vec_id").as("id"), col("embedding")), Seq("id"))
+      val sims = candV.as("a").join(candV.as("b"),
+          col("a.qid") === col("b.qid") && col("a.id") =!= col("b.id"))
+        .select(col("a.qid").as("qid"), col("a.id").as("id"),
+          col("b.id").as("sid"),
+          VectorFunctions.cosineSimilarityWide(
+            col("a.embedding"), col("b.embedding")).as("sim"))
+      // argmax (score DESC, id ASC) per query through the bounded TopK
+      // aggregate (d = −score sorts descending, ties by id).
+      def pick(scored: DataFrame): DataFrame = scored
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopK.topK(
+          col("id").cast("long"), -col("score"), 1).as("_tk"))
+        .select(col("qid"), explode(col("_tk")).as("_e"))
+        .select(col("qid"), col("_e.id").as("id"),
+          (-col("_e.distance")).as("score"))
+      var selected = pick(cand.withColumn("score", lam * col("rel")))
+        .withColumn("rank", lit(1L))
+      for (j <- 2 to 5) {
+        val prev = selected.select(col("qid"), col("id"), col("rank"))
+        val ms = cand
+          .join(prev.select(col("qid"), col("id")), Seq("qid", "id"),
+            "left_anti")
+          .join(sims, Seq("qid", "id"))
+          .join(prev.select(col("qid"), col("id").as("sid")),
+            Seq("qid", "sid"))
+          .groupBy(col("qid"), col("id"))
+          .agg(first(col("rel")).as("rel"), max(col("sim")).as("ms"))
+        val nxt = pick(ms.withColumn("score",
+            lam * col("rel") - oneMinusLam * col("ms")))
+          .withColumn("rank", lit(j.toLong))
+        selected = selected.unionByName(nxt)
+      }
+      selected
+        .select(col("qid"), col("rank"), col("id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // H5: search-with-scores — 1/(1+d) absolute normalization
     // (search_utils.go:48; deliberately not min-max).
     "h5_search_scores" -> ((s, dir) => {
@@ -215,6 +283,56 @@ object CoreQueries {
         |r AS (SELECT qid, neg_id, d, row_number() OVER (PARTITION BY qid ORDER BY d, neg_id) AS rank FROM s)
         |SELECT qid, neg_id, round(d, 6) AS dist, CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // The greedy rounds unrolled; rel = 1.0 − d mirrors the Spark side's
+    // 1.0 − distance (bit-identical: same two IEEE ops on the same wide
+    // cosine), λ/(1−λ) are the PARSED literals 0.7/0.3 on both sides.
+    "v25_mmr_rerank" -> {
+      def round(j: Int): String =
+        s"""ms$j AS (
+           |  SELECT c.qid, c.id, c.rel, max(s.sim) AS ms
+           |  FROM cand c
+           |  JOIN sims s ON s.qid = c.qid AND s.id = c.id
+           |  JOIN sel${j - 1} t ON t.qid = s.qid AND t.id = s.sid
+           |  WHERE NOT EXISTS (SELECT 1 FROM sel${j - 1} x
+           |                    WHERE x.qid = c.qid AND x.id = c.id)
+           |  GROUP BY c.qid, c.id, c.rel),
+           |sel$j AS (
+           |  SELECT qid, id, score, rank FROM sel${j - 1}
+           |  UNION ALL
+           |  SELECT qid, id, score, $j AS rank FROM (
+           |    SELECT qid, id, 0.7 * rel - 0.3 * ms AS score,
+           |      row_number() OVER (PARTITION BY qid
+           |        ORDER BY 0.7 * rel - 0.3 * ms DESC, id) AS rn
+           |    FROM ms$j) WHERE rn = 1)""".stripMargin
+      val rounds = (2 to 5).map(round).mkString(",\n")
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |           WHERE vec_id < 4),
+         |s0 AS (SELECT q.qid, e.vec_id AS id,
+         |        1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |                                     CAST(q.qv AS DOUBLE[])) AS d
+         |      FROM embeddings e CROSS JOIN q),
+         |cand AS (
+         |  SELECT qid, id, 1.0 - d AS rel FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY d, id) AS rn
+         |    FROM s0) WHERE rn <= 24),
+         |cv AS (SELECT c.qid, c.id, e.embedding AS v
+         |       FROM cand c JOIN embeddings e ON c.id = e.vec_id),
+         |sims AS (
+         |  SELECT a.qid, a.id, b.id AS sid,
+         |    list_cosine_similarity(CAST(a.v AS DOUBLE[]),
+         |                           CAST(b.v AS DOUBLE[])) AS sim
+         |  FROM cv a JOIN cv b ON a.qid = b.qid AND a.id <> b.id),
+         |sel1 AS (
+         |  SELECT qid, id, score, 1 AS rank FROM (
+         |    SELECT qid, id, 0.7 * rel AS score,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY 0.7 * rel DESC, id) AS rn
+         |    FROM cand) WHERE rn = 1),
+         |$rounds
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, id, round(score, 6) AS score
+         |FROM sel5 ORDER BY qid, rank""".stripMargin
+    },
 
     "v2_knn_filtered" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3),
