@@ -467,43 +467,98 @@ object CurationQueries {
       graft.text.Bpe.learnMerges(
           Tables.documents(s, dir), "text", steps = 8)
         .orderBy(col("step")))
+    ,
+
+    // x37: BPE ENCODE — the learned tokenizer actually tokenizing: apply
+    // x35's 8 merges (in training order) to every corpus word and report
+    // the real per-doc token cost plus the compression the merges bought
+    // (chars per BPE token, integer ppm). The merge list is learned
+    // inside the query (same Spark training loop x35 checks; the oracle
+    // re-derives ITS merges from its own CTE chain — the two trainings
+    // must agree for the encode to hash-match, so this entry
+    // cross-checks train AND apply end-to-end). Encode itself is pure
+    // column math folded into the scan: explode words, 8 literal
+    // replaces, count symbols, one keyed agg.
+    "x37_bpe_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = graft.text.Bpe.learnMerges(docs, "text", steps = 8)
+        .orderBy(col("step")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.text.Bpe.encode(docs.filter(col("doc_id") < 300),
+          "doc_id", "text", merges)
+        .withColumn("chars_per_tok_ppm",
+          expr("(1000000 * n_chars) div n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    })
   )
 
+  /** The x35 training loop as chained CTEs (wf, w0, then p/m/w per round):
+    * each round re-derives pair counts positionally (1-indexed list
+    * slicing — no zip-struct naming dependence), picks the
+    * (count DESC, lhs, rhs) argmax, and rewrites symbols with the same
+    * left-to-right non-overlapping replace the Spark side uses. Shared by
+    * the x35 (merge table) and x37 (encode) oracles — the m$i CTEs are the
+    * learned tokenizer.
+    */
+  private def bpeTrainCtes(steps: Int): String = {
+    def round(i: Int): String =
+      s"""p$i AS (
+         |  SELECT ss[i] AS lhs, ss[i + 1] AS rhs, CAST(sum(cnt) AS BIGINT) AS c
+         |  FROM (SELECT cnt, regexp_extract_all(sym, '[^<>]+') AS ss FROM w${i - 1}),
+         |    unnest(range(1, len(ss))) t(i)
+         |  GROUP BY 1, 2),
+         |m$i AS (SELECT lhs, rhs, c FROM p$i ORDER BY c DESC, lhs, rhs LIMIT 1),
+         |w$i AS (
+         |  SELECT word, cnt,
+         |    replace(sym, '<' || lhs || '><' || rhs || '>', '<' || lhs || rhs || '>') AS sym
+         |  FROM w${i - 1} CROSS JOIN m$i)""".stripMargin
+    s"""wf AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents)
+       |  WHERE regexp_matches(word, '^[a-z0-9]+$$') AND length(word) >= 2
+       |  GROUP BY word),
+       |w0 AS (
+       |  SELECT word, cnt,
+       |    '<' || array_to_string(regexp_extract_all(word, '[a-z0-9]'), '><') || '>' AS sym
+       |  FROM wf),
+       |${(1 to steps).map(round).mkString(",\n")}""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
-    // The full 8-round training loop unrolled as chained CTEs: each round
-    // re-derives pair counts positionally (1-indexed list slicing — no
-    // zip-struct naming dependence), picks the (count DESC, lhs, rhs)
-    // argmax, and rewrites symbols with the same left-to-right
-    // non-overlapping replace the Spark side uses.
     "x35_bpe_merges" -> {
-      def round(i: Int): String =
-        s"""p$i AS (
-           |  SELECT ss[i] AS lhs, ss[i + 1] AS rhs, CAST(sum(cnt) AS BIGINT) AS c
-           |  FROM (SELECT cnt, regexp_extract_all(sym, '[^<>]+') AS ss FROM w${i - 1}),
-           |    unnest(range(1, len(ss))) t(i)
-           |  GROUP BY 1, 2),
-           |m$i AS (SELECT lhs, rhs, c FROM p$i ORDER BY c DESC, lhs, rhs LIMIT 1),
-           |w$i AS (
-           |  SELECT word, cnt,
-           |    replace(sym, '<' || lhs || '><' || rhs || '>', '<' || lhs || rhs || '>') AS sym
-           |  FROM w${i - 1} CROSS JOIN m$i)""".stripMargin
       val steps = 8
-      val rounds = (1 to steps).map(round).mkString(",\n")
       val finals = (1 to steps).map(i =>
         s"SELECT CAST($i AS BIGINT) AS step, lhs, rhs, lhs || rhs AS merged, c AS pair_count FROM m$i")
         .mkString("\nUNION ALL\n")
-      s"""WITH wf AS (
-         |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
-         |  FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents)
-         |  WHERE regexp_matches(word, '^[a-z0-9]+$$') AND length(word) >= 2
-         |  GROUP BY word),
-         |w0 AS (
-         |  SELECT word, cnt,
-         |    '<' || array_to_string(regexp_extract_all(word, '[a-z0-9]'), '><') || '>' AS sym
-         |  FROM wf),
-         |$rounds
+      s"""WITH ${bpeTrainCtes(steps)}
          |$finals
          |ORDER BY step""".stripMargin
+    },
+
+    // Encode = the training chain's m$i merges applied (in order) to the
+    // per-(doc, word) occurrence table; token count = surviving symbols.
+    "x37_bpe_encode" -> {
+      val steps = 8
+      val enc = (1 to steps).map(i =>
+        s"""e$i AS (
+           |  SELECT doc_id, word, occ,
+           |    replace(sym, '<' || lhs || '><' || rhs || '>', '<' || lhs || rhs || '>') AS sym
+           |  FROM e${i - 1} CROSS JOIN m$i)""".stripMargin).mkString(",\n")
+      s"""WITH ${bpeTrainCtes(steps)},
+         |e0 AS (
+         |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS occ,
+         |    '<' || array_to_string(regexp_extract_all(word, '[a-z0-9]'), '><') || '>' AS sym
+         |  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS word
+         |        FROM documents WHERE doc_id < 300)
+         |  WHERE regexp_matches(word, '^[a-z0-9]+$$')
+         |  GROUP BY doc_id, word),
+         |$enc
+         |SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_words,
+         |  CAST(sum(occ * length(word)) AS BIGINT) AS n_chars,
+         |  CAST(sum(occ * len(regexp_extract_all(sym, '[^<>]+'))) AS BIGINT) AS n_bpe_tokens,
+         |  CAST((1000000 * sum(occ * length(word))) //
+         |    sum(occ * len(regexp_extract_all(sym, '[^<>]+'))) AS BIGINT) AS chars_per_tok_ppm
+         |FROM e$steps GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
     // Same pipeline re-derived: gram df over the joined token text (no

@@ -101,4 +101,36 @@ object Bpe {
     merges.toSeq.map { case (s, l, r, m, c) => (s.toLong, l, r, m, c) }
       .toDF("step", "lhs", "rhs", "merged", "pair_count")
   }
+
+  /** ENCODE with a learned merge list: per-document BPE token accounting.
+    * Applies the merges in training order to every `[a-z0-9]+` word (all
+    * lengths — single-character words are single symbols that no merge can
+    * touch) and returns (doc_id, n_words, n_chars, n_bpe_tokens) — the
+    * real tokenizer-cost table the `est_bpe` heuristic (x3/x32)
+    * approximates. The encode is pure column math: explode words, build
+    * the marker string, fold the ≤steps literal replaces, count symbols,
+    * one keyed agg per doc — scales like a scan, and the merge list rides
+    * inside the plan (a tokenizer IS a broadcast-sized artifact).
+    */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+      .withColumn("sym",
+        concat(lit("<"),
+          concat_ws("><", regexp_extract_all(col("word"), lit("[a-z0-9]"), lit(0))),
+          lit(">")))
+    val encoded = merges.foldLeft(words) { case (df, (l, r)) =>
+      df.withColumn("sym",
+        replace(col("sym"), lit(s"<$l><$r>"), lit(s"<$l$r>")))
+    }
+    encoded
+      .select(col(idCol), length(col("word")).cast("long").as("nch"),
+        size(regexp_extract_all(col("sym"), lit("[^<>]+"), lit(0)))
+          .cast("long").as("ntok"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("nch")).as("n_chars"),
+        sum(col("ntok")).as("n_bpe_tokens"))
+  }
 }

@@ -55,6 +55,17 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.learnMerges(docs, "text", steps = 3).count() === 0L)
   }
 
+  test("encode applies merges in order, counts surviving symbols") {
+    // merges (a,a) then (aa,aa): 'aaaa' → <aa><aa> → <aaaa> (1 token);
+    // 'ab' untouched (2); 'a' single symbol (1); '!x' filtered out.
+    val docs = Seq((7L, "aaaa ab a !x")).toDF("doc_id", "text")
+    val out = Bpe.encode(docs, "doc_id", "text",
+        Seq(("a", "a"), ("aa", "aa"))).collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((3L, 7L, 4L)))
+  }
+
   test("partitioning invariance") {
     val docs = spark.read.parquet(sf() + "/documents.parquet")
       .select(col("text"))
