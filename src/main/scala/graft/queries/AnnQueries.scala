@@ -59,6 +59,34 @@ object AnnQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // V26: MMR diversity over the IVF-SERVED candidate pool — v25's
+    // greedy re-rank composed with v1's probe-pruned retrieval, i.e. the
+    // deployment shape of diversity-aware serving: the pool costs
+    // nProbe/√N of a scan (partition pruning), and the MMR rounds only
+    // ever touch the nq×24 pool. Same sampled-centroid protocol as
+    // v1/v23, same greedy chain as v25 (shared `Mmr.select` /
+    // `mmrSqlTail`).
+    "v26_ivf_mmr" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").cast("long").as("cid"), col("embedding").as("cvec"))
+      val assigned = Ivf.assign(
+        emb.select(col("vec_id").cast("long").as("id"),
+          col("embedding").as("vector")),
+        cents, "id", "vector")
+      val q = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").cast("long").as("qid"), col("embedding").as("qvec"))
+      val cand = Ivf.search(assigned, cents, q, k = 24, nProbe = 2)
+        .select(col("qid"), col("id"),
+          (lit(1.0) - col("distance")).as("rel"))
+      graft.search.Mmr.select(cand,
+          emb.select(col("vec_id").cast("long").as("id"), col("embedding")),
+          k = 5, lam = lit(0.7), oneMinusLam = lit(0.3))
+        .select(col("qid"), col("rank"), col("id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // V24: IVF recall audit — the index-quality monitoring job a serving
     // deployment runs continuously: per query, recall@k of the probed
     // IVF result against the exact scan, as ONE plan (both branches read
@@ -366,6 +394,35 @@ object AnnQueries {
     "v1_ivf_stored" -> v1Sql,
 
     "v23_ivf_filtered" -> v1SqlWhere("e.label >= 3 AND e.label <> 7"),
+
+    // v1's probed-candidate protocol (k=24, nProbe=2, qid<4) feeding the
+    // shared MMR greedy chain (CoreQueries.mmrSqlTail — the v25 tail).
+    "v26_ivf_mmr" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 100 = 0),
+         |assigned AS (
+         |  SELECT vec_id AS id, embedding, cid AS bucket FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "c.cvec")}, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN cents c)
+         |  WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 4),
+         |probes AS (
+         |  SELECT qid, qv, cid AS bucket FROM (
+         |    SELECT q.qid, q.qv, c.cid,
+         |      row_number() OVER (PARTITION BY q.qid
+         |        ORDER BY ${cosSql("q.qv", "c.cvec")}, c.cid) AS rn
+         |    FROM q CROSS JOIN cents c)
+         |  WHERE rn <= 2),
+         |scored AS (
+         |  SELECT p.qid, a.id, ${cosSql("a.embedding", "p.qv")} AS d
+         |  FROM assigned a JOIN probes p ON a.bucket = p.bucket),
+         |cand AS (
+         |  SELECT qid, id, 1.0 - d AS rel FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY d, id) AS rn
+         |    FROM scored) WHERE rn <= 24),
+         |${CoreQueries.mmrSqlTail(5)}""".stripMargin,
 
     "v24_ivf_recall_audit" ->
       s"""WITH cents AS (

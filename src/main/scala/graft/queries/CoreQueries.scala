@@ -21,6 +21,49 @@ import graft.search.VectorSearch
   */
 object CoreQueries {
 
+  /** The MMR greedy-selection CTE chain (cv/sims/sel1..selK + final
+    * SELECT), appended after a `cand(qid, id, rel)` CTE — shared by the
+    * exact-pool (v25) and IVF-pool (v26, AnnQueries) oracles. Mirrors
+    * [[graft.search.Mmr.select]]: wide cosine ≡ list_cosine_similarity,
+    * parsed 0.7/0.3 literals, (score DESC, id) argmax per round.
+    */
+  private[queries] def mmrSqlTail(steps: Int): String = {
+    def round(j: Int): String =
+      s"""ms$j AS (
+         |  SELECT c.qid, c.id, c.rel, max(s.sim) AS ms
+         |  FROM cand c
+         |  JOIN sims s ON s.qid = c.qid AND s.id = c.id
+         |  JOIN sel${j - 1} t ON t.qid = s.qid AND t.id = s.sid
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${j - 1} x
+         |                    WHERE x.qid = c.qid AND x.id = c.id)
+         |  GROUP BY c.qid, c.id, c.rel),
+         |sel$j AS (
+         |  SELECT qid, id, score, rank FROM sel${j - 1}
+         |  UNION ALL
+         |  SELECT qid, id, score, $j AS rank FROM (
+         |    SELECT qid, id, 0.7 * rel - 0.3 * ms AS score,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY 0.7 * rel - 0.3 * ms DESC, id) AS rn
+         |    FROM ms$j) WHERE rn = 1)""".stripMargin
+    s"""cv AS (SELECT c.qid, c.id, e.embedding AS v
+       |       FROM cand c JOIN embeddings e ON c.id = e.vec_id),
+       |sims AS (
+       |  SELECT a.qid, a.id, b.id AS sid,
+       |    list_cosine_similarity(CAST(a.v AS DOUBLE[]),
+       |                           CAST(b.v AS DOUBLE[])) AS sim
+       |  FROM cv a JOIN cv b ON a.qid = b.qid AND a.id <> b.id),
+       |sel1 AS (
+       |  SELECT qid, id, score, 1 AS rank FROM (
+       |    SELECT qid, id, 0.7 * rel AS score,
+       |      row_number() OVER (PARTITION BY qid
+       |        ORDER BY 0.7 * rel DESC, id) AS rn
+       |    FROM cand) WHERE rn = 1),
+       |${(2 to steps).map(round).mkString(",\n")}
+       |SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank,
+       |  CAST(id AS BIGINT) AS id, round(score, 6) AS score
+       |FROM sel$steps ORDER BY qid, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Pricing-summary style aggregation (exercises partial aggregation +
     // single shuffle on the group keys; decimal math for exactness).
@@ -160,52 +203,18 @@ object CoreQueries {
     // break by id.
     "v25_mmr_rerank" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      // λ = 0.7 / (1−λ) = 0.3 as PARSED literals on both sides: Scala's
-      // computed 1.0 − 0.7 is 0.30000000000000004, one ulp off the parsed
-      // 0.3 the SQL text would carry.
-      val lam = lit(0.7)
-      val oneMinusLam = lit(0.3)
       val q = emb.filter(col("vec_id") < 4)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val cand = VectorSearch.topKBatch(emb, q, k = 24, metric = "cosine",
           idCol = "vec_id", vecCol = "embedding", wide = true)
         .select(col("qid"), col("vec_id").as("id"),
           (lit(1.0) - col("distance")).as("rel"))
-      val candV = cand.join(
-        emb.select(col("vec_id").as("id"), col("embedding")), Seq("id"))
-      val sims = candV.as("a").join(candV.as("b"),
-          col("a.qid") === col("b.qid") && col("a.id") =!= col("b.id"))
-        .select(col("a.qid").as("qid"), col("a.id").as("id"),
-          col("b.id").as("sid"),
-          VectorFunctions.cosineSimilarityWide(
-            col("a.embedding"), col("b.embedding")).as("sim"))
-      // argmax (score DESC, id ASC) per query through the bounded TopK
-      // aggregate (d = −score sorts descending, ties by id).
-      def pick(scored: DataFrame): DataFrame = scored
-        .groupBy(col("qid"))
-        .agg(graft.functions.TopK.topK(
-          col("id").cast("long"), -col("score"), 1).as("_tk"))
-        .select(col("qid"), explode(col("_tk")).as("_e"))
-        .select(col("qid"), col("_e.id").as("id"),
-          (-col("_e.distance")).as("score"))
-      var selected = pick(cand.withColumn("score", lam * col("rel")))
-        .withColumn("rank", lit(1L))
-      for (j <- 2 to 5) {
-        val prev = selected.select(col("qid"), col("id"), col("rank"))
-        val ms = cand
-          .join(prev.select(col("qid"), col("id")), Seq("qid", "id"),
-            "left_anti")
-          .join(sims, Seq("qid", "id"))
-          .join(prev.select(col("qid"), col("id").as("sid")),
-            Seq("qid", "sid"))
-          .groupBy(col("qid"), col("id"))
-          .agg(first(col("rel")).as("rel"), max(col("sim")).as("ms"))
-        val nxt = pick(ms.withColumn("score",
-            lam * col("rel") - oneMinusLam * col("ms")))
-          .withColumn("rank", lit(j.toLong))
-        selected = selected.unionByName(nxt)
-      }
-      selected
+      // λ = 0.7 / (1−λ) = 0.3 as PARSED literals on both sides: Scala's
+      // computed 1.0 − 0.7 is 0.30000000000000004, one ulp off the parsed
+      // 0.3 the SQL text carries (see graft.search.Mmr).
+      graft.search.Mmr.select(cand,
+          emb.select(col("vec_id").as("id"), col("embedding")),
+          k = 5, lam = lit(0.7), oneMinusLam = lit(0.3))
         .select(col("qid"), col("rank"), col("id"),
           round(col("score"), 6).as("score"))
         .orderBy(col("qid"), col("rank"))
@@ -288,24 +297,6 @@ object CoreQueries {
     // 1.0 − distance (bit-identical: same two IEEE ops on the same wide
     // cosine), λ/(1−λ) are the PARSED literals 0.7/0.3 on both sides.
     "v25_mmr_rerank" -> {
-      def round(j: Int): String =
-        s"""ms$j AS (
-           |  SELECT c.qid, c.id, c.rel, max(s.sim) AS ms
-           |  FROM cand c
-           |  JOIN sims s ON s.qid = c.qid AND s.id = c.id
-           |  JOIN sel${j - 1} t ON t.qid = s.qid AND t.id = s.sid
-           |  WHERE NOT EXISTS (SELECT 1 FROM sel${j - 1} x
-           |                    WHERE x.qid = c.qid AND x.id = c.id)
-           |  GROUP BY c.qid, c.id, c.rel),
-           |sel$j AS (
-           |  SELECT qid, id, score, rank FROM sel${j - 1}
-           |  UNION ALL
-           |  SELECT qid, id, score, $j AS rank FROM (
-           |    SELECT qid, id, 0.7 * rel - 0.3 * ms AS score,
-           |      row_number() OVER (PARTITION BY qid
-           |        ORDER BY 0.7 * rel - 0.3 * ms DESC, id) AS rn
-           |    FROM ms$j) WHERE rn = 1)""".stripMargin
-      val rounds = (2 to 5).map(round).mkString(",\n")
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
          |           WHERE vec_id < 4),
          |s0 AS (SELECT q.qid, e.vec_id AS id,
@@ -316,22 +307,7 @@ object CoreQueries {
          |  SELECT qid, id, 1.0 - d AS rel FROM (
          |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY d, id) AS rn
          |    FROM s0) WHERE rn <= 24),
-         |cv AS (SELECT c.qid, c.id, e.embedding AS v
-         |       FROM cand c JOIN embeddings e ON c.id = e.vec_id),
-         |sims AS (
-         |  SELECT a.qid, a.id, b.id AS sid,
-         |    list_cosine_similarity(CAST(a.v AS DOUBLE[]),
-         |                           CAST(b.v AS DOUBLE[])) AS sim
-         |  FROM cv a JOIN cv b ON a.qid = b.qid AND a.id <> b.id),
-         |sel1 AS (
-         |  SELECT qid, id, score, 1 AS rank FROM (
-         |    SELECT qid, id, 0.7 * rel AS score,
-         |      row_number() OVER (PARTITION BY qid
-         |        ORDER BY 0.7 * rel DESC, id) AS rn
-         |    FROM cand) WHERE rn = 1),
-         |$rounds
-         |SELECT qid, CAST(rank AS BIGINT) AS rank, id, round(score, 6) AS score
-         |FROM sel5 ORDER BY qid, rank""".stripMargin
+         |${mmrSqlTail(5)}""".stripMargin
     },
 
     "v2_knn_filtered" ->

@@ -1,0 +1,78 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Maximal marginal relevance (Carbonell & Goldstein 1998) as a
+  * declarative plan — the greedy diversity re-rank shared by the exact
+  * (v25) and IVF-served (v26) retrieval paths.
+  *
+  * Scale shape: the candidate pool is nq×N rows (N ≤ a few dozen by
+  * contract — MMR re-ranks a retrieved page, never a corpus), so the
+  * pair-similarity self-join and the k unrolled greedy rounds all key on
+  * qid and partition by query batch; the corpus is never touched after
+  * the pool is built. Determinism: ties break by id, the λ-blend is two
+  * IEEE ops on inputs both engines compute identically (wide cosine ≡
+  * `list_cosine_similarity`), and rel must be derived the same way on
+  * both sides (e.g. `1.0 − distance`).
+  */
+object Mmr {
+
+  /** Greedy-select `k` of each query's candidates.
+    *
+    * @param cand (qid, id, rel) — the relevance-ranked pool.
+    * @param vecs (id, embedding) — vectors for every candidate id.
+    * @param lam  λ and (1−λ) as PARSED literals (never compute 1.0 − λ
+    *             in Scala: the result can be one ulp off the SQL text's
+    *             parsed constant).
+    * @return (qid, rank, id, score) — rank is 1-based selection order;
+    *         a query with fewer than k candidates yields fewer rows.
+    */
+  def select(cand: DataFrame, vecs: DataFrame, k: Int,
+      lam: Column, oneMinusLam: Column): DataFrame = {
+    // The greedy rounds below reference the pool and the accumulated
+    // selection MANY times (anti-join + sim join + union per round);
+    // without materialization Catalyst re-evaluates the candidate
+    // retrieval — a corpus scan — once per reference (measured 7.7 s vs
+    // 1 s for the whole v25 query). localCheckpoint pins the nq×N pool
+    // (driver-batch-bounded by contract) exactly like Rag.expandGraphBfs
+    // pins its frontier.
+    val candC = cand.localCheckpoint(true)
+    val candV = candC.join(vecs, Seq("id")).localCheckpoint(true)
+    val sims = candV.as("a").join(candV.as("b"),
+        col("a.qid") === col("b.qid") && col("a.id") =!= col("b.id"))
+      .select(col("a.qid").as("qid"), col("a.id").as("id"),
+        col("b.id").as("sid"),
+        VectorFunctions.cosineSimilarityWide(
+          col("a.embedding"), col("b.embedding")).as("sim"))
+      .localCheckpoint(true)
+    // argmax (score DESC, id ASC) per query through the bounded TopK
+    // aggregate (d = −score sorts descending, ties by id).
+    def pick(scored: DataFrame): DataFrame = scored
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopK.topK(
+        col("id").cast("long"), -col("score"), 1).as("_tk"))
+      .select(col("qid"), explode(col("_tk")).as("_e"))
+      .select(col("qid"), col("_e.id").as("id"),
+        (-col("_e.distance")).as("score"))
+    var selected = pick(candC.withColumn("score", lam * col("rel")))
+      .withColumn("rank", lit(1L))
+      .localCheckpoint(true)
+    for (j <- 2 to k) {
+      val prev = selected.select(col("qid"), col("id"))
+      val ms = candC
+        .join(prev, Seq("qid", "id"), "left_anti")
+        .join(sims, Seq("qid", "id"))
+        .join(prev.select(col("qid"), col("id").as("sid")), Seq("qid", "sid"))
+        .groupBy(col("qid"), col("id"))
+        .agg(first(col("rel")).as("rel"), max(col("sim")).as("ms"))
+      val nxt = pick(ms.withColumn("score",
+          lam * col("rel") - oneMinusLam * col("ms")))
+        .withColumn("rank", lit(j.toLong))
+      selected = selected.unionByName(nxt).localCheckpoint(true)
+    }
+    selected.select(col("qid"), col("rank"), col("id"), col("score"))
+  }
+}
