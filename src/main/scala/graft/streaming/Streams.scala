@@ -241,6 +241,30 @@ object Streams {
     * `eventTimeCol` must be a real event-time timestamp column; `lateness`
     * bounds both late data and the dedup memory.
     */
+  /** Streaming DSIR quality gate — x34's importance weight at ingest
+    * time. The offline-trained target-vs-raw bucket-weight table rides as
+    * ONE array literal (4096 longs — a tokenizer-sized artifact, same
+    * frozen-model discipline as [[ivfIngest]]'s centroids and x33's
+    * classifier weights), so scoring is a stateless in-row fold:
+    * split → PolyHash → bucket → weight lookup → sum. No join, no state,
+    * no shuffle — the same plan runs on a stream or a batch frame, and
+    * retraining the distributions stays an offline job (x34's two
+    * 4096-row aggregations).
+    */
+  def dsirGate(docs: DataFrame, textCol: String,
+      weights: Array[Long], threshold: Long = 0L): DataFrame = {
+    require(weights.nonEmpty, "empty DSIR weight table")
+    val warr = typedlit(weights.toSeq)
+    docs
+      .withColumn("dsir_weight",
+        aggregate(
+          transform(split(col(textCol), " "),
+            t => element_at(warr,
+              (Dedup.polyHash(t) % weights.length).cast("int") + 1)),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("keep", col("dsir_weight") > threshold)
+  }
+
   def dedupStream(docs: DataFrame, textCol: String, eventTimeCol: String,
       lateness: String = "1 hour"): DataFrame = {
     val hashed = docs.withColumn("content_hash", sha2(col(textCol), 256))

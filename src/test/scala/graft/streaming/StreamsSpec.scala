@@ -305,6 +305,65 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming DSIR gate: stream == batch == the x34 operator's weights") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // Train the frozen weight table exactly as x34 does (target = en,
+    // raw = rest, 4096 PolyHash buckets, integer-ppm difference).
+    val docs = Tables.documents(spark, sf())
+      .select(col("doc_id"), col("lang"), col("text"))
+    val tok = docs.select(col("doc_id"), col("lang"),
+      explode(transform(split(col("text"), " "),
+        t => graft.dedup.Dedup.polyHash(t) % 4096L)).as("bucket"))
+    val tgt = tok.filter(col("lang") === "en")
+      .groupBy(col("bucket")).agg(count(lit(1)).as("tc"))
+    val tt = tgt.agg(sum(col("tc")).as("ts"))
+    val raw = tok.filter(col("lang") =!= "en")
+      .groupBy(col("bucket")).agg(count(lit(1)).as("rc"))
+    val rt = raw.agg(sum(col("rc")).as("rs"))
+    val weights = new Array[Long](4096)
+    raw.crossJoin(broadcast(tt)).crossJoin(broadcast(rt))
+      .join(tgt, Seq("bucket"), "left")
+      .select(col("bucket"),
+        (coalesce(expr("(1000000 * tc) div ts"), lit(0L)) -
+          expr("(1000000 * rc) div rs")).as("d"))
+      .collect()
+      .foreach(r => weights(r.getLong(0).toInt) = r.getLong(1))
+
+    // Gate == the registered x34 operator on the raw pool (en buckets
+    // absent from the raw table carry weight 0 in BOTH constructions).
+    val rawDocs = docs.filter(col("lang") =!= "en")
+    val gated = Streams.dsirGate(rawDocs, "text", weights)
+      .select(col("doc_id"), col("dsir_weight"), col("keep"))
+    val x34 = graft.SparkEntry.queries("x34_dsir")(spark, sf())
+      .select(col("doc_id"), col("dsir_weight"), col("keep"))
+    assert(gated.exceptAll(x34).isEmpty && x34.exceptAll(gated).isEmpty)
+
+    // Stateless projection: the same plan on a MemoryStream yields the
+    // same rows across micro-batch boundaries.
+    val rows = rawDocs.select(col("doc_id"), col("text"))
+      .limit(6).collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val ms = MemoryStream[(Long, String)]
+    val q = Streams.dsirGate(ms.toDF.toDF("doc_id", "text"), "text", weights)
+      .writeStream.format("memory").queryName("dsir_s")
+      .outputMode("append").start()
+    try {
+      ms.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      ms.addData(rows.drop(3): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("dsir_s")
+        .select(col("doc_id"), col("dsir_weight"), col("keep"))
+      val expect = Streams.dsirGate(
+          rows.toDF("doc_id", "text"), "text", weights)
+        .select(col("doc_id"), col("dsir_weight"), col("keep"))
+      assert(streamed.exceptAll(expect).isEmpty &&
+        expect.exceptAll(streamed).isEmpty)
+    } finally q.stop()
+  }
+
   test("streaming curation funnel: quality gate -> PII scrub -> near-dedup, stream == batch") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
