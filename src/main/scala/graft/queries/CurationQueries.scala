@@ -479,6 +479,39 @@ object CurationQueries {
     // cross-checks train AND apply end-to-end). Encode itself is pure
     // column math folded into the scan: explode words, 8 literal
     // replaces, count symbols, one keyed agg.
+    // x38: T5 span-corruption example construction (Raffel et al. 2020
+    // §3.1.4): mask 15% of tokens in length-3 spans, emit (inputs with
+    // <extra_id_k> sentinels, targets = sentinels + masked spans) — the
+    // step that turns curated documents into denoising training pairs.
+    // Spans anchor deterministically at one fixed offset per 20-token
+    // window (offset = doc_id % 20): every window contributes exactly one
+    // 3-token span ⇒ the published 15% rate and mean span length 3, with
+    // NO sequential state (the published i.i.d. sampler needs a
+    // can't-overlap scan; regular anchors are per-token independent).
+    // Entirely in-row column math — zero shuffle, scales like a scan.
+    "x38_span_corruption" -> ((s, dir) =>
+      Tables.documents(s, dir).filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          expr("""transform(split(text, ' '), (t, i) -> named_struct(
+                 |  'rel', (i + 20 - CAST(doc_id % 20 AS INT)) % 20,
+                 |  'sid', (i + 20 - CAST(doc_id % 20 AS INT)) div 20,
+                 |  't', t))""".stripMargin).as("pieces"))
+        .select(col("doc_id"),
+          size(col("pieces")).cast("long").as("n_tokens"),
+          size(expr("filter(pieces, p -> p.rel < 3)")).cast("long")
+            .as("n_masked"),
+          expr("""concat_ws(' ', filter(transform(pieces, p ->
+                 |  CASE WHEN p.rel >= 3 THEN p.t
+                 |       WHEN p.rel = 0 THEN concat('<extra_id_', CAST(p.sid AS STRING), '>')
+                 |       ELSE CAST(NULL AS STRING) END), x -> x IS NOT NULL))"""
+            .stripMargin).as("inputs"),
+          expr("""concat_ws(' ', filter(transform(pieces, p ->
+                 |  CASE WHEN p.rel = 0 THEN concat('<extra_id_', CAST(p.sid AS STRING), '> ', p.t)
+                 |       WHEN p.rel < 3 THEN p.t
+                 |       ELSE CAST(NULL AS STRING) END), x -> x IS NOT NULL))"""
+            .stripMargin).as("targets"))
+        .orderBy(col("doc_id"))),
+
     "x37_bpe_encode" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val merges = graft.text.Bpe.learnMerges(docs, "text", steps = 8)
@@ -534,6 +567,28 @@ object CurationQueries {
          |$finals
          |ORDER BY step""".stripMargin
     },
+
+    "x38_span_corruption" ->
+      """WITH d AS (SELECT doc_id, str_split(text, ' ') AS ts
+        |           FROM documents WHERE doc_id < 300),
+        |p AS (SELECT doc_id, len(ts) AS n_tokens,
+        |  list_transform(range(0, len(ts)), i -> struct_pack(
+        |    rel := (i + 20 - (doc_id % 20)) % 20,
+        |    sid := (i + 20 - (doc_id % 20)) // 20,
+        |    t := ts[i + 1])) AS pieces FROM d)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(pieces, p -> p.rel < 3)) AS BIGINT) AS n_masked,
+        |  COALESCE(array_to_string(list_filter(list_transform(pieces, p ->
+        |    CASE WHEN p.rel >= 3 THEN p.t
+        |         WHEN p.rel = 0 THEN '<extra_id_' || CAST(p.sid AS VARCHAR) || '>'
+        |         ELSE NULL END), x -> x IS NOT NULL), ' '), '') AS inputs,
+        |  -- array_to_string of an EMPTY list is NULL in DuckDB where
+        |  -- Spark's concat_ws is '' — a doc whose offset exceeds its
+        |  -- length has zero masked tokens and hits this.
+        |  COALESCE(array_to_string(list_filter(list_transform(pieces, p ->
+        |    CASE WHEN p.rel = 0 THEN '<extra_id_' || CAST(p.sid AS VARCHAR) || '> ' || p.t
+        |         WHEN p.rel < 3 THEN p.t ELSE NULL END), x -> x IS NOT NULL), ' '), '') AS targets
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     // Encode = the training chain's m$i merges applied (in order) to the
     // per-(doc, word) occurrence table; token count = surviving symbols.
