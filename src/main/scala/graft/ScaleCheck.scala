@@ -56,6 +56,11 @@ object ScaleCheck {
     // case (disjoint replica vocabularies ⇒ vocab grows ~10×, where a real
     // corpus saturates by Heaps' law), so its ratio is an upper bound.
     "x34_dsir", "x36_lm_surprisal", "x35_bpe_merges",
+    // x37 re-trains + applies (the apply scan dominates at scale); x38 is
+    // pure per-row column math — the zero-shuffle scan contrast; v26 is
+    // IVF retrieval + pool-bounded MMR rounds, so the retrieval stage is
+    // the only part that sees the 10× corpus.
+    "x37_bpe_encode", "x38_span_corruption", "v26_ivf_mmr",
     // Graph traversals (VERDICT r09 #7): the scaled dir replicates
     // orders/lineitem as disjoint subgraph copies, so the traversal from
     // the replica-0 root walks the same frontier over a 10× edge table —
