@@ -92,6 +92,48 @@ object SourceQueries {
     // corrupt .pdf (plain text bytes) falls through the chain — the JVM
     // parser rejects it, pdftotext is absent, `cat` wins — exercising the
     // CLI pipe fallback (`loader_cli.go:43`) end-to-end.
+    // S17: WARC ingestion — Common Crawl's container format, i.e. the
+    // source format of a real 100 TB pre-training corpus. The fixture is
+    // a genuine WARC/1.0 file (canonical writer, spec framing: version
+    // line, CRLF headers, Content-Length octets) holding a warcinfo
+    // record + one HTTP response per document, with ONE record's magic
+    // deliberately flipped: the parser must quarantine that span and
+    // resync at the next record boundary (Oplog.resync's contract, at
+    // the file-format layer). Responses split the HTTP message and
+    // reduce the HTML to text (script/style dropped, tags stripped,
+    // entities decoded — the CC HTML→text step in miniature). Scale
+    // shape: one task per WARC file, zero shuffle — crawl dumps
+    // parallelize at file granularity.
+    "s17_warc" -> ((s, dir) => {
+      import graft.sources.Warc
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 12)
+        .select(col("doc_id"), col("text")).collect().sortBy(_.getLong(0))
+      val responses = docs.map { r =>
+        val id = r.getLong(0)
+        (s"https://example.com/doc/$id",
+          s"<html><head><title>doc $id</title><style>p{color:red}</style>" +
+            s"</head><body><p>${r.getString(1)}</p></body></html>")
+      }.toSeq
+      val bytes = Warc.corruptRecord(Warc.write(responses),
+        "https://example.com/doc/7")
+      val path = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft_warc_v1_${math.abs(dir.hashCode)}.warc")
+      java.nio.file.Files.write(path, bytes)
+      val bins = s.read.format("binaryFile").load(path.toString)
+      import s.implicits._
+      bins.select(col("content")).as[Array[Byte]]
+        .flatMap(b => Warc.parse(b))
+        .toDF()
+        .select(col("warcType").as("warc_type"), col("targetUri").as("uri"),
+          col("httpStatus").cast("long").as("http_status"), col("mime"),
+          length(col("text")).cast("long").as("n_chars"),
+          col("nPayloadBytes").as("n_payload"),
+          coalesce(regexp_replace(col("corrupt"), "_at_[0-9]+$", ""),
+            lit("-")).as("corrupt"))
+        .orderBy(col("uri"), col("warc_type"))
+    }),
+
     "s9_loaders" -> ((s, dir) => {
       import graft.sources.{BinaryExtract, CliLoader}
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 10)
@@ -252,6 +294,40 @@ object SourceQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Analytic replay of the fixture's construction: the writer's strings
+    // are rebuilt in SQL (ASCII corpus ⇒ chars = octets), doc 7 is the
+    // quarantined record, the warcinfo payload is the fixed 31-byte
+    // software line.
+    "s17_warc" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 12),
+        |resp AS (
+        |  SELECT 'response' AS warc_type,
+        |    'https://example.com/doc/' || doc_id AS uri,
+        |    CAST(200 AS BIGINT) AS http_status, 'text/html' AS mime,
+        |    CAST(length('doc ' || doc_id || ' ' || text) AS BIGINT) AS n_chars,
+        |    CAST(length('HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+        |      'Content-Type: text/html; charset=utf-8' ||
+        |      chr(13) || chr(10) || chr(13) || chr(10) ||
+        |      '<html><head><title>doc ' || doc_id ||
+        |      '</title><style>p{color:red}</style></head><body><p>' ||
+        |      text || '</p></body></html>') AS BIGINT) AS n_payload,
+        |    '-' AS corrupt
+        |  FROM d WHERE doc_id <> 7),
+        |info AS (
+        |  SELECT 'warcinfo' AS warc_type, '-' AS uri,
+        |    CAST(0 AS BIGINT) AS http_status,
+        |    'application/warc-fields' AS mime, CAST(31 AS BIGINT) AS n_chars,
+        |    CAST(31 AS BIGINT) AS n_payload, '-' AS corrupt),
+        |bad AS (
+        |  SELECT 'corrupt' AS warc_type, '-' AS uri,
+        |    CAST(0 AS BIGINT) AS http_status, '-' AS mime,
+        |    CAST(0 AS BIGINT) AS n_chars, CAST(0 AS BIGINT) AS n_payload,
+        |    'bad_magic' AS corrupt)
+        |SELECT * FROM (
+        |  SELECT * FROM resp UNION ALL SELECT * FROM info
+        |  UNION ALL SELECT * FROM bad)
+        |ORDER BY uri, warc_type""".stripMargin,
+
     "s6_bulk_import" ->
       """WITH batch AS (
         |  SELECT vec_id, embedding FROM embeddings

@@ -15,6 +15,23 @@ import graft.SparkSpec
   */
 class BucketedLayoutSpec extends SparkSpec {
 
+  /** DROP TABLE alone leaves the managed LOCATION behind when a fresh
+    * session's catalog has never seen the table — clear both, or the
+    * next run fails with LOCATION_ALREADY_EXISTS.
+    */
+  private def resetTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val loc = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(loc)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+      }
+    }
+  }
+
   private def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
     // Force execution so AQE finalizes the plan, then count exchanges in
     // the final adaptive plan.
@@ -36,8 +53,8 @@ class BucketedLayoutSpec extends SparkSpec {
   test("doc_id-bucketed snapshot tables FULL OUTER join with zero shuffles (x21 at scale)") {
     val docs = spark.read.parquet(sf() + "/documents.parquet")
       .select(col("doc_id"), col("text"))
-    spark.sql("DROP TABLE IF EXISTS snap_a")
-    spark.sql("DROP TABLE IF EXISTS snap_b")
+    resetTable("snap_a")
+    resetTable("snap_b")
     docs.write.bucketBy(8, "doc_id").sortBy("doc_id")
       .mode("overwrite").saveAsTable("snap_a")
     // Snapshot B: half the docs modified, one in five dropped — the x21
@@ -75,7 +92,7 @@ class BucketedLayoutSpec extends SparkSpec {
   test("doc_id-bucketed join reuses storage partitioning for aggregation too") {
     val docs = spark.read.parquet(sf() + "/documents.parquet")
       .select(col("doc_id"), col("text"))
-    spark.sql("DROP TABLE IF EXISTS snap_g")
+    resetTable("snap_g")
     docs.write.bucketBy(8, "doc_id").sortBy("doc_id")
       .mode("overwrite").saveAsTable("snap_g")
     // A doc_id-keyed aggregation over the bucketed table needs no
