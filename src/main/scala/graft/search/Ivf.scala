@@ -786,6 +786,7 @@ object Ivf {
       nProbe: Int): Array[Array[Int]] = {
     val nq = qvecs.length
     val np = math.min(nProbe, cents.length)
+    if (np == 0) return new Array[Array[Int]](cents.length)
     val sel = new Array[Array[Int]](nq)
     java.util.stream.IntStream.range(0, nq).parallel().forEach { qi =>
       val qv = qvecs(qi)
