@@ -91,6 +91,42 @@ object Warc {
       s.substring(start + Magic.length)).getBytes(StandardCharsets.UTF_8)
   }
 
+  // ------------------------------------------------------------ gzip
+
+  /** Member-gzip a written WARC the way Common Crawl ships them: EACH
+    * record is its own gzip member, concatenated — the property that lets
+    * an index seek to a record without decompressing the file. Splits on
+    * the record framing (never a scan), compresses each span.
+    */
+  def gzipMembers(warc: Array[Byte]): Array[Byte] = {
+    val s = new String(warc, StandardCharsets.UTF_8)
+    val out = new java.io.ByteArrayOutputStream()
+    var pos = 0
+    while (pos < s.length) {
+      val next = s.indexOf(CRLF + Magic + CRLF, pos)
+      val end = if (next < 0) s.length else next + CRLF.length
+      val member = s.substring(pos, end).getBytes(StandardCharsets.UTF_8)
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(member); gz.finish()
+      pos = end
+    }
+    out.toByteArray
+  }
+
+  /** Parse a member-gzipped WARC: JDK `GZIPInputStream` consumes
+    * concatenated members natively, so decompression is one stream pass
+    * and the framing walk is identical to the plain case.
+    */
+  def parseGz(bytes: Array[Byte]): Seq[WarcRecord] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](65536)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    parse(out.toByteArray)
+  }
+
   // ------------------------------------------------------------- parser
 
   /** Parse a WARC file. Records with intact framing but unexpected

@@ -51,6 +51,18 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.htmlText(html) === "T A <tag> b\"c'd&e")
   }
 
+  test("member-gzip round trip: parseGz(gzipMembers(w)) == parse(w)") {
+    val w = Warc.write(Seq(
+      ("https://a/1", "<p>alpha beta</p>"),
+      ("https://a/2", "<p>gamma &amp; delta</p>")))
+    val gz = Warc.gzipMembers(w)
+    // Really member-per-record: three gzip magics (warcinfo + 2 responses).
+    val magics = gz.sliding(2).count(p =>
+      (p(0) & 0xff) == 0x1f && (p(1) & 0xff) == 0x8b)
+    assert(magics === 3, s"expected 3 gzip members, saw $magics")
+    assert(Warc.parseGz(gz) === Warc.parse(w))
+  }
+
   test("truncated file yields a torn-header quarantine, no exception") {
     val bytes = Warc.write(Seq(("https://a/1", "<p>x</p>")))
     val cut = bytes.take(bytes.length / 4)
