@@ -83,12 +83,12 @@ object Warc {
     * magic).
     */
   def corruptRecord(warc: Array[Byte], uri: String): Array[Byte] = {
-    val s = new String(warc, StandardCharsets.UTF_8)
+    val s = new String(warc, StandardCharsets.ISO_8859_1)
     val at = s.indexOf(s"WARC-Target-URI: $uri")
     require(at >= 0, s"no record for $uri")
     val start = s.lastIndexOf(Magic, at)
     (s.substring(0, start) + "WARC/9.9" +
-      s.substring(start + Magic.length)).getBytes(StandardCharsets.UTF_8)
+      s.substring(start + Magic.length)).getBytes(StandardCharsets.ISO_8859_1)
   }
 
   // ------------------------------------------------------------ gzip
@@ -99,13 +99,13 @@ object Warc {
     * the record framing (never a scan), compresses each span.
     */
   def gzipMembers(warc: Array[Byte]): Array[Byte] = {
-    val s = new String(warc, StandardCharsets.UTF_8)
+    val s = new String(warc, StandardCharsets.ISO_8859_1)
     val out = new java.io.ByteArrayOutputStream()
     var pos = 0
     while (pos < s.length) {
       val next = s.indexOf(CRLF + Magic + CRLF, pos)
       val end = if (next < 0) s.length else next + CRLF.length
-      val member = s.substring(pos, end).getBytes(StandardCharsets.UTF_8)
+      val member = s.substring(pos, end).getBytes(StandardCharsets.ISO_8859_1)
       val gz = new java.util.zip.GZIPOutputStream(out)
       gz.write(member); gz.finish()
       pos = end
@@ -132,9 +132,14 @@ object Warc {
   /** Parse a WARC file. Records with intact framing but unexpected
     * content degrade gracefully (empty text); a broken record BOUNDARY
     * becomes one quarantine row covering the skipped span.
+    *
+    * Framing walks OCTETS, as Content-Length demands: the buffer is
+    * decoded ISO-8859-1 (one char per octet, lossless round trip), so
+    * string offsets ARE byte offsets even when payloads carry multi-byte
+    * UTF-8; each payload re-decodes to UTF-8 only after it is framed.
     */
   def parse(bytes: Array[Byte]): Seq[WarcRecord] = {
-    val s = new String(bytes, StandardCharsets.UTF_8)
+    val s = new String(bytes, StandardCharsets.ISO_8859_1)
     val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
     var pos = 0
     while (pos < s.length) {
@@ -173,12 +178,13 @@ object Warc {
             val wtype = headers.getOrElse("warc-type", "unknown")
             val uri = headers.getOrElse("warc-target-uri", "-")
             if (wtype == "response") {
+              // HTTP headers are ASCII; only the BODY re-decodes UTF-8.
               val (status, mime, body) = splitHttp(payload)
               out += WarcRecord(wtype, uri, status, mime,
-                htmlText(body), n, null)
+                htmlText(utf8(body)), n, null)
             } else {
               out += WarcRecord(wtype, uri, 0,
-                headers.getOrElse("content-type", "-"), payload, n, null)
+                headers.getOrElse("content-type", "-"), utf8(payload), n, null)
             }
             pos = bodyEnd
         }
@@ -186,6 +192,11 @@ object Warc {
     }
     out.toSeq
   }
+
+  /** Octet-chars (ISO-8859-1) back to real text (UTF-8). */
+  private def utf8(octetChars: String): String =
+    new String(octetChars.getBytes(StandardCharsets.ISO_8859_1),
+      StandardCharsets.UTF_8)
 
   /** Split an HTTP/1.1 response payload into (status, mime, body). */
   private def splitHttp(payload: String): (Int, String, String) = {

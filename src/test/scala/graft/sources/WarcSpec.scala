@@ -51,6 +51,20 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.htmlText(html) === "T A <tag> b\"c'd&e")
   }
 
+  test("multi-byte UTF-8 bodies don't break octet framing") {
+    // 'héllo wörld' is 13 octets / 11 chars — a char-offset walker would
+    // misframe the SECOND record; octet framing keeps both intact and the
+    // text still decodes as UTF-8.
+    val bytes = Warc.write(Seq(
+      ("https://u/1", "<p>héllo wörld</p>"),
+      ("https://u/2", "<p>plain ascii</p>")))
+    val recs = Warc.parse(bytes)
+    assert(recs.map(_.warcType) === Seq("warcinfo", "response", "response"))
+    assert(recs(1).text === "héllo wörld")
+    assert(recs(2).text === "plain ascii")
+    assert(recs.forall(_.corrupt == null))
+  }
+
   test("member-gzip round trip: parseGz(gzipMembers(w)) == parse(w)") {
     val w = Warc.write(Seq(
       ("https://a/1", "<p>alpha beta</p>"),
