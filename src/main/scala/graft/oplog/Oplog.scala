@@ -78,29 +78,50 @@ object Oplog {
     * build distinct keys and each validates once — the memo's contract is
     * "same DataFrame lineage", which is exactly what the replay folds
     * share. The memo VALUE is a fingerprint of the file footprint
-    * (paths + total bytes), so a long-lived frame over a path whose files
-    * are swapped in-session is re-validated rather than served a stale
-    * verdict. Keys are weakly held; dropping the log frees the entry.
+    * (paths + per-file length + FRESHLY-STATTED modification time), so a
+    * long-lived frame over a path whose files are swapped in-session —
+    * even by a same-length rewrite — is re-validated rather than served a
+    * stale verdict. Keys are weakly held; dropping the log frees the
+    * entry.
     */
   private val validatedPlans = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       String]())
 
-  /** Stable identity of the frame's file-backed sources: sorted input
-    * paths plus the relation's byte size. In-memory (local) relations have
-    * no file footprint and fingerprint to a constant — their contents are
-    * immutable, so plan identity alone is sufficient for them.
+  /** Identity of the frame's file-backed sources: per file, path + length
+    * + modification time from a FRESH `getFileStatus` — not the relation's
+    * cached listing, which is pinned at read time and would report the
+    * pre-swap metadata forever (serving exactly the stale verdict this
+    * fingerprint exists to prevent: a same-path same-size in-session swap
+    * only moves the mtime). Cost: one metadata stat per input file per
+    * fold call — O(files) namenode RPCs, the same order as the listing
+    * every job planning pass performs, and noise next to the validation
+    * scan it gates. A file that vanished mid-session fingerprints as
+    * `missing`, which also forces re-validation. In-memory (local)
+    * relations have no file footprint and fingerprint to a constant —
+    * their contents are immutable, so plan identity alone is sufficient
+    * for them.
     */
-  private def sourceFingerprint(oplog: DataFrame): String =
+  private def sourceFingerprint(oplog: DataFrame): String = {
+    lazy val conf = oplog.sparkSession.sessionState.newHadoopConf()
     oplog.queryExecution.analyzed.collect {
       case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         l.relation match {
           case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            fs.location.inputFiles.sorted.mkString(",") + "#" + fs.sizeInBytes
+            fs.location.inputFiles.sorted.iterator.map { p =>
+              val path = new org.apache.hadoop.fs.Path(p)
+              val stat =
+                try {
+                  val s = path.getFileSystem(conf).getFileStatus(path)
+                  s.getLen.toString + "@" + s.getModificationTime
+                } catch { case _: java.io.IOException => "missing" }
+              p + "#" + stat
+            }.mkString(",")
           case _ => ""
         }
     }.mkString("|")
+  }
 
   private def validated(oplog: DataFrame): DataFrame = {
     val key = oplog.queryExecution.analyzed.canonicalized

@@ -790,7 +790,17 @@ object Ivf {
     val sel = new Array[Array[Int]](nq)
     java.util.stream.IntStream.range(0, nq).parallel().forEach { qi =>
       val qv = qvecs(qi)
-      val bd = Array.fill(np)(Double.MaxValue)
+      // Empty-slot sentinel is NaN, the MAXIMUM of Double.compare's total
+      // order: every score — including NaN from a NaN query/centroid —
+      // displaces it (NaN vs NaN compares 0 and falls to the id
+      // tie-break, id < Int.MaxValue). So all np ≤ cents.length slots
+      // always fill, NaN-scored buckets rank after every real score with
+      // ascending-id ties, and the selection stays bit-identical to
+      // `.sorted.take(nProbe)` under the Scala total order — which put
+      // NaN last but still SELECTED it. A MaxValue sentinel here would
+      // instead refuse NaN insertions and leak Int.MaxValue ids into the
+      // assembly loop below (ArrayIndexOutOfBounds).
+      val bd = Array.fill(np)(Double.NaN)
       val bi = Array.fill(np)(Int.MaxValue)
       val last = np - 1
       var c = 0

@@ -20,6 +20,17 @@ import graft.functions.VectorFunctions
   */
 object Mmr {
 
+  /** Per-query candidate-pool ceiling. The pair-similarity self-join
+    * below is O(N²) ROWS PER QUERY — sound only because the pool is a
+    * retrieved page (a few dozen), never a corpus. The guard turns a
+    * silently quadratic misuse (piping an unranked corpus in as `cand`)
+    * into an immediate error, the same explicit-regime-boundary
+    * discipline as [[graft.graph.GraphOps.InlineFrontierLimit]]. 1024
+    * keeps the worst pair matrix ≈ 1M rows per query — still re-rank
+    * territory — while rejecting anything corpus-shaped.
+    */
+  val MaxPoolPerQuery = 1024
+
   /** Greedy-select `k` of each query's candidates.
     *
     * @param cand (qid, id, rel) — the relevance-ranked pool.
@@ -40,6 +51,17 @@ object Mmr {
     // (driver-batch-bounded by contract) exactly like Rag.expandGraphBfs
     // pins its frontier.
     val candC = cand.localCheckpoint(true)
+    // Contract check over the pinned pool (pool-sized job, not a corpus
+    // scan): every query's pool must fit the re-rank regime.
+    val over = candC.groupBy(col("qid"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > MaxPoolPerQuery)
+      .limit(1).collect()
+    require(over.isEmpty,
+      s"MMR pool for qid=${over.headOption.map(_.get(0)).orNull} has " +
+        s"${over.headOption.map(_.getLong(1)).getOrElse(0L)} candidates " +
+        s"(> MaxPoolPerQuery=$MaxPoolPerQuery) — MMR re-ranks a " +
+        "retrieved page, never a corpus; truncate the pool upstream")
     val candV = candC.join(vecs, Seq("id")).localCheckpoint(true)
     val sims = candV.as("a").join(candV.as("b"),
         col("a.qid") === col("b.qid") && col("a.id") =!= col("b.id"))

@@ -115,6 +115,31 @@ class OplogSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("unknown oplog op")), e.toString)
   }
 
+  test("same-length in-session file swap re-validates (no stale memo verdict)") {
+    // The validation memo is keyed on the analyzed plan; its VALUE is a
+    // fresh-statted (path, length, mtime) fingerprint. Swapping a log
+    // file's bytes IN PLACE at the same length must flip the fingerprint
+    // (via mtime) and re-run validation — the pre-r14 path+size key
+    // served the memoized verdict to the swapped content.
+    val dir = java.nio.file.Files.createTempDirectory("oplogswap")
+    val file = dir.resolve("log.json")
+    def jline(op: String) =
+      s"""{"seq":1,"ts":1,"op":"$op","index_name":"i","id":"a","vector":[1.0],"meta":{"x":"1"}}""" + "\n"
+    java.nio.file.Files.write(file, jline("VADD").getBytes("UTF-8"))
+    val df = spark.read.schema(schema).json(file.toString)
+    // First fold validates and memoizes.
+    assert(Oplog.foldVectors(df).collect().length === 1)
+    // Swap: same path, SAME byte length ("BADD" vs "VADD"), bumped mtime.
+    val swapped = jline("BADD").getBytes("UTF-8")
+    assert(swapped.length === java.nio.file.Files.size(file).toInt)
+    java.nio.file.Files.write(file, swapped)
+    assert(file.toFile.setLastModified(System.currentTimeMillis() + 5000))
+    val e = intercept[Exception] { Oplog.foldVectors(df).collect() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("unknown oplog op")), e.toString)
+  }
+
   test("resync quarantines damaged frames and replays the valid rest") {
     val raw = log(Seq(
       vadd(1, "a", Map("x" -> "1")),

@@ -48,6 +48,21 @@ class MmrSpec extends SparkSpec {
     assert(again.map(_.getLong(2)).toSeq === out.map(_.getLong(2)).toSeq)
   }
 
+  test("corpus-sized pool is rejected, page-sized pool at the cap is not") {
+    // A pool over MaxPoolPerQuery would make the pair self-join silently
+    // quadratic — the contract guard must throw before any O(N²) work.
+    val vecs = (0L until 8L).map(i => (i, Seq(i.toFloat, 1f))).toDF("id", "embedding")
+    val big = (0L until (Mmr.MaxPoolPerQuery + 1L))
+      .map(i => (0L, i % 8, 1.0 - i * 1e-6)).toDF("qid", "id", "rel")
+    val e = intercept[IllegalArgumentException] {
+      Mmr.select(big, vecs, 3, lit(0.7), lit(0.3))
+    }
+    assert(e.getMessage.contains("MaxPoolPerQuery"))
+    // At-the-boundary pool passes (8 ids is plenty to select k=2 from).
+    val ok = (0L until 8L).map(i => (0L, i, 1.0 - i * 0.01)).toDF("qid", "id", "rel")
+    assert(Mmr.select(ok, vecs, 2, lit(0.7), lit(0.3)).count() === 2L)
+  }
+
   test("selections are distinct per query and k-bounded on real data") {
     val out = graft.SparkEntry.queries("v25_mmr_rerank")(spark, sf())
     val g = out.groupBy(col("qid"))

@@ -63,6 +63,24 @@ class ProbeAssignmentsSpec extends SparkSpec {
     for (np <- 1 to 5; m <- Seq("cosine", "l2")) check(cents, qs, np, m)
   }
 
+  test("NaN query vector returns (not throws) and matches the tuple sort") {
+    // A NaN query makes EVERY centroid score NaN. The old `.sorted.take`
+    // total-ordered NaN last with id tie-breaks and still selected them;
+    // the fast path must do the same — not leak Int.MaxValue sentinels
+    // into assembly (the pre-r14 AIOOBE).
+    val cents = Array(Array(1f, 0f), Array(0f, 1f), Array(0.5f, 0.5f),
+      Array(-1f, 0f))
+    val qs = Array(Array(Float.NaN, 0f), Array(1f, 0f), Array(Float.NaN, Float.NaN))
+    for (np <- 1 to 4; m <- Seq("cosine", "l2")) check(cents, qs, np, m)
+  }
+
+  test("NaN centroid mixes NaN and real scores; reals win, NaN ranks by id") {
+    val cents = Array(Array(1f, 0f), Array(Float.NaN, 1f), Array(0f, 1f),
+      Array(Float.NaN, 0f))
+    val qs = Array(Array(1f, 1f), Array(0f, -1f))
+    for (np <- 1 to 4; m <- Seq("cosine", "l2")) check(cents, qs, np, m)
+  }
+
   test("zero-norm centroids (adj = 0 for cosine -> score -0.0 vs 0.0)") {
     // A zero centroid gives inv-norm 0; -dot * 0 is -0.0 or 0.0 depending
     // on dot's sign — the total order distinguishes them, and the fast
