@@ -12,21 +12,32 @@ import java.nio.charset.StandardCharsets
   *     `Content-Length` payload octets, CRLF CRLF trailer. No
   *     regex-splitting — records are walked by declared length, the only
   *     framing that survives binary payloads.
+  *   - The walk is a STREAMING `InputStream` pass: header bytes
+  *     accumulate to CRLF CRLF (bounded by [[MaxHeaderBytes]]), the
+  *     payload reads `Content-Length` octets with the arithmetic in
+  *     `Long`, and octets past [[DefaultMaxPayloadBytes]] are SKIPPED,
+  *     not materialized. Peak memory is one capped record — never the
+  *     file — so a real ~1 GB member-gzipped Common Crawl file (≫ 2 GiB
+  *     inflated, past the JVM array cap) parses in bounded heap.
   *   - `response` records carry an HTTP/1.1 message; the status line and
   *     headers are split off and the HTML body is reduced to text
   *     (script/style blocks dropped, tags stripped, entities decoded,
   *     whitespace collapsed — the CC-pipeline HTML→text step in
   *     miniature).
-  *   - A malformed record boundary (bad magic) QUARANTINES the bytes up
-  *     to the next `\r\nWARC/1.0\r\n` magic and parsing continues — the
-  *     same skip-and-continue recovery contract as `Oplog.resync`.
+  *   - A malformed record — bad magic, torn or oversized header block,
+  *     missing/negative `Content-Length`, payload cut by EOF —
+  *     QUARANTINES its span and parsing RESYNCS on the next
+  *     `\r\nWARC/1.0\r\n` magic (scanning the stream, or the already-read
+  *     payload remainder when a declared length overshot EOF) — the same
+  *     skip-and-continue recovery contract as `Oplog.resync`. A
+  *     corrupted `Content-Length: 9999999999` therefore quarantines; it
+  *     can no longer wrap negative through an `Int` and crash the walk.
   *
   * Scale shape: Common Crawl ships one ~1 GB member-gzipped WARC per
   * task-sized unit; each file parses independently inside one task
   * (binaryFile source → flatMap), so a crawl dump parallelizes at
-  * file granularity with zero shuffle. (Member-gzip decompression is a
-  * per-record `Inflater` loop over the same framing; the fixtures here
-  * exercise the uncompressed layout.)
+  * file granularity with zero shuffle, and per-task memory stays
+  * one-record-bounded regardless of file size.
   */
 object Warc {
 
@@ -44,6 +55,21 @@ object Warc {
 
   private val Magic = "WARC/1.0"
   private val CRLF = "\r\n"
+
+  /** Header-block byte budget. A record whose CRLF CRLF never arrives
+    * within this bound is quarantined (`torn_header`) and the walk
+    * resyncs — without a cap a corrupt length-less stream would buffer
+    * without limit. Real WARC header blocks are a few hundred bytes.
+    */
+  val MaxHeaderBytes: Int = 64 * 1024
+
+  /** Per-record payload MATERIALIZATION cap. Text extraction sees at most
+    * this prefix; the rest of a longer declared payload is skipped
+    * byte-counted (the full declared length is still reported in
+    * `nPayloadBytes`). Bounds peak heap per task no matter what lengths
+    * the file declares — 64 MiB is ~30× the largest real crawl page.
+    */
+  val DefaultMaxPayloadBytes: Int = 64 * 1024 * 1024
 
   // ------------------------------------------------------------- writer
 
@@ -114,79 +140,240 @@ object Warc {
   }
 
   /** Parse a member-gzipped WARC: JDK `GZIPInputStream` consumes
-    * concatenated members natively, so decompression is one stream pass
-    * and the framing walk is identical to the plain case.
+    * concatenated members natively, so decompression is ONE streaming
+    * pass feeding the same framing walk — the inflated bytes are never
+    * materialized whole (a real CC file inflates past the 2 GiB array
+    * cap; only the per-record capped buffer ever exists).
     */
-  def parseGz(bytes: Array[Byte]): Seq[WarcRecord] = {
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(bytes))
-    val out = new java.io.ByteArrayOutputStream()
-    val buf = new Array[Byte](65536)
-    var n = in.read(buf)
-    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-    parse(out.toByteArray)
-  }
+  def parseGz(bytes: Array[Byte]): Seq[WarcRecord] =
+    parseGz(new java.io.ByteArrayInputStream(bytes))
+
+  /** Streaming variant of [[parseGz]]. */
+  def parseGz(in: java.io.InputStream): Seq[WarcRecord] =
+    parse(new java.util.zip.GZIPInputStream(in, 65536))
 
   // ------------------------------------------------------------- parser
 
-  /** Parse a WARC file. Records with intact framing but unexpected
-    * content degrade gracefully (empty text); a broken record BOUNDARY
-    * becomes one quarantine row covering the skipped span.
-    *
-    * Framing walks OCTETS, as Content-Length demands: the buffer is
-    * decoded ISO-8859-1 (one char per octet, lossless round trip), so
-    * string offsets ARE byte offsets even when payloads carry multi-byte
-    * UTF-8; each payload re-decodes to UTF-8 only after it is framed.
+  /** Parse a WARC byte array (delegates to the streaming walk). */
+  def parse(bytes: Array[Byte]): Seq[WarcRecord] =
+    parse(new java.io.ByteArrayInputStream(bytes))
+
+  /** Parse a WARC stream with the default payload cap. */
+  def parse(in: java.io.InputStream): Seq[WarcRecord] =
+    parse(in, DefaultMaxPayloadBytes)
+
+  /** Byte-counting reader with pushback: a resync that over-reads into
+    * the next record's magic (or a short payload read holding trailing
+    * records) PREPENDS the unconsumed bytes, so the walk never needs the
+    * stream to be seekable. Pending chunks drain before the stream;
+    * `pos` is the absolute offset of the next unread byte.
     */
-  def parse(bytes: Array[Byte]): Seq[WarcRecord] = {
-    val s = new String(bytes, StandardCharsets.ISO_8859_1)
+  private final class Walker(in0: java.io.InputStream) {
+    private val in = new java.io.BufferedInputStream(in0, 65536)
+    private var chunks: List[(Array[Byte], Int)] = Nil
+    var pos: Long = 0L
+
+    def prepend(b: Array[Byte], off: Int, len: Int): Unit =
+      if (len > 0) {
+        chunks = (java.util.Arrays.copyOfRange(b, off, off + len), 0) :: chunks
+        pos -= len
+      }
+
+    def read(): Int = chunks match {
+      case (a, i) :: t =>
+        val c = a(i) & 0xff
+        chunks = if (i + 1 < a.length) (a, i + 1) :: t else t
+        pos += 1; c
+      case Nil =>
+        val c = in.read(); if (c >= 0) pos += 1; c
+    }
+
+    /** Up to `n` bytes; shorter only at EOF. */
+    def readUpTo(n: Int): Array[Byte] = {
+      val out = new Array[Byte](n)
+      var got = 0
+      while (got < n && chunks.nonEmpty) {
+        val (a, i) = chunks.head
+        val take = math.min(a.length - i, n - got)
+        System.arraycopy(a, i, out, got, take)
+        got += take
+        chunks =
+          if (i + take < a.length) (a, i + take) :: chunks.tail
+          else chunks.tail
+      }
+      var eof = false
+      while (got < n && !eof) {
+        val r = in.read(out, got, n - got)
+        if (r < 0) eof = true else got += r
+      }
+      pos += got
+      if (got == n) out else java.util.Arrays.copyOf(out, got)
+    }
+
+    /** Skip up to `n` bytes (Long-safe); returns bytes actually skipped
+      * (< n only at EOF). `InputStream.skip` may lawfully return 0 — the
+      * single-byte fallback read distinguishes that from EOF.
+      */
+    def skipUpTo(n: Long): Long = {
+      var left = n
+      while (left > 0 && chunks.nonEmpty) {
+        val (a, i) = chunks.head
+        val take = math.min((a.length - i).toLong, left).toInt
+        left -= take
+        chunks =
+          if (i + take < a.length) (a, i + take) :: chunks.tail
+          else chunks.tail
+      }
+      var eof = false
+      while (left > 0 && !eof) {
+        val s = in.skip(left)
+        if (s > 0) left -= s
+        else if (in.read() < 0) eof = true
+        else left -= 1
+      }
+      pos += n - left
+      n - left
+    }
+  }
+
+  /** Parse a WARC stream: one pass, peak memory one record (payload
+    * materialization capped at `maxPayloadBytes`). Records with intact
+    * framing but unexpected content degrade gracefully (empty text); a
+    * broken record boundary or length becomes one quarantine row covering
+    * the skipped span, and the walk resyncs on the next magic.
+    *
+    * Framing walks OCTETS, as Content-Length demands: headers decode
+    * ISO-8859-1 (one char per octet), each payload re-decodes to UTF-8
+    * only after it is framed — multi-byte bodies can't shift offsets.
+    */
+  def parse(in: java.io.InputStream, maxPayloadBytes: Int): Seq[WarcRecord] = {
+    val w = new Walker(in)
     val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
-    var pos = 0
-    while (pos < s.length) {
+    val magicB = (Magic + CRLF).getBytes(StandardCharsets.ISO_8859_1)
+    val resyncPat = (CRLF + Magic + CRLF).getBytes(StandardCharsets.ISO_8859_1)
+
+    // Scan forward for \r\nWARC/1.0\r\n; on a hit, push the magic line
+    // back so the main loop re-reads it. The restart rule (a mismatched
+    // '\r' restarts the match at 1) is exact for this pattern: its only
+    // interior prefix-overlap is the single '\r'.
+    def resync(): Boolean = {
+      var m = 0
+      while (true) {
+        val c = w.read()
+        if (c < 0) return false
+        if (c == resyncPat(m)) {
+          m += 1
+          if (m == resyncPat.length) {
+            w.prepend(magicB, 0, magicB.length)
+            return true
+          }
+        } else m = if (c == resyncPat(0)) 1 else 0
+      }
+      false
+    }
+
+    /** Find `resyncPat` inside an in-memory buffer (used to recover
+      * trailing records swallowed by an overshooting declared length).
+      */
+    def indexOfPat(buf: Array[Byte], len: Int): Int = {
+      var i = 0
+      while (i + resyncPat.length <= len) {
+        var j = 0
+        while (j < resyncPat.length && buf(i + j) == resyncPat(j)) j += 1
+        if (j == resyncPat.length) return i
+        i += 1
+      }
+      -1
+    }
+
+    /** Header block bytes up to (excluding) CRLF CRLF, ISO-decoded.
+      * None = torn (EOF) or oversized; `w.pos` then sits wherever the
+      * scan stopped.
+      */
+    def readHeaderBlock(): Option[String] = {
+      val buf = new java.io.ByteArrayOutputStream(512)
+      var state = 0
+      while (buf.size < MaxHeaderBytes) {
+        val c = w.read()
+        if (c < 0) return None
+        buf.write(c)
+        state =
+          if (c == '\r') (if (state == 2) 3 else 1)
+          else if (c == '\n') (if (state == 1) 2 else if (state == 3) 4 else 0)
+          else 0
+        if (state == 4)
+          return Some(new String(buf.toByteArray, 0, buf.size - 4,
+            StandardCharsets.ISO_8859_1))
+      }
+      None
+    }
+
+    var done = false
+    while (!done) {
       // Skip inter-record CRLFs.
-      while (pos < s.length &&
-        (s.charAt(pos) == '\r' || s.charAt(pos) == '\n')) pos += 1
-      if (pos >= s.length) return out.toSeq
-      if (!s.startsWith(Magic + CRLF, pos)) {
-        // Broken boundary: quarantine up to the next magic (or EOF).
-        val next = s.indexOf(CRLF + Magic + CRLF, pos)
-        val end = if (next < 0) s.length else next + CRLF.length
-        out += WarcRecord("corrupt", "-", 0, "-", "", 0L,
-          s"bad_magic_at_$pos")
-        pos = end
-      } else {
-        val headEnd = s.indexOf(CRLF + CRLF, pos)
-        if (headEnd < 0) {
-          out += WarcRecord("corrupt", "-", 0, "-", "", 0L, "torn_header")
-          return out.toSeq
+      var c = w.read()
+      while (c == '\r' || c == '\n') c = w.read()
+      if (c < 0) done = true
+      else {
+        val recStart = w.pos - 1
+        // Match the version line, first byte already in hand.
+        var m = 0
+        var ok = c == (magicB(0) & 0xff)
+        while (ok && m < magicB.length - 1) {
+          m += 1
+          ok = w.read() == (magicB(m) & 0xff)
         }
-        val headers = s.substring(pos + Magic.length + CRLF.length, headEnd)
-          .split("\r\n").iterator
-          .map(_.split(":", 2))
-          .collect { case Array(k, v) => k.trim.toLowerCase -> v.trim }
-          .toMap
-        val len = headers.get("content-length").flatMap(_.toLongOption)
-        len match {
+        if (!ok) {
+          out += WarcRecord("corrupt", "-", 0, "-", "", 0L,
+            s"bad_magic_at_$recStart")
+          if (!resync()) done = true
+        } else readHeaderBlock() match {
           case None =>
-            out += WarcRecord("corrupt", "-", 0, "-", "", 0L, "no_length")
-            val next = s.indexOf(CRLF + Magic + CRLF, headEnd)
-            pos = if (next < 0) s.length else next + CRLF.length
-          case Some(n) =>
-            val bodyStart = headEnd + 2 * CRLF.length
-            val bodyEnd = math.min(bodyStart + n.toInt, s.length)
-            val payload = s.substring(bodyStart, bodyEnd)
-            val wtype = headers.getOrElse("warc-type", "unknown")
-            val uri = headers.getOrElse("warc-target-uri", "-")
-            if (wtype == "response") {
-              // HTTP headers are ASCII; only the BODY re-decodes UTF-8.
-              val (status, mime, body) = splitHttp(payload)
-              out += WarcRecord(wtype, uri, status, mime,
-                htmlText(utf8(body)), n, null)
-            } else {
-              out += WarcRecord(wtype, uri, 0,
-                headers.getOrElse("content-type", "-"), utf8(payload), n, null)
+            out += WarcRecord("corrupt", "-", 0, "-", "", 0L, "torn_header")
+            if (!resync()) done = true
+          case Some(head) =>
+            val headers = head
+              .split("\r\n").iterator
+              .map(_.split(":", 2))
+              .collect { case Array(k, v) => k.trim.toLowerCase -> v.trim }
+              .toMap
+            headers.get("content-length").flatMap(_.toLongOption) match {
+              case None =>
+                out += WarcRecord("corrupt", "-", 0, "-", "", 0L, "no_length")
+                if (!resync()) done = true
+              case Some(n) if n < 0 =>
+                out += WarcRecord("corrupt", "-", 0, "-", "", 0L, "bad_length")
+                if (!resync()) done = true
+              case Some(n) =>
+                val toRead = math.min(n, maxPayloadBytes.toLong).toInt
+                val buf = w.readUpTo(toRead)
+                if (buf.length < toRead) {
+                  // Declared length overshot EOF (torn file OR a corrupt
+                  // oversized Content-Length): quarantine, then rescue any
+                  // complete records inside the swallowed span.
+                  out += WarcRecord("corrupt", "-", 0, "-", "", 0L,
+                    "torn_payload")
+                  val k = indexOfPat(buf, buf.length)
+                  if (k >= 0)
+                    w.prepend(buf, k + CRLF.length, buf.length - k - CRLF.length)
+                  else done = true
+                } else {
+                  if (n > toRead) w.skipUpTo(n - toRead)
+                  val wtype = headers.getOrElse("warc-type", "unknown")
+                  val uri = headers.getOrElse("warc-target-uri", "-")
+                  if (wtype == "response") {
+                    // HTTP headers are ASCII; only the BODY re-decodes UTF-8.
+                    val oct = new String(buf, StandardCharsets.ISO_8859_1)
+                    val (status, mime, body) = splitHttp(oct)
+                    out += WarcRecord(wtype, uri, status, mime,
+                      htmlText(utf8(body)), n, null)
+                  } else {
+                    out += WarcRecord(wtype, uri, 0,
+                      headers.getOrElse("content-type", "-"),
+                      new String(buf, StandardCharsets.UTF_8), n, null)
+                  }
+                }
             }
-            pos = bodyEnd
         }
       }
     }

@@ -77,11 +77,102 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.parseGz(gz) === Warc.parse(w))
   }
 
-  test("truncated file yields a torn-header quarantine, no exception") {
+  test("truncated file yields a quarantine row, no exception") {
     val bytes = Warc.write(Seq(("https://a/1", "<p>x</p>")))
     val cut = bytes.take(bytes.length / 4)
     val recs = Warc.parse(cut)
     assert(recs.nonEmpty)
     assert(recs.last.corrupt != null || recs.last.warcType == "warcinfo")
+  }
+
+  /** `n` zero bytes without materializing them — the shape of a payload
+    * the old whole-file parse could never hold.
+    */
+  private final class ZeroStream(n: Long) extends java.io.InputStream {
+    private var left = n
+    override def read(): Int = if (left <= 0) -1 else { left -= 1; 0 }
+    override def read(b: Array[Byte], off: Int, len: Int): Int =
+      if (left <= 0) -1
+      else {
+        val k = math.min(len.toLong, left).toInt
+        java.util.Arrays.fill(b, off, off + k, 0.toByte)
+        left -= k; k
+      }
+  }
+
+  test("a 3 GB record streams through a bounded payload cap (no 2 GiB cliff)") {
+    // 3e9 declared octets exceed the JVM's maximum array size, so ANY
+    // whole-file (or whole-record) materialization — what parse did
+    // before r14 — fails here regardless of heap. The streaming walk
+    // reads `cap` bytes, SKIPS the rest with Long arithmetic, and keeps
+    // framing the records that follow.
+    val giantLen = 3000000000L
+    val head = ("WARC/1.0\r\nWARC-Type: resource\r\n" +
+      s"Content-Length: $giantLen\r\n\r\n").getBytes("ISO-8859-1")
+    val tail = "\r\n\r\n".getBytes("ISO-8859-1") ++
+      Warc.write(Seq(("https://after/1", "<p>after the giant</p>")))
+    val in = new java.io.SequenceInputStream(
+      java.util.Collections.enumeration(java.util.Arrays.asList[java.io.InputStream](
+        new java.io.ByteArrayInputStream(head),
+        new ZeroStream(giantLen),
+        new java.io.ByteArrayInputStream(tail))))
+    val recs = Warc.parse(in, 4096)
+    assert(recs.map(_.warcType) === Seq("resource", "warcinfo", "response"))
+    assert(recs(0).nPayloadBytes === giantLen)
+    assert(recs(0).text.length === 4096) // capped prefix, not 3 GB
+    assert(recs(2).targetUri === "https://after/1")
+    assert(recs(2).text === "after the giant")
+  }
+
+  test("corrupt oversized Content-Length quarantines and rescues the rest") {
+    // A bit-flipped length (9999999999 > file size) must NOT wrap
+    // through Int and crash (the pre-r14 failure) — it quarantines the
+    // overshot span and the walk recovers the records inside it.
+    val bytes = Warc.write(Seq(
+      ("https://a/1", "<p>one</p>"),
+      ("https://a/2", "<p>two</p>"),
+      ("https://a/3", "<p>three</p>")))
+    val s = new String(bytes, "ISO-8859-1")
+    val at = s.indexOf("WARC-Target-URI: https://a/2")
+    val lenAt = s.indexOf("Content-Length: ", at)
+    val lenEnd = s.indexOf("\r", lenAt)
+    val hacked = (s.substring(0, lenAt) + "Content-Length: 9999999999" +
+      s.substring(lenEnd)).getBytes("ISO-8859-1")
+    val recs = Warc.parse(hacked)
+    assert(recs.map(_.warcType) ===
+      Seq("warcinfo", "response", "corrupt", "response"))
+    assert(recs(1).text === "one")
+    assert(recs(2).corrupt === "torn_payload")
+    assert(recs(3).targetUri === "https://a/3" && recs(3).text === "three")
+  }
+
+  test("negative Content-Length quarantines (bad_length) and resyncs") {
+    val bytes = Warc.write(Seq(
+      ("https://a/1", "<p>one</p>"),
+      ("https://a/2", "<p>two</p>"),
+      ("https://a/3", "<p>three</p>")))
+    val s = new String(bytes, "ISO-8859-1")
+    val at = s.indexOf("WARC-Target-URI: https://a/2")
+    val lenAt = s.indexOf("Content-Length: ", at)
+    val lenEnd = s.indexOf("\r", lenAt)
+    val hacked = (s.substring(0, lenAt) + "Content-Length: -7" +
+      s.substring(lenEnd)).getBytes("ISO-8859-1")
+    val recs = Warc.parse(hacked)
+    assert(recs.map(_.warcType) ===
+      Seq("warcinfo", "response", "corrupt", "response"))
+    assert(recs(2).corrupt === "bad_length")
+    assert(recs(3).targetUri === "https://a/3" && recs(3).text === "three")
+  }
+
+  test("streaming gz parse never inflates the file whole") {
+    // Member-gzip a 40 MB corpus and parse it via the InputStream entry:
+    // the walk decompresses record-by-record (no whole-file inflate) and
+    // results equal the plain parse of the same corpus.
+    val big = "word " * 8192 // 40 KiB html body
+    val w = Warc.write((1 to 1000).map(i => (s"https://gz/$i", s"<p>$big</p>")))
+    val gz = Warc.gzipMembers(w)
+    val recs = Warc.parseGz(new java.io.ByteArrayInputStream(gz))
+    assert(recs === Warc.parse(w))
+    assert(recs.length === 1001)
   }
 }
