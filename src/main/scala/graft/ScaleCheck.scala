@@ -55,7 +55,10 @@ object ScaleCheck {
     // table — and the letter-rotated replicas make this the ADVERSARIAL
     // case (disjoint replica vocabularies ⇒ vocab grows ~10×, where a real
     // corpus saturates by Heaps' law), so its ratio is an upper bound.
-    "x34_dsir", "x36_lm_surprisal", "x35_bpe_merges",
+    // x35_256 (r14): realistic merge counts through the incremental
+    // in-memory trainer — the 10× ratio isolates the word-table scan,
+    // since the 256 merge rounds cost zero Spark jobs.
+    "x34_dsir", "x36_lm_surprisal", "x35_bpe_merges", "x35_bpe_merges_256",
     // x37 re-trains + applies (the apply scan dominates at scale); x38 is
     // pure per-row column math — the zero-shuffle scan contrast; v26 is
     // IVF retrieval + pool-bounded MMR rounds, so the retrieval stage is

@@ -134,6 +134,56 @@ object SourceQueries {
         .orderBy(col("uri"), col("warc_type"))
     }),
 
+    // S18: the crawl-to-corpus FUNNEL, hash-checked end-to-end (r12
+    // stretch, natural once the r14 streaming WARC walk landed): a crawl
+    // file holding one page per document plus a re-crawled mirror
+    // duplicate and one record damaged in transit flows
+    // WARC-parse → quarantine → HTML→text → EXACT DEDUP (min-uri
+    // survivor) → token/stopword quality signals — the first mile of a
+    // pre-training pipeline as ONE oracle-checked query. The oracle
+    // replays the funnel analytically over `documents` (the writer's
+    // HTML wrap round-trips the text exactly, the s17 precedent).
+    // Scale shape: parse is per-file task-local (zero shuffle); the only
+    // shuffles are dedup's text-keyed agg — the d1 shape.
+    "s18_crawl_funnel" -> ((s, dir) => {
+      import graft.sources.Warc
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 20)
+        .select(col("doc_id"), col("text")).collect().sortBy(_.getLong(0))
+      val mirror = docs.find(_.getLong(0) == 3L).map(r =>
+        ("https://mirror/doc/3",
+          s"<html><body><p>${r.getString(1)}</p></body></html>")).toSeq
+      val responses = docs.map { r =>
+        (s"https://crawl/doc/${r.getLong(0)}",
+          s"<html><body><p>${r.getString(1)}</p></body></html>")
+      }.toSeq ++ mirror
+      val bytes = Warc.corruptRecord(Warc.write(responses),
+        "https://crawl/doc/7")
+      val path = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft_warc_funnel_v1_${math.abs(dir.hashCode)}.warc")
+      java.nio.file.Files.write(path, bytes)
+      val bins = s.read.format("binaryFile").load(path.toString)
+      import s.implicits._
+      val stop25 = Array("a", "an", "and", "are", "as", "at", "be", "by",
+        "for", "from", "has", "he", "in", "is", "it", "its", "of", "on",
+        "that", "the", "to", "was", "were", "will", "with")
+      bins.select(col("content")).as[Array[Byte]]
+        .flatMap(b => Warc.parse(b))
+        .toDF()
+        .filter(col("warcType") === "response")
+        .groupBy(col("text"))
+        .agg(min(col("targetUri")).as("uri"))
+        .select(col("uri"), col("text"),
+          length(col("text")).cast("long").as("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          size(filter(split(lower(col("text")), " "),
+            t => array_contains(lit(stop25), t))).cast("long").as("_nstop"))
+        .withColumn("stop_ppm", expr("(1000000 * _nstop) div n_tokens"))
+        .filter(col("n_tokens") >= 5) // Gopher-style min-length gate
+        .select(col("uri"), col("n_chars"), col("n_tokens"), col("stop_ppm"))
+        .orderBy(col("uri"))
+    }),
+
     "s9_loaders" -> ((s, dir) => {
       import graft.sources.{BinaryExtract, CliLoader}
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 10)
@@ -327,6 +377,31 @@ object SourceQueries {
         |  SELECT * FROM resp UNION ALL SELECT * FROM info
         |  UNION ALL SELECT * FROM bad)
         |ORDER BY uri, warc_type""".stripMargin,
+
+    // Analytic replay of the crawl funnel: doc 7 is the quarantined
+    // record (never reaches the text stage), the mirror re-crawl of doc 3
+    // collapses in the exact-dedup group-by (min uri survives —
+    // 'crawl' < 'mirror'), and the quality signals are integer-exact
+    // (ppm via floor-div; both engines agree on non-negative input).
+    "s18_crawl_funnel" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
+        |pages AS (
+        |  SELECT 'https://crawl/doc/' || doc_id AS uri, text
+        |  FROM d WHERE doc_id <> 7
+        |  UNION ALL
+        |  SELECT 'https://mirror/doc/3' AS uri, text FROM d WHERE doc_id = 3),
+        |kept AS (SELECT min(uri) AS uri, text FROM pages GROUP BY text)
+        |SELECT uri,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST((1000000 * len(list_filter(string_split(lower(text), ' '),
+        |      t -> list_contains(['a','an','and','are','as','at','be','by',
+        |        'for','from','has','he','in','is','it','its','of','on',
+        |        'that','the','to','was','were','will','with'], t))))
+        |    // len(string_split(text, ' ')) AS BIGINT) AS stop_ppm
+        |FROM kept
+        |WHERE len(string_split(text, ' ')) >= 5
+        |ORDER BY uri""".stripMargin,
 
     "s6_bulk_import" ->
       """WITH batch AS (

@@ -264,6 +264,31 @@ object Fusion {
     *   so a serving deployment materializes the batch's scores once and
     *   passes them here — the difference is ~3× on the text branch.
     */
+  /** The per-doc decay-factor frame `(idCol, _dec)` — None when decay is
+    * disabled. ONE definition shared by [[searchWithFusionBatch]] and the
+    * serving-index build ([[ServingFusion.buildShards]]) so both paths'
+    * factors are bit-identical. Missing metadata columns default exactly
+    * as the fused plan always defaulted them.
+    */
+  def decayFrame(table: DataFrame, idCol: String,
+                 params: FusionParams): Option[DataFrame] =
+    if (!params.memory.enabled) None
+    else {
+      val present = table.columns.toSet
+      def c(name: String, default: Column): Column =
+        if (present(name)) col(name) else default
+      Some(table.select(
+        col(idCol),
+        Decay.factor(
+          params.memory, lit(params.now.toDouble),
+          c("_created_at", lit(null).cast("double")),
+          c("_last_accessed", lit(null).cast("double")),
+          c("_pinned", lit(false)),
+          c("memory_layer", lit(null).cast("string")),
+          c("_decay_model", lit(null).cast("string")),
+          c("_access_count", lit(0))).as("_dec")))
+    }
+
   def searchWithFusionBatch(
       table: DataFrame,
       idCol: String,
@@ -350,23 +375,7 @@ object Fusion {
     // Per-doc decay factor computed ONCE as a (id, _dec) frame and joined
     // into both branches BEFORE fusion — it's needed early because the
     // text-side pruning below must rank by decayed contribution.
-    val dec: Option[DataFrame] =
-      if (!params.memory.enabled) None
-      else {
-        val present = table.columns.toSet
-        def c(name: String, default: Column): Column =
-          if (present(name)) col(name) else default
-        Some(table.select(
-          col(idCol),
-          Decay.factor(
-            params.memory, lit(params.now.toDouble),
-            c("_created_at", lit(null).cast("double")),
-            c("_last_accessed", lit(null).cast("double")),
-            c("_pinned", lit(false)),
-            c("memory_layer", lit(null).cast("string")),
-            c("_decay_model", lit(null).cast("string")),
-            c("_access_count", lit(0))).as("_dec")))
-      }
+    val dec: Option[DataFrame] = decayFrame(table, idCol, params)
     def withDec(df: DataFrame, as: String): DataFrame = dec match {
       case Some(d) => df
         .join(d.withColumnRenamed("_dec", as), Seq(idCol), "left")

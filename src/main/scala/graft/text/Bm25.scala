@@ -130,6 +130,38 @@ object Bm25 {
   def tokenDf(post: DataFrame): DataFrame =
     post.groupBy(col("token")).agg(count(lit(1)).as("df"))
 
+  /** The full query-independent term-weight expression: everything in a
+    * BM25 term score except the query-side multiplicity `qn`. ONE
+    * definition shared by the batch plan and the serving-index build, so
+    * the two paths' per-(token, doc) contributions are bit-identical.
+    * Expects `df`, `dl`, `total_docs`, `avg_dl`, `tf` in scope.
+    */
+  private[graft] def termWeight: org.apache.spark.sql.Column = {
+    val idf = log(lit(1.0) +
+      (col("total_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfPart = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avg_dl")))
+    idf * tfPart
+  }
+
+  /** Fully-weighted postings `(token, idCol, w)` over the WHOLE
+    * vocabulary — the corpus-side artifact a text-serving index is built
+    * from ([[graft.search.ServingFusion.buildShards]]). Offline build
+    * shape: plain shuffles, no broadcasts (`tokenDf` is
+    * vocabulary-sized).
+    */
+  def weightedPostings(post: DataFrame, dls: DataFrame, tdf: DataFrame,
+                       idCol: String): DataFrame = {
+    val stats = dls.agg(
+      count(lit(1)).as("total_docs"),
+      avg(col("dl")).as("avg_dl"))
+    post
+      .join(tdf, Seq("token"))
+      .join(dls, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .select(col("token"), col(idCol), termWeight.as("w"))
+  }
+
   /** @param prebuiltDocLengths materialized [[docLengthsFromPostings]]
     *   output; without it every batch re-scans the postings to derive it.
     * @param prebuiltTokenDf materialized [[tokenDf]] output (same reason).
@@ -153,21 +185,17 @@ object Bm25 {
         broadcast(queryTokens.select(col("token")).distinct()), Seq("token")))
     }
 
-    val idf = log(lit(1.0) +
-      (col("total_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val tfPart = (col("tf") * lit(k1 + 1.0)) /
-      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avg_dl")))
-
     // Everything in the term score except the query-side multiplicity `qn`
-    // is a function of (token, doc): precompute `w = idf * tfPart` on the
-    // postings subtree (its size is the postings', not the hit set's), so
-    // the (queries × postings) hot stage is ONE thin hash join + aggregate
-    // — few operators (stays inside whole-stage codegen), narrow rows.
+    // is a function of (token, doc): precompute `w = idf * tfPart`
+    // ([[termWeight]]) on the postings subtree (its size is the postings',
+    // not the hit set's), so the (queries × postings) hot stage is ONE
+    // thin hash join + aggregate — few operators (stays inside whole-stage
+    // codegen), narrow rows.
     val wPost = post
       .join(broadcast(dfreq), Seq("token"))
       .join(dls, Seq(idCol))
       .crossJoin(broadcast(stats))
-      .select(col("token"), col(idCol), (idf * tfPart).as("w"))
+      .select(col("token"), col(idCol), termWeight.as("w"))
 
     wPost.join(broadcast(queryTokens), Seq("token"))
       .withColumn("term_score", col("qn") * col("w"))

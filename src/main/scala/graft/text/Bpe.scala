@@ -66,40 +66,159 @@ object Bpe {
       .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
       .agg(sum(col("cnt")).as("pair_count"))
 
+  /** Word-table ceiling for [[learnMerges]]. BPE trains on the DISTINCT
+    * word-frequency table, which Heaps' law bounds far below the corpus —
+    * but a 100 TB crawl still surfaces noise vocabulary without limit, so
+    * the trainer keeps the top-`maxWords` words by (count DESC, word ASC)
+    * — the deterministic analogue of every production trainer's
+    * `min_frequency`/vocab pruning. 4M words ≈ a few hundred MB of driver
+    * state; the cap never binds at oracle scales (sf vocabularies are
+    * thousands of words), so parity with the SQL replay is unaffected.
+    */
+  val DefaultMaxWords: Int = 4 * 1024 * 1024
+
   /** Run `steps` merge rounds and return the learned merge table:
     * (step, lhs, rhs, merged, pair_count), step 1-based in learning order.
-    * Deterministic: argmax by (count DESC, lhs ASC, rhs ASC). Each round is
-    * one aggregation job over the cached word table plus an O(1) driver
-    * decision — the corpus itself is read exactly once, inside
-    * [[wordTable]].
+    * Deterministic: argmax by (count DESC, lhs ASC, rhs ASC).
+    *
+    * Execution shape (r14): ONE distributed corpus scan folds the corpus
+    * into the word-frequency table ([[wordTable]], the only part that
+    * sees the 100 TB); the capped table then trains IN MEMORY with
+    * incrementally-maintained pair counts — the classic BPE trainer
+    * algorithm (Sennrich's own, and every production tokenizer's): on a
+    * merge, only words CONTAINING the merged pair update their pair
+    * counts, and the argmax pops from a lazy-deletion priority queue. So
+    * 32k merges cost Σ(affected-word lengths), zero Spark jobs — where
+    * the pre-r14 loop ran one aggregation job + driver round-trip PER
+    * MERGE (32k merges ≈ 32k jobs). All counts are integers, so the
+    * result is bit-identical to the per-round SQL replay the oracle runs
+    * (same counting convention: adjacent positions, overlapping; same
+    * left-to-right non-overlapping apply).
     */
-  def learnMerges(docs: DataFrame, textCol: String, steps: Int): DataFrame = {
+  def learnMerges(docs: DataFrame, textCol: String, steps: Int,
+      maxWords: Int = DefaultMaxWords): DataFrame = {
     val spark = docs.sparkSession
-    val w0 = wordTable(docs, textCol).cache()
-    w0.count()
-    var w = w0
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
-    var i = 1
-    var exhausted = false
-    while (i <= steps && !exhausted) {
-      val top = pairCounts(w)
-        .orderBy(desc("pair_count"), col("lhs"), col("rhs"))
-        .limit(1)
-        .collect()
-      if (top.isEmpty) exhausted = true
-      else {
-        val r = top(0)
-        val (l, rt, c) = (r.getString(0), r.getString(1), r.getLong(2))
-        merges += ((i, l, rt, l + rt, c))
-        w = w.withColumn("sym",
-          replace(col("sym"), lit(s"<$l><$rt>"), lit(s"<$l$rt>")))
+    val rows = wordTable(docs, textCol)
+      .select(col("word"), col("cnt"))
+      .orderBy(desc("cnt"), col("word"))
+      .limit(maxWords)
+      .collect()
+
+    // ---- in-memory state ----
+    val words: Array[Array[String]] =
+      rows.map(_.getString(0).toCharArray.map(_.toString))
+    val cnts: Array[Long] = rows.map(_.getLong(1))
+    val counts = new java.util.HashMap[(String, String), Long]()
+    val pairWords = new java.util.HashMap[(String, String),
+      scala.collection.mutable.HashSet[Int]]()
+    // Lazy-deletion PQ over (count, lhs, rhs): entries go stale when a
+    // count changes; a popped entry is re-validated against `counts` and
+    // re-pushed at its true value on mismatch. Every increase pushes an
+    // exact entry and decreases only leave stale HIGHER entries, so the
+    // queue top always dominates the true max and a validated pop IS the
+    // (count DESC, lhs ASC, rhs ASC) argmax.
+    val pq = new java.util.PriorityQueue[(Long, String, String)](
+      new java.util.Comparator[(Long, String, String)] {
+        def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(b._1, a._1)
+          if (c != 0) c
+          else {
+            val l = a._2.compareTo(b._2)
+            if (l != 0) l else a._3.compareTo(b._3)
+          }
+        }
+      })
+    def bump(p: (String, String), by: Long): Long = {
+      val n = counts.getOrDefault(p, 0L) + by
+      if (n <= 0L) { counts.remove(p); 0L } else { counts.put(p, n); n }
+    }
+    var wi = 0
+    while (wi < words.length) {
+      val s = words(wi)
+      var i = 0
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        bump(p, cnts(wi))
+        var set = pairWords.get(p)
+        if (set == null) {
+          set = scala.collection.mutable.HashSet.empty[Int]
+          pairWords.put(p, set)
+        }
+        set += wi
         i += 1
       }
+      wi += 1
     }
-    w0.unpersist()
+    counts.forEach((p, c) => pq.add((c, p._1, p._2)))
+
+    // Left-to-right non-overlapping apply — the semantics of the marker-
+    // string `replace` the oracle replays (`aaa` + merge(a,a) → `(aa)(a)`).
+    def applyMerge(s: Array[String], l: String, r: String, m: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < s.length) {
+        if (i < s.length - 1 && s(i) == l && s(i + 1) == r) { out += m; i += 2 }
+        else { out += s(i); i += 1 }
+      }
+      out.toArray
+    }
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= steps && !exhausted) {
+      // Pop to the first non-stale entry.
+      var best: (Long, String, String) = null
+      while (best == null && !pq.isEmpty) {
+        val e = pq.poll()
+        val cur = counts.getOrDefault((e._2, e._3), 0L)
+        if (cur == e._1) best = e
+        else if (cur > 0L) pq.add((cur, e._2, e._3))
+      }
+      if (best == null) exhausted = true
+      else {
+        val (c, l, r) = best
+        val m = l + r
+        merges += ((step.toLong, l, r, m, c))
+        val touchedPairs = scala.collection.mutable.HashSet.empty[(String, String)]
+        val affected = pairWords.get((l, r))
+        if (affected != null) affected.toArray.foreach { wj =>
+          val old = words(wj)
+          val cnt = cnts(wj)
+          var i = 0
+          while (i < old.length - 1) {
+            val p = (old(i), old(i + 1))
+            bump(p, -cnt)
+            touchedPairs += p
+            val s0 = pairWords.get(p)
+            if (s0 != null) { s0 -= wj; if (s0.isEmpty) pairWords.remove(p) }
+            i += 1
+          }
+          val nw = applyMerge(old, l, r, m)
+          words(wj) = nw
+          i = 0
+          while (i < nw.length - 1) {
+            val p = (nw(i), nw(i + 1))
+            bump(p, cnt)
+            touchedPairs += p
+            var set = pairWords.get(p)
+            if (set == null) {
+              set = scala.collection.mutable.HashSet.empty[Int]
+              pairWords.put(p, set)
+            }
+            set += wj
+            i += 1
+          }
+        }
+        touchedPairs.foreach { p =>
+          val cur = counts.getOrDefault(p, 0L)
+          if (cur > 0L) pq.add((cur, p._1, p._2))
+        }
+        step += 1
+      }
+    }
     import spark.implicits._
-    merges.toSeq.map { case (s, l, r, m, c) => (s.toLong, l, r, m, c) }
-      .toDF("step", "lhs", "rhs", "merged", "pair_count")
+    merges.toSeq.toDF("step", "lhs", "rhs", "merged", "pair_count")
   }
 
   /** ENCODE with a learned merge list: per-document BPE token accounting.

@@ -66,8 +66,10 @@ class BenchSummarySpec extends AnyFunSuite {
     val picks = fam.findAllMatchIn(line)
       .map(m => m.group(1) -> (m.group(2).toInt, m.group(3).toDouble,
         m.group(4).toDouble)).toMap
-    val bars = Map("glove100_400k" -> 0.94, "glove200_200k" -> 0.95,
-      "glove300_200k" -> 0.95, "sift1m_l2" -> 0.97)
+    // The bars are BASELINE.md's published family recalls — the summary
+    // picks are baseline-recall-matched by construction.
+    val bars = Map("glove100_400k" -> 0.9664, "glove200_200k" -> 0.978,
+      "glove300_200k" -> 0.957, "sift1m_l2" -> 0.9906)
     bars.foreach { case (k, bar) =>
       assert(picks.contains(k), s"missing family pick $k")
       assert(picks(k)._3 >= bar, s"$k recall ${picks(k)._3} below bar $bar")
@@ -81,7 +83,7 @@ class BenchSummarySpec extends AnyFunSuite {
     val sweep = detail.substring(sweepStart, detail.indexOf("]", sweepStart))
     val best = pt.findAllMatchIn(sweep)
       .map(m => (m.group(1).toInt, m.group(2).toDouble, m.group(3).toDouble))
-      .filter(_._3 >= 0.94).maxBy(_._2)
+      .filter(_._3 >= 0.9664).maxBy(_._2)
     assert(picks("glove100_400k") == best)
     assert(line.contains(""""fused_qps":{"sf":"""))
     assert(line.contains(""""glove100_build_sec":"""))

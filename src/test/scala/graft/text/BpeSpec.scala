@@ -66,6 +66,40 @@ class BpeSpec extends SparkSpec {
     assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((3L, 7L, 4L)))
   }
 
+  test("300 merges cost a constant number of Spark jobs (incremental trainer)") {
+    // The r12 directive: realistic merge counts must not pay one Spark
+    // job per merge. After the single word-table scan the trainer is
+    // in-memory, so the job count is O(1) in `steps` — pinned here
+    // structurally (a timing assert would be flaky; a job count is not).
+    val rnd = new scala.util.Random(7)
+    val words = (0 until 3000).map(_ =>
+      (0 until 8).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+    val docs = words.grouped(50).map(_.mkString(" ")).toSeq.toDF("text")
+    val sc = spark.sparkContext
+    val before = sc.statusTracker.getJobIdsForGroup(null).length
+    val m = Bpe.learnMerges(docs, "text", steps = 300)
+    // Status store is fed asynchronously; give the bus a moment. An
+    // undercount would only make the bound tighter, never flaky-fail.
+    Thread.sleep(500)
+    val after = sc.statusTracker.getJobIdsForGroup(null).length
+    assert(after - before <= 6,
+      s"expected O(1) jobs for 300 merges, saw ${after - before}")
+    assert(m.count() === 300L)
+  }
+
+  test("300-merge prefix agrees with the per-round result at every step") {
+    // The incremental trainer and a fresh shorter training must agree on
+    // the shared prefix (BPE's merge list is prefix-stable in steps).
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select(col("text"))
+    val long = Bpe.learnMerges(docs, "text", steps = 24)
+      .orderBy(col("step")).collect().toSeq
+    val short = Bpe.learnMerges(docs, "text", steps = 8)
+      .orderBy(col("step")).collect().toSeq
+    assert(long.take(8) === short)
+    assert(long.length === 24)
+  }
+
   test("partitioning invariance") {
     val docs = spark.read.parquet(sf() + "/documents.parquet")
       .select(col("text"))
