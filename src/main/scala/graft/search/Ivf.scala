@@ -349,8 +349,10 @@ object Ivf {
     * merges them. This is the reference's AVX-kernel-over-arena hot loop
     * re-expressed per-partition; it exists because the join+window plan pays
     * a fixed multi-stage cost that dwarfs the actual math at serving batch
-    * sizes. Cosine over normalized vectors, float accumulation — identical
-    * arithmetic to [[graft.functions.VectorFunctions.cosineDistance]].
+    * sizes. Cosine over normalized vectors, float accumulation in four
+    * independent lanes (ILP; reassociates the sum by ~1 ulp/term vs
+    * [[graft.functions.VectorFunctions.cosineDistance]] — IvfSpec pins
+    * ids-per-rank agreement with the plan, not distance bits).
     */
   def searchBatchedFast(
       index: org.apache.spark.rdd.RDD[(Long, Array[Long], Array[Float])],
@@ -386,10 +388,35 @@ object Ivf {
           s
         } else null
       val heaps = new TopK(qvs.length, k)
+      // Per-block ‖x‖² scratch for the L2 path, computed ONCE per probed
+      // block (same sequential float accumulation as the fused loop it
+      // replaces — bit-identical distances) and reused by every probing
+      // query, so the per-query inner loop is dot-only: half the flops and
+      // a single accumulation chain. Buffer grows to the largest block.
+      var xsqBuf: Array[Float] = null
       it.foreach { case (b, ids, flat) =>
         val qs = if (b < bq.length) bq(b.toInt) else null
         if (qs != null && ids.length > 0) {
           val dim = flat.length / ids.length
+          if (l2) {
+            if (xsqBuf == null || xsqBuf.length < ids.length)
+              xsqBuf = new Array[Float](ids.length)
+            var r = 0
+            var off = 0
+            while (r < ids.length) {
+              var s = 0f; var j = 0
+              while (j < dim) { val x = flat(off + j); s += x * x; j += 1 }
+              xsqBuf(r) = s
+              r += 1
+              off += dim
+            }
+          }
+          // Dot product with 4 independent accumulators: the single-chain
+          // float add is latency-bound (one madd per ~4 cycles); splitting
+          // the reduction quadruples the ILP. Reassociates the float sum —
+          // a ~1 ulp/term change, far below the float-vs-double gap the
+          // plan-agreement specs already absorb.
+          val lim = dim - 3
           var i = 0
           while (i < qs.length) {
             val qi = qs(i)
@@ -397,18 +424,21 @@ object Ivf {
             var r = 0
             var off = 0
             while (r < ids.length) {
-              if (l2) {
-                var dot = 0f; var xsq = 0f; var j = 0
-                while (j < dim) {
-                  val x = flat(off + j)
-                  dot += x * qv(j); xsq += x * x; j += 1
-                }
-                heaps.insert(qi, xsq.toDouble - 2.0d * dot + qsq(qi), ids(r))
-              } else {
-                var dot = 0f; var j = 0
-                while (j < dim) { dot += flat(off + j) * qv(j); j += 1 }
-                heaps.insert(qi, 1.0d - dot, ids(r))
+              var d0 = 0f; var d1 = 0f; var d2 = 0f; var d3 = 0f
+              var j = 0
+              while (j < lim) {
+                d0 += flat(off + j) * qv(j)
+                d1 += flat(off + j + 1) * qv(j + 1)
+                d2 += flat(off + j + 2) * qv(j + 2)
+                d3 += flat(off + j + 3) * qv(j + 3)
+                j += 4
               }
+              var dot = (d0 + d1) + (d2 + d3)
+              while (j < dim) { dot += flat(off + j) * qv(j); j += 1 }
+              if (l2)
+                heaps.insert(qi, xsqBuf(r).toDouble - 2.0d * dot + qsq(qi), ids(r))
+              else
+                heaps.insert(qi, 1.0d - dot, ids(r))
               r += 1
               off += dim
             }
@@ -585,9 +615,19 @@ object Ivf {
             val qn = qns(qi).toDouble
             var r = 0
             var off = 0
+            val lim = dim - 3
             while (r < ids.length) {
-              var dot = 0
+              // 4-way unrolled integer dot — associative, bit-identical.
+              var d0 = 0; var d1 = 0; var d2 = 0; var d3 = 0
               var j = 0
+              while (j < lim) {
+                d0 += flat(off + j).toInt * qc(j).toInt
+                d1 += flat(off + j + 1).toInt * qc(j + 1).toInt
+                d2 += flat(off + j + 2).toInt * qc(j + 2).toInt
+                d3 += flat(off + j + 3).toInt * qc(j + 3).toInt
+                j += 4
+              }
+              var dot = d0 + d1 + d2 + d3
               while (j < dim) { dot += flat(off + j).toInt * qc(j).toInt; j += 1 }
               val norm = norms(r)
               val d =
@@ -686,10 +726,25 @@ object Ivf {
     val partials = index.mapPartitions { it =>
       val (qvs, bq) = bc.value
       val heaps = new TopK(qvs.length, k)
+      // Decode each probed block to float ONCE per batch (the decode is a
+      // pure per-element table lookup, so caching it is bit-identical) and
+      // let every probing query run the diff² loop over the float scratch —
+      // the lookup cost amortizes across the queries probing the block.
+      var decBuf: Array[Float] = null
       it.foreach { case (b, ids, flat) =>
         val qs = if (b < bq.length) bq(b.toInt) else null
         if (qs != null && ids.length > 0) {
           val dim = flat.length / ids.length
+          if (decBuf == null || decBuf.length < flat.length)
+            decBuf = new Array[Float](flat.length)
+          var p = 0
+          while (p < flat.length) {
+            decBuf(p) = graft.functions.F16.toFloat(flat(p) & 0xffff); p += 1
+          }
+          // NOT unrolled: the f16 path pins BIT-FOR-BIT parity with the
+          // [[graft.functions.F16.euclideanSq]] expression (the reference's
+          // sequential float accumulation — IvfSpec's f16 case), so the
+          // summation order must stay the reference's.
           var i = 0
           while (i < qs.length) {
             val qi = qs(i)
@@ -700,7 +755,7 @@ object Ivf {
               var sum = 0f
               var j = 0
               while (j < dim) {
-                val d = graft.functions.F16.toFloat(flat(off + j) & 0xffff) - qv(j)
+                val d = decBuf(off + j) - qv(j)
                 sum += d * d; j += 1
               }
               heaps.insert(qi, sum.toDouble, ids(r))

@@ -126,15 +126,29 @@ class ServingFusionSpec extends SparkSpec {
     val servedByQ = served.groupBy(_._1)
     assert(servedByQ.keySet === planByQ.keySet)
     assert(planByQ.nonEmpty)
+    // The plan's aggregate sums in SHUFFLE-FETCH order, which is not
+    // deterministic run-to-run — near-tied docs can swap ranks or flip at
+    // the k-boundary between the two paths (~1 ulp of jitter). So the
+    // comparison is score-principled, not rank-sequence-literal: per-id
+    // scores agree within tolerance, and any id present on one side only
+    // must sit within tolerance of the other side's k-th score (a
+    // boundary near-tie) — exactly the freedom ulp jitter grants, nothing
+    // more.
+    def tol(x: Double): Double = 1e-9 * math.max(1.0, math.abs(x))
     servedByQ.foreach { case (qid, sRows) =>
-      val pRows = planByQ(qid).sortBy(r => (-r._3, r._2))
-      val sSorted = sRows.sortBy(r => (-r._3, r._2))
-      assert(sSorted.map(_._2).toSeq === pRows.map(_._2).toSeq,
-        s"qid=$qid ids: served=${sSorted.map(_._2).toSeq} plan=${pRows.map(_._2).toSeq}")
-      sSorted.zip(pRows).foreach { case (s, p) =>
-        assert(math.abs(s._3 - p._3) <= 1e-9 * math.max(1.0, math.abs(p._3)),
-          s"qid=$qid id=${s._2}: served=${s._3} plan=${p._3}")
-      }
+      val pMap = planByQ(qid).map(r => r._2 -> r._3).toMap
+      val sMap = sRows.map(r => r._2 -> r._3).toMap
+      assert(sMap.size === pMap.size, s"qid=$qid sizes: ${sMap.size} vs ${pMap.size}")
+      for ((id, s) <- sMap; p <- pMap.get(id))
+        assert(math.abs(s - p) <= tol(p), s"qid=$qid id=$id: served=$s plan=$p")
+      val pMin = pMap.values.min
+      val sMin = sMap.values.min
+      for (id <- sMap.keySet.diff(pMap.keySet))
+        assert(math.abs(sMap(id) - pMin) <= tol(pMin),
+          s"qid=$qid served-only id=$id score=${sMap(id)} not at plan k-th $pMin")
+      for (id <- pMap.keySet.diff(sMap.keySet))
+        assert(math.abs(pMap(id) - sMin) <= tol(sMin),
+          s"qid=$qid plan-only id=$id score=${pMap(id)} not at served k-th $sMin")
     }
     // The zero-token query (qid 3) must fuse to alpha * vscore * dec —
     // vector-only candidates, no text contribution.
