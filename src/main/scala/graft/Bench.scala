@@ -242,7 +242,11 @@ object Bench {
 
       // IVF probe sweep: batched QPS + recall@10 vs the exact ground truth.
       // Interleaved min-of-3 + implausibility re-measure (see sweepTimes).
-      val sweepNps = Seq(8, 16, 24, 32, 64)
+      // 20 sits between the recall cliff (16 → 0.9448) and the first
+      // bar-clearing point (24 → 0.9736): a denser sweep around the
+      // 0.9664 baseline bar keeps the recall-matched pick from paying
+      // for recall slack it doesn't need.
+      val sweepNps = Seq(8, 16, 20, 24, 32, 64)
       def sweepRun(np: Int) =
         Ivf.searchBatchedFast(serving, cents, queries, k = 10, nProbe = np)
       var sweepT = sweepTimes(sweepNps, floorSec = exactSec)(sweepRun)
@@ -398,7 +402,10 @@ object Bench {
       exact.count()
       // `emb` stays cached for the spaced exact-scan remeasures (~0.5 GB
       // resident on a 32 GiB driver — the steal-robustness is worth it).
-      val sweepNps = Seq(16, 32, 64, 96)
+      // 48 between 32 (0.9735) and 64 (0.9945): the 0.9906 baseline bar
+      // lives in that gap, so the denser sweep lets the recall-matched
+      // pick stop at the bar instead of over-probing to np=64.
+      val sweepNps = Seq(16, 32, 48, 64, 96)
       def sweepRun(np: Int) = Ivf.searchBatchedFast(serving, cents, queries,
         k = 10, nProbe = np, metric = "l2")
       var sweepT = sweepTimes(sweepNps, floorSec = exactSec)(sweepRun)
@@ -571,7 +578,10 @@ object Bench {
         var exactSec = Seq.fill(2)(timeIt(noopWrite(exactRun()))).min
         private val exact = exactRun().cache()
         exact.count()
-        val sweepNps = Seq(8, 16, 32, 64)
+        // 24 between 16 and 32: glove200's 0.978 baseline bar falls in
+        // that recall gap (16 → ~0.96, 32 → ~0.995), so the denser sweep
+        // gives its recall-matched pick a point near the bar.
+        val sweepNps = Seq(8, 16, 24, 32, 64)
         private def sweepRun(np: Int) =
           Ivf.searchBatchedFast(serving, cents, queries, k = 10, nProbe = np)
         var sweepT: Map[Int, Double] =

@@ -349,10 +349,12 @@ object Ivf {
     * merges them. This is the reference's AVX-kernel-over-arena hot loop
     * re-expressed per-partition; it exists because the join+window plan pays
     * a fixed multi-stage cost that dwarfs the actual math at serving batch
-    * sizes. Cosine over normalized vectors, float accumulation in four
-    * independent lanes (ILP; reassociates the sum by ~1 ulp/term vs
-    * [[graft.functions.VectorFunctions.cosineDistance]] — IvfSpec pins
-    * ids-per-rank agreement with the plan, not distance bits).
+    * sizes. The scan is QUERY-TILED (rows outer, 4 probing queries inner):
+    * the block scan is bandwidth-bound, so each row is streamed once per
+    * 4-query tile instead of once per query, and the four dot chains give
+    * the ILP a single serial float chain lacks. Each per-query sum still
+    * accumulates sequentially in j — bit-identical arithmetic to
+    * [[graft.functions.VectorFunctions.cosineDistance]].
     */
   def searchBatchedFast(
       index: org.apache.spark.rdd.RDD[(Long, Array[Long], Array[Float])],
@@ -411,29 +413,53 @@ object Ivf {
               off += dim
             }
           }
-          // Dot product with 4 independent accumulators: the single-chain
-          // float add is latency-bound (one madd per ~4 cycles); splitting
-          // the reduction quadruples the ILP. Reassociates the float sum —
-          // a ~1 ulp/term change, far below the float-vs-double gap the
-          // plan-agreement specs already absorb.
-          val lim = dim - 3
+          // QUERY-TILED scan (rows outer, 4 probing queries inner): each
+          // vector row is loaded from memory ONCE per tile and feeds four
+          // independent dot chains — 4× less DRAM traffic than the
+          // query-outer loop (the scan is bandwidth-bound: every probing
+          // query used to re-stream the whole block) and 4-way ILP without
+          // reassociating any per-query sum. Each dot accumulates
+          // sequentially in j — bit-identical distances to the scalar
+          // kernel.
           var i = 0
+          while (i + 4 <= qs.length) {
+            val qv0 = qvs(qs(i)); val qv1 = qvs(qs(i + 1))
+            val qv2 = qvs(qs(i + 2)); val qv3 = qvs(qs(i + 3))
+            var r = 0
+            var off = 0
+            while (r < ids.length) {
+              var d0 = 0f; var d1 = 0f; var d2 = 0f; var d3 = 0f
+              var j = 0
+              while (j < dim) {
+                val x = flat(off + j)
+                d0 += x * qv0(j); d1 += x * qv1(j)
+                d2 += x * qv2(j); d3 += x * qv3(j)
+                j += 1
+              }
+              if (l2) {
+                val xs = xsqBuf(r).toDouble
+                heaps.insert(qs(i), xs - 2.0d * d0 + qsq(qs(i)), ids(r))
+                heaps.insert(qs(i + 1), xs - 2.0d * d1 + qsq(qs(i + 1)), ids(r))
+                heaps.insert(qs(i + 2), xs - 2.0d * d2 + qsq(qs(i + 2)), ids(r))
+                heaps.insert(qs(i + 3), xs - 2.0d * d3 + qsq(qs(i + 3)), ids(r))
+              } else {
+                heaps.insert(qs(i), 1.0d - d0, ids(r))
+                heaps.insert(qs(i + 1), 1.0d - d1, ids(r))
+                heaps.insert(qs(i + 2), 1.0d - d2, ids(r))
+                heaps.insert(qs(i + 3), 1.0d - d3, ids(r))
+              }
+              r += 1
+              off += dim
+            }
+            i += 4
+          }
           while (i < qs.length) {
             val qi = qs(i)
             val qv = qvs(qi)
             var r = 0
             var off = 0
             while (r < ids.length) {
-              var d0 = 0f; var d1 = 0f; var d2 = 0f; var d3 = 0f
-              var j = 0
-              while (j < lim) {
-                d0 += flat(off + j) * qv(j)
-                d1 += flat(off + j + 1) * qv(j + 1)
-                d2 += flat(off + j + 2) * qv(j + 2)
-                d3 += flat(off + j + 3) * qv(j + 3)
-                j += 4
-              }
-              var dot = (d0 + d1) + (d2 + d3)
+              var dot = 0f; var j = 0
               while (j < dim) { dot += flat(off + j) * qv(j); j += 1 }
               if (l2)
                 heaps.insert(qi, xsqBuf(r).toDouble - 2.0d * dot + qsq(qi), ids(r))
@@ -608,37 +634,56 @@ object Ivf {
         val qs = if (b < bq.length) bq(b.toInt) else null
         if (qs != null && ids.length > 0) {
           val dim = flat.length / ids.length
+          // QUERY-TILED integer scan (rows outer, 4 queries inner — see
+          // the f32 kernel): one byte-row stream per tile, four integer
+          // dot chains; integer adds are associative, so this is
+          // bit-identical in any order.
+          def score(dot: Int, norm: Float, qn: Double): Double =
+            if (norm == 0f || qn == 0.0) 1.0
+            else {
+              var sim = dot.toDouble / (norm.toDouble * qn)
+              if (sim > 1.0) sim = 1.0
+              if (sim < -1.0) sim = -1.0
+              1.0 - sim
+            }
           var i = 0
+          while (i + 4 <= qs.length) {
+            val qc0 = qcs(qs(i)); val qc1 = qcs(qs(i + 1))
+            val qc2 = qcs(qs(i + 2)); val qc3 = qcs(qs(i + 3))
+            val qn0 = qns(qs(i)).toDouble; val qn1 = qns(qs(i + 1)).toDouble
+            val qn2 = qns(qs(i + 2)).toDouble; val qn3 = qns(qs(i + 3)).toDouble
+            var r = 0
+            var off = 0
+            while (r < ids.length) {
+              var d0 = 0; var d1 = 0; var d2 = 0; var d3 = 0
+              var j = 0
+              while (j < dim) {
+                val x = flat(off + j).toInt
+                d0 += x * qc0(j); d1 += x * qc1(j)
+                d2 += x * qc2(j); d3 += x * qc3(j)
+                j += 1
+              }
+              val norm = norms(r)
+              heaps.insert(qs(i), score(d0, norm, qn0), ids(r))
+              heaps.insert(qs(i + 1), score(d1, norm, qn1), ids(r))
+              heaps.insert(qs(i + 2), score(d2, norm, qn2), ids(r))
+              heaps.insert(qs(i + 3), score(d3, norm, qn3), ids(r))
+              r += 1
+              off += dim
+            }
+            i += 4
+          }
           while (i < qs.length) {
             val qi = qs(i)
             val qc = qcs(qi)
             val qn = qns(qi).toDouble
             var r = 0
             var off = 0
-            val lim = dim - 3
             while (r < ids.length) {
-              // 4-way unrolled integer dot — associative, bit-identical.
-              var d0 = 0; var d1 = 0; var d2 = 0; var d3 = 0
+              var dot = 0
               var j = 0
-              while (j < lim) {
-                d0 += flat(off + j).toInt * qc(j).toInt
-                d1 += flat(off + j + 1).toInt * qc(j + 1).toInt
-                d2 += flat(off + j + 2).toInt * qc(j + 2).toInt
-                d3 += flat(off + j + 3).toInt * qc(j + 3).toInt
-                j += 4
-              }
-              var dot = d0 + d1 + d2 + d3
               while (j < dim) { dot += flat(off + j).toInt * qc(j).toInt; j += 1 }
-              val norm = norms(r)
-              val d =
-                if (norm == 0f || qn == 0.0) 1.0
-                else {
-                  var sim = dot.toDouble / (norm.toDouble * qn)
-                  if (sim > 1.0) sim = 1.0
-                  if (sim < -1.0) sim = -1.0
-                  1.0 - sim
-                }
-              heaps.insert(qi, d, ids(r))
+              heaps.insert(qi, score(dot, norms(r), qn), ids(r))
               r += 1
               off += dim
             }
@@ -741,11 +786,37 @@ object Ivf {
           while (p < flat.length) {
             decBuf(p) = graft.functions.F16.toFloat(flat(p) & 0xffff); p += 1
           }
-          // NOT unrolled: the f16 path pins BIT-FOR-BIT parity with the
-          // [[graft.functions.F16.euclideanSq]] expression (the reference's
-          // sequential float accumulation — IvfSpec's f16 case), so the
-          // summation order must stay the reference's.
+          // QUERY-TILED diff² (rows outer, 4 queries inner — see the f32
+          // kernel): each decoded row streams once per tile; every
+          // per-query sum still accumulates sequentially in j, keeping the
+          // BIT-FOR-BIT parity with [[graft.functions.F16.euclideanSq]]
+          // (the reference's sequential float accumulation) that IvfSpec's
+          // f16 case pins.
           var i = 0
+          while (i + 4 <= qs.length) {
+            val qv0 = qvs(qs(i)); val qv1 = qvs(qs(i + 1))
+            val qv2 = qvs(qs(i + 2)); val qv3 = qvs(qs(i + 3))
+            var r = 0
+            var off = 0
+            while (r < ids.length) {
+              var s0 = 0f; var s1 = 0f; var s2 = 0f; var s3 = 0f
+              var j = 0
+              while (j < dim) {
+                val x = decBuf(off + j)
+                val a = x - qv0(j); val b = x - qv1(j)
+                val c = x - qv2(j); val d = x - qv3(j)
+                s0 += a * a; s1 += b * b; s2 += c * c; s3 += d * d
+                j += 1
+              }
+              heaps.insert(qs(i), s0.toDouble, ids(r))
+              heaps.insert(qs(i + 1), s1.toDouble, ids(r))
+              heaps.insert(qs(i + 2), s2.toDouble, ids(r))
+              heaps.insert(qs(i + 3), s3.toDouble, ids(r))
+              r += 1
+              off += dim
+            }
+            i += 4
+          }
           while (i < qs.length) {
             val qi = qs(i)
             val qv = qvs(qi)
