@@ -117,6 +117,69 @@ class IvfSpec extends SparkSpec {
     assert(key(viaFast) == key(viaPlan))
   }
 
+  test("query-tiled kernels: batch sizes off the tile boundary agree with the plan") {
+    // The serving scans process probing queries in tiles of 4 with a
+    // scalar remainder loop; 7 cosine / 5 L2 queries force every bucket's
+    // probing list through a tile AND a 1-3-query remainder. Full probe so
+    // every query hits every bucket (probing lists of exactly 7 / 5).
+    import graft.functions.VectorFunctions
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("qid"), col("rank"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val nemb = emb.select(col("id"), VectorFunctions.normalize(col("vector")).as("vector"))
+    val nq7 = nemb.filter(col("id") < 7)
+      .select(col("id").as("qid"), col("vector").as("qvec"))
+    val centsC = Ivf.trainKMeansArrays(nemb, k = 8, iters = 2)
+    val assignedC = Ivf.assignFast(nemb, centsC)
+    assert(key(Ivf.searchBatchedFast(Ivf.servingIndex(assignedC), centsC, nq7,
+        k = 5, nProbe = 8)) ==
+      key(Ivf.search(assignedC, Ivf.centroidsDF(spark, centsC), nq7, k = 5,
+        nProbe = 8, normalized = true)))
+    val q5 = queries.filter(col("qid") < 5)
+    val centsL = Ivf.trainKMeansArrays(emb, k = 8, iters = 2, metric = "l2")
+    val assignedL = Ivf.assignFast(emb, centsL, metric = "l2")
+    assert(key(Ivf.searchBatchedFast(Ivf.servingIndex(assignedL), centsL, q5,
+        k = 5, nProbe = 8, metric = "l2")) ==
+      key(Ivf.search(assignedL, Ivf.centroidsDF(spark, centsL), q5, k = 5,
+        nProbe = 8, metric = "l2")))
+  }
+
+  test("query-tiled int8/f16 kernels: off-boundary batch equals per-query singles") {
+    // A 6-query batch exercises one 4-tile + a 2-query remainder; each
+    // 1-query batch runs the scalar remainder loop only. Equality pins
+    // that no tile lane reads another query's codes/norms (scores are
+    // bit-deterministic on both sides, so the comparison is exact).
+    import graft.functions.VectorFunctions
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("qid"), col("rank"), col("id"), col("distance")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val nemb = emb.select(col("id"), VectorFunctions.normalize(col("vector")).as("vector"))
+    val q6 = nemb.filter(col("id") < 6)
+      .select(col("id").as("qid"), col("vector").as("qvec")).cache()
+    val centsC = Ivf.trainKMeansArrays(nemb, k = 8, iters = 2)
+    val assignedC = Ivf.assignFast(nemb, centsC)
+    val am = Quantizer.train(nemb, "vector", idCol = "id").collect().head.getDouble(0)
+    val idx8 = Ivf.servingIndexInt8(assignedC, am)
+    val batch8 = rows(Ivf.searchBatchedFastInt8(idx8, centsC, q6, k = 5,
+      nProbe = 8, absMax = am))
+    val singles8 = (0L until 6L).flatMap { q =>
+      rows(Ivf.searchBatchedFastInt8(idx8, centsC, q6.filter(col("qid") === q),
+        k = 5, nProbe = 8, absMax = am))
+    }.toSet
+    assert(batch8 == singles8)
+    val q6l2 = emb.filter(col("id") < 6)
+      .select(col("id").as("qid"), col("vector").as("qvec")).cache()
+    val centsL = Ivf.trainKMeansArrays(emb, k = 8, iters = 2, metric = "l2")
+    val idx16 = Ivf.servingIndexF16(Ivf.assignFast(emb, centsL, metric = "l2"))
+    val batch16 = rows(Ivf.searchBatchedFastF16(idx16, centsL, q6l2, k = 5,
+      nProbe = 8))
+    val singles16 = (0L until 6L).flatMap { q =>
+      rows(Ivf.searchBatchedFastF16(idx16, centsL,
+        q6l2.filter(col("qid") === q), k = 5, nProbe = 8))
+    }.toSet
+    assert(batch16 == singles16)
+  }
+
   test("f16 serving path: high agreement with float; matches the f16 kernel plan") {
     // Reference Float16 precision mode backs the index (euclidean-only —
     // distance_go.go:139-141): same probes as the float path, candidates
