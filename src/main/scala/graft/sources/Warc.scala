@@ -32,6 +32,13 @@ import java.nio.charset.StandardCharsets
   *     skip-and-continue recovery contract as `Oplog.resync`. A
   *     corrupted `Content-Length: 9999999999` therefore quarantines; it
   *     can no longer wrap negative through an `Int` and crash the walk.
+  *   - Every record's spec-mandated final CRLF CRLF is VALIDATED
+  *     (`bad_trailer` quarantine on mismatch): a corrupt length whose
+  *     bytes all exist — the case EOF can't catch, where a wrong
+  *     `Content-Length` in a large file would silently swallow the
+  *     following records as "payload" — is detected at the trailer, and
+  *     records inside the falsely-claimed span are rescued from the
+  *     materialized buffer.
   *
   * Scale shape: Common Crawl ships one ~1 GB member-gzipped WARC per
   * task-sized unit; each file parses independently inside one task
@@ -357,20 +364,61 @@ object Warc {
                   if (k >= 0)
                     w.prepend(buf, k + CRLF.length, buf.length - k - CRLF.length)
                   else done = true
+                } else if (n > toRead && w.skipUpTo(n - toRead) < n - toRead) {
+                  // EOF inside the SKIPPED remainder — same torn/overshoot
+                  // framing break as above, but nothing was materialized to
+                  // rescue from.
+                  out += WarcRecord("corrupt", "-", 0, "-", "", 0L,
+                    "torn_payload")
+                  done = true
                 } else {
-                  if (n > toRead) w.skipUpTo(n - toRead)
-                  val wtype = headers.getOrElse("warc-type", "unknown")
-                  val uri = headers.getOrElse("warc-target-uri", "-")
-                  if (wtype == "response") {
-                    // HTTP headers are ASCII; only the BODY re-decodes UTF-8.
-                    val oct = new String(buf, StandardCharsets.ISO_8859_1)
-                    val (status, mime, body) = splitHttp(oct)
-                    out += WarcRecord(wtype, uri, status, mime,
-                      htmlText(utf8(body)), n, null)
+                  // Trailer validation: the spec ends every record with
+                  // CRLF CRLF. A wrong trailer means the declared length
+                  // was wrong even though the bytes existed — the case
+                  // where a corrupt OVERSIZED Content-Length in a file
+                  // larger than the cap would otherwise swallow the
+                  // following records as "payload" and report them valid.
+                  // An EOF-truncated trailer (a file trimmed of its final
+                  // blank line) still counts as well-formed.
+                  val tr = w.readUpTo(4)
+                  val trOk =
+                    if (tr.length == 4)
+                      tr(0) == '\r' && tr(1) == '\n' && tr(2) == '\r' && tr(3) == '\n'
+                    else {
+                      val pre = "\r\n\r\n".getBytes(StandardCharsets.ISO_8859_1)
+                      var i = 0
+                      var ok = true
+                      while (i < tr.length) { ok &&= tr(i) == pre(i); i += 1 }
+                      ok
+                    }
+                  if (!trOk) {
+                    out += WarcRecord("corrupt", "-", 0, "-", "", 0L,
+                      "bad_trailer")
+                    // Unconsumed reality = buf's embedded records (if any)
+                    // ++ tr ++ stream; prepend is LIFO, so tr goes first.
+                    // No explicit resync: the main loop validates magic at
+                    // the restored position itself (a record starting right
+                    // there parses; garbage degrades to bad_magic+resync),
+                    // which also catches a next record with no leading CRLF
+                    // in view — the \r\n-anchored scan would skip it.
+                    w.prepend(tr, 0, tr.length)
+                    val k = if (n <= toRead) indexOfPat(buf, buf.length) else -1
+                    if (k >= 0)
+                      w.prepend(buf, k + CRLF.length, buf.length - k - CRLF.length)
                   } else {
-                    out += WarcRecord(wtype, uri, 0,
-                      headers.getOrElse("content-type", "-"),
-                      new String(buf, StandardCharsets.UTF_8), n, null)
+                    val wtype = headers.getOrElse("warc-type", "unknown")
+                    val uri = headers.getOrElse("warc-target-uri", "-")
+                    if (wtype == "response") {
+                      // HTTP headers are ASCII; only the BODY re-decodes UTF-8.
+                      val oct = new String(buf, StandardCharsets.ISO_8859_1)
+                      val (status, mime, body) = splitHttp(oct)
+                      out += WarcRecord(wtype, uri, status, mime,
+                        htmlText(utf8(body)), n, null)
+                    } else {
+                      out += WarcRecord(wtype, uri, 0,
+                        headers.getOrElse("content-type", "-"),
+                        new String(buf, StandardCharsets.UTF_8), n, null)
+                    }
                   }
                 }
             }

@@ -164,6 +164,74 @@ class WarcSpec extends AnyFunSuite {
     assert(recs(3).targetUri === "https://a/3" && recs(3).text === "three")
   }
 
+  test("wrong length whose bytes all exist: trailer check catches it, rest rescued") {
+    // A corrupt Content-Length that stays INSIDE the file is the case EOF
+    // can never catch: the walk reads the declared span successfully and
+    // would silently report the swallowed next records as payload. The
+    // spec-mandated record-final CRLF CRLF no longer matches at the wrong
+    // offset, so the record quarantines (bad_trailer) and the records
+    // inside the falsely-claimed span parse from the materialized buffer.
+    val bytes = Warc.write(Seq(
+      ("https://a/1", "<p>one</p>"),
+      ("https://a/2", "<p>two</p>"),
+      ("https://a/3", "<p>three</p>")))
+    val s = new String(bytes, "ISO-8859-1")
+    val at = s.indexOf("WARC-Target-URI: https://a/2")
+    val lenAt = s.indexOf("Content-Length: ", at)
+    val lenEnd = s.indexOf("\r", lenAt)
+    val declared = s.substring(lenAt + "Content-Length: ".length, lenEnd).toInt
+    val hacked = (s.substring(0, lenAt) +
+      s"Content-Length: ${declared + 40}" +
+      s.substring(lenEnd)).getBytes("ISO-8859-1")
+    val recs = Warc.parse(hacked)
+    assert(recs.map(_.warcType) ===
+      Seq("warcinfo", "response", "corrupt", "response"))
+    assert(recs(2).corrupt === "bad_trailer")
+    assert(recs(3).targetUri === "https://a/3" && recs(3).text === "three")
+  }
+
+  test("wrong SHORT length: trailer check quarantines, later records recovered") {
+    val bytes = Warc.write(Seq(
+      ("https://a/1", "<p>one one one</p>"),
+      ("https://a/2", "<p>three</p>")))
+    val s = new String(bytes, "ISO-8859-1")
+    val at = s.indexOf("WARC-Target-URI: https://a/1")
+    val lenAt = s.indexOf("Content-Length: ", at)
+    val lenEnd = s.indexOf("\r", lenAt)
+    val declared = s.substring(lenAt + "Content-Length: ".length, lenEnd).toInt
+    val hacked = (s.substring(0, lenAt) +
+      s"Content-Length: ${declared - 10}" +
+      s.substring(lenEnd)).getBytes("ISO-8859-1")
+    val recs = Warc.parse(hacked)
+    // The under-declared record quarantines at its trailer; the leftover
+    // payload tail degrades to bad_magic; record 2 parses intact.
+    assert(recs.exists(_.corrupt == "bad_trailer"))
+    val ok = recs.filter(_.corrupt == null)
+    assert(ok.map(_.warcType) === Seq("warcinfo", "response"))
+    assert(ok(1).targetUri === "https://a/2" && ok(1).text === "three")
+  }
+
+  test("EOF inside a skipped over-cap remainder quarantines, never reports valid") {
+    // Declared length far past the cap AND past EOF, with more than a
+    // cap's worth of real bytes remaining: the capped prefix reads fully,
+    // the remainder skip hits EOF — the record must quarantine
+    // (torn_payload), not surface as a valid truncated response.
+    val big = "x" * 5000
+    val bytes = Warc.write(Seq(
+      ("https://a/1", "<p>one</p>"),
+      ("https://a/2", s"<p>$big</p>")))
+    val s = new String(bytes, "ISO-8859-1")
+    val at = s.indexOf("WARC-Target-URI: https://a/2")
+    val lenAt = s.indexOf("Content-Length: ", at)
+    val lenEnd = s.indexOf("\r", lenAt)
+    val hacked = (s.substring(0, lenAt) + "Content-Length: 100000" +
+      s.substring(lenEnd)).getBytes("ISO-8859-1")
+    val recs = Warc.parse(
+      new java.io.ByteArrayInputStream(hacked), 1024)
+    assert(recs.map(_.warcType) === Seq("warcinfo", "response", "corrupt"))
+    assert(recs(2).corrupt === "torn_payload")
+  }
+
   test("streaming gz parse never inflates the file whole") {
     // Member-gzip a 40 MB corpus and parse it via the InputStream entry:
     // the walk decompresses record-by-record (no whole-file inflate) and
