@@ -184,6 +184,36 @@ object SourceQueries {
         .orderBy(col("uri"))
     }),
 
+    // S19: WET ingestion — Common Crawl's extracted-text sidecar (the
+    // same WARC container, `conversion` records with text/plain payloads;
+    // the format most text pipelines actually consume, since the
+    // HTML→text step already ran crawl-side). The full TEXT column is in
+    // the result, so the oracle hash-checks the parser's payload decode
+    // round-trip byte-for-byte, with doc 7 damaged in transit and
+    // quarantined. Same task-local zero-shuffle scale shape as s17.
+    "s19_wet_ingest" -> ((s, dir) => {
+      import graft.sources.Warc
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 20)
+        .select(col("doc_id"), col("text")).collect().sortBy(_.getLong(0))
+      val pages = docs.map(r =>
+        (s"https://wet/doc/${r.getLong(0)}", r.getString(1))).toSeq
+      val bytes = Warc.corruptRecord(Warc.writeWet(pages), "https://wet/doc/7")
+      val path = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft_wet_v1_${math.abs(dir.hashCode)}.warc")
+      java.nio.file.Files.write(path, bytes)
+      val bins = s.read.format("binaryFile").load(path.toString)
+      import s.implicits._
+      bins.select(col("content")).as[Array[Byte]]
+        .flatMap(b => Warc.parse(b))
+        .toDF()
+        .filter(col("warcType") === "conversion")
+        .select(col("targetUri").as("uri"), col("mime"), col("text"),
+          length(col("text")).cast("long").as("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .orderBy(col("uri"))
+    }),
+
     "s9_loaders" -> ((s, dir) => {
       import graft.sources.{BinaryExtract, CliLoader}
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 10)
@@ -401,6 +431,15 @@ object SourceQueries {
         |    // len(string_split(text, ' ')) AS BIGINT) AS stop_ppm
         |FROM kept
         |WHERE len(string_split(text, ' ')) >= 5
+        |ORDER BY uri""".stripMargin,
+
+    // WET round trip: conversion payloads ARE the document text, so the
+    // oracle is the documents table itself (doc 7 = the damaged record).
+    "s19_wet_ingest" ->
+      """SELECT 'https://wet/doc/' || doc_id AS uri, 'text/plain' AS mime,
+        |  text, CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |FROM documents WHERE doc_id < 20 AND doc_id <> 7
         |ORDER BY uri""".stripMargin,
 
     "s6_bulk_import" ->

@@ -110,6 +110,24 @@ object Warc {
       CRLF + payload + CRLF + CRLF
   }
 
+  /** Canonical WET writer — Common Crawl's extracted-text sidecar: the
+    * same WARC container, but each page is a `conversion` record whose
+    * payload is the EXTRACTED PLAIN TEXT (`Content-Type: text/plain`),
+    * not an HTTP message. This is the format most text pipelines actually
+    * ingest (the HTML→text step already ran crawl-side); [[parse]] frames
+    * conversion records through the generic branch — payload UTF-8
+    * decoded straight into `text`, no HTTP split, no tag stripping.
+    */
+  def writeWet(texts: Seq[(String, String)]): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append(record("warcinfo", None, "application/warc-fields",
+      "software: graft-warc-writer/1.0\r\nformat: WARC File Format 1.0"))
+    texts.foreach { case (uri, text) =>
+      sb.append(record("conversion", Some(uri), "text/plain", text))
+    }
+    sb.toString.getBytes(StandardCharsets.UTF_8)
+  }
+
   /** Corrupt ONE record in a written file for recovery tests: flips the
     * version magic of the record holding `uri` (framing survives; the
     * parser must quarantine that record's span and resync on the next

@@ -232,6 +232,25 @@ class WarcSpec extends AnyFunSuite {
     assert(recs(2).corrupt === "torn_payload")
   }
 
+  test("WET round trip: conversion payloads decode verbatim, no HTTP split") {
+    val texts = Seq(
+      ("https://wet/1", "plain extracted text, no tags"),
+      ("https://wet/2", "líne with ünïcode and a WARC/1.0 trap"),
+      ("https://wet/3", "HTTP/1.1 200 OK looks like a response but is text"))
+    val recs = Warc.parse(Warc.writeWet(texts))
+    assert(recs.map(_.warcType) ===
+      Seq("warcinfo", "conversion", "conversion", "conversion"))
+    assert(recs.forall(_.corrupt == null))
+    recs.tail.zip(texts).foreach { case (r, (uri, t)) =>
+      assert(r.targetUri === uri)
+      assert(r.mime === "text/plain")
+      assert(r.text === t) // verbatim — no HTML strip, no HTTP split
+      assert(r.httpStatus === 0)
+    }
+    // Member-gzip works on WET exactly as on WARC (same container).
+    assert(Warc.parseGz(Warc.gzipMembers(Warc.writeWet(texts))) === recs)
+  }
+
   test("streaming gz parse never inflates the file whole") {
     // Member-gzip a 40 MB corpus and parse it via the InputStream entry:
     // the walk decompresses record-by-record (no whole-file inflate) and
