@@ -450,6 +450,46 @@ object Dedup {
     * it — an encoder that collapses a mode concentrates mass in one
     * cluster, and the cap bounds the damage exactly like the LSH skew cap.
     */
+  /** Paragraph-level dedup (CCNet, arXiv:1911.00359 §3.1 — "dedup is done
+    * at the paragraph level, keeping one occurrence"): segment each doc
+    * into fixed `chunkTokens`-token paragraphs, drop every paragraph whose
+    * exact text already occurred earlier in the corpus (first occurrence
+    * by (doc_id, pos) survives), and reassemble each doc from its kept
+    * paragraphs. Sits between span REPORTING ([[repeatedSpans]]) and
+    * whole-doc removal ([[exact dedup|d1]]): the output is a CLEANED
+    * corpus with cross-doc boilerplate cut out of otherwise-unique docs.
+    *
+    * Paragraph identity is the chunk's token text (no engine hash), so a
+    * SQL oracle reproduces it verbatim. A doc whose every paragraph is a
+    * re-occurrence keeps an empty `text_deduped` (it IS a full dup).
+    *
+    * Scale shape: one shuffle hash-partitioning paragraphs for the
+    * keep-first window (the d1 groupBy shape — the quadratic step never
+    * exists), one keyed re-aggregation per doc. At 100 TB paragraphs are
+    * the corpus ×1, both exchanges on bounded-width keys.
+    */
+  def paragraphDedup(docs: DataFrame, textCol: String = "text",
+      chunkTokens: Int = 16): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    val chunks = docs
+      .select(col("doc_id"), split(col(textCol), " ").as("w"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, cast(ceil(size(w) / $chunkTokens.0) as int)), " +
+          s"i -> array_join(slice(w, (i - 1) * $chunkTokens + 1, $chunkTokens), ' '))")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("para"))
+    val ranked = chunks.withColumn("rn", row_number().over(
+      Window.partitionBy(col("para")).orderBy(col("doc_id"), col("pos"))))
+    ranked
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN rn = 1 THEN " +
+            "struct(pos, para) END)), x -> x.para)"), " ").as("text_deduped"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dropped"))
+  }
+
   def semDedupClustered(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, centroids: DataFrame,
       maxBucket: Int = Int.MaxValue): DataFrame = {

@@ -377,6 +377,20 @@ object DedupQueries {
         .select(col("component"), col("survivor"), col("n_members"),
           round(col("centroid_sim"), 6).as("centroid_sim"))
         .orderBy(col("component"))
+    }),
+
+    // D13: CCNet-style paragraph dedup — remove every re-occurrence of an
+    // exact paragraph (16-token chunk) corpus-wide, keep the first by
+    // (doc_id, pos), reassemble the cleaned docs. The planted exact twins
+    // (doc_id % 7) lose ALL their paragraphs (text_deduped = ''); the
+    // near twins (doc_id % 11, last word dropped) keep only their tail
+    // chunk — the one their shorter final paragraph no longer matches.
+    "d13_paragraph_dedup" -> ((s, dir) => {
+      Dedup.paragraphDedup(corpus(s, dir))
+        .select(col("doc_id"), col("text_deduped"),
+          col("n_kept").cast("long").as("n_kept"),
+          col("n_dropped").cast("long").as("n_dropped"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -758,6 +772,29 @@ object DedupQueries {
         |SELECT CAST(id1 AS BIGINT) AS id1, CAST(id2 AS BIGINT) AS id2,
         |  CAST(bit_count(xor(f1, f2)) AS INT) AS hamming
         |FROM cand WHERE bit_count(xor(f1, f2)) <= 3
-        |ORDER BY id1, id2""".stripMargin
+        |ORDER BY id1, id2""".stripMargin,
+
+    // Independent replay: paragraph identity is the chunk's token text, so
+    // the same chunking + keep-first window reproduces the cleaned corpus
+    // verbatim (DuckDB list_slice is END-inclusive — (i-1)*16+1 .. i*16
+    // equals Spark's slice(start, length=16)).
+    "d13_paragraph_dedup" ->
+      s"""WITH $corpusSql,
+         |toks AS (SELECT doc_id, str_split(text, ' ') AS w FROM corpus),
+         |chunks AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |    array_to_string(list_slice(w, (i - 1) * 16 + 1, i * 16), ' ') AS para
+         |  FROM toks,
+         |    unnest(generate_series(1, CAST(ceil(len(w) / 16.0) AS BIGINT))) AS t(i)),
+         |ranked AS (
+         |  SELECT doc_id, pos, para,
+         |    row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+         |  FROM chunks)
+         |SELECT doc_id,
+         |  coalesce(string_agg(para, ' ' ORDER BY pos) FILTER (WHERE rn = 1),
+         |    '') AS text_deduped,
+         |  CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+         |  CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped
+         |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

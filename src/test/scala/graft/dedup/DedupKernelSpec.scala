@@ -177,4 +177,29 @@ class DedupKernelSpec extends SparkSpec {
       (2L, 1L, 7L, 7L, 3L),
       (3L, 5L, 11L, 7L, 3L)))
   }
+
+  test("paragraphDedup: keep-first by (doc, pos), reassembly, full-dup empties") {
+    import graft.dedup.Dedup
+    // chunkTokens = 2. Doc 0: abcd + shared boilerplate "x y".
+    // Doc 1: exact twin of doc 0 — loses everything.
+    // Doc 2: unique head, same boilerplate "x y" — loses just that chunk.
+    // Doc 3: re-occurrence of "f g" INSIDE one doc (pos 2 keeps, pos 3
+    //        drops even within the same doc — identity is corpus-wide).
+    // Doc 4: 3 tokens → short final paragraph "e" is its own chunk.
+    val docs = Seq(
+      (0L, "a b c d x y"),
+      (1L, "a b c d x y"),
+      (2L, "p q x y"),
+      (3L, "n m f g f g"),
+      (4L, "c d e")).toDF("doc_id", "text")
+    val got = Dedup.paragraphDedup(docs, chunkTokens = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (0L, "a b c d x y", 3L, 0L),
+      (1L, "", 0L, 3L),
+      (2L, "p q", 1L, 1L),
+      (3L, "n m f g", 2L, 1L),
+      (4L, "e", 1L, 1L))) // "c d" lost to doc 0's chunk, tail "e" kept
+  }
 }
