@@ -38,6 +38,40 @@ object Bench {
     def execute(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
+    // Prior-committed times (bench_prior.json — a flat {"key": sec} map,
+    // refreshed from each committed artifact by scripts/make_bench_prior.py)
+    // drive the implausibility guard VERDICT r14 #4 asked for: the ANN
+    // sweeps already re-measure points that are internally implausible
+    // (lower nProbe slower than higher), but the query section and the
+    // build timers had no reference to compare against, so a host-noise
+    // epoch could publish a 6× transient (r14: d11 15.3 s vs 5.3 s real,
+    // ivf_pq build 154 s vs ~15 s) as if it were a regression. Any timing
+    // > 3× its prior re-measures (up to `maxExtra` additional reps, best
+    // kept) before the artifact is written. Genuine regressions survive —
+    // a real 6× slowdown reproduces on every rep.
+    val priorTimes: Map[String, Double] = {
+      val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "bench_prior.json")
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+        """"([A-Za-z0-9_.]+)"\s*:\s*([0-9][0-9.eE+-]*)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    }
+    def replausible(key: String, measured: Double, maxExtra: Int = 2)(
+        again: => Double): Double =
+      priorTimes.get(key) match {
+        case Some(p) if p > 0 =>
+          var best = measured
+          var extra = 0
+          while (best > 3 * p && extra < maxExtra) {
+            best = math.min(best, try again catch { case _: Throwable => best })
+            extra += 1
+          }
+          best
+        case _ => measured
+      }
+
     // Optional args = query-name filter for quick spot-timing during
     // development (skips the ANN section); the single arg "ann" runs ONLY
     // the ANN+fusion+f16 sections; "fusion" ONLY the batched-fusion
@@ -72,6 +106,15 @@ object Bench {
       if (ok) best(name) = math.min(best(name), (System.nanoTime() - t0) / 1e9)
       else crashed += name
     }
+    // Query-section implausibility re-measure (VERDICT r14 #4): min-of-2
+    // survives a slow-host epoch covering both reps; the prior-round
+    // artifact is the outside reference that catches it.
+    for ((name, fn) <- qs if !crashed(name) && best(name) < Double.MaxValue)
+      best(name) = replausible(name, best(name)) {
+        val t0 = System.nanoTime()
+        execute(fn)
+        (System.nanoTime() - t0) / 1e9
+      }
     val results = qs.map { case (name, _) =>
       val succeeded = best(name) < Double.MaxValue
       (name, if (succeeded) best(name) else -1.0, succeeded)
@@ -190,7 +233,20 @@ object Bench {
       assigned.count()
       val serving = Ivf.servingIndex(assigned).cache()
       serving.count()
-      val buildSec = (System.nanoTime() - tb) / 1e9
+      // Build-timer guard (r14: the pq build published 154 s vs ~15 s
+      // real): a >3×-prior build re-times a THROWAWAY rebuild — the kept
+      // cents/assigned/serving stay the first build's, so downstream
+      // numbers remain bit-stable.
+      val buildSec = replausible("ann.build_sec",
+          (System.nanoTime() - tb) / 1e9)(timeIt {
+        val c2 = Ivf.trainKMeansArrays(
+          emb.filter(col("id") % 16 === 0), K, iters = 4)
+        val a2 = Ivf.assignFast(emb, c2).cache()
+        a2.count()
+        val s2 = Ivf.servingIndex(a2).cache()
+        s2.count()
+        a2.unpersist(); s2.unpersist()
+      })
 
       // Exact float baseline (ground truth for recall). Timed as the min of
       // 2 uncached scans — one sample is steal-window-exposed, and this
@@ -393,7 +449,17 @@ object Bench {
       assigned.count()
       val serving = Ivf.servingIndex(assigned).cache()
       serving.count()
-      val buildSec = (System.nanoTime() - tb) / 1e9
+      // Same throwaway-rebuild guard as the cosine section.
+      val buildSec = replausible("ann_l2.build_sec",
+          (System.nanoTime() - tb) / 1e9)(timeIt {
+        val c2 = Ivf.trainKMeansArrays(
+          emb.filter(col("id") % 16 === 0), K, iters = 8, metric = "l2")
+        val a2 = Ivf.assignFast(emb, c2, metric = "l2").cache()
+        a2.count()
+        val s2 = Ivf.servingIndex(a2).cache()
+        s2.count()
+        a2.unpersist(); s2.unpersist()
+      })
       def exactRun() = VectorSearch.topKBatch(emb, queries, k = 10,
         metric = "euclidean", idCol = "id", vecCol = "vector", wide = true)
       noopWrite(exactRun())
@@ -444,7 +510,17 @@ object Bench {
         val pqIndex = Pq.servingIndexPqResidual(assigned, cents, cbArrays)
           .cache()
         pqIndex.count()
-        val pqBuildSec = (System.nanoTime() - tb2) / 1e9
+        // r14's 154 s (vs 14.7 r13 / 31.6 r12, code unchanged) is exactly
+        // the transient this guard exists for.
+        val pqBuildSec = replausible("ivf_pq.build_sec",
+            (System.nanoTime() - tb2) / 1e9)(timeIt {
+          val cb2 = Pq.trainCodebookArrays(
+            Pq.residuals(assigned.filter(col("id") % 16 === 0), cents),
+            "id", "vector", mPq, subDimPq, nCodesPq, iters = 4)
+          val p2 = Pq.servingIndexPqResidual(assigned, cents, cb2).cache()
+          p2.count()
+          p2.unpersist()
+        })
         val np = 32
         def adcRun() = Pq.searchBatchedFastPqResidual(pqIndex, cents,
           cbArrays, queries, k = 10, nProbe = np)
@@ -571,7 +647,16 @@ object Bench {
         assigned.count()
         private val serving = Ivf.servingIndex(assigned).cache()
         serving.count()
-        val buildSec = (System.nanoTime() - tb) / 1e9
+        val buildSec = replausible(s"ann_hidim$dim.build_sec",
+            (System.nanoTime() - tb) / 1e9)(timeIt {
+          val c2 = Ivf.trainKMeansArrays(
+            emb.filter(col("id") % 8 === 0), kC, iters = 8)
+          val a2 = Ivf.assignFast(emb, c2).cache()
+          a2.count()
+          val s2 = Ivf.servingIndex(a2).cache()
+          s2.count()
+          a2.unpersist(); s2.unpersist()
+        })
         private def exactRun() = VectorSearch.topKBatch(emb, queries, k = 10,
           metric = "cosine", idCol = "id", vecCol = "vector", normalized = true)
         noopWrite(exactRun())

@@ -36,6 +36,12 @@ object ScaleCheck {
     // scale with the corpus (vec_id % 100 sampling), so cluster occupancy
     // — and with it the quadratic pair step — stays ~constant per cluster.
     "d12_semdedup_ivf",
+    // Paragraph dedup (r15): the keep-first step is a partial-aggregating
+    // groupBy(para) (VERDICT r14 #2 — was a row_number window with no
+    // map-side combine). Translated replicas keep paragraphs replica-local
+    // so the distinct-paragraph table grows ~10× — the ratio checks the
+    // agg + join-back + per-doc reassembly all stay ~linear.
+    "d13_paragraph_dedup",
     // Replay/fold family (VERDICT r10 #6): all three heavy oplog folds over
     // a 10× log — vector fold, edge fold + cascade, snapshot + tail replay
     // (the snapshot layout builds during warmup, so the timed reps measure

@@ -463,10 +463,18 @@ object Dedup {
     * SQL oracle reproduces it verbatim. A doc whose every paragraph is a
     * re-occurrence keeps an empty `text_deduped` (it IS a full dup).
     *
-    * Scale shape: one shuffle hash-partitioning paragraphs for the
-    * keep-first window (the d1 groupBy shape — the quadratic step never
-    * exists), one keyed re-aggregation per doc. At 100 TB paragraphs are
-    * the corpus ×1, both exchanges on bounded-width keys.
+    * Scale shape: the keep-first winner per paragraph is a
+    * `groupBy(para).agg(min(struct(doc_id, pos)))` — a PARTIAL-AGGREGATING
+    * shape (the true d1 shape): every task pre-reduces its local
+    * occurrences of a paragraph to ONE candidate before the shuffle, so a
+    * corpus-wide boilerplate paragraph (a cookie banner appearing billions
+    * of times at 100 TB — the exact mass this operator exists to remove)
+    * costs each map task one row, never a single-task sort of the full
+    * occurrence list (the failure mode of a `row_number` window, which
+    * gets no map-side combine; VERDICT r14 #2). The winner table (one row
+    * per DISTINCT paragraph) joins back to mark survivors — AQE's skew
+    * split applies cleanly since the build side holds exactly one row per
+    * key — then one keyed re-aggregation per doc reassembles the text.
     */
   def paragraphDedup(docs: DataFrame, textCol: String = "text",
       chunkTokens: Int = 16): DataFrame = {
@@ -478,16 +486,20 @@ object Dedup {
           s"i -> array_join(slice(w, (i - 1) * $chunkTokens + 1, $chunkTokens), ' '))")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
         col("col").as("para"))
-    val ranked = chunks.withColumn("rn", row_number().over(
-      Window.partitionBy(col("para")).orderBy(col("doc_id"), col("pos"))))
-    ranked
+    val winners = chunks
+      .groupBy(col("para"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first_occ"))
+    chunks.join(winners, Seq("para"))
+      .withColumn("kept",
+        col("doc_id") === col("first_occ.doc_id") &&
+          col("pos") === col("first_occ.pos"))
       .groupBy(col("doc_id"))
       .agg(
         array_join(expr(
-          "transform(array_sort(collect_list(CASE WHEN rn = 1 THEN " +
+          "transform(array_sort(collect_list(CASE WHEN kept THEN " +
             "struct(pos, para) END)), x -> x.para)"), " ").as("text_deduped"),
-        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
-        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dropped"))
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("kept"), 1L).otherwise(0L)).as("n_dropped"))
   }
 
   def semDedupClustered(emb: DataFrame, idCol: String, vecCol: String,

@@ -472,17 +472,35 @@ object CurationQueries {
     ,
 
     // x35 at REALISTIC merge counts (VERDICT r12 #2): 256 rounds, the
-    // scale a real tokenizer trains at (8 rounds is the oracle-parity
-    // pin; SQL can't replay 256 CTE rounds, so this entry is rows-only-
-    // checked). Cost: the same single corpus scan + Σ(affected-word
-    // lengths) of driver arithmetic — BpeSpec pins the job count
-    // constant in the number of merges, and the ScaleCheck row measures
-    // the 10x-corpus ratio.
-    "x35_bpe_merges_256" -> ((s, dir) =>
-      graft.text.Bpe.learnMerges(
-          Tables.documents(s, dir), "text", steps = 256)
-        .orderBy(col("step")))
-    ,
+    // scale a real tokenizer trains at. A full 256-round SQL replay is
+    // out of reach (the chained-CTE oracle times out in DuckDB past a few
+    // dozen rounds — measured, not assumed), so the driver-checkable
+    // contract is the VERDICT r14 #1 shape: the 256-round run's FIRST 8
+    // merges must hash-match the independent 8-step CTE replay (the
+    // trainer is deterministic and a longer run can never change an
+    // earlier argmax, so prefix equality checks the same training path
+    // the full run walks), plus SQL-pinned invariants computed over the
+    // ENTIRE 256-row table — steps dense from 1, every merged = lhs‖rhs,
+    // every pair_count ≥ 1. The invariants fold over the merge table
+    // where it already lives — the driver (the same O(steps) state any
+    // BPE trainer keeps; the corpus is never re-read). Deeper validation
+    // of the full run stays in BpeSpec (job count constant in merges)
+    // and the ScaleCheck row.
+    "x35_bpe_merges_256" -> ((s, dir) => {
+      val full = graft.text.Bpe.learnMerges(
+        Tables.documents(s, dir), "text", steps = 256)
+      val rows = full.orderBy(col("step")).collect() // LocalRelation, ≤256
+      val stepsDense = rows.nonEmpty && rows.head.getLong(0) == 1L &&
+        rows.last.getLong(0) == rows.length.toLong
+      val concatOk = rows.forall(r =>
+        r.getString(3) == r.getString(1) + r.getString(2))
+      val countsPos = rows.forall(r => r.getLong(4) >= 1L)
+      full.filter(col("step") <= 8)
+        .withColumn("steps_dense", lit(stepsDense))
+        .withColumn("merges_concat_lhs_rhs", lit(concatOk))
+        .withColumn("counts_positive", lit(countsPos))
+        .orderBy(col("step"))
+    }),
 
     // x37: BPE ENCODE — the learned tokenizer actually tokenizing: apply
     // x35's 8 merges (in training order) to every corpus word and report
@@ -580,6 +598,24 @@ object CurationQueries {
         .mkString("\nUNION ALL\n")
       s"""WITH ${bpeTrainCtes(steps)}
          |$finals
+         |ORDER BY step""".stripMargin
+    },
+
+    // The 256-round entry's oracle: the SAME 8-step CTE replay pins the
+    // prefix (deterministic trainer ⇒ the full run's first 8 rows are
+    // exactly the 8-step run), and the invariant columns — computed by
+    // Spark over the whole 256-row table — are pinned to their expected
+    // constants.
+    "x35_bpe_merges_256" -> {
+      val steps = 8
+      val finals = (1 to steps).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS step, lhs, rhs, lhs || rhs AS merged, c AS pair_count FROM m$i")
+        .mkString("\nUNION ALL\n")
+      s"""WITH ${bpeTrainCtes(steps)}
+         |SELECT step, lhs, rhs, merged, pair_count,
+         |  TRUE AS steps_dense, TRUE AS merges_concat_lhs_rhs,
+         |  TRUE AS counts_positive
+         |FROM ($finals)
          |ORDER BY step""".stripMargin
     },
 

@@ -17,6 +17,21 @@ object SourceQueries {
   private def cosSql(a: String, b: String): String =
     s"1.0 - list_cosine_similarity(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
 
+  /** Collision-free fixture file for the WARC/WET entries: unique per
+    * call (`createTempFile` — two suites materializing the same logical
+    * fixture concurrently can never race on one path) and removed at JVM
+    * exit. Replaces the shared `math.abs(dir.hashCode)`-keyed name
+    * (ADVICE r14: abs(Int.MinValue) is still negative, distinct dirs can
+    * hash-collide, and the files leaked).
+    */
+  private def fixtureFile(prefix: String, suffix: String,
+      bytes: Array[Byte]): String = {
+    val p = java.nio.file.Files.createTempFile(prefix, suffix)
+    java.nio.file.Files.write(p, bytes)
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
   // Mirrors Quantizer.train's deterministic ≤25k smallest-id sample; the
   // oracle may use a window rank — it does not need to scale.
   private[queries] val absMaxSql =
@@ -116,11 +131,8 @@ object SourceQueries {
       }.toSeq
       val bytes = Warc.corruptRecord(Warc.write(responses),
         "https://example.com/doc/7")
-      val path = java.nio.file.Paths.get(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-        s"graft_warc_v1_${math.abs(dir.hashCode)}.warc")
-      java.nio.file.Files.write(path, bytes)
-      val bins = s.read.format("binaryFile").load(path.toString)
+      val bins = s.read.format("binaryFile")
+        .load(fixtureFile("graft_warc_", ".warc", bytes))
       import s.implicits._
       bins.select(col("content")).as[Array[Byte]]
         .flatMap(b => Warc.parse(b))
@@ -158,11 +170,8 @@ object SourceQueries {
       }.toSeq ++ mirror
       val bytes = Warc.corruptRecord(Warc.write(responses),
         "https://crawl/doc/7")
-      val path = java.nio.file.Paths.get(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-        s"graft_warc_funnel_v1_${math.abs(dir.hashCode)}.warc")
-      java.nio.file.Files.write(path, bytes)
-      val bins = s.read.format("binaryFile").load(path.toString)
+      val bins = s.read.format("binaryFile")
+        .load(fixtureFile("graft_warc_funnel_", ".warc", bytes))
       import s.implicits._
       val stop25 = Array("a", "an", "and", "are", "as", "at", "be", "by",
         "for", "from", "has", "he", "in", "is", "it", "its", "of", "on",
@@ -198,11 +207,8 @@ object SourceQueries {
       val pages = docs.map(r =>
         (s"https://wet/doc/${r.getLong(0)}", r.getString(1))).toSeq
       val bytes = Warc.corruptRecord(Warc.writeWet(pages), "https://wet/doc/7")
-      val path = java.nio.file.Paths.get(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-        s"graft_wet_v1_${math.abs(dir.hashCode)}.warc")
-      java.nio.file.Files.write(path, bytes)
-      val bins = s.read.format("binaryFile").load(path.toString)
+      val bins = s.read.format("binaryFile")
+        .load(fixtureFile("graft_wet_", ".warc", bytes))
       import s.implicits._
       bins.select(col("content")).as[Array[Byte]]
         .flatMap(b => Warc.parse(b))
@@ -211,6 +217,50 @@ object SourceQueries {
         .select(col("targetUri").as("uri"), col("mime"), col("text"),
           length(col("text")).cast("long").as("n_chars"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .orderBy(col("uri"))
+    }),
+
+    // S20: the CCNet first mile END TO END (VERDICT r14 stretch #6) —
+    // s18's crawl fixture (one page per document, a re-crawled mirror of
+    // doc 3, doc 7 damaged in transit) flowing
+    //   WARC-parse → quarantine → HTML→text → PARAGRAPH DEDUP (d13's
+    //   keep-first over 16-token chunks, corpus-wide) → quality gate,
+    // one hash-checked query. The mirror page is an exact twin, so
+    // paragraph dedup subsumes exact dedup (a full-dup page keeps zero
+    // paragraphs and the ≥5-token gate removes its empty husk) — the
+    // CCNet ordering (arXiv:1911.00359 §3.1: dedup before LM filtering).
+    // Keep-first identity is the page URI (crawl < mirror
+    // lexicographically), so the oracle replays the ordering verbatim.
+    // Scale shape: parse is per-file task-local; then d13's
+    // partial-aggregating groupBy(para) + join-back — no window, no
+    // all-pairs, one keyed reassembly per page.
+    "s20_ccnet_funnel" -> ((s, dir) => {
+      import graft.sources.Warc
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 20)
+        .select(col("doc_id"), col("text")).collect().sortBy(_.getLong(0))
+      val mirror = docs.find(_.getLong(0) == 3L).map(r =>
+        ("https://mirror/doc/3",
+          s"<html><body><p>${r.getString(1)}</p></body></html>")).toSeq
+      val responses = docs.map { r =>
+        (s"https://crawl/doc/${r.getLong(0)}",
+          s"<html><body><p>${r.getString(1)}</p></body></html>")
+      }.toSeq ++ mirror
+      val bytes = Warc.corruptRecord(Warc.write(responses),
+        "https://crawl/doc/7")
+      val bins = s.read.format("binaryFile")
+        .load(fixtureFile("graft_ccnet_", ".warc", bytes))
+      import s.implicits._
+      val pages = bins.select(col("content")).as[Array[Byte]]
+        .flatMap(b => Warc.parse(b))
+        .toDF()
+        .filter(col("warcType") === "response" && col("corrupt").isNull)
+        .select(col("targetUri").as("doc_id"), col("text"))
+      graft.dedup.Dedup.paragraphDedup(pages)
+        .withColumn("n_tokens",
+          size(split(col("text_deduped"), " ")).cast("long"))
+        .filter(col("n_tokens") >= 5)
+        .select(col("doc_id").as("uri"), col("text_deduped"),
+          col("n_kept"), col("n_dropped"), col("n_tokens"))
         .orderBy(col("uri"))
     }),
 
@@ -431,6 +481,42 @@ object SourceQueries {
         |    // len(string_split(text, ' ')) AS BIGINT) AS stop_ppm
         |FROM kept
         |WHERE len(string_split(text, ' ')) >= 5
+        |ORDER BY uri""".stripMargin,
+
+    // Analytic replay of the CCNet funnel: the corrupt doc 7 never
+    // reaches the text stage; keep-first paragraph dedup replays as a
+    // (para)-partitioned row_number ordered by (uri, pos) — the oracle
+    // may use a window, it does not need to scale; reassembly is a
+    // pos-ordered string_agg over the kept chunks; the ≥5-token gate
+    // removes the mirror's empty husk.
+    "s20_ccnet_funnel" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
+        |pages AS (
+        |  SELECT 'https://crawl/doc/' || doc_id AS uri, text
+        |  FROM d WHERE doc_id <> 7
+        |  UNION ALL
+        |  SELECT 'https://mirror/doc/3' AS uri, text FROM d WHERE doc_id = 3),
+        |toks AS (SELECT uri, str_split(text, ' ') AS w FROM pages),
+        |chunks AS (
+        |  SELECT uri, CAST(i AS BIGINT) AS pos,
+        |    array_to_string(list_slice(w, (i - 1) * 16 + 1, i * 16), ' ') AS para
+        |  FROM toks,
+        |    unnest(generate_series(1, CAST(ceil(len(w) / 16.0) AS BIGINT))) AS t(i)),
+        |ranked AS (
+        |  SELECT uri, pos, para,
+        |    row_number() OVER (PARTITION BY para ORDER BY uri, pos) AS rn
+        |  FROM chunks),
+        |dedup AS (
+        |  SELECT uri,
+        |    coalesce(string_agg(para, ' ' ORDER BY pos) FILTER (WHERE rn = 1),
+        |      '') AS text_deduped,
+        |    CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+        |    CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped
+        |  FROM ranked GROUP BY uri)
+        |SELECT uri, text_deduped, n_kept, n_dropped,
+        |  CAST(len(str_split(text_deduped, ' ')) AS BIGINT) AS n_tokens
+        |FROM dedup
+        |WHERE len(str_split(text_deduped, ' ')) >= 5
         |ORDER BY uri""".stripMargin,
 
     // WET round trip: conversion payloads ARE the document text, so the

@@ -11,7 +11,7 @@ class WarcSpec extends AnyFunSuite {
     val bytes = Warc.write(Seq(
       ("https://a/1", "<html><body><p>hello world</p></body></html>"),
       ("https://a/2", "<html><body>second &amp; last</body></html>")))
-    val recs = Warc.parse(bytes)
+    val recs = Warc.parse(bytes).toSeq
     assert(recs.map(_.warcType) === Seq("warcinfo", "response", "response"))
     assert(recs(1).targetUri === "https://a/1")
     assert(recs(1).httpStatus === 200)
@@ -25,7 +25,7 @@ class WarcSpec extends AnyFunSuite {
     // A body containing the magic string must NOT confuse framing —
     // records are walked by declared length, never by scanning.
     val trap = "<html><body>WARC/1.0 looks like a record</body></html>"
-    val recs = Warc.parse(Warc.write(Seq(("https://t/x", trap))))
+    val recs = Warc.parse(Warc.write(Seq(("https://t/x", trap)))).toSeq
     assert(recs.length === 2)
     assert(recs(1).text === "WARC/1.0 looks like a record")
   }
@@ -36,7 +36,7 @@ class WarcSpec extends AnyFunSuite {
       ("https://a/2", "<p>two</p>"),
       ("https://a/3", "<p>three</p>")))
     val broken = Warc.corruptRecord(bytes, "https://a/2")
-    val recs = Warc.parse(broken)
+    val recs = Warc.parse(broken).toSeq
     assert(recs.map(_.warcType) ===
       Seq("warcinfo", "response", "corrupt", "response"))
     assert(recs(1).text === "one")
@@ -58,7 +58,7 @@ class WarcSpec extends AnyFunSuite {
     val bytes = Warc.write(Seq(
       ("https://u/1", "<p>héllo wörld</p>"),
       ("https://u/2", "<p>plain ascii</p>")))
-    val recs = Warc.parse(bytes)
+    val recs = Warc.parse(bytes).toSeq
     assert(recs.map(_.warcType) === Seq("warcinfo", "response", "response"))
     assert(recs(1).text === "héllo wörld")
     assert(recs(2).text === "plain ascii")
@@ -74,13 +74,13 @@ class WarcSpec extends AnyFunSuite {
     val magics = gz.sliding(2).count(p =>
       (p(0) & 0xff) == 0x1f && (p(1) & 0xff) == 0x8b)
     assert(magics === 3, s"expected 3 gzip members, saw $magics")
-    assert(Warc.parseGz(gz) === Warc.parse(w))
+    assert(Warc.parseGz(gz).toSeq === Warc.parse(w).toSeq)
   }
 
   test("truncated file yields a quarantine row, no exception") {
     val bytes = Warc.write(Seq(("https://a/1", "<p>x</p>")))
     val cut = bytes.take(bytes.length / 4)
-    val recs = Warc.parse(cut)
+    val recs = Warc.parse(cut).toSeq
     assert(recs.nonEmpty)
     assert(recs.last.corrupt != null || recs.last.warcType == "warcinfo")
   }
@@ -116,7 +116,7 @@ class WarcSpec extends AnyFunSuite {
         new java.io.ByteArrayInputStream(head),
         new ZeroStream(giantLen),
         new java.io.ByteArrayInputStream(tail))))
-    val recs = Warc.parse(in, 4096)
+    val recs = Warc.parse(in, 4096).toSeq
     assert(recs.map(_.warcType) === Seq("resource", "warcinfo", "response"))
     assert(recs(0).nPayloadBytes === giantLen)
     assert(recs(0).text.length === 4096) // capped prefix, not 3 GB
@@ -138,7 +138,7 @@ class WarcSpec extends AnyFunSuite {
     val lenEnd = s.indexOf("\r", lenAt)
     val hacked = (s.substring(0, lenAt) + "Content-Length: 9999999999" +
       s.substring(lenEnd)).getBytes("ISO-8859-1")
-    val recs = Warc.parse(hacked)
+    val recs = Warc.parse(hacked).toSeq
     assert(recs.map(_.warcType) ===
       Seq("warcinfo", "response", "corrupt", "response"))
     assert(recs(1).text === "one")
@@ -157,7 +157,7 @@ class WarcSpec extends AnyFunSuite {
     val lenEnd = s.indexOf("\r", lenAt)
     val hacked = (s.substring(0, lenAt) + "Content-Length: -7" +
       s.substring(lenEnd)).getBytes("ISO-8859-1")
-    val recs = Warc.parse(hacked)
+    val recs = Warc.parse(hacked).toSeq
     assert(recs.map(_.warcType) ===
       Seq("warcinfo", "response", "corrupt", "response"))
     assert(recs(2).corrupt === "bad_length")
@@ -183,7 +183,7 @@ class WarcSpec extends AnyFunSuite {
     val hacked = (s.substring(0, lenAt) +
       s"Content-Length: ${declared + 40}" +
       s.substring(lenEnd)).getBytes("ISO-8859-1")
-    val recs = Warc.parse(hacked)
+    val recs = Warc.parse(hacked).toSeq
     assert(recs.map(_.warcType) ===
       Seq("warcinfo", "response", "corrupt", "response"))
     assert(recs(2).corrupt === "bad_trailer")
@@ -202,7 +202,7 @@ class WarcSpec extends AnyFunSuite {
     val hacked = (s.substring(0, lenAt) +
       s"Content-Length: ${declared - 10}" +
       s.substring(lenEnd)).getBytes("ISO-8859-1")
-    val recs = Warc.parse(hacked)
+    val recs = Warc.parse(hacked).toSeq
     // The under-declared record quarantines at its trailer; the leftover
     // payload tail degrades to bad_magic; record 2 parses intact.
     assert(recs.exists(_.corrupt == "bad_trailer"))
@@ -227,7 +227,7 @@ class WarcSpec extends AnyFunSuite {
     val hacked = (s.substring(0, lenAt) + "Content-Length: 100000" +
       s.substring(lenEnd)).getBytes("ISO-8859-1")
     val recs = Warc.parse(
-      new java.io.ByteArrayInputStream(hacked), 1024)
+      new java.io.ByteArrayInputStream(hacked), 1024).toSeq
     assert(recs.map(_.warcType) === Seq("warcinfo", "response", "corrupt"))
     assert(recs(2).corrupt === "torn_payload")
   }
@@ -237,7 +237,7 @@ class WarcSpec extends AnyFunSuite {
       ("https://wet/1", "plain extracted text, no tags"),
       ("https://wet/2", "líne with ünïcode and a WARC/1.0 trap"),
       ("https://wet/3", "HTTP/1.1 200 OK looks like a response but is text"))
-    val recs = Warc.parse(Warc.writeWet(texts))
+    val recs = Warc.parse(Warc.writeWet(texts)).toSeq
     assert(recs.map(_.warcType) ===
       Seq("warcinfo", "conversion", "conversion", "conversion"))
     assert(recs.forall(_.corrupt == null))
@@ -248,7 +248,7 @@ class WarcSpec extends AnyFunSuite {
       assert(r.httpStatus === 0)
     }
     // Member-gzip works on WET exactly as on WARC (same container).
-    assert(Warc.parseGz(Warc.gzipMembers(Warc.writeWet(texts))) === recs)
+    assert(Warc.parseGz(Warc.gzipMembers(Warc.writeWet(texts))).toSeq === recs)
   }
 
   test("streaming gz parse never inflates the file whole") {
@@ -258,8 +258,65 @@ class WarcSpec extends AnyFunSuite {
     val big = "word " * 8192 // 40 KiB html body
     val w = Warc.write((1 to 1000).map(i => (s"https://gz/$i", s"<p>$big</p>")))
     val gz = Warc.gzipMembers(w)
-    val recs = Warc.parseGz(new java.io.ByteArrayInputStream(gz))
-    assert(recs === Warc.parse(w))
+    val recs = Warc.parseGz(new java.io.ByteArrayInputStream(gz)).toSeq
+    assert(recs === Warc.parse(w).toSeq)
     assert(recs.length === 1001)
+  }
+
+  test("parse is lazy: records frame on demand, not at call time") {
+    // VERDICT r14 #3: the parsed OUTPUT must never reside whole in one
+    // heap. Pull two records from a 500-record file through a
+    // position-counting stream: the stream must NOT be exhausted — a
+    // whole-file materializer would have read it to EOF on the first pull.
+    // ~8 KB per record / ~4 MB total: the 64 KiB BufferedInputStream
+    // read-ahead stays far below the tenth-of-file laziness bound.
+    val w = Warc.write((1 to 500).map(i =>
+      (s"https://lazy/$i", s"<p>body $i ${"pad " * 2000}</p>")))
+    var consumed = 0L
+    val counting = new java.io.InputStream {
+      private val in = new java.io.ByteArrayInputStream(w)
+      override def read(): Int = { val c = in.read(); if (c >= 0) consumed += 1; c }
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        val n = in.read(b, off, len); if (n > 0) consumed += n; n
+      }
+    }
+    val it = Warc.parse(counting)
+    val first = it.next(); val second = it.next()
+    assert(first.warcType === "warcinfo")
+    assert(second.targetUri === "https://lazy/1")
+    assert(consumed < w.length / 10,
+      s"consumed $consumed of ${w.length} bytes after 2 of 501 records — not lazy")
+    assert(it.size === 499) // the rest still arrives
+  }
+
+  test("single-CRLF separator (lenient writer): records kept, flagged, not lost") {
+    // ADVICE r14: a writer separating records with one CRLF instead of
+    // CRLF CRLF has every payload fully framed — strict bad_trailer
+    // quarantine would zero EVERY record's text. The parser keeps each
+    // record (payload intact) flagged lenient_trailer; the final record
+    // (trailer cut by EOF) stays clean per the EOF-truncation rule.
+    val strict = new String(Warc.write(Seq(
+      ("https://len/1", "<p>one</p>"),
+      ("https://len/2", "<p>two</p>"),
+      ("https://len/3", "<p>three</p>"))), "ISO-8859-1")
+    val lenient = strict.replace("\r\n\r\nWARC/1.0\r\n", "\r\nWARC/1.0\r\n")
+      .getBytes("ISO-8859-1")
+    val recs = Warc.parse(lenient).toSeq
+    assert(recs.map(_.warcType) ===
+      Seq("warcinfo", "response", "response", "response"))
+    assert(recs.map(_.text).drop(1) === Seq("one", "two", "three"))
+    assert(recs.init.forall(_.corrupt == "lenient_trailer"))
+    // Garbage between records is still a genuine framing break, never
+    // rescued by leniency (trailer bytes are neither CRLFCRLF nor
+    // CRLF+magic): the last separator becomes "\r\nJ\r\n" — the swallowed
+    // record quarantines (bad_trailer), the junk degrades to bad_magic,
+    // and the following record still parses clean after resync.
+    val at = strict.lastIndexOf("\r\n\r\nWARC/1.0\r\n")
+    val garbage = (strict.substring(0, at) + "\r\nJ" +
+      strict.substring(at + 2)).getBytes("ISO-8859-1")
+    val g = Warc.parse(garbage).toSeq
+    assert(g.exists(_.corrupt == "bad_trailer"))
+    assert(g.exists(r => r.corrupt != null && r.corrupt.startsWith("bad_magic")))
+    assert(g.exists(r => r.targetUri == "https://len/3" && r.corrupt == null))
   }
 }
