@@ -237,13 +237,20 @@ object ServingFusion {
     import spark.implicits._
     val alpha = if (alpha0 < 0 || alpha0 > 1) 0.5 else alpha0
 
+    // The two input legs are independent jobs — the ANN leg (vecTop is
+    // usually an un-materialized probe-pruned scan) runs CONCURRENTLY
+    // with the query-token collect instead of after it, shaving one
+    // serial job round-trip off every call (most visible at batch size
+    // 1, where job latency is the whole cost).
+    val vFut = scala.concurrent.Future(vecTop
+      .select(col("qid").cast("long"), col(idCol).cast("long"),
+        col("distance").cast("double"))
+      .collect())(scala.concurrent.ExecutionContext.global)
     val qrows = qTokens
       .select(col("qid").cast("long"), col("token"), col("qn").cast("int"))
       .collect()
-    val vrows = vecTop
-      .select(col("qid").cast("long"), col(idCol).cast("long"),
-        col("distance").cast("double"))
-      .collect()
+    val vrows = scala.concurrent.Await.result(vFut,
+      scala.concurrent.duration.Duration.Inf)
     val qids = (qrows.map(_.getLong(0)) ++ vrows.map(_.getLong(0)))
       .distinct.sorted
     val qIndex = qids.zipWithIndex.toMap
