@@ -79,9 +79,11 @@ object Bench {
     val annOnly = args.sameElements(Array("ann"))
     val fusionOnly = args.sameElements(Array("fusion"))
     val binaryOnly = args.sameElements(Array("binary"))
+    // "l2" = ONLY the SIFT-1M squared-L2 section (family-tuning iteration).
+    val l2Only = args.sameElements(Array("l2"))
     val qs0 = SparkEntry.queries.toSeq.sortBy(_._1)
     val qs =
-      if (annOnly || fusionOnly || binaryOnly) Seq.empty
+      if (annOnly || fusionOnly || binaryOnly || l2Only) Seq.empty
       else if (args.isEmpty) qs0
       else qs0.filter { case (n, _) => args.contains(n) }
 
@@ -419,7 +421,7 @@ object Bench {
     // clustered-synthetic recipe, NOT normalized — L2 exercises the metric
     // dispatch through KMeans assignment, probe ranking, and the serving
     // kernel's fused dot+normsq loop.
-    val annL2H: Option[AnnHandle] = if (args.nonEmpty && !annOnly) None else try {
+    val annL2H: Option[AnnHandle] = if (args.nonEmpty && !annOnly && !l2Only) None else try {
       import org.apache.spark.sql.Column
       import org.apache.spark.sql.functions._
       import graft.search.{Ivf, VectorSearch}

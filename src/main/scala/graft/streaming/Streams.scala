@@ -265,6 +265,50 @@ object Streams {
       .withColumn("keep", col("dsir_weight") > threshold)
   }
 
+  /** Streaming CCNet paragraph gate — the ingest-time twin of d13
+    * ([[graft.dedup.Dedup.paragraphDedup]]): arriving docs chunk into
+    * fixed `chunkTokens`-token paragraphs in-row, each paragraph's FIRST
+    * ARRIVAL wins (`dropDuplicatesWithinWatermark` keyed on the paragraph
+    * text — a stream has no global (doc_id, pos) order, so first-seen IS
+    * the CCNet keep-first rule at ingest), and each doc reassembles from
+    * its surviving chunks in a per-window aggregation. Two stateful
+    * operators chained (dedup state → windowed agg), both
+    * watermark-bounded: paragraph state evicts past `lateness`, window
+    * state emits (append) once the watermark passes the window end. A doc
+    * whose every paragraph was already seen emits NOTHING (there are no
+    * surviving rows to reassemble) — the streaming analogue of d13's
+    * empty `text_deduped`. On a batch frame the call degrades to the
+    * deterministic d13 operator itself (keep-first by (doc_id, pos)).
+    */
+  def paragraphGateStream(docs: DataFrame, textCol: String,
+      eventTimeCol: String, lateness: String = "1 hour",
+      windowSize: String = "10 minutes", chunkTokens: Int = 16): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    if (!docs.isStreaming)
+      return Dedup.paragraphDedup(
+        docs.select(col("doc_id"), col(textCol)), textCol, chunkTokens)
+    val chunks = docs
+      .select(col("doc_id"), col(eventTimeCol), split(col(textCol), " ").as("w"))
+      .select(col("doc_id"), col(eventTimeCol),
+        ceil(size(col("w")) / chunkTokens.toDouble).cast("long").as("n_total"),
+        posexplode(expr(
+          s"transform(sequence(1, cast(ceil(size(w) / $chunkTokens.0) as int)), " +
+            s"i -> array_join(slice(w, (i - 1) * $chunkTokens + 1, $chunkTokens), ' '))")))
+      .select(col("doc_id"), col(eventTimeCol), col("n_total"),
+        (col("pos") + 1).cast("long").as("pos"), col("col").as("para"))
+    chunks.withWatermark(eventTimeCol, lateness)
+      .dropDuplicatesWithinWatermark("para")
+      .groupBy(window(col(eventTimeCol), windowSize), col("doc_id"))
+      .agg(
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(pos, para))), x -> x.para)"),
+          " ").as("text_deduped"),
+        count(lit(1)).as("n_kept"),
+        (max(col("n_total")) - count(lit(1))).as("n_dropped"))
+      .select(col("doc_id"), col("text_deduped"), col("n_kept"),
+        col("n_dropped"))
+  }
+
   def dedupStream(docs: DataFrame, textCol: String, eventTimeCol: String,
       lateness: String = "1 hour"): DataFrame = {
     val hashed = docs.withColumn("content_hash", sha2(col(textCol), 256))

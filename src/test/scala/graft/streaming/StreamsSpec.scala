@@ -257,6 +257,53 @@ class StreamsSpec extends SparkSpec {
     assert(Streams.dedupStream(batch, "text", "ts").count() == 2)
   }
 
+  test("streaming paragraph gate: first arrival wins across batches, " +
+      "docs reassemble from surviving chunks") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = Streams.paragraphGateStream(
+      ms.toDF.toDF("doc_id", "text", "ts"), "text", "ts",
+      lateness = "10 seconds", windowSize = "1 minute", chunkTokens = 2)
+    val q = out.writeStream.format("memory").queryName("para_gate")
+      .outputMode("append").start()
+    try {
+      // Batches are the stream's arrival order — every collision here is
+      // CROSS-batch, so the survivor is determined by state, never by
+      // intra-batch shuffle order.
+      ms.addData((1L, "a b c d", t(0))) // ("a b")("c d") both fresh
+      q.processAllAvailable()
+      ms.addData((2L, "a b x y", t(1))) // "a b" suppressed, "x y" fresh
+      q.processAllAvailable()
+      // doc 3 re-uses "c d" (suppressed by state) + fresh "z w"; doc 4 is
+      // a full re-occurrence — every chunk seen — and must emit nothing.
+      ms.addData((3L, "c d z w", t(5)), (4L, "a b c d", t(6)))
+      q.processAllAvailable()
+      // Flush: push the watermark past the first window's end.
+      ms.addData((99L, "flush flush", t(600)))
+      q.processAllAvailable()
+      val rows = spark.table("para_gate")
+        .filter(col("doc_id") < 99)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+      assert(rows.toSeq == Seq(
+        (1L, "a b c d", 2L, 0L),
+        (2L, "x y", 1L, 1L),
+        (3L, "z w", 1L, 1L))) // doc 4 absent: nothing survived
+    } finally q.stop()
+
+    // Batch degradation IS d13 (deterministic keep-first by (doc_id, pos)).
+    val batch = Seq((1L, "a b c d", t(0)), (2L, "a b x y", t(1)))
+      .toDF("doc_id", "text", "ts")
+    val got = Streams.paragraphGateStream(batch, "text", "ts", chunkTokens = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a b c d"), (2L, "x y")))
+  }
+
   test("streaming near-dup: stream == batch, fingerprint == TextPipeline's") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
