@@ -442,11 +442,20 @@ object Bench {
       queries.count()
       val tb = System.nanoTime()
       // Build budget is enormous vs the reference (it spends 481 s indexing
-      // SIFT-1M; our whole build is ~15 s) — spend some of it on centroid
-      // quality: a 16× denser training sample and 8 Lloyd iterations buy
-      // recall per probe at serving time for free.
+      // SIFT-1M; our whole build is ~20 s) — spend some of it on centroid
+      // quality: a 125k-vector training sample (1/8th) and 16 Lloyd
+      // iterations buy recall per probe at serving time. Measured r15
+      // (`Bench l2` knob sweep, recall is host-independent): vs the old
+      // 1/16th+8-iter build, recall@10 at np=32 rises 0.9735 → 0.9925 —
+      // past the 0.9906 baseline bar — so the recall-matched pick drops
+      // from np=48 to np=32 (~9% QPS at equal machine speed) with build
+      // still ~25× faster than the reference's. nlist stays √N (the K
+      // sweep showed ≤1.2× at the bar for ~linear build growth — see
+      // COVERAGE).
+      val l2Iters = sys.env.getOrElse("SPARK_GRAFT_ANN_L2_ITERS", "16").toInt
+      val l2Mod = sys.env.getOrElse("SPARK_GRAFT_ANN_L2_SAMPLE_MOD", "8").toInt
       val cents = Ivf.trainKMeansArrays(
-        emb.filter(col("id") % 16 === 0), K, iters = 8, metric = "l2")
+        emb.filter(col("id") % l2Mod === 0), K, iters = l2Iters, metric = "l2")
       val assigned = Ivf.assignFast(emb, cents, metric = "l2").cache()
       assigned.count()
       val serving = Ivf.servingIndex(assigned).cache()
@@ -455,7 +464,7 @@ object Bench {
       val buildSec = replausible("ann_l2.build_sec",
           (System.nanoTime() - tb) / 1e9)(timeIt {
         val c2 = Ivf.trainKMeansArrays(
-          emb.filter(col("id") % 16 === 0), K, iters = 8, metric = "l2")
+          emb.filter(col("id") % l2Mod === 0), K, iters = l2Iters, metric = "l2")
         val a2 = Ivf.assignFast(emb, c2, metric = "l2").cache()
         a2.count()
         val s2 = Ivf.servingIndex(a2).cache()
