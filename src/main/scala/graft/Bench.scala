@@ -229,8 +229,11 @@ object Bench {
       // Build: sampled KMeans (25k vectors) + one full primitive-array
       // assignment pass — the index build the reference times separately.
       val tb = System.nanoTime()
+      // ITERS/SAMPLE knobs for family tuning, like the l2 section's.
+      val cIters = sys.env.getOrElse("SPARK_GRAFT_ANN_ITERS", "4").toInt
+      val cMod = sys.env.getOrElse("SPARK_GRAFT_ANN_SAMPLE_MOD", "16").toInt
       val cents = Ivf.trainKMeansArrays(
-        emb.filter(col("id") % 16 === 0), K, iters = 4)
+        emb.filter(col("id") % cMod === 0), K, iters = cIters)
       val assigned = Ivf.assignFast(emb, cents).cache()
       assigned.count()
       val serving = Ivf.servingIndex(assigned).cache()
@@ -242,7 +245,7 @@ object Bench {
       val buildSec = replausible("ann.build_sec",
           (System.nanoTime() - tb) / 1e9)(timeIt {
         val c2 = Ivf.trainKMeansArrays(
-          emb.filter(col("id") % 16 === 0), K, iters = 4)
+          emb.filter(col("id") % cMod === 0), K, iters = cIters)
         val a2 = Ivf.assignFast(emb, c2).cache()
         a2.count()
         val s2 = Ivf.servingIndex(a2).cache()
@@ -652,8 +655,10 @@ object Bench {
           .select(col("id").as("qid"), vec(col("id"), "qnz").as("qvec")).cache()
         queries.count()
         private val tb = System.nanoTime()
+        private val hiIters = sys.env.getOrElse("SPARK_GRAFT_ANN_HI_ITERS", "8").toInt
+        private val hiMod = sys.env.getOrElse("SPARK_GRAFT_ANN_HI_SAMPLE_MOD", "8").toInt
         private val cents = Ivf.trainKMeansArrays(
-          emb.filter(col("id") % 8 === 0), kC, iters = 8)
+          emb.filter(col("id") % hiMod === 0), kC, iters = hiIters)
         private val assigned = Ivf.assignFast(emb, cents).cache()
         assigned.count()
         private val serving = Ivf.servingIndex(assigned).cache()
@@ -661,7 +666,7 @@ object Bench {
         val buildSec = replausible(s"ann_hidim$dim.build_sec",
             (System.nanoTime() - tb) / 1e9)(timeIt {
           val c2 = Ivf.trainKMeansArrays(
-            emb.filter(col("id") % 8 === 0), kC, iters = 8)
+            emb.filter(col("id") % hiMod === 0), kC, iters = hiIters)
           val a2 = Ivf.assignFast(emb, c2).cache()
           a2.count()
           val s2 = Ivf.servingIndex(a2).cache()
