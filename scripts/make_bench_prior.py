@@ -10,7 +10,12 @@ artifact is written. Refresh it from each committed clean run:
 
 With several artifacts, the per-key MIN is kept — the fastest committed
 time is the right "plausible" reference (a slow-host epoch can only
-inflate times, never deflate them).
+inflate times, never deflate them). IMPORTANT: pass only artifacts
+produced by the CURRENT build configuration — min can never move a
+prior back UP, so feeding a superseded config's faster build time
+(e.g. a pre-quality-fix index build) makes the guard re-time every
+legitimately-slower build forever. After a deliberate cost change,
+regenerate from the new config's runs alone.
 """
 import json
 import sys

@@ -110,11 +110,15 @@ object Bench {
     }
     // Query-section implausibility re-measure (VERDICT r14 #4): min-of-2
     // survives a slow-host epoch covering both reps; the prior-round
-    // artifact is the outside reference that catches it.
+    // artifact is the outside reference that catches it. A crash during
+    // an extra rep marks the query flaky (same policy as the main reps —
+    // replausible's containment keeps the best clean time, but the
+    // artifact must not publish the query as clean).
     for ((name, fn) <- qs if !crashed(name) && best(name) < Double.MaxValue)
       best(name) = replausible(name, best(name)) {
         val t0 = System.nanoTime()
-        execute(fn)
+        try execute(fn)
+        catch { case e: Throwable => crashed += name; throw e }
         (System.nanoTime() - t0) / 1e9
       }
     val results = qs.map { case (name, _) =>

@@ -242,13 +242,24 @@ object ServingFusion {
     // with the query-token collect instead of after it, shaving one
     // serial job round-trip off every call (most visible at batch size
     // 1, where job latency is the whole cost).
-    val vFut = scala.concurrent.Future(vecTop
+    // `blocking` marks the collect for ForkJoinPool's managed-blocking
+    // compensation: N concurrent fusedTopK callers must not pin all of
+    // global's workers and serialize each other's ANN legs — the exact
+    // load this overlap exists for.
+    val vFut = scala.concurrent.Future(scala.concurrent.blocking(vecTop
       .select(col("qid").cast("long"), col(idCol).cast("long"),
         col("distance").cast("double"))
-      .collect())(scala.concurrent.ExecutionContext.global)
-    val qrows = qTokens
-      .select(col("qid").cast("long"), col("token"), col("qn").cast("int"))
-      .collect()
+      .collect()))(scala.concurrent.ExecutionContext.global)
+    val qrows =
+      try qTokens
+        .select(col("qid").cast("long"), col("token"), col("qn").cast("int"))
+        .collect()
+      catch { case e: Throwable =>
+        // Don't orphan the in-flight ANN job if the token leg fails.
+        scala.concurrent.Await.ready(vFut,
+          scala.concurrent.duration.Duration.Inf)
+        throw e
+      }
     val vrows = scala.concurrent.Await.result(vFut,
       scala.concurrent.duration.Duration.Inf)
     val qids = (qrows.map(_.getLong(0)) ++ vrows.map(_.getLong(0)))

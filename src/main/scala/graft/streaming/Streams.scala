@@ -304,7 +304,14 @@ object Streams {
           "transform(array_sort(collect_list(struct(pos, para))), x -> x.para)"),
           " ").as("text_deduped"),
         count(lit(1)).as("n_kept"),
-        (max(col("n_total")) - count(lit(1))).as("n_dropped"))
+        // A doc_id re-arriving with DIFFERENT text inside one window
+        // merges into this row (stream semantics: the id is the key);
+        // max(n_total) then undercounts the union, so the difference is
+        // floored — n_dropped stays exact for the well-formed one-doc-
+        // per-(id, window) case and degrades to a lower bound, never a
+        // negative, under id reuse.
+        greatest(lit(0L), max(col("n_total")) - count(lit(1)))
+          .as("n_dropped"))
       .select(col("doc_id"), col("text_deduped"), col("n_kept"),
         col("n_dropped"))
   }
