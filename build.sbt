@@ -34,5 +34,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32g default (Xmx is a cap, not a reservation; the bench host has
+  // 128 GiB): at 8g the 4096-query fusion plan-batch is GC-bound ~2x
+  // slower while every small query looks normal — a masquerading "plan
+  // regression" that cost an afternoon in r15. Override with
+  // SPARK_DRIVER_MEM for constrained hosts.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )
