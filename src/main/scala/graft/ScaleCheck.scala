@@ -65,6 +65,10 @@ object ScaleCheck {
     // in-memory trainer — the 10× ratio isolates the word-table scan,
     // since the 256 merge rounds cost zero Spark jobs.
     "x34_dsir", "x36_lm_surprisal", "x35_bpe_merges", "x35_bpe_merges_256",
+    // x39 (r15): x36's surprisal joins plus the per-language tercile
+    // thresholds — the threshold buffer is the ≤25k-per-language capped
+    // sample, so only the surprisal stage sees the 10× corpus.
+    "x39_ccnet_ppl_buckets",
     // x37 re-trains + applies (the apply scan dominates at scale); x38 is
     // pure per-row column math — the zero-shuffle scan contrast; v26 is
     // IVF retrieval + pool-bounded MMR rounds, so the retrieval stage is

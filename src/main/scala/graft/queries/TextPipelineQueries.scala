@@ -16,6 +16,40 @@ import graft.text.TextPipeline
   */
 object TextPipelineQueries {
 
+  /** x36's per-document bigram-LM surprisal — (doc_id, n_bigrams,
+    * surprisal_bits, mean_milli), all integers (floor-log2 bits of the
+    * add-smoothed inverse probability, so no transcendental enters the
+    * hash compare). Shared by x36 (corpus-mean keep cut) and x39 (CCNet
+    * per-language perplexity buckets). LM slice = doc_id % 5 = 0. Shape
+    * at 100 TB: corpus-scaling LM tables ride KEYED joins (never
+    * broadcast); V is a broadcast 1-row aggregate.
+    */
+  private def perDocSurprisal(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val bg = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("ts"), lit(1), size(col("ts")) - 1),
+        slice(col("ts"), lit(2), size(col("ts")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val lm = bg.filter(col("doc_id") % 5 === 0)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val uni = lm.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val v = docs.filter(col("doc_id") % 5 === 0)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .agg(countDistinct(col("t")).as("nv"))
+    val sc = bg.crossJoin(broadcast(v))
+      .join(lm, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .withColumn("bits",
+        (length(bin(expr("(coalesce(c1, 0) + nv) div (coalesce(c12, 0) + 1)"))) - 1)
+          .cast("long"))
+    sc.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("surprisal_bits"))
+      .withColumn("mean_milli", expr("(1000 * surprisal_bits) div n_bigrams"))
+  }
+
   /** lang-keyed stopword injection, ×3 so the injected language outscores
     * the English base-vocabulary hits.
     */
@@ -186,34 +220,50 @@ object TextPipelineQueries {
     // split handles it), one per-doc agg; V and the corpus mean ride
     // broadcast 1-row aggregates.
     "x36_lm_surprisal" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val bg = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
-        .filter(size(col("ts")) >= 2)
-        .select(col("doc_id"), explode(zip_with(
-          slice(col("ts"), lit(1), size(col("ts")) - 1),
-          slice(col("ts"), lit(2), size(col("ts")) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
-        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-      val lm = bg.filter(col("doc_id") % 5 === 0)
-        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-      val uni = lm.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
-      val v = docs.filter(col("doc_id") % 5 === 0)
-        .select(explode(split(col("text"), " ")).as("t"))
-        .agg(countDistinct(col("t")).as("nv"))
-      val sc = bg.crossJoin(broadcast(v))
-        .join(lm, Seq("w1", "w2"), "left")
-        .join(uni, Seq("w1"), "left")
-        .withColumn("bits",
-          (length(bin(expr("(coalesce(c1, 0) + nv) div (coalesce(c12, 0) + 1)"))) - 1)
-            .cast("long"))
-      val per = sc.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("surprisal_bits"))
-        .withColumn("mean_milli", expr("(1000 * surprisal_bits) div n_bigrams"))
+      val per = perDocSurprisal(Tables.documents(s, dir))
       val corp = per.agg(
         expr("(1000 * sum(surprisal_bits)) div sum(n_bigrams)").as("cm"))
       per.crossJoin(broadcast(corp))
         .select(col("doc_id"), col("n_bigrams"), col("surprisal_bits"),
           col("mean_milli"), (col("mean_milli") <= col("cm")).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // X39: CCNet's perplexity-bucket partitioning (arXiv:1911.00359 §3.2
+    // — "head/middle/tail" per language), completing the CCNet trilogy
+    // (paragraph dedup d13/s20, LM scoring x36, this bucketing): each
+    // language's docs split at the terciles of their x36 surprisal
+    // (mean_milli — integer, so both engines agree bit-for-bit), head =
+    // lowest perplexity. Thresholds are EXACT k-th order statistics over
+    // a deterministic ≤25k-smallest-doc_id sample per language (the
+    // Quantizer.train precedent): the per-language sorted buffer is
+    // bounded no matter the corpus, where a per-language ntile window
+    // would sort every doc of one language in one task at 100 TB. Sample
+    // selection itself is the bounded TopK aggregate (map-side partials).
+    // Buckets then ride one broadcast join (n_languages rows).
+    "x39_ccnet_ppl_buckets" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val per = perDocSurprisal(docs)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      val sampleIds = per
+        .groupBy(col("lang"))
+        .agg(graft.functions.TopK.topK(
+          col("doc_id"), col("doc_id").cast("double"), 25000).as("_tk"))
+        .select(col("lang"), explode(col("_tk")).as("_e"))
+        .select(col("lang"), col("_e.id").as("doc_id"))
+      val thr = per.join(sampleIds, Seq("doc_id", "lang"))
+        .groupBy(col("lang"))
+        .agg(sort_array(collect_list(col("mean_milli"))).as("ms"))
+        .select(col("lang"),
+          element_at(col("ms"),
+            ceil(size(col("ms")) / 3.0).cast("int")).as("t1"),
+          element_at(col("ms"),
+            ceil(size(col("ms")) * 2 / 3.0).cast("int")).as("t2"))
+      per.join(broadcast(thr), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("mean_milli"),
+          when(col("mean_milli") <= col("t1"), "head")
+            .when(col("mean_milli") <= col("t2"), "middle")
+            .otherwise("tail").as("ppl_bucket"))
         .orderBy(col("doc_id"))
     }),
 
@@ -809,6 +859,54 @@ object TextPipelineQueries {
         |SELECT doc_id, n_bigrams, surprisal_bits, mean_milli,
         |  mean_milli <= cm AS keep
         |FROM per CROSS JOIN corp ORDER BY doc_id""".stripMargin,
+
+    // Same surprisal chain as x36, then CCNet's per-language tercile
+    // buckets: thresholds = exact k-th order statistics over the
+    // ≤25k-smallest-doc_id sample per language (the cap replicated via a
+    // row_number window — the oracle does not need to scale), bucket by
+    // integer mean_milli against the integer thresholds.
+    "x39_ccnet_ppl_buckets" ->
+      """WITH tok AS (
+        |  SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
+        |bg AS (
+        |  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+        |  FROM tok, unnest(range(1, len(ts))) t(i)),
+        |lm AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |       FROM bg WHERE doc_id % 5 = 0 GROUP BY 1, 2),
+        |uni AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM lm GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS nv
+        |      FROM (SELECT unnest(ts) AS t FROM tok WHERE doc_id % 5 = 0)),
+        |sc AS (
+        |  SELECT bg.doc_id,
+        |    CAST(length(bin((COALESCE(uni.c1, 0) + v.nv) //
+        |      (COALESCE(lm.c12, 0) + 1))) - 1 AS BIGINT) AS bits
+        |  FROM bg CROSS JOIN v
+        |  LEFT JOIN lm ON bg.w1 = lm.w1 AND bg.w2 = lm.w2
+        |  LEFT JOIN uni ON bg.w1 = uni.w1),
+        |per AS (
+        |  SELECT doc_id,
+        |    CAST((1000 * sum(bits)) // count(*) AS BIGINT) AS mean_milli
+        |  FROM sc GROUP BY doc_id),
+        |pl AS (
+        |  SELECT per.doc_id, d.lang, per.mean_milli
+        |  FROM per JOIN documents d ON per.doc_id = d.doc_id),
+        |samp AS (
+        |  SELECT * FROM (
+        |    SELECT pl.*, row_number() OVER (
+        |      PARTITION BY lang ORDER BY doc_id) AS rn FROM pl)
+        |  WHERE rn <= 25000),
+        |thr AS (
+        |  SELECT lang,
+        |    ms[CAST(ceil(len(ms) / 3.0) AS BIGINT)] AS t1,
+        |    ms[CAST(ceil(len(ms) * 2 / 3.0) AS BIGINT)] AS t2
+        |  FROM (SELECT lang, list_sort(list(mean_milli)) AS ms
+        |        FROM samp GROUP BY lang))
+        |SELECT pl.doc_id, pl.lang, pl.mean_milli,
+        |  CASE WHEN pl.mean_milli <= thr.t1 THEN 'head'
+        |       WHEN pl.mean_milli <= thr.t2 THEN 'middle'
+        |       ELSE 'tail' END AS ppl_bucket
+        |FROM pl JOIN thr ON pl.lang = thr.lang
+        |ORDER BY pl.doc_id""".stripMargin,
 
     "x32_token_fertility" ->
       """WITH d AS (
