@@ -316,6 +316,54 @@ object Streams {
         col("n_dropped"))
   }
 
+  /** Streaming LM-surprisal gate — x36's CCNet scoring at INGEST time,
+    * completing the ingest-gate family (exact dedup, near-dup, paragraph,
+    * DSIR, this): arriving docs score against a FROZEN bigram LM — the
+    * `lm (w1,w2,c12)` / `uni (w1,c1)` tables are offline-trained
+    * artifacts, exactly like the IVF centroids `ivfIngest` freezes — and
+    * keep iff their mean surprisal (x36's integer floor-log2 bits) is at
+    * or below `cutMilli` (offline-calibrated, e.g. x36's corpus mean or
+    * an x39 tercile threshold). Shape: the LM tables scale with the
+    * corpus so they ride STREAM-STATIC equi-joins (stateless — no
+    * broadcast of a corpus-scaled table, no state); the only stateful
+    * operator is the per-(window, doc) re-aggregation of the exploded
+    * bigrams, watermark-bounded. Batch frames degrade to the plain
+    * per-doc aggregation (x36's `per` shape with an external cut).
+    */
+  def surprisalGateStream(docs: DataFrame, textCol: String,
+      eventTimeCol: String, lm: DataFrame, uni: DataFrame, nv: Long,
+      cutMilli: Long, lateness: String = "1 hour",
+      windowSize: String = "10 minutes"): DataFrame = {
+    require(nv >= 1, s"vocabulary size must be >= 1, got $nv")
+    val bg = docs
+      .select(col("doc_id"), col(eventTimeCol), split(col(textCol), " ").as("_w"))
+      .filter(size(col("_w")) >= 2)
+      .select(col("doc_id"), col(eventTimeCol), explode(zip_with(
+        slice(col("_w"), lit(1), size(col("_w")) - 1),
+        slice(col("_w"), lit(2), size(col("_w")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("doc_id"), col(eventTimeCol),
+        col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val sc = bg
+      .join(lm, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .withColumn("bits",
+        (length(bin(expr(
+          s"(coalesce(c1, 0) + ${nv}L) div (coalesce(c12, 0) + 1)"))) - 1)
+          .cast("long"))
+    val grouped =
+      if (docs.isStreaming)
+        sc.withWatermark(eventTimeCol, lateness)
+          .groupBy(window(col(eventTimeCol), windowSize), col("doc_id"))
+      else sc.groupBy(col("doc_id"))
+    grouped
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("surprisal_bits"))
+      .withColumn("mean_milli", expr("(1000 * surprisal_bits) div n_bigrams"))
+      .withColumn("keep", col("mean_milli") <= cutMilli)
+      .select(col("doc_id"), col("n_bigrams"), col("surprisal_bits"),
+        col("mean_milli"), col("keep"))
+  }
+
   def dedupStream(docs: DataFrame, textCol: String, eventTimeCol: String,
       lateness: String = "1 hour"): DataFrame = {
     val hashed = docs.withColumn("content_hash", sha2(col(textCol), 256))

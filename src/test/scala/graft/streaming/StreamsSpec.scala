@@ -304,6 +304,54 @@ class StreamsSpec extends SparkSpec {
     assert(got == Set((1L, "a b c d"), (2L, "x y")))
   }
 
+  test("streaming surprisal gate: hand-computed bits, stream == batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+
+    // Frozen LM trained on "a b a b": bigram counts (a,b)=2, (b,a)=1;
+    // unigram heads a=2, b=1; vocabulary {a, b} → nv=2. x36's bits
+    // formula: floor(log2((c1 + nv) div (c12 + 1))).
+    val lm = Seq(("a", "b", 2L), ("b", "a", 1L)).toDF("w1", "w2", "c12")
+    val uni = Seq(("a", 2L), ("b", 1L)).toDF("w1", "c1")
+    // doc 0 "a b a b": (a,b) 4div3=1→0 bits, (b,a) 3div2=1→0, (a,b) 0
+    //   → mean_milli 0, keep.
+    // doc 1 "a b c d": (a,b) 0 bits, (b,c) 3div1=3→1, (c,d) 2div1=2→1
+    //   → 2 bits / 3 → mean_milli 666, keep (cut 700).
+    // doc 2 "x y x y": all unseen → 1+1+1 → mean_milli 1000, dropped.
+    val docsB = Seq((0L, "a b a b", t(0)), (1L, "a b c d", t(1)),
+      (2L, "x y x y", t(2))).toDF("doc_id", "text", "ts")
+    val expect = Set(
+      (0L, 3L, 0L, 0L, true),
+      (1L, 3L, 2L, 666L, true),
+      (2L, 3L, 3L, 1000L, false))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    val batchOut = Streams.surprisalGateStream(
+      docsB, "text", "ts", lm, uni, nv = 2L, cutMilli = 700L)
+    assert(rows(batchOut) == expect)
+
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = Streams.surprisalGateStream(
+      ms.toDF.toDF("doc_id", "text", "ts"), "text", "ts", lm, uni,
+      nv = 2L, cutMilli = 700L,
+      lateness = "10 seconds", windowSize = "1 minute")
+    val q = out.writeStream.format("memory").queryName("ppl_gate")
+      .outputMode("append").start()
+    try {
+      ms.addData((0L, "a b a b", t(0)), (1L, "a b c d", t(1)))
+      q.processAllAvailable()
+      ms.addData((2L, "x y x y", t(2)))
+      q.processAllAvailable()
+      ms.addData((99L, "flush flush", t(600))) // push the watermark
+      q.processAllAvailable()
+      val got = rows(spark.table("ppl_gate").filter(col("doc_id") < 99))
+      assert(got == expect, got)
+    } finally q.stop()
+  }
+
   test("streaming near-dup: stream == batch, fingerprint == TextPipeline's") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
