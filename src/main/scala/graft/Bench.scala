@@ -863,6 +863,42 @@ object Bench {
         def run1s(): Unit = runServed(q1, qt1)
         run1s()
         val sec1 = Seq.fill(5)(timeIt(run1s())).min
+        // COMBINED one-job serving (VERDICT r14 stretch): each partition
+        // holds its docs' postings, decay factors AND bucket-major vector
+        // blocks, so the whole fused query — both legs plus hydration —
+        // is ONE mapPartitions job; queries are driver-resident by
+        // contract (they originate at the driver in a serving path), so
+        // the per-call collect jobs disappear too. State built untimed,
+        // like every serving state table.
+        val combined = graft.search.ServingFusion.buildCombined(
+          table.select(col("doc_id")), post, "doc_id",
+          assigned.select(col("id").as("doc_id"), col("vector"),
+            col("bucket")),
+          Fusion.decayFrame(table, "doc_id", params),
+          prebuiltDocLengths = Some(dls), prebuiltTokenDf = Some(tdf))
+          .cache()
+        combined.count()
+        val sqAll: Seq[graft.search.ServingFusion.ServedQuery] = {
+          val vecByQ = qsN.collect()
+            .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+          val toksByQ = qTokens.collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getLong(2).toInt))
+            .groupBy(_._1)
+          vecByQ.keys.toSeq.sorted.map { qid =>
+            graft.search.ServingFusion.ServedQuery(qid, vecByQ(qid),
+              toksByQ.getOrElse(qid, Array.empty).map(x => (x._2, x._3)))
+          }
+        }
+        def runC(qs: Seq[graft.search.ServingFusion.ServedQuery]): Unit =
+          graft.search.ServingFusion.fusedTopKCombined(combined, cents, qs,
+            params.alpha, params.k, nProbe = 8, kVec = 10)
+        runC(sqAll) // warm
+        val secC = Seq.fill(3)(timeIt(runC(sqAll))).min
+        val sq1 = sqAll.filter(_.qid == 0L)
+        def run1c(): Unit = runC(sq1)
+        run1c()
+        val sec1c = Seq.fill(5)(timeIt(run1c())).min
+        combined.unpersist()
         q1.unpersist(); qt1.unpersist()
         assigned.unpersist(); serving.unpersist(); qsN.unpersist()
         qTokens.unpersist(); dls.unpersist(); tdf.unpersist()
@@ -872,7 +908,10 @@ object Bench {
           s""""fused_qps":${c1(nq / sec)},"batch_sec":${r3(sec)},""" +
           s""""fused_qps_served":${c1(nq / secServed)},""" +
           s""""batch_served_sec":${r3(secServed)},""" +
+          s""""fused_qps_combined":${c1(nq / secC)},""" +
+          s""""batch_combined_sec":${r3(secC)},""" +
           s""""single_query_fused_sec":${r3(sec1)},""" +
+          s""""single_query_combined_sec":${r3(sec1c)},""" +
           s""""single_query_plan_sec":${r3(sec1plan)}}"""
       }
 
@@ -1241,9 +1280,14 @@ object Bench {
           .map(p => s""","fused_qps":{"sf":${p._1},"synthetic":${p._2}}""")
         val served = two("fused_qps_served")
           .map(p => s""","fused_qps_served":{"sf":${p._1},"synthetic":${p._2}}""")
+        val comb = two("fused_qps_combined")
+          .map(p => s""","fused_qps_combined":{"sf":${p._1},"synthetic":${p._2}}""")
         val single = two("single_query_fused_sec")
           .map(p => s""","single_query_fused_sec":{"sf":${p._1},"synthetic":${p._2}}""")
-        (plan.toSeq ++ served.toSeq ++ single.toSeq).mkString
+        val single1 = two("single_query_combined_sec")
+          .map(p => s""","single_query_combined_sec":{"sf":${p._1},"synthetic":${p._2}}""")
+        (plan.toSeq ++ served.toSeq ++ comb.toSeq ++ single.toSeq ++
+          single1.toSeq).mkString
       }
       val binS = section("binary")
       val binary = (num(binS, "qps_hamming_scan"), num(binS, "qps_bin_rerank"),
