@@ -244,38 +244,46 @@ object SourceQueries {
     // Scale shape: parse is per-file task-local; then d13's
     // partial-aggregating groupBy(para) + join-back — no window, no
     // all-pairs, one keyed reassembly per page.
-    "s20_ccnet_funnel" -> ((s, dir) => {
-      import graft.sources.Warc
-      val docs = Tables.documents(s, dir).filter(col("doc_id") < 20)
-        .select(col("doc_id"), col("text")).collect().sortBy(_.getLong(0))
-      val mirror = docs.find(_.getLong(0) == 3L).map(r =>
-        ("https://mirror/doc/3",
-          s"<html><body><p>${r.getString(1)}</p></body></html>")).toSeq
-      val responses = docs.map { r =>
-        (s"https://crawl/doc/${r.getLong(0)}",
-          s"<html><body><p>${r.getString(1)}</p></body></html>")
-      }.toSeq ++ mirror
-      val bytes = Warc.corruptRecord(Warc.write(responses),
-        "https://crawl/doc/7")
-      val bins = s.read.format("binaryFile")
-        .load(fixtureFile("graft_ccnet_", ".warc", bytes))
-      import s.implicits._
-      // Quarantine rows carry warcType = "corrupt", so the type filter IS
-      // the quarantine gate; records flagged `lenient_trailer` (payload
-      // intact, single-CRLF writer) are deliberately KEPT — a
-      // corrupt-isNull filter here would re-lose exactly the records the
-      // lenient-trailer rescue exists to keep.
-      val pages = bins.select(col("content")).as[Array[Byte]]
-        .flatMap(b => Warc.parse(b))
-        .toDF()
-        .filter(col("warcType") === "response")
-        .select(col("targetUri").as("doc_id"), col("text"))
-      graft.dedup.Dedup.paragraphDedup(pages)
-        .withColumn("n_tokens",
-          size(split(col("text_deduped"), " ")).cast("long"))
-        .filter(col("n_tokens") >= 5)
-        .select(col("doc_id").as("uri"), col("text_deduped"),
+    "s20_ccnet_funnel" -> ((s, dir) =>
+      ccnetDedupedPages(s, dir)
+        .select(col("uri"), col("text_deduped"),
           col("n_kept"), col("n_dropped"), col("n_tokens"))
+        .orderBy(col("uri"))),
+
+    // S21: the CCNet pipeline COMPLETE — s20's funnel (WARC-parse →
+    // quarantine → HTML→text → paragraph dedup → quality gate) composed
+    // with the LM stage (arXiv:1911.00359 §3.2): every kept page is
+    // scored by a bigram LM trained on the TARGET-DOMAIN corpus (the
+    // documents %5 slice — CCNet trains on Wikipedia, scores the crawl;
+    // `surprisalOf` is x36's scorer in its two-corpus form), then
+    // bucketed head/middle/tail at the batch's surprisal terciles and
+    // gated keep = not-tail. All integer math (floor-log2 bits, milli
+    // means, integer thresholds), so the whole five-stage pipeline is
+    // hash-checked end to end. Scale shape: parse is task-local, dedup
+    // is d13's keyed agg, the LM joins are keyed (x36's shape); the
+    // tercile here is exact over one crawl file's pages (file-bounded) —
+    // corpus-wide bucketing at 100 TB is x39's capped per-language
+    // order-statistics path.
+    "s21_ccnet_lm_gate" -> ((s, dir) => {
+      val kept = ccnetDedupedPages(s, dir)
+      val lmDocs = Tables.documents(s, dir)
+        .filter(col("doc_id") % 5 === 0).select(col("text"))
+      val per = TextPipelineQueries.surprisalOf(lmDocs,
+        kept.select(col("uri"), col("text_deduped").as("text")), "uri")
+      val thr = per
+        .agg(sort_array(collect_list(col("mean_milli"))).as("ms"))
+        .select(
+          element_at(col("ms"),
+            ceil(size(col("ms")) / 3.0).cast("int")).as("t1"),
+          element_at(col("ms"),
+            ceil(size(col("ms")) * 2 / 3.0).cast("int")).as("t2"))
+      per.crossJoin(broadcast(thr))
+        .select(col("uri"), col("n_bigrams"), col("surprisal_bits"),
+          col("mean_milli"),
+          when(col("mean_milli") <= col("t1"), "head")
+            .when(col("mean_milli") <= col("t2"), "middle")
+            .otherwise("tail").as("ppl_bucket"),
+          (col("mean_milli") <= col("t2")).as("keep"))
         .orderBy(col("uri"))
     }),
 
@@ -438,6 +446,46 @@ object SourceQueries {
     })
   )
 
+  /** The s20 funnel body, shared with s21's LM-gated composition: the
+    * s18 crawl fixture (one page per document, a re-crawled mirror of
+    * doc 3, doc 7 damaged in transit) flowing WARC-parse → quarantine →
+    * HTML→text → paragraph dedup (d13's keep-first over 16-token chunks,
+    * URI-ordered) → ≥5-token quality gate. Quarantine rows carry
+    * warcType = "corrupt", so the type filter IS the quarantine gate;
+    * records flagged `lenient_trailer` (payload intact, single-CRLF
+    * writer) are deliberately KEPT — a corrupt-isNull filter here would
+    * re-lose exactly the records the lenient-trailer rescue exists to
+    * keep. Returns (uri, text_deduped, n_kept, n_dropped, n_tokens).
+    */
+  private def ccnetDedupedPages(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Warc
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 20)
+      .select(col("doc_id"), col("text")).collect().sortBy(_.getLong(0))
+    val mirror = docs.find(_.getLong(0) == 3L).map(r =>
+      ("https://mirror/doc/3",
+        s"<html><body><p>${r.getString(1)}</p></body></html>")).toSeq
+    val responses = docs.map { r =>
+      (s"https://crawl/doc/${r.getLong(0)}",
+        s"<html><body><p>${r.getString(1)}</p></body></html>")
+    }.toSeq ++ mirror
+    val bytes = Warc.corruptRecord(Warc.write(responses),
+      "https://crawl/doc/7")
+    val bins = s.read.format("binaryFile")
+      .load(fixtureFile("graft_ccnet_", ".warc", bytes))
+    import s.implicits._
+    val pages = bins.select(col("content")).as[Array[Byte]]
+      .flatMap(b => Warc.parse(b))
+      .toDF()
+      .filter(col("warcType") === "response")
+      .select(col("targetUri").as("doc_id"), col("text"))
+    graft.dedup.Dedup.paragraphDedup(pages)
+      .withColumn("n_tokens",
+        size(split(col("text_deduped"), " ")).cast("long"))
+      .filter(col("n_tokens") >= 5)
+      .select(col("doc_id").as("uri"), col("text_deduped"),
+        col("n_kept"), col("n_dropped"), col("n_tokens"))
+  }
+
   val oracleSql: Map[String, String] = Map(
     // Analytic replay of the fixture's construction: the writer's strings
     // are rebuilt in SQL (ASCII corpus ⇒ chars = octets), doc 7 is the
@@ -533,6 +581,72 @@ object SourceQueries {
         |FROM dedup
         |WHERE len(str_split(text_deduped, ' ')) >= 5
         |ORDER BY uri""".stripMargin,
+
+    // The full CCNet replay: s20's funnel CTEs, then x36's LM chain with
+    // the LM trained on the documents %5 slice and the SCORED side being
+    // the funnel's kept pages, then the batch tercile thresholds (exact
+    // order statistics — the oracle may sort the whole batch; the Spark
+    // side's collect_list is file-bounded). keep = mean_milli <= t2, the
+    // same integer comparison as not-tail.
+    "s21_ccnet_lm_gate" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
+        |pages AS (
+        |  SELECT 'https://crawl/doc/' || doc_id AS uri, text
+        |  FROM d WHERE doc_id <> 7
+        |  UNION ALL
+        |  SELECT 'https://mirror/doc/3' AS uri, text FROM d WHERE doc_id = 3),
+        |ptoks AS (SELECT uri, str_split(text, ' ') AS w FROM pages),
+        |chunks AS (
+        |  SELECT uri, CAST(i AS BIGINT) AS pos,
+        |    array_to_string(list_slice(w, (i - 1) * 16 + 1, i * 16), ' ') AS para
+        |  FROM ptoks,
+        |    unnest(generate_series(1, CAST(ceil(len(w) / 16.0) AS BIGINT))) AS t(i)),
+        |ranked AS (
+        |  SELECT uri, pos, para,
+        |    row_number() OVER (PARTITION BY para ORDER BY uri, pos) AS rn
+        |  FROM chunks),
+        |dedup AS (
+        |  SELECT uri,
+        |    coalesce(string_agg(para, ' ' ORDER BY pos) FILTER (WHERE rn = 1),
+        |      '') AS text_deduped
+        |  FROM ranked GROUP BY uri),
+        |kept AS (
+        |  SELECT uri, text_deduped FROM dedup
+        |  WHERE len(str_split(text_deduped, ' ')) >= 5),
+        |ltok AS (SELECT str_split(text, ' ') AS ts FROM documents
+        |         WHERE doc_id % 5 = 0),
+        |lbg AS (SELECT ts[i] AS w1, ts[i + 1] AS w2
+        |        FROM ltok, unnest(range(1, len(ts))) t(i)),
+        |lm AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |       FROM lbg GROUP BY 1, 2),
+        |uni AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM lm GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS nv
+        |      FROM (SELECT unnest(ts) AS t FROM ltok)),
+        |ktok AS (SELECT uri, str_split(text_deduped, ' ') AS ts FROM kept),
+        |kbg AS (SELECT uri, ts[i] AS w1, ts[i + 1] AS w2
+        |        FROM ktok, unnest(range(1, len(ts))) t(i)),
+        |sc AS (
+        |  SELECT kbg.uri,
+        |    CAST(length(bin((COALESCE(uni.c1, 0) + v.nv) //
+        |      (COALESCE(lm.c12, 0) + 1))) - 1 AS BIGINT) AS bits
+        |  FROM kbg CROSS JOIN v
+        |  LEFT JOIN lm ON kbg.w1 = lm.w1 AND kbg.w2 = lm.w2
+        |  LEFT JOIN uni ON kbg.w1 = uni.w1),
+        |per AS (
+        |  SELECT uri, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(bits) AS BIGINT) AS surprisal_bits,
+        |    CAST((1000 * sum(bits)) // count(*) AS BIGINT) AS mean_milli
+        |  FROM sc GROUP BY uri),
+        |thr AS (
+        |  SELECT ms[CAST(ceil(len(ms) / 3.0) AS BIGINT)] AS t1,
+        |    ms[CAST(ceil(len(ms) * 2 / 3.0) AS BIGINT)] AS t2
+        |  FROM (SELECT list_sort(list(mean_milli)) AS ms FROM per))
+        |SELECT per.uri, per.n_bigrams, per.surprisal_bits, per.mean_milli,
+        |  CASE WHEN per.mean_milli <= thr.t1 THEN 'head'
+        |       WHEN per.mean_milli <= thr.t2 THEN 'middle'
+        |       ELSE 'tail' END AS ppl_bucket,
+        |  per.mean_milli <= thr.t2 AS keep
+        |FROM per CROSS JOIN thr ORDER BY per.uri""".stripMargin,
 
     // WET round trip: conversion payloads ARE the document text, so the
     // oracle is the documents table itself (doc 7 = the damaged record).

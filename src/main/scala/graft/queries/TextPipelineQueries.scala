@@ -25,29 +25,53 @@ object TextPipelineQueries {
     * broadcast); V is a broadcast 1-row aggregate.
     */
   private def perDocSurprisal(
-      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val bg = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    surprisalOf(
+      docs.filter(col("doc_id") % 5 === 0).select(col("text")),
+      docs.select(col("doc_id"), col("text")), "doc_id")
+
+  /** Bigram-LM surprisal of `scored` docs against an LM trained on
+    * `lmDocs` — the general two-corpus form of x36 (CCNet trains on the
+    * target domain, scores the crawl; x36's self-scoring is the special
+    * case lmDocs = the %5 slice of the scored corpus). Same integer
+    * floor-log2 quantization, same add-smoothed (c1 + V)/(c12 + 1)
+    * inverse probability, so results stay hash-exact against a SQL
+    * replay. Scale shape unchanged: LM tables are KEYED joins (they grow
+    * with the corpus), V rides a broadcast 1-row aggregate.
+    *
+    * @param lmDocs one `text` column, the LM training corpus.
+    * @param scored `(idCol, text)` rows to score; docs with < 2 tokens
+    *   produce no bigrams and drop out.
+    */
+  private[queries] def surprisalOf(
+      lmDocs: org.apache.spark.sql.DataFrame,
+      scored: org.apache.spark.sql.DataFrame,
+      idCol: String): org.apache.spark.sql.DataFrame = {
+    def bigrams(df: org.apache.spark.sql.DataFrame,
+        id: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = df
+      .select(id.as("_bid"), split(col("text"), " ").as("ts"))
       .filter(size(col("ts")) >= 2)
-      .select(col("doc_id"), explode(zip_with(
+      .select(col("_bid"), explode(zip_with(
         slice(col("ts"), lit(1), size(col("ts")) - 1),
         slice(col("ts"), lit(2), size(col("ts")) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
-      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val lm = bg.filter(col("doc_id") % 5 === 0)
+      .select(col("_bid"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val lm = bigrams(lmDocs, lit(0L))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     val uni = lm.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
-    val v = docs.filter(col("doc_id") % 5 === 0)
+    val v = lmDocs
       .select(explode(split(col("text"), " ")).as("t"))
       .agg(countDistinct(col("t")).as("nv"))
-    val sc = bg.crossJoin(broadcast(v))
+    val sc = bigrams(scored, col(idCol)).crossJoin(broadcast(v))
       .join(lm, Seq("w1", "w2"), "left")
       .join(uni, Seq("w1"), "left")
       .withColumn("bits",
         (length(bin(expr("(coalesce(c1, 0) + nv) div (coalesce(c12, 0) + 1)"))) - 1)
           .cast("long"))
-    sc.groupBy(col("doc_id"))
+    sc.groupBy(col("_bid"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("surprisal_bits"))
       .withColumn("mean_milli", expr("(1000 * surprisal_bits) div n_bigrams"))
+      .withColumnRenamed("_bid", idCol)
   }
 
   /** lang-keyed stopword injection, ×3 so the injected language outscores
