@@ -878,17 +878,8 @@ object Bench {
           prebuiltDocLengths = Some(dls), prebuiltTokenDf = Some(tdf))
           .cache()
         combined.count()
-        val sqAll: Seq[graft.search.ServingFusion.ServedQuery] = {
-          val vecByQ = qsN.collect()
-            .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
-          val toksByQ = qTokens.collect()
-            .map(r => (r.getLong(0), r.getString(1), r.getLong(2).toInt))
-            .groupBy(_._1)
-          vecByQ.keys.toSeq.sorted.map { qid =>
-            graft.search.ServingFusion.ServedQuery(qid, vecByQ(qid),
-              toksByQ.getOrElse(qid, Array.empty).map(x => (x._2, x._3)))
-          }
-        }
+        val sqAll = graft.search.ServingFusion
+          .collectServedQueries(qsN, qTokens)
         def runC(qs: Seq[graft.search.ServingFusion.ServedQuery]): Unit =
           graft.search.ServingFusion.fusedTopKCombined(combined, cents, qs,
             params.alpha, params.k, nProbe = 8, kVec = 10)

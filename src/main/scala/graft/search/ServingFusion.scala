@@ -93,20 +93,12 @@ object ServingFusion {
       numShards: Int = 0,
       prebuiltDocLengths: Option[DataFrame] = None,
       prebuiltTokenDf: Option[DataFrame] = None): org.apache.spark.rdd.RDD[Shard] = {
-    val dls = prebuiltDocLengths.getOrElse(
-      Bm25.docLengthsFromPostings(allIds, post, idCol))
-    val tdf = prebuiltTokenDf.getOrElse(Bm25.tokenDf(post))
-    val wp = Bm25.weightedPostings(post, dls, tdf, idCol)
-    val decDf = dec.getOrElse(allIds.select(col(idCol), lit(1.0).as("_dec")))
-    val joined = decDf
-      .select(col(idCol).cast("long").as("_id"),
-        coalesce(col("_dec").cast("double"), lit(1.0)).as("_dec"))
+    val (wp, decN) = weightedAndDecay(allIds, post, idCol, dec,
+      prebuiltDocLengths, prebuiltTokenDf)
+    val joined = decN
       .join(wp.select(col(idCol).cast("long").as("_id"), col("token"),
         col("w").cast("double").as("w")), Seq("_id"), "left")
-    val parts =
-      if (numShards > 0) joined.repartition(numShards, col("_id"))
-      else joined.repartition(col("_id"))
-    parts.rdd.mapPartitions { it =>
+    docMajor(joined, numShards).rdd.mapPartitions { it =>
       val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
       val decB = scala.collection.mutable.ArrayBuffer.empty[Double]
       val idIdx = scala.collection.mutable.LongMap.empty[Int]
@@ -133,6 +125,35 @@ object ServingFusion {
       else Iterator.single(finishShard(ids.toArray, decB.toArray, byTok))
     }
   }
+
+  /** The shared build prep: BM25 term weights over the (prebuilt or
+    * derived) corpus statistics, plus the per-doc decay frame normalized
+    * to `(_id: long, _dec: double coalesced to 1.0)` — one policy for
+    * both serving layouts ([[buildShards]] / [[buildCombined]]).
+    */
+  private def weightedAndDecay(
+      allIds: DataFrame,
+      post: DataFrame,
+      idCol: String,
+      dec: Option[DataFrame],
+      prebuiltDocLengths: Option[DataFrame],
+      prebuiltTokenDf: Option[DataFrame]): (DataFrame, DataFrame) = {
+    val dls = prebuiltDocLengths.getOrElse(
+      Bm25.docLengthsFromPostings(allIds, post, idCol))
+    val tdf = prebuiltTokenDf.getOrElse(Bm25.tokenDf(post))
+    val wp = Bm25.weightedPostings(post, dls, tdf, idCol)
+    val decDf = dec.getOrElse(allIds.select(col(idCol), lit(1.0).as("_dec")))
+    val decN = decDf.select(col(idCol).cast("long").as("_id"),
+      coalesce(col("_dec").cast("double"), lit(1.0)).as("_dec"))
+    (wp, decN)
+  }
+
+  /** Doc-major repartition shared by both layouts: hash on the doc id,
+    * explicit shard count when given.
+    */
+  private def docMajor(joined: DataFrame, numShards: Int): DataFrame =
+    if (numShards > 0) joined.repartition(numShards, col("_id"))
+    else joined.repartition(col("_id"))
 
   /** Assemble a [[Shard]]'s token-CSR arrays from the per-token builders a
     * partition pass accumulated — shared by [[buildShards]] (per-posting
@@ -173,6 +194,44 @@ object ServingFusion {
       s += 1
     }
     Shard(ids, dec, toks, offsets, docIx, w)
+  }
+
+  /** Score one query's tokens into a shard's epoch-tagged accumulators —
+    * the BM25 hot loop shared by [[fusedTopK]], [[fusedTopKCombined]] and
+    * [[textScores]]. For each (token, qn) with a posting slot, folds
+    * `qn · w` into `acc` over the slot's CSR block, tagging first-touched
+    * docs into `touched`. Returns the touched count; `acc(touched(i))` is
+    * doc i's raw BM25 score for this query. Callers bump `epoch` per
+    * query; tokens must be in sorted order for deterministic summation.
+    */
+  private def scoreTokens(
+      sh: Shard,
+      toks: Array[(String, Int)],
+      acc: Array[Double],
+      seen: Array[Int],
+      touched: Array[Int],
+      epoch: Int): Int = {
+    var tn = 0
+    var t = 0
+    while (t < toks.length) {
+      val slot = sh.tokenSlot.get(toks(t)._1)
+      if (slot != null) {
+        val s = slot.intValue
+        val qn = toks(t)._2.toDouble
+        var e = sh.offsets(s)
+        val end = sh.offsets(s + 1)
+        while (e < end) {
+          val d = sh.docIx(e)
+          if (seen(d) != epoch) {
+            seen(d) = epoch; acc(d) = 0.0; touched(tn) = d; tn += 1
+          }
+          acc(d) += qn * sh.w(e)
+          e += 1
+        }
+      }
+      t += 1
+    }
+    tn
   }
 
   /** Per-partition fused-serving partial: per query, the raw-score max,
@@ -308,27 +367,7 @@ object ServingFusion {
         var qi = 0
         while (qi < toksByQ.length) {
           epoch += 1
-          var tn = 0
-          val toks = toksByQ(qi)
-          var t = 0
-          while (t < toks.length) {
-            val slot = sh.tokenSlot.get(toks(t)._1)
-            if (slot != null) {
-              val s = slot.intValue
-              val qn = toks(t)._2.toDouble
-              var e = sh.offsets(s)
-              val end = sh.offsets(s + 1)
-              while (e < end) {
-                val d = sh.docIx(e)
-                if (seen(d) != epoch) {
-                  seen(d) = epoch; acc(d) = 0.0; touched(tn) = d; tn += 1
-                }
-                acc(d) += qn * sh.w(e)
-                e += 1
-              }
-            }
-            t += 1
-          }
+          val tn = scoreTokens(sh, toksByQ(qi), acc, seen, touched, epoch)
           var i = 0
           while (i < tn) {
             val d = touched(i)
@@ -453,6 +492,26 @@ object ServingFusion {
       while (i < buckets.length) { m.update(buckets(i), i); i += 1 }
       m
     }
+
+    /** Per-row ‖x‖² for the L2 path, float-accumulated exactly like
+      * [[Ivf.searchBatchedFast]]'s per-block scratch so L2 distances stay
+      * bit-identical; computed once per shard on first L2 query.
+      */
+    @transient lazy val rowSq: Array[Float] = {
+      val n = if (dim == 0) 0 else flat.length / dim
+      val out = new Array[Float](n)
+      var r = 0
+      var off = 0
+      while (r < n) {
+        var s = 0f
+        var j = 0
+        while (j < dim) { val x = flat(off + j); s += x * x; j += 1 }
+        out(r) = s
+        r += 1
+        off += dim
+      }
+      out
+    }
   }
 
   /** One driver-resident hybrid query for [[fusedTopKCombined]]: the
@@ -466,6 +525,30 @@ object ServingFusion {
       qid: Long,
       qvec: Array[Float],
       tokens: Array[(String, Int)])
+
+  /** Collect a DataFrame-shaped query batch into driver-resident
+    * [[ServedQuery]] values — the one conversion the bench and specs
+    * share. `qVecs`: (qid, qvec); `qTokens`: (qid, token, qn), already
+    * per-token grouped. A qid missing from `qTokens` serves vector-only
+    * (empty tokens); a qid missing from `qVecs` is not emitted —
+    * combined serving is hybrid by contract (route tokens-only work
+    * through [[fusedTopK]]).
+    */
+  def collectServedQueries(
+      qVecs: DataFrame,
+      qTokens: DataFrame): Seq[ServedQuery] = {
+    val vecByQ = qVecs.select(col("qid").cast("long"), col("qvec"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val toksByQ = qTokens
+      .select(col("qid").cast("long"), col("token"), col("qn").cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2).toInt))
+      .groupBy(_._1)
+    vecByQ.keys.toSeq.sorted.map { qid =>
+      ServedQuery(qid, vecByQ(qid),
+        toksByQ.getOrElse(qid, Array.empty).map(x => (x._2, x._3)))
+    }
+  }
 
   /** Build the combined doc-major serving state: ONE repartition by doc id
     * co-locates each doc's aggregated posting list, decay factor, vector
@@ -489,11 +572,8 @@ object ServingFusion {
       numShards: Int = 0,
       prebuiltDocLengths: Option[DataFrame] = None,
       prebuiltTokenDf: Option[DataFrame] = None): org.apache.spark.rdd.RDD[CombinedShard] = {
-    val dls = prebuiltDocLengths.getOrElse(
-      Bm25.docLengthsFromPostings(allIds, post, idCol))
-    val tdf = prebuiltTokenDf.getOrElse(Bm25.tokenDf(post))
-    val wp = Bm25.weightedPostings(post, dls, tdf, idCol)
-    val decDf = dec.getOrElse(allIds.select(col(idCol), lit(1.0).as("_dec")))
+    val (wp, decN) = weightedAndDecay(allIds, post, idCol, dec,
+      prebuiltDocLengths, prebuiltTokenDf)
     // One row per doc: postings aggregated to a list (bounded by doc
     // length), vector + bucket left-joined so postings never replicate
     // per-token with the vector payload.
@@ -503,15 +583,10 @@ object ServingFusion {
     val vSel = assigned.select(col(idCol).cast("long").as("_id"),
       col("vector").cast("array<float>").as("_vec"),
       col("bucket").cast("long").as("_bucket"))
-    val joined = decDf
-      .select(col(idCol).cast("long").as("_id"),
-        coalesce(col("_dec").cast("double"), lit(1.0)).as("_dec"))
+    val joined = decN
       .join(vSel, Seq("_id"), "left")
       .join(pAgg, Seq("_id"), "left")
-    val parts =
-      if (numShards > 0) joined.repartition(numShards, col("_id"))
-      else joined.repartition(col("_id"))
-    parts.rdd.mapPartitions { it =>
+    docMajor(joined, numShards).rdd.mapPartitions { it =>
       val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
       val decB = scala.collection.mutable.ArrayBuffer.empty[Double]
       val byTok = new java.util.HashMap[String,
@@ -663,20 +738,33 @@ object ServingFusion {
       alpha0: Double,
       k: Int,
       nProbe: Int,
-      kVec: Int = 10): Array[(Long, Long, Double)] = {
+      kVec: Int = 10,
+      metric: String = "cosine"): Array[(Long, Long, Double)] = {
     val alpha = if (alpha0 < 0 || alpha0 > 1) 0.5 else alpha0
+    val l2 = metric == "l2"
     val qs = queries.sortBy(_.qid).toArray
     require(qs.map(_.qid).distinct.length == qs.length,
       "fusedTopKCombined: duplicate qids in the batch")
+    require(qs.forall(_.qvec != null),
+      "fusedTopKCombined: every ServedQuery needs a query vector " +
+        "(combined serving is hybrid; pass tokens-only work to fusedTopK)")
     val nq = qs.length
     if (nq == 0) return Array.empty
     val qids = qs.map(_.qid)
     val qvecs = qs.map(_.qvec)
     val toksByQ = qs.map(_.tokens.sortBy(_._1))
     // Probe selection on the driver (the descent analogue), then inverted
-    // to per-query ascending bucket lists for the partition scan.
-    val adj = Ivf.bucketAdj(cents, "cosine")
-    val bucketQs = Ivf.probeAssignments(cents, adj, l2 = false, qvecs, nProbe)
+    // to per-query ascending bucket lists for the partition scan. Same
+    // metric contract as [[Ivf.searchBatchedFast]]: cosine = 1 − dot over
+    // pre-normalized vectors; l2 = squared euclidean via ‖x‖² − 2x·q + ‖q‖².
+    val adj = Ivf.bucketAdj(cents, metric)
+    val qsq: Array[Double] =
+      if (l2) qvecs.map { qv =>
+        var s = 0.0; var j = 0
+        while (j < qv.length) { s += qv(j).toDouble * qv(j); j += 1 }
+        s
+      } else null
+    val bucketQs = Ivf.probeAssignments(cents, adj, l2 = l2, qvecs, nProbe)
     val probedByQ: Array[Array[Int]] = {
       val bufs = Array.fill(nq)(new scala.collection.mutable.ArrayBuilder.ofInt)
       var b = 0
@@ -687,9 +775,9 @@ object ServingFusion {
       }
       bufs.map(_.result())
     }
-    val bc = combined.sparkContext.broadcast((qvecs, toksByQ, probedByQ))
+    val bc = combined.sparkContext.broadcast((qvecs, toksByQ, probedByQ, qsq))
     val partials = combined.mapPartitions { it =>
-      val (qvs, toks, probed) = bc.value
+      val (qvs, toks, probed, qsqB) = bc.value
       val p = new CombinedPartial(qvs.length, k, kVec)
       it.foreach { csh =>
         val sh = csh.text
@@ -701,28 +789,8 @@ object ServingFusion {
         var qi = 0
         while (qi < qvs.length) {
           epoch += 1
-          // Text leg — same scan as [[fusedTopK]]'s.
-          var tn = 0
-          val ts = toks(qi)
-          var t = 0
-          while (t < ts.length) {
-            val slot = sh.tokenSlot.get(ts(t)._1)
-            if (slot != null) {
-              val s = slot.intValue
-              val qn = ts(t)._2.toDouble
-              var e = sh.offsets(s)
-              val end = sh.offsets(s + 1)
-              while (e < end) {
-                val d = sh.docIx(e)
-                if (seen(d) != epoch) {
-                  seen(d) = epoch; acc(d) = 0.0; touched(tn) = d; tn += 1
-                }
-                acc(d) += qn * sh.w(e)
-                e += 1
-              }
-            }
-            t += 1
-          }
+          // Text leg — [[scoreTokens]], the same loop [[fusedTopK]] runs.
+          val tn = scoreTokens(sh, toks(qi), acc, seen, touched, epoch)
           var i = 0
           while (i < tn) {
             val d = touched(i)
@@ -747,8 +815,12 @@ object ServingFusion {
                 var j = 0
                 val off = r * csh.dim
                 while (j < csh.dim) { dot += csh.flat(off + j) * qv(j); j += 1 }
+                val dist =
+                  if (qsqB != null)
+                    csh.rowSq(r).toDouble - 2.0d * dot + qsqB(qi)
+                  else 1.0d - dot
                 val hasT = seen(li) == epoch
-                p.insertVec(qi, 1.0d - dot, sh.ids(li),
+                p.insertVec(qi, dist, sh.ids(li),
                   if (hasT) acc(li) else 0.0, sh.dec(li), hasT)
                 r += 1
               }
@@ -824,27 +896,7 @@ object ServingFusion {
       var qi = 0
       while (qi < toksByQ.length) {
         epoch += 1
-        var tn = 0
-        val toks = toksByQ(qi)
-        var t = 0
-        while (t < toks.length) {
-          val slot = sh.tokenSlot.get(toks(t)._1)
-          if (slot != null) {
-            val s = slot.intValue
-            val qn = toks(t)._2.toDouble
-            var e = sh.offsets(s)
-            val end = sh.offsets(s + 1)
-            while (e < end) {
-              val d = sh.docIx(e)
-              if (seen(d) != epoch) {
-                seen(d) = epoch; acc(d) = 0.0; touched(tn) = d; tn += 1
-              }
-              acc(d) += qn * sh.w(e)
-              e += 1
-            }
-          }
-          t += 1
-        }
+        val tn = scoreTokens(sh, toksByQ(qi), acc, seen, touched, epoch)
         var i = 0
         while (i < tn) {
           rows += ((qs(qi), sh.ids(touched(i)), acc(touched(i))))

@@ -89,17 +89,8 @@ class CombinedServingSpec extends SparkSpec {
     (t, post, dec, cents, assigned, qsN, qt)
   }
 
-  private def servedQueries(qsN: DataFrame, qt: DataFrame) = {
-    val vecByQ = qsN.collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
-    val toksByQ = qt.collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getLong(2).toInt))
-      .groupBy(_._1)
-    vecByQ.keys.toSeq.sorted.map { qid =>
-      ServingFusion.ServedQuery(qid, vecByQ(qid),
-        toksByQ.getOrElse(qid, Array.empty).map(x => (x._2, x._3)))
-    }
-  }
+  private def servedQueries(qsN: DataFrame, qt: DataFrame) =
+    ServingFusion.collectServedQueries(qsN, qt)
 
   test("combined one-job serving is bit-identical to the two-leg path") {
     val (t, post, dec, cents, assigned, qsN, qt) = fixtures()
@@ -135,6 +126,52 @@ class CombinedServingSpec extends SparkSpec {
     assert(served.count(_._1 == 3L) === 3)
     shards.unpersist(); serving.unpersist(); combined.unpersist()
     qsN.unpersist(); qt.unpersist()
+  }
+
+  test("combined serving under l2 is bit-identical to searchBatchedFast's leg") {
+    val t = table
+    val post = Bm25.postings(t, "doc_id", "text")
+    val dec = Fusion.decayFrame(t, "doc_id", params)
+    // Unnormalized vectors — the L2 metric's natural input.
+    val tableL2 = t.filter(col("embedding").isNotNull)
+      .select(col("doc_id").cast("long").as("id"),
+        col("embedding").cast("array<float>").as("vector"))
+    val cents = Ivf.trainKMeansArrays(tableL2, 3, iters = 2)
+    val assigned = Ivf.assignFast(tableL2, cents, metric = "l2")
+    val qsRaw = queries.select(col("qid"),
+      array((0 until 4).map(j =>
+        (cos(col("qid") * (j + 2)) + lit(1.2)).cast("float")): _*).as("qvec"))
+      .cache()
+    qsRaw.count()
+    val qt = qTokens(queries).cache(); qt.count()
+    val serving = Ivf.servingIndex(assigned).cache()
+    serving.count()
+    val vecTop = Ivf.searchBatchedFast(serving, cents, qsRaw, k = 3,
+        nProbe = 2, metric = "l2")
+      .select(col("qid"), col("id").as("doc_id"), col("distance"))
+      .localCheckpoint(true)
+    val shards = ServingFusion.buildShards(
+      t.select(col("doc_id")), post, "doc_id", dec, numShards = 3).cache()
+    val twoLeg = ServingFusion.fusedTopK(shards, qt, vecTop,
+        params.alpha, params.k, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(r => (r._1, -r._3, r._2))
+    val combined = ServingFusion.buildCombined(
+      t.select(col("doc_id")), post, "doc_id",
+      assigned.select(col("id").as("doc_id"), col("vector"), col("bucket")),
+      dec, numShards = 3).cache()
+    combined.count()
+    val served = ServingFusion.fusedTopKCombined(combined, cents,
+        servedQueries(qsRaw, qt), params.alpha, params.k, nProbe = 2,
+        kVec = 3, metric = "l2")
+      .sortBy(r => (r._1, -r._3, r._2))
+    assert(served.length === twoLeg.length)
+    served.zip(twoLeg).foreach { case (s, p) =>
+      assert(s._1 === p._1 && s._2 === p._2 && s._3 === p._3,
+        s"l2 parity: $s vs $p")
+    }
+    shards.unpersist(); serving.unpersist(); combined.unpersist()
+    qsRaw.unpersist(); qt.unpersist()
   }
 
   test("one fusedTopKCombined call submits exactly one Spark job") {
