@@ -889,6 +889,19 @@ object Bench {
         def run1c(): Unit = runC(sq1)
         run1c()
         val sec1c = Seq.fill(5)(timeIt(run1c())).min
+        // Served MMR (v26's diversity re-rank as ONE job): pool retrieval
+        // with vectors off the same combined shards, greedy chain as
+        // driver math. Batch kept small (64) — MMR partials carry pool
+        // vectors, so the batch is latency-path-sized by contract.
+        val mmrQs = sqAll.take(64).map(q => (q.qid, q.qvec))
+        def runM(qs2: Seq[(Long, Array[Float])]): Unit =
+          graft.search.ServingFusion.mmrTopKCombined(combined, cents, qs2,
+            k = 10, pool = 64, nProbe = 8, lam = 0.7, oneMinusLam = 0.3)
+        runM(mmrQs)
+        val secM = Seq.fill(3)(timeIt(runM(mmrQs))).min
+        val mmrQ1 = mmrQs.take(1)
+        runM(mmrQ1)
+        val sec1m = Seq.fill(5)(timeIt(runM(mmrQ1))).min
         combined.unpersist()
         q1.unpersist(); qt1.unpersist()
         assigned.unpersist(); serving.unpersist(); qsN.unpersist()
@@ -901,6 +914,8 @@ object Bench {
           s""""batch_served_sec":${r3(secServed)},""" +
           s""""fused_qps_combined":${c1(nq / secC)},""" +
           s""""batch_combined_sec":${r3(secC)},""" +
+          s""""mmr_qps_combined":${c1(mmrQs.size / secM)},""" +
+          s""""single_query_mmr_combined_sec":${r3(sec1m)},""" +
           s""""single_query_fused_sec":${r3(sec1)},""" +
           s""""single_query_combined_sec":${r3(sec1c)},""" +
           s""""single_query_plan_sec":${r3(sec1plan)}}"""
@@ -1277,8 +1292,10 @@ object Bench {
           .map(p => s""","single_query_fused_sec":{"sf":${p._1},"synthetic":${p._2}}""")
         val single1 = two("single_query_combined_sec")
           .map(p => s""","single_query_combined_sec":{"sf":${p._1},"synthetic":${p._2}}""")
+        val singleM = two("single_query_mmr_combined_sec")
+          .map(p => s""","single_query_mmr_combined_sec":{"sf":${p._1},"synthetic":${p._2}}""")
         (plan.toSeq ++ served.toSeq ++ comb.toSeq ++ single.toSeq ++
-          single1.toSeq).mkString
+          single1.toSeq ++ singleM.toSeq).mkString
       }
       val binS = section("binary")
       val binary = (num(binS, "qps_hamming_scan"), num(binS, "qps_bin_rerank"),

@@ -97,4 +97,73 @@ object Mmr {
     }
     selected.select(col("qid"), col("rank"), col("id"), col("score"))
   }
+
+  /** The greedy chain of [[select]] as plain driver math over ONE query's
+    * pool — the serving twin ([[ServingFusion.mmrTopKCombined]] feeds it
+    * per query after a one-job pool retrieval). Term-for-term the plan's
+    * arithmetic: round 1 argmax of `λ·rel`, later rounds
+    * `λ·rel − (1−λ)·max-sim-to-selected`, ties by id ascending, sims =
+    * wide cosine `dot/(√‖a‖²·√‖b‖²)` with double-accumulated dots in
+    * index order — so scores are bit-identical to [[select]]'s on the
+    * same pool. O(k·N²) time, N ≤ [[MaxPoolPerQuery]] (enforced).
+    *
+    * @param rel  relevance per candidate (e.g. `1 − distance`).
+    * @return (rank, id, score) in selection order, ≤ k rows.
+    */
+  def selectLocal(
+      ids: Array[Long],
+      rel: Array[Double],
+      vecs: Array[Array[Float]],
+      k: Int,
+      lam: Double,
+      oneMinusLam: Double): Array[(Long, Long, Double)] = {
+    val n = ids.length
+    require(n <= MaxPoolPerQuery,
+      s"MMR pool has $n candidates (> MaxPoolPerQuery=$MaxPoolPerQuery)")
+    if (n == 0) return Array.empty
+    def dotW(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var j = 0
+      while (j < a.length) { s += a(j).toDouble * b(j).toDouble; j += 1 }
+      s
+    }
+    val norm = vecs.map(v => math.sqrt(dotW(v, v)))
+    // sims evaluate lazily against each new selection: only selected
+    // columns are ever read, so the N² matrix never materializes for
+    // k ≪ N.
+    val isSel = new Array[Boolean](n)
+    val maxSim = new Array[Double](n)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    var r = 0
+    while (r < math.min(k, n)) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < n) {
+        if (!isSel(i)) {
+          val score =
+            if (r == 0) lam * rel(i)
+            else lam * rel(i) - oneMinusLam * maxSim(i)
+          if (score > bestScore ||
+            (score == bestScore && (best < 0 || ids(i) < ids(best)))) {
+            best = i; bestScore = score
+          }
+        }
+        i += 1
+      }
+      isSel(best) = true
+      out += ((r + 1L, ids(best), bestScore))
+      // Fold the new selection into every survivor's max-sim — the same
+      // max(sim) the plan's per-round aggregate takes.
+      i = 0
+      while (i < n) {
+        if (!isSel(i)) {
+          val s = dotW(vecs(i), vecs(best)) / (norm(i) * norm(best))
+          if (r == 0 || s > maxSim(i)) maxSim(i) = s
+        }
+        i += 1
+      }
+      r += 1
+    }
+    out.toArray
+  }
 }

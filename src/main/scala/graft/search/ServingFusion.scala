@@ -861,6 +861,163 @@ object ServingFusion {
       (qi, id) => hydIx(qi).get(id), alpha, k).toArray
   }
 
+  /** Per-partition pool partial for [[mmrTopKCombined]]: a pool-bounded
+    * (distance, id) top-k per query — [[Ivf.TopK]]'s insertion and tie
+    * rules exactly — whose entries CARRY the candidate vector, copied
+    * from the block at accepted inserts only. Doc-major partitions are
+    * disjoint, so the merge is a plain bounded union.
+    */
+  private final class VecPoolPartial(nq: Int, pool: Int)
+      extends Serializable {
+    val pd: Array[Array[Double]] = Array.fill(nq)(Array.fill(pool)(Double.MaxValue))
+    val pid: Array[Array[Long]] = Array.fill(nq)(Array.fill(pool)(Long.MaxValue))
+    val pv: Array[Array[Array[Float]]] = Array.fill(nq)(new Array[Array[Float]](pool))
+
+    /** Place (d, id), shifting payloads; returns the slot to write the
+      * vector into, or -1 when rejected — so the scan only copies a
+      * candidate's floats AFTER it wins a slot.
+      */
+    def slotFor(qi: Int, d: Double, id: Long): Int = {
+      val hd = pd(qi); val hi = pid(qi); val hv = pv(qi)
+      val last = hd.length - 1
+      if (d > hd(last) || (d == hd(last) && id > hi(last))) return -1
+      var j = last
+      while (j > 0 && (hd(j - 1) > d || (hd(j - 1) == d && hi(j - 1) > id))) {
+        hd(j) = hd(j - 1); hi(j) = hi(j - 1); hv(j) = hv(j - 1)
+        j -= 1
+      }
+      hd(j) = d; hi(j) = id
+      j
+    }
+
+    def merge(o: VecPoolPartial): VecPoolPartial = {
+      var qi = 0
+      while (qi < pd.length) {
+        val od = o.pd(qi)
+        var j = 0
+        while (j < od.length && od(j) < Double.MaxValue) {
+          val s = slotFor(qi, od(j), o.pid(qi)(j))
+          if (s >= 0) pv(qi)(s) = o.pv(qi)(j)
+          j += 1
+        }
+        qi += 1
+      }
+      this
+    }
+  }
+
+  /** Diversity-aware serving in ONE Spark job: retrieve each query's
+    * relevance pool (top-`pool` by the ANN metric over the probed bucket
+    * blocks) WITH candidate vectors in the same mapPartitions pass, then
+    * run the greedy MMR chain as driver math over ≤ pool candidates
+    * ([[Mmr.selectLocal]] — bit-identical arithmetic to the v25/v26 plan
+    * chain: rel = 1 − distance, λ-blend, wide-cosine max-sim penalty,
+    * ties by id). The plan path pays ~3 jobs per greedy ROUND
+    * ([[Mmr.select]]'s anti-join/sim-join/argmax chain); this is one job
+    * total. Network per query is pool×(dim+3) values — driver-bounded
+    * batches by the serving contract, `pool ≤ Mmr.MaxPoolPerQuery`
+    * enforced on both sides.
+    *
+    * @param queries driver-resident (qid, query vector) rows.
+    * @return (qid, rank, id, score) — rank is 1-based selection order.
+    */
+  def mmrTopKCombined(
+      combined: org.apache.spark.rdd.RDD[CombinedShard],
+      cents: Array[Array[Float]],
+      queries: Seq[(Long, Array[Float])],
+      k: Int,
+      pool: Int,
+      nProbe: Int,
+      lam: Double,
+      oneMinusLam: Double,
+      metric: String = "cosine"): Array[(Long, Long, Long, Double)] = {
+    require(pool > 0 && pool <= Mmr.MaxPoolPerQuery,
+      s"pool=$pool outside (0, ${Mmr.MaxPoolPerQuery}]")
+    val l2 = metric == "l2"
+    val qs = queries.sortBy(_._1).toArray
+    require(qs.map(_._1).distinct.length == qs.length,
+      "mmrTopKCombined: duplicate qids in the batch")
+    val nq = qs.length
+    if (nq == 0) return Array.empty
+    val qids = qs.map(_._1)
+    val qvecs = qs.map(_._2)
+    val adj = Ivf.bucketAdj(cents, metric)
+    val qsq: Array[Double] =
+      if (l2) qvecs.map { qv =>
+        var s = 0.0; var j = 0
+        while (j < qv.length) { s += qv(j).toDouble * qv(j); j += 1 }
+        s
+      } else null
+    val bucketQs = Ivf.probeAssignments(cents, adj, l2 = l2, qvecs, nProbe)
+    val probedByQ: Array[Array[Int]] = {
+      val bufs = Array.fill(nq)(new scala.collection.mutable.ArrayBuilder.ofInt)
+      var b = 0
+      while (b < bucketQs.length) {
+        val qsb = bucketQs(b)
+        if (qsb != null) { var i = 0; while (i < qsb.length) { bufs(qsb(i)) += b; i += 1 } }
+        b += 1
+      }
+      bufs.map(_.result())
+    }
+    val bc = combined.sparkContext.broadcast((qvecs, probedByQ, qsq))
+    val partials = combined.mapPartitions { it =>
+      val (qvs, probed, qsqB) = bc.value
+      val p = new VecPoolPartial(qvs.length, pool)
+      it.foreach { csh =>
+        var qi = 0
+        while (qi < qvs.length) {
+          val qv = qvs(qi)
+          val pb = probed(qi)
+          var bi = 0
+          while (bi < pb.length) {
+            val blk = csh.bucketBlock.getOrElse(pb(bi).toLong, -1)
+            if (blk >= 0) {
+              var r = csh.bOff(blk)
+              val end = csh.bOff(blk + 1)
+              while (r < end) {
+                var dot = 0f
+                var j = 0
+                val off = r * csh.dim
+                while (j < csh.dim) { dot += csh.flat(off + j) * qv(j); j += 1 }
+                val dist =
+                  if (qsqB != null)
+                    csh.rowSq(r).toDouble - 2.0d * dot + qsqB(qi)
+                  else 1.0d - dot
+                val s = p.slotFor(qi, dist, csh.text.ids(csh.vecLocal(r)))
+                if (s >= 0) p.pv(qi)(s) =
+                  java.util.Arrays.copyOfRange(csh.flat, off, off + csh.dim)
+                r += 1
+              }
+            }
+            bi += 1
+          }
+          qi += 1
+        }
+      }
+      Iterator.single(p)
+    }
+    val merged = Ivf.reducePartials(partials, new VecPoolPartial(nq, pool),
+      (a: VecPoolPartial, b: VecPoolPartial) => a.merge(b))
+    bc.destroy()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    var qi = 0
+    while (qi < nq) {
+      val hd = merged.pd(qi)
+      var n = 0
+      while (n < hd.length && hd(n) < Double.MaxValue) n += 1
+      val ids = java.util.Arrays.copyOf(merged.pid(qi), n)
+      val rel = new Array[Double](n)
+      var i = 0
+      while (i < n) { rel(i) = 1.0 - hd(i); i += 1 }
+      val vecs = java.util.Arrays.copyOf(merged.pv(qi), n)
+      Mmr.selectLocal(ids, rel, vecs, k, lam, oneMinusLam).foreach {
+        case (rank, id, score) => out += ((qids(qi), rank, id, score))
+      }
+      qi += 1
+    }
+    out.toArray
+  }
+
   /** ALL raw BM25 hits `(qid, idCol, score)` from the shards — the
     * parity/test surface pinning served scores against
     * [[Bm25.searchPostingsBatch]] (the t6_bm25_stored plan). Unbounded

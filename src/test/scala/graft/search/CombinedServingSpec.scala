@@ -199,6 +199,49 @@ class CombinedServingSpec extends SparkSpec {
     combined.unpersist(); qsN.unpersist(); qt.unpersist()
   }
 
+  test("served MMR equals the v26 plan chain on the same pool, in one job") {
+    val (t, post, dec, cents, assigned, qsN, qt) = fixtures()
+    val serving = Ivf.servingIndex(assigned).cache()
+    serving.count()
+    val pool = 6
+    val mk = 3
+    // Plan side: the same probed pool (rel = 1 − distance) through
+    // Mmr.select over the same normalized vectors.
+    val cand = Ivf.searchBatchedFast(serving, cents, qsN, k = pool, nProbe = 2)
+      .select(col("qid"), col("id"), (lit(1.0) - col("distance")).as("rel"))
+    val plan = Mmr.select(cand,
+        assigned.select(col("id"), col("vector").as("embedding")),
+        k = mk, lam = lit(0.7), oneMinusLam = lit(0.3))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(r => (r._1, r._2))
+    val combined = ServingFusion.buildCombined(
+      t.select(col("doc_id")), post, "doc_id",
+      assigned.select(col("id").as("doc_id"), col("vector"), col("bucket")),
+      dec, numShards = 3).cache()
+    combined.count()
+    val mmrQs = servedQueries(qsN, qt).map(q => (q.qid, q.qvec))
+    val sc = spark.sparkContext
+    val group = s"mmr-one-job-${System.nanoTime}"
+    sc.setJobGroup(group, "mmr latency pin", interruptOnCancel = false)
+    val served = try ServingFusion.mmrTopKCombined(combined, cents, mmrQs,
+      k = mk, pool = pool, nProbe = 2, lam = 0.7, oneMinusLam = 0.3)
+    finally sc.clearJobGroup()
+    val deadline = System.nanoTime + 10_000_000_000L
+    def n(): Int = sc.statusTracker.getJobIdsForGroup(group).length
+    while (System.nanoTime < deadline && n() < 1) Thread.sleep(50)
+    Thread.sleep(200)
+    assert(n() === 1, "served MMR must be ONE Spark job")
+    val sSorted = served.sortBy(r => (r._1, r._2))
+    assert(sSorted.length === plan.length)
+    sSorted.zip(plan).foreach { case (s, p) =>
+      assert(s._1 === p._1 && s._2 === p._2 && s._3 === p._3,
+        s"mmr selection order: $s vs $p")
+      assert(s._4 === p._4, s"mmr score at qid=${s._1} rank=${s._2}: ${s._4} vs ${p._4}")
+    }
+    serving.unpersist(); combined.unpersist(); qsN.unpersist(); qt.unpersist()
+  }
+
   test("decay-disabled combined build defaults every factor to 1.0") {
     import graft.functions.VectorFunctions
     val t = table
