@@ -889,6 +889,25 @@ object Bench {
         def run1c(): Unit = runC(sq1)
         run1c()
         val sec1c = Seq.fill(5)(timeIt(run1c())).min
+        // COMPRESSED combined serving: same one-job fused pass over int8
+        // codes (4x less resident vector memory; normalized corpus =>
+        // absMax 1.0, the quantizer's exact bound for this layout).
+        val combined8 = graft.search.ServingFusion.buildCombinedInt8(
+          table.select(col("doc_id")), post, "doc_id",
+          assigned.select(col("id").as("doc_id"), col("vector"),
+            col("bucket")),
+          absMax = 1.0, Fusion.decayFrame(table, "doc_id", params),
+          prebuiltDocLengths = Some(dls), prebuiltTokenDf = Some(tdf))
+          .cache()
+        combined8.count()
+        def runC8(qs2: Seq[graft.search.ServingFusion.ServedQuery]): Unit =
+          graft.search.ServingFusion.fusedTopKCombinedInt8(combined8, cents,
+            qs2, absMax = 1.0, params.alpha, params.k, nProbe = 8, kVec = 10)
+        runC8(sqAll)
+        val secC8 = Seq.fill(3)(timeIt(runC8(sqAll))).min
+        runC8(sq1)
+        val sec1c8 = Seq.fill(5)(timeIt(runC8(sq1))).min
+        combined8.unpersist()
         // Served MMR (v26's diversity re-rank as ONE job): pool retrieval
         // with vectors off the same combined shards, greedy chain as
         // driver math. Batch kept small (64) — MMR partials carry pool
@@ -914,6 +933,8 @@ object Bench {
           s""""batch_served_sec":${r3(secServed)},""" +
           s""""fused_qps_combined":${c1(nq / secC)},""" +
           s""""batch_combined_sec":${r3(secC)},""" +
+          s""""fused_qps_combined_int8":${c1(nq / secC8)},""" +
+          s""""single_query_combined_int8_sec":${r3(sec1c8)},""" +
           s""""mmr_qps_combined":${c1(mmrQs.size / secM)},""" +
           s""""single_query_mmr_combined_sec":${r3(sec1m)},""" +
           s""""single_query_fused_sec":${r3(sec1)},""" +

@@ -514,6 +514,29 @@ object ServingFusion {
     }
   }
 
+  /** The COMPRESSED combined shard — [[CombinedShard]] with the vector
+    * blocks stored as int8 codes + precomputed norms ([[Ivf.quantizeArray]]
+    * / [[Ivf.int8Norm]], the reference's `DB.Compress` mode): 4× less
+    * resident vector memory, same doc-major text/decay co-location. Row
+    * `r`'s codes sit at `codes(r*dim, (r+1)*dim)` with norm `norms(r)`.
+    */
+  final case class CombinedShardInt8(
+      text: Shard,
+      buckets: Array[Long],
+      bOff: Array[Int],
+      vecLocal: Array[Int],
+      codes: Array[Byte],
+      norms: Array[Float],
+      dim: Int) {
+
+    @transient lazy val bucketBlock: scala.collection.mutable.LongMap[Int] = {
+      val m = scala.collection.mutable.LongMap.empty[Int]
+      var i = 0
+      while (i < buckets.length) { m.update(buckets(i), i); i += 1 }
+      m
+    }
+  }
+
   /** One driver-resident hybrid query for [[fusedTopKCombined]]: the
     * normalized query vector plus per-token analyzed counts (the `qTokens`
     * rows, already grouped — one entry per distinct token). Queries
@@ -563,6 +586,33 @@ object ServingFusion {
     *   over NORMALIZED vectors (the serving kernels' cosine contract).
     *   Docs missing from it (or with a null vector) still text-serve.
     */
+  /** The combined layouts' shared input frame, doc-major partitioned:
+    * one row per doc — `(_id, _dec, _vec, _bucket, _post)` with postings
+    * aggregated to a list (bounded by doc length) and vector + bucket
+    * left-joined, so postings never replicate per-token with the vector
+    * payload.
+    */
+  private def combinedRows(
+      allIds: DataFrame,
+      post: DataFrame,
+      idCol: String,
+      assigned: DataFrame,
+      dec: Option[DataFrame],
+      numShards: Int,
+      prebuiltDocLengths: Option[DataFrame],
+      prebuiltTokenDf: Option[DataFrame]): DataFrame = {
+    val (wp, decN) = weightedAndDecay(allIds, post, idCol, dec,
+      prebuiltDocLengths, prebuiltTokenDf)
+    val pAgg = wp.groupBy(col(idCol).cast("long").as("_id"))
+      .agg(collect_list(struct(col("token"),
+        col("w").cast("double").as("w"))).as("_post"))
+    val vSel = assigned.select(col(idCol).cast("long").as("_id"),
+      col("vector").cast("array<float>").as("_vec"),
+      col("bucket").cast("long").as("_bucket"))
+    docMajor(decN.join(vSel, Seq("_id"), "left")
+      .join(pAgg, Seq("_id"), "left"), numShards)
+  }
+
   def buildCombined(
       allIds: DataFrame,
       post: DataFrame,
@@ -572,21 +622,8 @@ object ServingFusion {
       numShards: Int = 0,
       prebuiltDocLengths: Option[DataFrame] = None,
       prebuiltTokenDf: Option[DataFrame] = None): org.apache.spark.rdd.RDD[CombinedShard] = {
-    val (wp, decN) = weightedAndDecay(allIds, post, idCol, dec,
-      prebuiltDocLengths, prebuiltTokenDf)
-    // One row per doc: postings aggregated to a list (bounded by doc
-    // length), vector + bucket left-joined so postings never replicate
-    // per-token with the vector payload.
-    val pAgg = wp.groupBy(col(idCol).cast("long").as("_id"))
-      .agg(collect_list(struct(col("token"),
-        col("w").cast("double").as("w"))).as("_post"))
-    val vSel = assigned.select(col(idCol).cast("long").as("_id"),
-      col("vector").cast("array<float>").as("_vec"),
-      col("bucket").cast("long").as("_bucket"))
-    val joined = decN
-      .join(vSel, Seq("_id"), "left")
-      .join(pAgg, Seq("_id"), "left")
-    docMajor(joined, numShards).rdd.mapPartitions { it =>
+    combinedRows(allIds, post, idCol, assigned, dec, numShards,
+      prebuiltDocLengths, prebuiltTokenDf).rdd.mapPartitions { it =>
       val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
       val decB = scala.collection.mutable.ArrayBuffer.empty[Double]
       val byTok = new java.util.HashMap[String,
@@ -650,6 +687,89 @@ object ServingFusion {
         }
         bOff(bs.length) = off
         Iterator.single(CombinedShard(shard, bs, bOff, vecLocal, flat, dim))
+      }
+    }
+  }
+
+  /** [[buildCombined]]'s compressed twin: same input frame, same text
+    * shard, vector blocks quantized to int8 at build time against the
+    * caller's trained `absMax` ([[graft.search.Quantizer]]'s protocol).
+    */
+  def buildCombinedInt8(
+      allIds: DataFrame,
+      post: DataFrame,
+      idCol: String,
+      assigned: DataFrame,
+      absMax: Double,
+      dec: Option[DataFrame] = None,
+      numShards: Int = 0,
+      prebuiltDocLengths: Option[DataFrame] = None,
+      prebuiltTokenDf: Option[DataFrame] = None): org.apache.spark.rdd.RDD[CombinedShardInt8] = {
+    combinedRows(allIds, post, idCol, assigned, dec, numShards,
+      prebuiltDocLengths, prebuiltTokenDf).rdd.mapPartitions { it =>
+      val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val decB = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val byTok = new java.util.HashMap[String,
+        (scala.collection.mutable.ArrayBuilder.ofInt,
+         scala.collection.mutable.ArrayBuilder.ofDouble)]()
+      val byBucket = scala.collection.mutable.LongMap
+        .empty[(scala.collection.mutable.ArrayBuilder.ofInt,
+                scala.collection.mutable.ArrayBuffer[Array[Byte]])]
+      it.foreach { r =>
+        ids += r.getLong(0)
+        decB += r.getDouble(1)
+        val li = ids.length - 1
+        if (!r.isNullAt(2) && !r.isNullAt(3)) {
+          val e = byBucket.getOrElseUpdate(r.getLong(3),
+            (new scala.collection.mutable.ArrayBuilder.ofInt,
+             scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]))
+          e._1 += li
+          e._2 += Ivf.quantizeArray(r.getSeq[Float](2).toArray, absMax)
+        }
+        if (!r.isNullAt(4)) {
+          r.getSeq[org.apache.spark.sql.Row](4).foreach { p =>
+            var e = byTok.get(p.getString(0))
+            if (e == null) {
+              e = (new scala.collection.mutable.ArrayBuilder.ofInt,
+                new scala.collection.mutable.ArrayBuilder.ofDouble)
+              byTok.put(p.getString(0), e)
+            }
+            e._1 += li
+            e._2 += p.getDouble(1)
+          }
+        }
+      }
+      if (ids.isEmpty) Iterator.empty
+      else {
+        val shard = finishShard(ids.toArray, decB.toArray, byTok)
+        val bs = byBucket.keys.toArray.sorted
+        val locals = bs.map(b => byBucket(b)._1.result())
+        val codeBufs = bs.map(b => byBucket(b)._2)
+        val nVec = locals.map(_.length).sum
+        val dim = codeBufs.collectFirst {
+          case v if v.nonEmpty => v(0).length
+        }.getOrElse(0)
+        val bOff = new Array[Int](bs.length + 1)
+        val vecLocal = new Array[Int](nVec)
+        val codes = new Array[Byte](nVec * dim)
+        val norms = new Array[Float](nVec)
+        var b = 0
+        var off = 0
+        while (b < bs.length) {
+          bOff(b) = off
+          System.arraycopy(locals(b), 0, vecLocal, off, locals(b).length)
+          var r = 0
+          while (r < codeBufs(b).length) {
+            System.arraycopy(codeBufs(b)(r), 0, codes, (off + r) * dim, dim)
+            norms(off + r) = Ivf.int8Norm(codeBufs(b)(r))
+            r += 1
+          }
+          off += locals(b).length
+          b += 1
+        }
+        bOff(bs.length) = off
+        Iterator.single(CombinedShardInt8(shard, bs, bOff, vecLocal, codes,
+          norms, dim))
       }
     }
   }
@@ -764,17 +884,8 @@ object ServingFusion {
         while (j < qv.length) { s += qv(j).toDouble * qv(j); j += 1 }
         s
       } else null
-    val bucketQs = Ivf.probeAssignments(cents, adj, l2 = l2, qvecs, nProbe)
-    val probedByQ: Array[Array[Int]] = {
-      val bufs = Array.fill(nq)(new scala.collection.mutable.ArrayBuilder.ofInt)
-      var b = 0
-      while (b < bucketQs.length) {
-        val qsb = bucketQs(b)
-        if (qsb != null) { var i = 0; while (i < qsb.length) { bufs(qsb(i)) += b; i += 1 } }
-        b += 1
-      }
-      bufs.map(_.result())
-    }
+    val probedByQ = invertProbes(
+      Ivf.probeAssignments(cents, adj, l2 = l2, qvecs, nProbe), nq)
     val bc = combined.sparkContext.broadcast((qvecs, toksByQ, probedByQ, qsq))
     val partials = combined.mapPartitions { it =>
       val (qvs, toks, probed, qsqB) = bc.value
@@ -836,8 +947,136 @@ object ServingFusion {
       new CombinedPartial(nq, k, kVec),
       (a: CombinedPartial, b: CombinedPartial) => a.merge(b))
     bc.destroy()
-    // The merged vector leg IS the global top-kVec (doc-major partitions
-    // are disjoint), each entry carrying its hydration.
+    blendCombined(qids, merged, alpha, k)
+  }
+
+  /** [[fusedTopKCombined]] over the COMPRESSED layout: one job, text leg
+    * identical, vector leg the integer-dot int8-cosine kernel — queries
+    * quantized once on the driver against the same trained `absMax`, per
+    * candidate `1 − clamp(dot/(‖x‖·‖q‖))` exactly as
+    * [[Ivf.searchBatchedFastInt8]] scores (zero-norm sides score 1.0),
+    * so the vector leg is bit-identical to the two-leg int8 pipeline
+    * (spec-pinned). Cosine only, like the reference's int8 mode.
+    */
+  def fusedTopKCombinedInt8(
+      combined: org.apache.spark.rdd.RDD[CombinedShardInt8],
+      cents: Array[Array[Float]],
+      queries: Seq[ServedQuery],
+      absMax: Double,
+      alpha0: Double,
+      k: Int,
+      nProbe: Int,
+      kVec: Int = 10): Array[(Long, Long, Double)] = {
+    val alpha = if (alpha0 < 0 || alpha0 > 1) 0.5 else alpha0
+    val qs = queries.sortBy(_.qid).toArray
+    require(qs.map(_.qid).distinct.length == qs.length,
+      "fusedTopKCombinedInt8: duplicate qids in the batch")
+    require(qs.forall(_.qvec != null),
+      "fusedTopKCombinedInt8: every ServedQuery needs a query vector")
+    val nq = qs.length
+    if (nq == 0) return Array.empty
+    val qids = qs.map(_.qid)
+    val qvecs = qs.map(_.qvec)
+    val toksByQ = qs.map(_.tokens.sortBy(_._1))
+    val qcodes = qvecs.map(Ivf.quantizeArray(_, absMax))
+    val qnorms = qcodes.map(Ivf.int8Norm)
+    val probedByQ = invertProbes(Ivf.probeAssignments(cents,
+      Ivf.bucketAdj(cents, "cosine"), l2 = false, qvecs, nProbe), nq)
+    val bc = combined.sparkContext.broadcast((qcodes, qnorms, toksByQ, probedByQ))
+    val partials = combined.mapPartitions { it =>
+      val (qcs, qns, toks, probed) = bc.value
+      val p = new CombinedPartial(qcs.length, k, kVec)
+      it.foreach { csh =>
+        val sh = csh.text
+        val n = sh.ids.length
+        val acc = new Array[Double](n)
+        val seen = new Array[Int](n)
+        val touched = new Array[Int](n)
+        var epoch = 0
+        var qi = 0
+        while (qi < qcs.length) {
+          epoch += 1
+          val tn = scoreTokens(sh, toks(qi), acc, seen, touched, epoch)
+          var i = 0
+          while (i < tn) {
+            val d = touched(i)
+            val raw = acc(d)
+            if (raw > p.text.maxRaw(qi)) p.text.maxRaw(qi) = raw
+            p.text.insert(qi, -(raw * sh.dec(d)), sh.ids(d), raw, sh.dec(d))
+            i += 1
+          }
+          val qc = qcs(qi)
+          val qn = qns(qi).toDouble
+          val pb = probed(qi)
+          var bi = 0
+          while (bi < pb.length) {
+            val blk = csh.bucketBlock.getOrElse(pb(bi).toLong, -1)
+            if (blk >= 0) {
+              var r = csh.bOff(blk)
+              val end = csh.bOff(blk + 1)
+              while (r < end) {
+                var dot = 0
+                var j = 0
+                val off = r * csh.dim
+                while (j < csh.dim) { dot += csh.codes(off + j).toInt * qc(j).toInt; j += 1 }
+                val norm = csh.norms(r)
+                val dist =
+                  if (norm == 0f || qn == 0.0) 1.0
+                  else {
+                    var sim = dot.toDouble / (norm.toDouble * qn)
+                    if (sim > 1.0) sim = 1.0
+                    if (sim < -1.0) sim = -1.0
+                    1.0 - sim
+                  }
+                val li = csh.vecLocal(r)
+                val hasT = seen(li) == epoch
+                p.insertVec(qi, dist, sh.ids(li),
+                  if (hasT) acc(li) else 0.0, sh.dec(li), hasT)
+                r += 1
+              }
+            }
+            bi += 1
+          }
+          qi += 1
+        }
+      }
+      Iterator.single(p)
+    }
+    val merged = Ivf.reducePartials(partials,
+      new CombinedPartial(nq, k, kVec),
+      (a: CombinedPartial, b: CombinedPartial) => a.merge(b))
+    bc.destroy()
+    blendCombined(qids, merged, alpha, k)
+  }
+
+  /** Invert bucket → probing-query lists into per-query ascending bucket
+    * lists for the partition scans.
+    */
+  private def invertProbes(
+      bucketQs: Array[Array[Int]], nq: Int): Array[Array[Int]] = {
+    val bufs = Array.fill(nq)(new scala.collection.mutable.ArrayBuilder.ofInt)
+    var b = 0
+    while (b < bucketQs.length) {
+      val qsb = bucketQs(b)
+      if (qsb != null) {
+        var i = 0
+        while (i < qsb.length) { bufs(qsb(i)) += b; i += 1 }
+      }
+      b += 1
+    }
+    bufs.map(_.result())
+  }
+
+  /** The combined paths' shared driver tail: read the merged vector leg
+    * (the global top-kVec — doc-major partitions are disjoint) with its
+    * attached hydration, and run the shared α-blend.
+    */
+  private def blendCombined(
+      qids: Array[Long],
+      merged: CombinedPartial,
+      alpha: Double,
+      k: Int): Array[(Long, Long, Double)] = {
+    val nq = qids.length
     val vecIds = Array.tabulate(nq) { qi =>
       merged.vd(qi).zipWithIndex.takeWhile(_._1 < Double.MaxValue)
         .map { case (_, j) => merged.vid(qi)(j) }
@@ -948,17 +1187,8 @@ object ServingFusion {
         while (j < qv.length) { s += qv(j).toDouble * qv(j); j += 1 }
         s
       } else null
-    val bucketQs = Ivf.probeAssignments(cents, adj, l2 = l2, qvecs, nProbe)
-    val probedByQ: Array[Array[Int]] = {
-      val bufs = Array.fill(nq)(new scala.collection.mutable.ArrayBuilder.ofInt)
-      var b = 0
-      while (b < bucketQs.length) {
-        val qsb = bucketQs(b)
-        if (qsb != null) { var i = 0; while (i < qsb.length) { bufs(qsb(i)) += b; i += 1 } }
-        b += 1
-      }
-      bufs.map(_.result())
-    }
+    val probedByQ = invertProbes(
+      Ivf.probeAssignments(cents, adj, l2 = l2, qvecs, nProbe), nq)
     val bc = combined.sparkContext.broadcast((qvecs, probedByQ, qsq))
     val partials = combined.mapPartitions { it =>
       val (qvs, probed, qsqB) = bc.value

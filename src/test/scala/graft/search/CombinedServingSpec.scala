@@ -199,6 +199,39 @@ class CombinedServingSpec extends SparkSpec {
     combined.unpersist(); qsN.unpersist(); qt.unpersist()
   }
 
+  test("int8 combined serving is bit-identical to the two-leg int8 path") {
+    val (t, post, dec, cents, assigned, qsN, qt) = fixtures()
+    val absMax = 1.0 // normalized vectors: |x| <= 1
+    val shards = ServingFusion.buildShards(
+      t.select(col("doc_id")), post, "doc_id", dec, numShards = 3).cache()
+    val serving8 = Ivf.servingIndexInt8(assigned, absMax).cache()
+    serving8.count()
+    val vecTop = Ivf.searchBatchedFastInt8(serving8, cents, qsN, k = 3,
+        nProbe = 2, absMax = absMax)
+      .select(col("qid"), col("id").as("doc_id"), col("distance"))
+      .localCheckpoint(true)
+    val twoLeg = ServingFusion.fusedTopK(shards, qt, vecTop,
+        params.alpha, params.k, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(r => (r._1, -r._3, r._2))
+    val combined8 = ServingFusion.buildCombinedInt8(
+      t.select(col("doc_id")), post, "doc_id",
+      assigned.select(col("id").as("doc_id"), col("vector"), col("bucket")),
+      absMax, dec, numShards = 3).cache()
+    combined8.count()
+    val served = ServingFusion.fusedTopKCombinedInt8(combined8, cents,
+        servedQueries(qsN, qt), absMax, params.alpha, params.k,
+        nProbe = 2, kVec = 3)
+      .sortBy(r => (r._1, -r._3, r._2))
+    assert(served.length === twoLeg.length)
+    served.zip(twoLeg).foreach { case (s, p) =>
+      assert(s._1 === p._1 && s._2 === p._2 && s._3 === p._3,
+        s"int8 parity: $s vs $p")
+    }
+    shards.unpersist(); serving8.unpersist(); combined8.unpersist()
+    qsN.unpersist(); qt.unpersist()
+  }
+
   test("served MMR equals the v26 plan chain on the same pool, in one job") {
     val (t, post, dec, cents, assigned, qsN, qt) = fixtures()
     val serving = Ivf.servingIndex(assigned).cache()
