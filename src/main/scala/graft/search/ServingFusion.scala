@@ -46,6 +46,16 @@ import graft.text.Bm25
   * [[Ivf.reducePartials]]'s threshold, treeReduce above); driver work is
   * O(nq·k). Query batches are driver-bounded by contract, like every
   * serving entry point.
+  *
+  * The COMBINED family collapses even the two-leg pipeline's serial job
+  * rounds: [[buildCombined]] co-locates each partition's postings CSR,
+  * decay factors and bucket-major IVF vector blocks (int8 twin:
+  * [[buildCombinedInt8]], 4× less resident memory), and
+  * [[fusedTopKCombined]] / [[fusedTopKCombinedInt8]] /
+  * [[mmrTopKCombined]] serve a whole hybrid (or MMR-diversified) query
+  * batch as ONE Spark job over driver-resident queries — the
+  * architecture's latency floor (one job launch, ~30 ms at local[32]),
+  * every path spec-pinned bit-identical to its multi-job twin.
   */
 object ServingFusion {
 
