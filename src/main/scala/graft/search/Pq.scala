@@ -405,11 +405,27 @@ object Pq {
   }
 
   /** Batched residual-IVF-PQ serving. Identical shape to
-    * [[searchBatchedFastPq]], except the ADC LUT is per (query, bucket):
-    * built lazily inside the scan from the residual query
-    * `qvec − cents[bucket]` (m·nCodes·subDim = one LUT costs about the
-    * same as scanning ~2k rows, amortized over the whole block; the
-    * buffer is reused, so no allocation per block).
+    * [[searchBatchedFastPq]], except the ADC LUT is per (query, bucket).
+    * The LUT builds through the IVFADC decomposition (Jégou, Douze,
+    * Schmid, "Product Quantization for Nearest Neighbor Search", TPAMI
+    * 2011, §IV-B):
+    *
+    *   ‖(q−c)_s − e‖² = ‖(q−c)_s‖² − 2⟨q_s,e⟩ + 2⟨c_s,e⟩ + ‖e‖²
+    *
+    * so the subDim-deep inner products factor out of the per-(query,
+    * bucket) build: `−2⟨q_s,e⟩` is one table PER QUERY (built on the
+    * driver, independent of corpus size and nProbe — it parallels the
+    * probe-selection work), `2⟨c_s,e⟩ + ‖e‖²` is one table PER BLOCK per
+    * batch (one direct-build's worth of flops, amortized over every query
+    * probing the bucket), and Σ_s ‖(q−c)_s‖² = ‖q−c‖² is a scalar per
+    * pair. The per-pair LUT is then a single m·nCodes add-pass — ~8×
+    * fewer flops than the direct `‖(q−c)_s − e‖²` build (r16: this moved
+    * the SIFT-1M ADC point past the f32 index's QPS). The decomposition
+    * reorders float accumulation, so distances can differ from the
+    * DataFrame plan's in the last ulps; PqSpec pins the residual path at
+    * ranking level (lossless-codebook ids == brute force), and the
+    * oracle-checked DataFrame paths (v15–v18) keep the sequential-fold
+    * math unchanged.
     */
   def searchBatchedFastPqResidual(
       index: org.apache.spark.rdd.RDD[(Long, Array[Long], Array[Byte])],
@@ -430,43 +446,79 @@ object Pq {
     val qvecs = qrows.map(_._2)
     val bucketQs =
       Ivf.probeAssignments(cents, adj, l2 = true, qvecs, nProbe)
-    val bc = spark.sparkContext.broadcast((qvecs, bucketQs, cents, codebook))
+    // Per-query cross-term tables Q[s·nCodes + c] = −2⟨q_s, e_s(c)⟩,
+    // built once per query on the driver's cores (like probe selection).
+    val qluts = new Array[Array[Double]](qvecs.length)
+    java.util.stream.IntStream.range(0, qvecs.length).parallel().forEach { qi =>
+      val qv = qvecs(qi)
+      val t = new Array[Double](m * nCodes)
+      var s = 0
+      while (s < m) {
+        val sub = codebook(s)
+        val base = s * subDim
+        var c = 0
+        while (c < nCodes) {
+          val e = sub(c)
+          var dot = 0.0
+          var j = 0
+          while (j < subDim) { dot += qv(base + j).toDouble * e(j); j += 1 }
+          t(s * nCodes + c) = -2.0 * dot
+          c += 1
+        }
+        s += 1
+      }
+      qluts(qi) = t
+    }
+    val bc = spark.sparkContext.broadcast(
+      (qvecs, qluts, bucketQs, cents, codebook))
     val partials = index.mapPartitions { it =>
-      val (qvs, bq, cs, cb) = bc.value
+      val (qvs, qls, bq, cs, cb) = bc.value
       val heaps = new Ivf.TopK(qvs.length, k)
+      val cLut = new Array[Double](m * nCodes)
       val lut = new Array[Double](m * nCodes)
-      val rq = new Array[Float](if (cs.isEmpty) 0 else cs(0).length)
       it.foreach { case (b, ids, codes) =>
         val qs = if (b < bq.length) bq(b.toInt) else null
         if (qs != null && ids.length > 0) {
           val cv = cs(b.toInt)
+          // Per-block term 2⟨c_s, e⟩ + ‖e‖², once per batch.
+          var s = 0
+          while (s < m) {
+            val sub = cb(s)
+            val base = s * subDim
+            var c = 0
+            while (c < nCodes) {
+              val e = sub(c)
+              var dot = 0.0
+              var nsq = 0.0
+              var j = 0
+              while (j < subDim) {
+                val ev = e(j).toDouble
+                dot += cv(base + j).toDouble * ev
+                nsq += ev * ev
+                j += 1
+              }
+              cLut(s * nCodes + c) = 2.0 * dot + nsq
+              c += 1
+            }
+            s += 1
+          }
           var i = 0
           while (i < qs.length) {
             val qi = qs(i)
             val qv = qvs(qi)
+            // Scalar ‖q − c‖² folds every residual norm term at once.
+            var qc = 0.0
             var j = 0
-            while (j < qv.length) { rq(j) = qv(j) - cv(j); j += 1 }
-            var s = 0
-            while (s < m) {
-              val sub = cb(s)
-              val base = s * subDim
-              var c = 0
-              while (c < nCodes) {
-                val e = sub(c)
-                var d = 0.0
-                var t = 0
-                while (t < subDim) {
-                  val x = rq(base + t).toDouble - e(t); d += x * x; t += 1
-                }
-                lut(s * nCodes + c) = d
-                c += 1
-              }
-              s += 1
+            while (j < qv.length) {
+              val x = qv(j).toDouble - cv(j); qc += x * x; j += 1
             }
+            val ql = qls(qi)
+            var e2 = 0
+            while (e2 < lut.length) { lut(e2) = ql(e2) + cLut(e2); e2 += 1 }
             var r = 0
             var off = 0
             while (r < ids.length) {
-              var d = 0.0
+              var d = qc
               var s2 = 0
               while (s2 < m) {
                 d += lut(s2 * nCodes + (codes(off + s2) & 0xFF))
