@@ -268,8 +268,14 @@ object SourceQueries {
       val kept = ccnetDedupedPages(s, dir)
       val lmDocs = Tables.documents(s, dir)
         .filter(col("doc_id") % 5 === 0).select(col("text"))
+      // Pinned: `per` is referenced twice (the tercile aggregate AND the
+      // crossJoin back), and each reference re-evaluates the whole
+      // WARC-parse → paragraph-dedup → bigram-LM chain — the
+      // re-evaluation hazard Mmr.select documents (ADVICE r15). Results
+      // are unchanged; cost roughly halves.
       val per = TextPipelineQueries.surprisalOf(lmDocs,
         kept.select(col("uri"), col("text_deduped").as("text")), "uri")
+        .localCheckpoint(true)
       val thr = per
         .agg(sort_array(collect_list(col("mean_milli"))).as("ms"))
         .select(

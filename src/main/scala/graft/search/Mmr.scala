@@ -150,6 +150,13 @@ object Mmr {
         }
         i += 1
       }
+      // Out-of-contract pools can leave every remaining score NaN (a
+      // zero-norm vector makes its cosine 0/0 = NaN, which poisons every
+      // survivor's maxSim from round 2 on); NaN comparisons are all
+      // false, so `best` never moves off −1. Degrade to the selections
+      // made so far — the DataFrame twin (Mmr.select) degrades without
+      // crashing on the same input (ADVICE r15).
+      if (best < 0) return out.toArray
       isSel(best) = true
       out += ((r + 1L, ids(best), bestScore))
       // Fold the new selection into every survivor's max-sim — the same
