@@ -433,4 +433,61 @@ object Streams {
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+
+  /** Streaming ingest into the COMBINED hybrid serving index (VERDICT r15
+    * next-round #3) — closes the loop [[ivfIngest]] (vector leg) and the
+    * postings layout (text leg) each closed separately: a new document
+    * reaching the combined text+vector shard no longer requires a rebuild.
+    * Each micro-batch of `(idCol, text-postings rows, assigned vector
+    * rows)` becomes a SEGMENT via
+    * [[graft.search.ServingFusion.appendCombined]] (frozen-stats
+    * discipline: the centroids, token-df artifact and corpus scalars stay
+    * the base build's — the exact contract `ivfIngest` pins for
+    * centroids), and the served index reference swaps atomically after
+    * the segment is materialized, so an in-flight [[graft.search
+    * .ServingFusion.fusedTopKCombined]] batch never sees a half-built
+    * segment. Compaction (periodic full rebuild) is the offline job, as
+    * everywhere in this module.
+    *
+    * `docs` carries `(idCol, textCol, vecCol)`; postings + assignment are
+    * stateless transforms, so they run unchanged per micro-batch. The
+    * served handle is `ref.get()` — cache it per serve call, like the
+    * bench does.
+    */
+  def combinedIngest(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      vecCol: String,
+      cents: Array[Array[Float]],
+      frozenStats: (Long, Double),
+      frozenTokenDf: DataFrame,
+      ref: java.util.concurrent.atomic.AtomicReference[
+        org.apache.spark.rdd.RDD[graft.search.ServingFusion.CombinedShard]],
+      checkpoint: String,
+      numShardsPerSegment: Int = 1)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        if (b.count() > 0) {
+          val ids = b.select(col(idCol))
+          val post = graft.text.Bm25.postings(b, idCol, textCol)
+          val assigned = graft.search.Ivf.assignFast(
+            b.select(col(idCol).cast("long").as("id"),
+              col(vecCol).cast("array<float>").as("vector")), cents)
+            .select(col("id").as(idCol), col("vector"), col("bucket"))
+          val next = graft.search.ServingFusion.appendCombined(
+            ref.get(), ids, post, idCol, assigned,
+            frozenStats, frozenTokenDf,
+            numShards = numShardsPerSegment).cache()
+          next.count() // materialize BEFORE the atomic swap
+          ref.set(next)
+        }
+        b.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
 }

@@ -149,17 +149,40 @@ object Bm25 {
     * from ([[graft.search.ServingFusion.buildShards]]). Offline build
     * shape: plain shuffles, no broadcasts (`tokenDf` is
     * vocabulary-sized).
+    *
+    * @param frozenStats `(total_docs, avg_dl)` pinned at an offline
+    *   stats-refresh instead of derived from `dls` — the incremental-
+    *   ingest contract ([[graft.search.ServingFusion.appendCombined]]):
+    *   a new segment's weights must use the SAME corpus scalars the base
+    *   index was built with, or every already-served doc's score drifts
+    *   per micro-batch. None (the default) derives them from `dls`.
     */
   def weightedPostings(post: DataFrame, dls: DataFrame, tdf: DataFrame,
-                       idCol: String): DataFrame = {
-    val stats = dls.agg(
-      count(lit(1)).as("total_docs"),
-      avg(col("dl")).as("avg_dl"))
+                       idCol: String,
+                       frozenStats: Option[(Long, Double)] = None): DataFrame = {
+    val stats = frozenStats match {
+      case Some((n, avgDl)) =>
+        dls.sparkSession.range(1)
+          .select(lit(n).as("total_docs"), lit(avgDl).as("avg_dl"))
+      case None =>
+        dls.agg(
+          count(lit(1)).as("total_docs"),
+          avg(col("dl")).as("avg_dl"))
+    }
     post
       .join(tdf, Seq("token"))
       .join(dls, Seq(idCol))
       .crossJoin(broadcast(stats))
       .select(col("token"), col(idCol), termWeight.as("w"))
+  }
+
+  /** The frozen-stats scalars for [[weightedPostings]]: `(total_docs,
+    * avg_dl)` over a doc-lengths frame — computed once at build/refresh
+    * time and carried as a serving artifact.
+    */
+  def corpusStats(dls: DataFrame): (Long, Double) = {
+    val r = dls.agg(count(lit(1)), avg(col("dl"))).collect().head
+    (r.getLong(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1))
   }
 
   /** @param prebuiltDocLengths materialized [[docLengthsFromPostings]]

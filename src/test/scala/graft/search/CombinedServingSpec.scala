@@ -275,6 +275,56 @@ class CombinedServingSpec extends SparkSpec {
     serving.unpersist(); combined.unpersist(); qsN.unpersist(); qt.unpersist()
   }
 
+  test("int8 served MMR equals the two-job int8 pool + selectLocal chain") {
+    val (t, post, dec, cents, assigned, qsN, qt) = fixtures()
+    val absMax = 1.0
+    val pool = 6
+    val mk = 3
+    // Two-job twin: int8 serving scan for the pool, then selectLocal over
+    // the pool candidates' CODES as floats (cosine is scale-invariant, so
+    // code-domain similarity IS the int8 cosine).
+    val servingI8 = Ivf.servingIndexInt8(assigned, absMax).cache()
+    servingI8.count()
+    val codesById = assigned.select(col("id"), col("vector"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        Ivf.quantizeArray(r.getSeq[Float](1).toArray, absMax))
+      .toMap
+    val twin = Ivf.searchBatchedFastInt8(servingI8, cents, qsN,
+        k = pool, nProbe = 2, absMax = absMax)
+      .select(col("qid"), col("id"), col("distance"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .flatMap { case (qid, rows) =>
+        val sorted = rows.sortBy(r => (r._3, r._2))
+        val ids = sorted.map(_._2).toArray
+        val rel = sorted.map(1.0 - _._3).toArray
+        val vecs = ids.map(id => codesById(id).map(_.toFloat))
+        Mmr.selectLocal(ids, rel, vecs, mk, 0.7, 0.3)
+          .map { case (rank, id, score) => (qid, rank, id, score) }
+      }.sortBy(r => (r._1, r._2))
+
+    val combined8 = ServingFusion.buildCombinedInt8(
+      t.select(col("doc_id")), post, "doc_id",
+      assigned.select(col("id").as("doc_id"), col("vector"), col("bucket")),
+      absMax, dec, numShards = 3).cache()
+    combined8.count()
+    val mmrQs = servedQueries(qsN, qt).map(q => (q.qid, q.qvec))
+    val served = ServingFusion.mmrTopKCombinedInt8(combined8, cents, mmrQs,
+        absMax, k = mk, pool = pool, nProbe = 2, lam = 0.7,
+        oneMinusLam = 0.3)
+      .sortBy(r => (r._1, r._2))
+    assert(served.length === twin.length && served.nonEmpty)
+    served.zip(twin).foreach { case (s, p) =>
+      assert(s._1 === p._1 && s._2 === p._2 && s._3 === p._3,
+        s"int8 mmr selection: $s vs $p")
+      assert(s._4 === p._4,
+        s"int8 mmr score at qid=${s._1} rank=${s._2}: ${s._4} vs ${p._4}")
+    }
+    servingI8.unpersist(); combined8.unpersist()
+    qsN.unpersist(); qt.unpersist()
+  }
+
   test("decay-disabled combined build defaults every factor to 1.0") {
     import graft.functions.VectorFunctions
     val t = table
@@ -304,5 +354,84 @@ class CombinedServingSpec extends SparkSpec {
       assert(score <= 0.6 + 1e-12 && score > 0.0)
     }
     combined.unpersist()
+  }
+
+  test("segment append under frozen stats serves identically to a rebuild") {
+    val (t, _, dec, cents, assigned, qsN, qt) = fixtures()
+    // Base = docs 0-7; micro-batch = docs 8-10 (9 carries tokens absent
+    // from the base vocabulary — frozen-tdf drop case; 10 is text-only
+    // with no vector). Frozen artifacts pinned at the BASE build: corpus
+    // scalars + token df — the appendCombined contract.
+    val baseT = t.filter(col("doc_id") <= 7)
+    val batchT = t.filter(col("doc_id") >= 8)
+    val postBase = Bm25.postings(baseT, "doc_id", "text")
+    val postBatch = Bm25.postings(batchT, "doc_id", "text")
+    val postAll = Bm25.postings(t, "doc_id", "text")
+    val frozen = Bm25.corpusStats(
+      Bm25.docLengthsFromPostings(baseT.select(col("doc_id")), postBase,
+        "doc_id"))
+    val tdf = Bm25.tokenDf(postBase).cache()
+    tdf.count()
+    val decBase = dec.map(_.filter(col("doc_id") <= 7))
+    val decBatch = dec.map(_.filter(col("doc_id") >= 8))
+    val asgBase = assigned.filter(col("id") <= 7)
+      .select(col("id").as("doc_id"), col("vector"), col("bucket"))
+    val asgBatch = assigned.filter(col("id") >= 8)
+      .select(col("id").as("doc_id"), col("vector"), col("bucket"))
+    val asgAll = assigned
+      .select(col("id").as("doc_id"), col("vector"), col("bucket"))
+
+    val base = ServingFusion.buildCombined(
+      baseT.select(col("doc_id")), postBase, "doc_id", asgBase, decBase,
+      numShards = 3, prebuiltTokenDf = Some(tdf),
+      frozenStats = Some(frozen)).cache()
+    base.count()
+    val appended = ServingFusion.appendCombined(
+      base, batchT.select(col("doc_id")), postBatch, "doc_id", asgBatch,
+      frozen, tdf, dec = decBatch, numShards = 2).cache()
+    appended.count()
+    val rebuilt = ServingFusion.buildCombined(
+      t.select(col("doc_id")), postAll, "doc_id", asgAll, dec,
+      numShards = 3, prebuiltTokenDf = Some(tdf),
+      frozenStats = Some(frozen)).cache()
+    rebuilt.count()
+
+    val sq = servedQueries(qsN, qt)
+    def serve(ix: org.apache.spark.rdd.RDD[ServingFusion.CombinedShard]) =
+      ServingFusion.fusedTopKCombined(ix, cents, sq,
+          params.alpha, params.k, nProbe = 2, kVec = 3)
+        .sortBy(r => (r._1, -r._3, r._2))
+    val a = serve(appended)
+    val r = serve(rebuilt)
+    assert(a.length === r.length && a.nonEmpty)
+    a.zip(r).foreach { case (x, y) =>
+      assert(x._1 === y._1 && x._2 === y._2, s"append $x vs rebuild $y")
+      assert(x._3 === y._3, s"score drift at qid=${x._1} id=${x._2}")
+    }
+    // Batch docs actually reached the served surface (the staleness gap
+    // the append path closes): at least one result id >= 8.
+    assert(a.exists(_._2 >= 8L), "no batch doc served after append")
+
+    // Int8 twin: same segments, same frozen absMax — equal to its rebuild.
+    val base8 = ServingFusion.buildCombinedInt8(
+      baseT.select(col("doc_id")), postBase, "doc_id", asgBase,
+      absMax = 1.0, decBase, numShards = 3, prebuiltTokenDf = Some(tdf),
+      frozenStats = Some(frozen)).cache()
+    base8.count()
+    val app8 = ServingFusion.appendCombinedInt8(
+      base8, batchT.select(col("doc_id")), postBatch, "doc_id", asgBatch,
+      absMax = 1.0, frozen, tdf, dec = decBatch, numShards = 2)
+    val reb8 = ServingFusion.buildCombinedInt8(
+      t.select(col("doc_id")), postAll, "doc_id", asgAll,
+      absMax = 1.0, dec, numShards = 3, prebuiltTokenDf = Some(tdf),
+      frozenStats = Some(frozen))
+    def serve8(ix: org.apache.spark.rdd.RDD[ServingFusion.CombinedShardInt8]) =
+      ServingFusion.fusedTopKCombinedInt8(ix, cents, sq, absMax = 1.0,
+          params.alpha, params.k, nProbe = 2, kVec = 3)
+        .sortBy(r => (r._1, -r._3, r._2))
+    assert(serve8(app8).toSeq === serve8(reb8).toSeq)
+
+    base.unpersist(); appended.unpersist(); rebuilt.unpersist()
+    base8.unpersist(); tdf.unpersist(); qsN.unpersist(); qt.unpersist()
   }
 }

@@ -694,4 +694,78 @@ class StreamsSpec extends SparkSpec {
     assert(after > before,
       s"repair must improve drifted recall (before=$before after=$after)")
   }
+
+  test("streaming combined ingest: segments serve == frozen-stats rebuild") {
+    import graft.search.{Ivf, ServingFusion}
+    import graft.text.{Analyzer, Bm25}
+    import spark.implicits._
+    val words = Array("spark", "join", "plan", "scan", "filter", "window",
+      "stream", "state", "hash", "probe")
+    def doc(i: Long): (Long, String, Array[Float]) = {
+      val text = (0 until 5).map(j => words(((i + j * 3) % 10).toInt))
+        .mkString(" ")
+      val raw = Array.tabulate(4)(j => (math.sin(i * (j + 1)) + 1.5).toFloat)
+      val n = math.sqrt(raw.map(x => x.toDouble * x).sum)
+      (i, text, raw.map(x => (x / n).toFloat))
+    }
+    val baseDocs = (0L until 10L).map(doc).toDF("doc_id", "text", "embedding")
+    val newDocs = (10L until 16L).map(doc).toDF("doc_id", "text", "embedding")
+    val allDocs = baseDocs.unionByName(newDocs)
+
+    def vecs(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id").cast("long").as("id"),
+        col("embedding").cast("array<float>").as("vector"))
+    val cents = Ivf.trainKMeansArrays(vecs(baseDocs), 3, iters = 2)
+    val postBase = Bm25.postings(baseDocs, "doc_id", "text")
+    val frozen = Bm25.corpusStats(Bm25.docLengthsFromPostings(
+      baseDocs.select(col("doc_id")), postBase, "doc_id"))
+    val tdf = Bm25.tokenDf(postBase).cache()
+    tdf.count()
+    def asg(df: org.apache.spark.sql.DataFrame) =
+      Ivf.assignFast(vecs(df), cents)
+        .select(col("id").as("doc_id"), col("vector"), col("bucket"))
+
+    val base = ServingFusion.buildCombined(
+      baseDocs.select(col("doc_id")), postBase, "doc_id", asg(baseDocs),
+      numShards = 2, prebuiltTokenDf = Some(tdf),
+      frozenStats = Some(frozen)).cache()
+    base.count()
+    val ref = new java.util.concurrent.atomic.AtomicReference(base)
+
+    // Two staged files → two micro-batches → two appended segments.
+    val src = tempDir("combined-ingest-src")
+    newDocs.filter(col("doc_id") < 13).coalesce(1)
+      .write.mode("append").parquet(src)
+    newDocs.filter(col("doc_id") >= 13).coalesce(1)
+      .write.mode("append").parquet(src)
+    val stream = spark.readStream.schema(allDocs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = Streams.combinedIngest(stream, "doc_id", "text", "embedding",
+      cents, frozen, tdf, ref, tempDir("combined-ingest-cp"),
+      numShardsPerSegment = 1)
+    q.awaitTermination(120000)
+    assert(ref.get() ne base, "ingest must have swapped the served index")
+
+    val rebuilt = ServingFusion.buildCombined(
+      allDocs.select(col("doc_id")), Bm25.postings(allDocs, "doc_id", "text"),
+      "doc_id", asg(allDocs), numShards = 2, prebuiltTokenDf = Some(tdf),
+      frozenStats = Some(frozen))
+    val sq = Seq(0L, 1L).map { qid =>
+      val qtext = if (qid == 0) "spark join plan" else "filter window stream"
+      val toks = Analyzer.analyze(qtext, "english")
+        .groupBy(identity).map { case (t, g) => (t, g.size) }
+        .toArray.sortBy(_._1)
+      val (_, _, qv) = doc(qid + 50)
+      ServingFusion.ServedQuery(qid, qv, toks)
+    }
+    def serve(ix: org.apache.spark.rdd.RDD[ServingFusion.CombinedShard]) =
+      ServingFusion.fusedTopKCombined(ix, cents, sq, alpha0 = 0.6, k = 5,
+          nProbe = 2, kVec = 3)
+        .sortBy(r => (r._1, -r._3, r._2)).toSeq
+    val served = serve(ref.get())
+    assert(served === serve(rebuilt))
+    assert(served.exists(_._2 >= 10L),
+      "a streamed-in doc must be servable without a rebuild")
+    base.unpersist(); tdf.unpersist()
+  }
 }
