@@ -291,6 +291,86 @@ object TextPipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // X40: CCNet's ACTUAL per-language shape (arXiv:1911.00359 §3.2,
+    // VERDICT r15 next-round #4) — x39 buckets per language but scores
+    // every doc against ONE shared LM; CCNet runs langid first and then
+    // trains a SEPARATE LM per language (fastText → per-language
+    // KenLM). Composition: x1's stopword-profile langid predicts each
+    // doc's language; each predicted language trains its own bigram LM
+    // on ITS %5 slice (lang is simply one more key on the lm/uni/vocab
+    // tables — the joins stay keyed, never broadcast, except the
+    // n_languages-row vocab and tercile tables); docs score against
+    // their own language's LM and bucket head/middle/tail at their own
+    // language's sampled terciles (x39's bounded order-statistics, keep
+    // = not-tail). Integer math end to end, so the five-stage chain
+    // (langid → slice → LM → surprisal → buckets) is hash-checked. A
+    // predicted language with an empty %5 slice has no vocabulary row
+    // and its docs drop (inner join) — deliberate and replayed by the
+    // oracle: CCNet cannot score a language it has no LM for.
+    "x40_ccnet_per_lang" -> ((s, dir) => {
+      val raw = Tables.documents(s, dir)
+      val docs = raw.select(col("doc_id"), col("lang"),
+        injected(col("lang"), col("text")).as("content"))
+      val pred = TextPipeline.langScores(docs, "doc_id", "content")
+        .filter(col("rn") === 1)
+        .select(col("id").cast("long").as("doc_id"),
+          col("lang").as("plang"))
+      val d = raw.select(col("doc_id"), col("text")).join(pred, Seq("doc_id"))
+      def bigrams(df: DataFrame): DataFrame = df
+        .select(col("doc_id"), col("plang"), split(col("text"), " ").as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(col("doc_id"), col("plang"), explode(zip_with(
+          slice(col("ts"), lit(1), size(col("ts")) - 1),
+          slice(col("ts"), lit(2), size(col("ts")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+        .select(col("doc_id"), col("plang"),
+          col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val lmSlice = d.filter(col("doc_id") % 5 === 0)
+      val lm = bigrams(lmSlice)
+        .groupBy(col("plang"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c12"))
+      val uni = lm.groupBy(col("plang"), col("w1"))
+        .agg(sum(col("c12")).as("c1"))
+      val v = lmSlice
+        .select(col("plang"), explode(split(col("text"), " ")).as("t"))
+        .groupBy(col("plang")).agg(countDistinct(col("t")).as("nv"))
+      val sc = bigrams(d)
+        .join(broadcast(v), Seq("plang"))
+        .join(lm, Seq("plang", "w1", "w2"), "left")
+        .join(uni, Seq("plang", "w1"), "left")
+        .withColumn("bits",
+          (length(bin(expr(
+            "(coalesce(c1, 0) + nv) div (coalesce(c12, 0) + 1)"))) - 1)
+            .cast("long"))
+      val per = sc.groupBy(col("doc_id"), col("plang"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("bits")).as("surprisal_bits"))
+        .withColumn("mean_milli",
+          expr("(1000 * surprisal_bits) div n_bigrams"))
+      val sampleIds = per
+        .groupBy(col("plang"))
+        .agg(graft.functions.TopK.topK(
+          col("doc_id"), col("doc_id").cast("double"), 25000).as("_tk"))
+        .select(col("plang"), explode(col("_tk")).as("_e"))
+        .select(col("plang"), col("_e.id").as("doc_id"))
+      val thr = per.join(sampleIds, Seq("doc_id", "plang"))
+        .groupBy(col("plang"))
+        .agg(sort_array(collect_list(col("mean_milli"))).as("ms"))
+        .select(col("plang"),
+          element_at(col("ms"),
+            ceil(size(col("ms")) / 3.0).cast("int")).as("t1"),
+          element_at(col("ms"),
+            ceil(size(col("ms")) * 2 / 3.0).cast("int")).as("t2"))
+      per.join(broadcast(thr), Seq("plang"))
+        .select(col("doc_id"), col("plang").as("lang_pred"),
+          col("n_bigrams"), col("surprisal_bits"), col("mean_milli"),
+          when(col("mean_milli") <= col("t1"), "head")
+            .when(col("mean_milli") <= col("t2"), "middle")
+            .otherwise("tail").as("ppl_bucket"),
+          (col("mean_milli") <= col("t2")).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // X4: rolling-hash fingerprint over word 4-gram shingles.
     "x4_fingerprint" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
@@ -931,6 +1011,75 @@ object TextPipelineQueries {
         |       ELSE 'tail' END AS ppl_bucket
         |FROM pl JOIN thr ON pl.lang = thr.lang
         |ORDER BY pl.doc_id""".stripMargin,
+
+    // x1's langid CTE feeding a PER-LANGUAGE x36 chain: lang is one more
+    // key on the lm/uni/vocab tables, terciles per language over the
+    // capped sample. Integer floor-log2 bits, integer thresholds.
+    "x40_ccnet_per_lang" ->
+      s"""WITH $injectedSql,
+         |scores AS (
+         |  SELECT doc_id, l.lang, CAST(
+         |    CASE l.lang
+         |      WHEN 'en' THEN ${scoreSql(Seq("the", "of", "and", "is", "a"))}
+         |      WHEN 'es' THEN ${scoreSql(Seq("el", "los", "de", "y", "una"))}
+         |      WHEN 'de' THEN ${scoreSql(Seq("der", "die", "das", "und", "ein"))}
+         |      WHEN 'fr' THEN ${scoreSql(Seq("le", "la", "les", "et", "une"))}
+         |      ELSE ${scoreSql(Seq("de0", "shi4", "le0", "zai4", "he2"))}
+         |    END AS BIGINT) AS score
+         |  FROM injected CROSS JOIN (
+         |    SELECT unnest(['en','es','de','fr','zh']) AS lang) l),
+         |best AS (
+         |  SELECT doc_id, lang AS plang FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+         |    FROM scores)
+         |  WHERE rn = 1),
+         |d AS (
+         |  SELECT doc.doc_id, best.plang, doc.text
+         |  FROM documents doc JOIN best ON doc.doc_id = best.doc_id),
+         |tok AS (SELECT doc_id, plang, str_split(text, ' ') AS ts FROM d),
+         |bg AS (
+         |  SELECT doc_id, plang, ts[i] AS w1, ts[i + 1] AS w2
+         |  FROM tok, unnest(range(1, len(ts))) t(i)),
+         |lm AS (SELECT plang, w1, w2, CAST(count(*) AS BIGINT) AS c12
+         |       FROM bg WHERE doc_id % 5 = 0 GROUP BY 1, 2, 3),
+         |uni AS (SELECT plang, w1, CAST(sum(c12) AS BIGINT) AS c1
+         |        FROM lm GROUP BY 1, 2),
+         |v AS (SELECT plang, CAST(count(DISTINCT t) AS BIGINT) AS nv
+         |      FROM (SELECT plang, unnest(ts) AS t FROM tok
+         |            WHERE doc_id % 5 = 0) GROUP BY plang),
+         |sc AS (
+         |  SELECT bg.doc_id, bg.plang,
+         |    CAST(length(bin((COALESCE(uni.c1, 0) + v.nv) //
+         |      (COALESCE(lm.c12, 0) + 1))) - 1 AS BIGINT) AS bits
+         |  FROM bg JOIN v ON bg.plang = v.plang
+         |  LEFT JOIN lm ON bg.plang = lm.plang AND bg.w1 = lm.w1
+         |    AND bg.w2 = lm.w2
+         |  LEFT JOIN uni ON bg.plang = uni.plang AND bg.w1 = uni.w1),
+         |per AS (
+         |  SELECT doc_id, plang, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(bits) AS BIGINT) AS surprisal_bits,
+         |    CAST((1000 * sum(bits)) // count(*) AS BIGINT) AS mean_milli
+         |  FROM sc GROUP BY 1, 2),
+         |samp AS (
+         |  SELECT * FROM (
+         |    SELECT per.*, row_number() OVER (
+         |      PARTITION BY plang ORDER BY doc_id) AS rn FROM per)
+         |  WHERE rn <= 25000),
+         |thr AS (
+         |  SELECT plang,
+         |    ms[CAST(ceil(len(ms) / 3.0) AS BIGINT)] AS t1,
+         |    ms[CAST(ceil(len(ms) * 2 / 3.0) AS BIGINT)] AS t2
+         |  FROM (SELECT plang, list_sort(list(mean_milli)) AS ms
+         |        FROM samp GROUP BY plang))
+         |SELECT per.doc_id, per.plang AS lang_pred, per.n_bigrams,
+         |  per.surprisal_bits, per.mean_milli,
+         |  CASE WHEN per.mean_milli <= thr.t1 THEN 'head'
+         |       WHEN per.mean_milli <= thr.t2 THEN 'middle'
+         |       ELSE 'tail' END AS ppl_bucket,
+         |  per.mean_milli <= thr.t2 AS keep
+         |FROM per JOIN thr ON per.plang = thr.plang
+         |ORDER BY per.doc_id""".stripMargin,
 
     "x32_token_fertility" ->
       """WITH d AS (
