@@ -1010,13 +1010,18 @@ object Bench {
             .localCheckpoint(true)
           val frozen = graft.text.Bm25.corpusStats(dls)
           val sq1c = sqAll.take(1)
+          // Mirrors Streams.combinedIngest: cache + materialize ONLY the
+          // segment, serve over the lazy union of cached parents.
           def rep(): Double = timeIt {
-            val appended = graft.search.ServingFusion.appendCombined(
-              combined, batchT.select(col("doc_id")), postB, "doc_id",
-              asgB, frozen, tdf, dec = decB, numShards = 1).cache()
-            graft.search.ServingFusion.fusedTopKCombined(appended, cents,
-              sq1c, params.alpha, params.k, nProbe = 8, kVec = 10)
-            appended.unpersist()
+            val seg = graft.search.ServingFusion.buildCombined(
+              batchT.select(col("doc_id")), postB, "doc_id", asgB,
+              dec = decB, numShards = 1, prebuiltTokenDf = Some(tdf),
+              frozenStats = Some(frozen)).cache()
+            seg.count()
+            graft.search.ServingFusion.fusedTopKCombined(
+              combined.union(seg), cents, sq1c, params.alpha, params.k,
+              nProbe = 8, kVec = 10)
+            seg.unpersist()
           }
           replausible(s"$priorKey.ingest_to_serve_sec",
             Seq.fill(3)(rep()).min)(rep())

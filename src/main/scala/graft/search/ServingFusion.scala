@@ -838,6 +838,13 @@ object ServingFusion {
     * id present in both would be scored twice — append-only segments, no
     * upsert; route updates through compaction), and `newAssigned` ⊆
     * `newIds` (checked by [[combinedRows]]).
+    *
+    * Caching discipline: cache the SEGMENT (or let this method's result
+    * stay lazy over an already-cached base) — caching the returned union
+    * itself re-stores every base partition, the duplication a segment
+    * architecture exists to avoid. [[graft.streaming.Streams]]'
+    * `combinedIngest` shows the shape: materialize the segment, then
+    * swap in the lazy union.
     */
   def appendCombined(
       index: org.apache.spark.rdd.RDD[CombinedShard],

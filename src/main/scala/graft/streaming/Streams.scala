@@ -477,12 +477,17 @@ object Streams {
             b.select(col(idCol).cast("long").as("id"),
               col(vecCol).cast("array<float>").as("vector")), cents)
             .select(col("id").as(idCol), col("vector"), col("bucket"))
-          val next = graft.search.ServingFusion.appendCombined(
-            ref.get(), ids, post, idCol, assigned,
-            frozenStats, frozenTokenDf,
-            numShards = numShardsPerSegment).cache()
-          next.count() // materialize BEFORE the atomic swap
-          ref.set(next)
+          // Cache and materialize ONLY the segment, then swap in a lazy
+          // union of cached parents — caching the union itself would
+          // re-store every base partition per micro-batch (the storage
+          // doubling a segment architecture exists to avoid).
+          val seg = graft.search.ServingFusion.buildCombined(
+            ids, post, idCol, assigned, dec = None,
+            numShards = numShardsPerSegment,
+            prebuiltTokenDf = Some(frozenTokenDf),
+            frozenStats = Some(frozenStats)).cache()
+          seg.count() // materialize BEFORE the atomic swap
+          ref.set(ref.get().union(seg))
         }
         b.unpersist()
         ()
