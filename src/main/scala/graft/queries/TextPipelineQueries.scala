@@ -109,8 +109,10 @@ object TextPipelineQueries {
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"),
           injected(col("lang"), col("text")).as("content"))
-      TextPipeline.langScores(docs, "doc_id", "content")
-        .filter(col("rn") === 1)
+      // One-scan argmax (TextPipeline.langBest, r16): same winner row as
+      // langScores(...).filter(rn === 1), without the 5-way corpus union
+      // or the per-id window shuffle — langid is map-only at 100 TB.
+      TextPipeline.langBest(docs, "doc_id", "content")
         .join(docs.select(col("doc_id").as("id"), col("lang").as("truth")), Seq("id"))
         .select(col("id").cast("long").as("doc_id"),
           col("lang").as("predicted"), col("score"), col("truth"),
@@ -311,8 +313,7 @@ object TextPipelineQueries {
       val raw = Tables.documents(s, dir)
       val docs = raw.select(col("doc_id"), col("lang"),
         injected(col("lang"), col("text")).as("content"))
-      val pred = TextPipeline.langScores(docs, "doc_id", "content")
-        .filter(col("rn") === 1)
+      val pred = TextPipeline.langBest(docs, "doc_id", "content")
         .select(col("id").cast("long").as("doc_id"),
           col("lang").as("plang"))
       val d = raw.select(col("doc_id"), col("text")).join(pred, Seq("doc_id"))

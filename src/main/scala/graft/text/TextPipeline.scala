@@ -47,6 +47,27 @@ object TextPipeline {
       Window.partitionBy("id").orderBy(col("score").desc, col("lang"))))
   }
 
+  /** [[langScores]]' winner in ONE projection: every profile scores in the
+    * same scan and `greatest` over `struct(score, −langIdx)` picks max
+    * score with ties to the alphabetically-smallest language — the same
+    * row `langScores(...).filter(rn === 1)` keeps, WITHOUT the 5× corpus
+    * union or the per-id window shuffle (at 100 TB langid must be a
+    * map-only column expression; r16, the x40 top-line). Returns
+    * (id, lang, score).
+    */
+  def langBest(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val langs = LangProfiles.toSeq.sortBy(_._1)
+    val best = greatest(langs.zipWithIndex.map { case ((_, words), i) =>
+      struct(profileScore(col(contentCol), words).cast("long").as("score"),
+        lit(-i).as("nidx"))
+    }: _*)
+    df.select(col(idCol).as("id"), best.as("_b"))
+      .select(col("id"),
+        element_at(array(langs.map(l => lit(l._1)): _*),
+          -col("_b.nidx") + 1).as("lang"),
+        col("_b.score").as("score"))
+  }
+
   /** Quality heuristics (Gopher-style rule set): word count bounds, mean
     * word length bounds, stopword ratio floor, unique-token ratio floor.
     * Each rule contributes 0.25; pass at ≥ 0.75.

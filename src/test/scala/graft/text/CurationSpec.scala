@@ -147,4 +147,29 @@ class CurationSpec extends SparkSpec {
     // integer cut: nothing below 25% survives in ANY row
     rows.foreach(r => assert(4 * r.getLong(2) >= r.getLong(3), r.toString))
   }
+
+  test("langBest equals langScores' rank-1 row, ties to the smaller lang") {
+    import spark.implicits._
+    // Engineered cases: clear winners per language, an exact de/en tie
+    // (both score 1 → 'de', alphabetically first), and an all-zero doc
+    // (every profile ties at 0 → 'de').
+    val docs = Seq(
+      (0L, "the of and is a plain sentence"),
+      (1L, "el los de y una frase"),
+      (2L, "the der"),
+      (3L, "xyzzy nothing matches here"),
+      (4L, "le la les et une phrase"),
+      (5L, "de0 shi4 le0 zai4 he2")).toDF("doc_id", "content")
+    val slow = TextPipeline.langScores(docs, "doc_id", "content")
+      .filter(col("rn") === 1)
+      .select(col("id"), col("lang"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    val fast = TextPipeline.langBest(docs, "doc_id", "content")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(fast.toSeq === slow.toSeq)
+    assert(fast.find(_._1 == 2L).get._2 === "de") // tie case
+    assert(fast.find(_._1 == 3L).get._2 === "de") // all-zero case
+  }
 }
