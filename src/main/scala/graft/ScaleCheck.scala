@@ -69,6 +69,11 @@ object ScaleCheck {
     // thresholds — the threshold buffer is the ≤25k-per-language capped
     // sample, so only the surprisal stage sees the 10× corpus.
     "x39_ccnet_ppl_buckets",
+    // x40 (r16): per-language CCNet — map-only langid (langBest) feeding
+    // per-language LM keyed joins; the letter-rotated replicas give each
+    // replica a disjoint bigram vocabulary, so the per-language LM tables
+    // grow ~10× — the adversarial upper bound, like x35's vocab note.
+    "x40_ccnet_per_lang",
     // x37 re-trains + applies (the apply scan dominates at scale); x38 is
     // pure per-row column math — the zero-shuffle scan contrast; v26 is
     // IVF retrieval + pool-bounded MMR rounds, so the retrieval stage is
@@ -135,9 +140,115 @@ object ScaleCheck {
         s""""ratio":${r3(s / b)},"runs":${reps(n)}}"""
     }.mkString(",")
     val ann = annServing(spark, factor)
+    val ingest = combinedIngestScale(spark, factor)
     println(s"""{"metric":"scale$factor","unit":"sec","cpus":$cpus,""" +
-      s""""base":"$base","queries":{$per},"ann_serving":$ann}""")
+      s""""base":"$base","queries":{$per},"ann_serving":$ann,""" +
+      s""""combined_ingest":$ingest}""")
     spark.stop()
+  }
+
+  /** Combined-serving ingest at 1× vs `factor`× INDEX size with a FIXED
+    * 1024-doc micro-batch (r16, the appendCombined staleness path): the
+    * claim is that landing a batch is O(batch) — the segment build never
+    * touches existing shards, and the first fused query over the union
+    * grows only with the probed slice. Expected ratio ≈ 1–2 (the serve
+    * half sees ~√factor more probed rows); a ratio approaching `factor`
+    * would mean the append path secretly rebuilds. The rebuild
+    * alternative's cost IS the base build, reported alongside as the
+    * contrast.
+    */
+  private def combinedIngestScale(spark: SparkSession, factor: Int): String = {
+    import org.apache.spark.sql.{Column, DataFrame}
+    import graft.functions.VectorFunctions
+    import graft.search.{Ivf, ServingFusion}
+    import graft.text.Bm25
+    val baseN = sys.env.getOrElse("SPARK_GRAFT_SCALE_ING_N", "50000").toInt
+    val dim = 64
+    val vocab = 30000
+    def tokId(seed: Column, j: Column): Column = {
+      val u = (pmod(xxhash64(seed, j, lit("doc")), lit(1000000L))
+        .cast("double") / 1000000.0)
+      floor(pow(u, lit(4.0)) * vocab).cast("int")
+    }
+    def timeIt(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def r3(d: Double): Double = math.rint(d * 1000) / 1000
+
+    /** (ingest_to_serve_sec, base_build_sec) at index size n. */
+    def measure(n: Int): (Double, Double) = {
+      val corpus = spark.range(n).select(
+          col("id").as("doc_id"),
+          concat_ws(" ", transform(sequence(lit(0), lit(39)),
+            j => concat(lit("tok"), tokId(col("id"), j)))).as("text"),
+          graft.core.SyntheticVectors.clusteredVec(col("id"), dim, 500L, "nz")
+            .as("embedding"))
+        .cache()
+      corpus.count()
+      val post = Bm25.postings(corpus, "doc_id", "text").cache()
+      post.count()
+      val tableN = corpus.select(col("doc_id").cast("long").as("id"),
+        VectorFunctions.normalize(col("embedding")).as("vector"))
+      val kC = math.max(16, math.sqrt(n.toDouble).round).toInt
+      val cents = Ivf.trainKMeansArrays(tableN, kC, iters = 4)
+      val assigned = Ivf.assignFast(tableN, cents).cache()
+      assigned.count()
+      val dls = Bm25.docLengthsFromPostings(
+        corpus.select(col("doc_id")), post, "doc_id").cache()
+      dls.count()
+      val tdf = Bm25.tokenDf(post).cache()
+      tdf.count()
+      val frozen = Bm25.corpusStats(dls)
+      val tb = System.nanoTime()
+      val combined = ServingFusion.buildCombined(
+        corpus.select(col("doc_id")), post, "doc_id",
+        assigned.select(col("id").as("doc_id"), col("vector"),
+          col("bucket")),
+        prebuiltDocLengths = Some(dls), prebuiltTokenDf = Some(tdf),
+        frozenStats = Some(frozen)).cache()
+      combined.count()
+      val buildSec = (System.nanoTime() - tb) / 1e9
+      val batchT = corpus.limit(1024)
+        .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+        .localCheckpoint(true)
+      val postB = Bm25.postings(batchT, "doc_id", "text")
+        .localCheckpoint(true)
+      val asgB = Ivf.assignFast(
+        batchT.select(col("doc_id").cast("long").as("id"),
+          VectorFunctions.normalize(col("embedding")).as("vector")), cents)
+        .select(col("id").as("doc_id"), col("vector"), col("bucket"))
+        .localCheckpoint(true)
+      val qv = {
+        val raw = Array.tabulate(dim)(j => (math.sin(j + 1) + 1.5).toFloat)
+        val nm = math.sqrt(raw.map(x => x.toDouble * x).sum)
+        raw.map(x => (x / nm).toFloat)
+      }
+      val sq = Seq(ServingFusion.ServedQuery(0L, qv,
+        Array(("tok100", 1), ("tok2500", 1))))
+      def rep(): Double = timeIt {
+        val seg = ServingFusion.buildCombined(
+          batchT.select(col("doc_id")), postB, "doc_id", asgB,
+          numShards = 1, prebuiltTokenDf = Some(tdf),
+          frozenStats = Some(frozen)).cache()
+        seg.count()
+        ServingFusion.fusedTopKCombined(combined.union(seg), cents, sq,
+          alpha0 = 0.6, k = 10, nProbe = 8, kVec = 10)
+        seg.unpersist()
+      }
+      rep() // warm
+      val ing = Seq.fill(2)(rep()).min
+      Seq[DataFrame](corpus, post, assigned, dls, tdf).foreach(_.unpersist())
+      combined.unpersist()
+      (ing, buildSec)
+    }
+    try {
+      val (b, bBuild) = measure(baseN)
+      val (s, sBuild) = measure(baseN * factor)
+      s"""{"batch_docs":1024,"base_sec":${r3(b)},"x${factor}_sec":${r3(s)},""" +
+        s""""ratio":${r3(s / b)},""" +
+        s""""rebuild_base_sec":${r3(bBuild)},"rebuild_x${factor}_sec":${r3(sBuild)},""" +
+        s""""rebuild_ratio":${r3(sBuild / bBuild)}}"""
+    } catch { case _: Throwable => "{}" }
   }
 
   /** ANN serving paths at 1× vs `factor`× corpus (VERDICT r09 next-round
