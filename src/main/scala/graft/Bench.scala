@@ -614,7 +614,7 @@ object Bench {
             cbArrays, queries, k = rerankR, nProbe = npPq)
           .select(col("qid"), col("id"))
         val rescored = cand
-          .join(assigned.select(col("id"), col("vector")), Seq("id"))
+          .join(emb.select(col("id"), col("vector")), Seq("id"))
           .join(broadcast(queries), Seq("qid"))
           .withColumn("d", graft.functions.VectorFunctions
             .euclideanSqWide(col("vector"), col("qvec")))
@@ -636,6 +636,11 @@ object Bench {
         pqIndex, cents, cbArrays, q0pq, k = 10, nProbe = npPq))
       pqSingle()
       var pqSingleSec = Seq.fill(3)(timeIt(pqSingle())).min
+      // assigned's last use was the build guard's throwaway rebuild —
+      // rrRun re-scores against `emb` (identical id/vector pairs, already
+      // resident), so the ~0.5 GB duplicate does NOT stay cached through
+      // the hidim/fusion/binary sections (r16 self-review).
+      assigned.unpersist()
       Some(new AnnHandle {
         def remeasure(): Unit = {
           exactSec = math.min(exactSec,
@@ -680,7 +685,7 @@ object Bench {
           }
           emb.unpersist(); queries.unpersist(); exact.unpersist()
           serving.unpersist(); servingF16.unpersist(); q0f16.unpersist()
-          pqIndex.unpersist(); assigned.unpersist()
+          pqIndex.unpersist()
           def c3(d: Double): Double = math.rint(d * 1000) / 1000
           def c1(d: Double): Double = math.rint(d * 10) / 10
           s""","ann_l2":{"n":$N,"dim":$DIM,"n_queries":$NQ,"n_centroids":$K,"runs":$runs,""" +
@@ -1100,12 +1105,11 @@ object Bench {
         val DIM = 64
         val VOCAB = 30000
         val DOCLEN = 40
-        // zipf-ish: token rank = floor(VOCAB * u^4) — low ranks dominate.
-        def tokId(seed: Column, j: Column, salt: String): Column = {
-          val u = (pmod(xxhash64(seed, j, lit(salt)), lit(1000000L))
-            .cast("double") / 1000000.0)
-          floor(pow(u, lit(4.0)) * VOCAB).cast("int")
-        }
+        // zipf-ish token ranks — the SHARED recipe (SyntheticVectors
+        // .zipfTokId; ScaleCheck's ingest corpus and ServeDiag measure
+        // the same distribution by construction).
+        def tokId(seed: Column, j: Column, salt: String): Column =
+          graft.core.SyntheticVectors.zipfTokId(seed, j, salt, VOCAB)
         def vec(idc: Column, salt: String): Column =
           graft.core.SyntheticVectors.clusteredVec(idc, DIM, 500L, salt)
         val base = FusionQueries.Base

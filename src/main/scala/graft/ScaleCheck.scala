@@ -165,11 +165,8 @@ object ScaleCheck {
     val baseN = sys.env.getOrElse("SPARK_GRAFT_SCALE_ING_N", "50000").toInt
     val dim = 64
     val vocab = 30000
-    def tokId(seed: Column, j: Column): Column = {
-      val u = (pmod(xxhash64(seed, j, lit("doc")), lit(1000000L))
-        .cast("double") / 1000000.0)
-      floor(pow(u, lit(4.0)) * vocab).cast("int")
-    }
+    def tokId(seed: Column, j: Column): Column =
+      graft.core.SyntheticVectors.zipfTokId(seed, j, "doc", vocab)
     def timeIt(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }

@@ -29,4 +29,22 @@ object SyntheticVectors {
         hashUniform(idc, j, noiseSalt) * lit(0.25)).cast("float"))
     if (normalized) VectorFunctions.normalize(raw) else raw
   }
+
+  /** Zipf-skewed synthetic token id for the text-serving workloads:
+    * rank = ⌊vocab · u⁴⌋ with u hash-uniform — low ranks dominate, the
+    * shape real vocabularies have. One definition for the same reason as
+    * [[clusteredVec]]: the bench's fusion corpus, ScaleCheck's ingest
+    * corpus and the ServeDiag adjudicator must all measure the SAME
+    * text distribution (r16 self-review — three hand copies had begun).
+    */
+  def zipfTokId(seed: Column, j: Column, salt: String, vocab: Int): Column = {
+    val u = (pmod(xxhash64(seed, j, lit(salt)), lit(1000000L))
+      .cast("double") / 1000000.0)
+    floor(pow(u, lit(4.0)) * vocab).cast("int")
+  }
+
+  /** A whole zipf document: `docLen` space-joined `tok<id>` tokens. */
+  def zipfText(idc: Column, docLen: Int, salt: String, vocab: Int): Column =
+    concat_ws(" ", transform(sequence(lit(0), lit(docLen - 1)),
+      j => concat(lit("tok"), zipfTokId(idc, j, salt, vocab))))
 }

@@ -343,11 +343,16 @@ object TextPipelineQueries {
           (length(bin(expr(
             "(coalesce(c1, 0) + nv) div (coalesce(c12, 0) + 1)"))) - 1)
             .cast("long"))
+      // Pinned: `per` feeds the sample, the tercile aggregate AND the
+      // final projection — three references that would each re-evaluate
+      // the langid scan + bigram explosions + LM joins (the s21/ADVICE
+      // r15 re-evaluation hazard; r16 self-review).
       val per = sc.groupBy(col("doc_id"), col("plang"))
         .agg(count(lit(1)).as("n_bigrams"),
           sum(col("bits")).as("surprisal_bits"))
         .withColumn("mean_milli",
           expr("(1000 * surprisal_bits) div n_bigrams"))
+        .localCheckpoint(true)
       val sampleIds = per
         .groupBy(col("plang"))
         .agg(graft.functions.TopK.topK(

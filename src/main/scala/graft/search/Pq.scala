@@ -506,10 +506,16 @@ object Pq {
           while (i < qs.length) {
             val qi = qs(i)
             val qv = qvs(qi)
-            // Scalar ‖q − c‖² folds every residual norm term at once.
+            // Scalar ‖q − c‖² folds every residual norm term at once —
+            // summed over the CODE-COVERED dims only (m·subDim), so a
+            // non-covering codebook (dim not divisible by subDim) keeps
+            // the exact metric encodeVec and the direct LUT build used:
+            // uncovered tail dims never spend code budget and never
+            // score (r16 self-review).
             var qc = 0.0
             var j = 0
-            while (j < qv.length) {
+            val covered = m * subDim
+            while (j < covered) {
               val x = qv(j).toDouble - cv(j); qc += x * x; j += 1
             }
             val ql = qls(qi)

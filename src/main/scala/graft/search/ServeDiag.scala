@@ -4,15 +4,14 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** A/B adjudicator for VERDICT r15 stretch #6 (query-tile the combined
-  * pass's text loop): measures what fraction of a combined fused batch
-  * the TEXT leg actually costs at the bench's realistic synthetic point,
-  * by serving the same workload (a) hybrid, (b) with tokens stripped
-  * (vector leg + blend only), (c) text-only queries (zero vectors probe
-  * nothing... vectors kept but nProbe=0 is invalid, so instead empty
-  * token arrays vs full ones isolate the text delta). Tiling the text
-  * loop can at best remove the (a)−(b) delta; if that is an immaterial
-  * slice of (a), the stretch is a measured negative result, like the r15
-  * nlist sweep. Diagnostic only; not part of the per-round bench.
+  * pass's text loop): serves the bench's realistic synthetic workload
+  * twice — (a) hybrid and (b) the same batch with token arrays stripped
+  * (vector leg + blend only) — so the (a)−(b) delta isolates the text
+  * leg's cost. Tiling the text loop can at best remove that delta; if it
+  * is an immaterial slice of (a), the stretch is a measured negative
+  * result, like the r15 nlist sweep (r16 measured: the delta is BELOW
+  * the host-noise floor). Diagnostic only; not part of the per-round
+  * bench.
   */
 object ServeDiag {
   def main(args: Array[String]): Unit = {
@@ -25,18 +24,14 @@ object ServeDiag {
         "131072")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import graft.queries.FusionQueries
     import graft.text.{Analyzer, Bm25}
 
     // The bench synthPoint recipe, condensed: 100k docs, 64-d clustered
     // vectors, zipf 30k-token vocabulary, 3-tail-token queries.
     val N = 100000; val DIM = 64; val VOCAB = 30000; val DOCLEN = 40
     val NQ = 8192
-    def tokId(seed: Column, j: Column, salt: String): Column = {
-      val u = (pmod(xxhash64(seed, j, lit(salt)), lit(1000000L))
-        .cast("double") / 1000000.0)
-      floor(pow(u, lit(4.0)) * VOCAB).cast("int")
-    }
+    def tokId(seed: Column, j: Column, salt: String): Column =
+      graft.core.SyntheticVectors.zipfTokId(seed, j, salt, VOCAB)
     def vec(idc: Column, salt: String): Column =
       graft.core.SyntheticVectors.clusteredVec(idc, DIM, 500L, salt)
     val corpus = spark.range(N).select(

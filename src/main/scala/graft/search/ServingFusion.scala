@@ -603,15 +603,16 @@ object ServingFusion {
     * left-joined, so postings never replicate per-token with the vector
     * payload.
     *
-    * PRECONDITION (ADVICE r15): `assigned ⊆ allIds`. The vector leg rides
-    * a LEFT join from the `allIds`-derived decay frame, so a doc present
-    * in `assigned` but absent from `allIds` silently disappears from the
-    * combined vector leg — where the two-leg path (a separately built
-    * [[Ivf.servingIndex]]) would still return it, breaking the
-    * bit-identity the combined twins are spec-pinned to. The builders
-    * assert it cheaply: extra `assigned` rows surviving an anti-join
-    * against `allIds` fail the build loudly instead of serving with
-    * silent recall loss.
+    * PRECONDITION (ADVICE r15): `assigned` ⊆ the doc SPINE — the decay
+    * frame when `dec` is given, `allIds` otherwise (the decay frame IS
+    * the served doc universe: the vector and posting legs both LEFT-join
+    * onto it). A doc present in `assigned` but absent from the spine
+    * silently disappears from the combined vector leg — where the
+    * two-leg path (a separately built [[Ivf.servingIndex]]) would still
+    * return it, breaking the bit-identity the combined twins are
+    * spec-pinned to. The builders assert it cheaply: extra `assigned`
+    * rows surviving an anti-join against the spine fail the build loudly
+    * instead of serving with silent recall loss.
     */
   private def combinedRows(
       allIds: DataFrame,
@@ -631,15 +632,16 @@ object ServingFusion {
     val vSel = assigned.select(col(idCol).cast("long").as("_id"),
       col("vector").cast("array<float>").as("_vec"),
       col("bucket").cast("long").as("_bucket"))
-    // assigned ⊆ allIds precondition check (see scaladoc): one anti-join
-    // count at build time — builds are offline/untimed, and a violation
-    // here is silent recall loss at serve time.
+    // assigned ⊆ spine precondition check (see scaladoc): one anti-join
+    // count against decN — the served doc universe — at build time.
+    // Builds are offline/untimed, and a violation here is silent recall
+    // loss at serve time.
     val orphans = vSel.join(decN.select(col("_id")), Seq("_id"), "left_anti")
       .count()
     require(orphans == 0,
       s"combined serving build: $orphans assigned doc(s) missing from " +
-        "allIds — the vector leg would silently drop them (assigned must " +
-        "be a subset of allIds)")
+        "the doc spine (the decay frame, or allIds when decay is " +
+        "disabled) — the vector leg would silently drop them")
     docMajor(decN.join(vSel, Seq("_id"), "left")
       .join(pAgg, Seq("_id"), "left"), numShards)
   }

@@ -453,6 +453,19 @@ object Streams {
     * stateless transforms, so they run unchanged per micro-batch. The
     * served handle is `ref.get()` — cache it per serve call, like the
     * bench does.
+    *
+    * RESTART CONTRACT (r16 self-review): the streaming checkpoint is
+    * durable but the served index is PROCESS-LOCAL — Spark marks a
+    * batch committed once the segment materializes, so restarting the
+    * stream against the SAME checkpoint with a `ref` rebuilt from the
+    * base index would silently never redeliver the already-committed
+    * batches (`ivfIngest` has no such gap: its side effect is a parquet
+    * append that survives the JVM). Use a FRESH checkpoint per base
+    * build: compaction (the periodic full rebuild) is the recovery
+    * point, exactly as centroid refresh is for `ivfIngest`, and a
+    * deployment that needs finer-grained restart-safety should land
+    * segments durably (write the batch through `ivfIngest`'s layout and
+    * rebuild segments from it on start).
     */
   def combinedIngest(
       docs: DataFrame,
