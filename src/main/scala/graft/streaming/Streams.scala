@@ -460,12 +460,18 @@ object Streams {
     * stream against the SAME checkpoint with a `ref` rebuilt from the
     * base index would silently never redeliver the already-committed
     * batches (`ivfIngest` has no such gap: its side effect is a parquet
-    * append that survives the JVM). Use a FRESH checkpoint per base
-    * build: compaction (the periodic full rebuild) is the recovery
-    * point, exactly as centroid refresh is for `ivfIngest`, and a
-    * deployment that needs finer-grained restart-safety should land
-    * segments durably (write the batch through `ivfIngest`'s layout and
-    * rebuild segments from it on start).
+    * append that survives the JVM). Two sanctioned shapes:
+    *   - EPHEMERAL (`segmentLog = None`): use a FRESH checkpoint per
+    *     base build — compaction (the periodic full rebuild) is the
+    *     recovery point, exactly as centroid refresh is for
+    *     `ivfIngest`;
+    *   - DURABLE (`segmentLog = Some(path)`): every batch parquet-
+    *     appends its raw docs to the log BEFORE the in-memory swap
+    *     (ivfIngest's side-effect discipline), and on restart
+    *     [[recoverCombinedSegments]] rebuilds ONE segment from the
+    *     whole log onto a fresh base `ref` — the same checkpoint can
+    *     then resume, because everything it considers committed is in
+    *     the log. The log is truncated by compaction.
     */
   def combinedIngest(
       docs: DataFrame,
@@ -478,12 +484,17 @@ object Streams {
       ref: java.util.concurrent.atomic.AtomicReference[
         org.apache.spark.rdd.RDD[graft.search.ServingFusion.CombinedShard]],
       checkpoint: String,
-      numShardsPerSegment: Int = 1)
+      numShardsPerSegment: Int = 1,
+      segmentLog: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val b = batch.persist()
         if (b.count() > 0) {
+          segmentLog.foreach { path =>
+            b.select(col(idCol), col(textCol), col(vecCol))
+              .write.mode("append").parquet(path)
+          }
           val ids = b.select(col(idCol))
           val post = graft.text.Bm25.postings(b, idCol, textCol)
           val assigned = graft.search.Ivf.assignFast(
@@ -508,4 +519,41 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+
+  /** Restart recovery for [[combinedIngest]]'s durable shape: rebuild the
+    * segment log's docs as ONE combined segment (same frozen artifacts,
+    * so scores match the lost per-batch segments exactly — segment
+    * GRANULARITY never affects results, only which partition serves a
+    * doc) and union it onto the fresh base index. Returns the recovered
+    * index, materialized; an empty/absent log returns the base unchanged.
+    */
+  def recoverCombinedSegments(
+      spark: SparkSession,
+      segmentLog: String,
+      idCol: String,
+      textCol: String,
+      vecCol: String,
+      cents: Array[Array[Float]],
+      frozenStats: (Long, Double),
+      frozenTokenDf: DataFrame,
+      base: org.apache.spark.rdd.RDD[graft.search.ServingFusion.CombinedShard],
+      numShards: Int = 1)
+      : org.apache.spark.rdd.RDD[graft.search.ServingFusion.CombinedShard] = {
+    val logged = try spark.read.parquet(segmentLog) catch {
+      case _: org.apache.spark.sql.AnalysisException => return base
+    }
+    if (logged.isEmpty) return base
+    val assigned = graft.search.Ivf.assignFast(
+      logged.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("vector")), cents)
+      .select(col("id").as(idCol), col("vector"), col("bucket"))
+    val seg = graft.search.ServingFusion.buildCombined(
+      logged.select(col(idCol)),
+      graft.text.Bm25.postings(logged, idCol, textCol),
+      idCol, assigned, dec = None, numShards = numShards,
+      prebuiltTokenDf = Some(frozenTokenDf),
+      frozenStats = Some(frozenStats)).cache()
+    seg.count()
+    base.union(seg)
+  }
 }

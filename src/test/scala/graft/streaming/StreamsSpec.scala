@@ -766,6 +766,26 @@ class StreamsSpec extends SparkSpec {
     assert(served === serve(rebuilt))
     assert(served.exists(_._2 >= 10L),
       "a streamed-in doc must be servable without a rebuild")
+
+    // Durable shape: the same two micro-batches through a segment log,
+    // then a simulated restart — a FRESH ref rebuilt from the base plus
+    // recoverCombinedSegments over the log must serve the same results
+    // as the live unioned index (and the rebuild).
+    val log = tempDir("combined-ingest-log")
+    val ref2 = new java.util.concurrent.atomic.AtomicReference(base)
+    val q2 = Streams.combinedIngest(stream, "doc_id", "text", "embedding",
+      cents, frozen, tdf, ref2, tempDir("combined-ingest-cp2"),
+      numShardsPerSegment = 1, segmentLog = Some(log))
+    q2.awaitTermination(120000)
+    assert(serve(ref2.get()) === served)
+    val recovered = Streams.recoverCombinedSegments(spark, log,
+      "doc_id", "text", "embedding", cents, frozen, tdf, base)
+    assert(serve(recovered) === served,
+      "post-restart recovery from the segment log must serve identically")
+    // An absent log recovers to the base unchanged.
+    assert(Streams.recoverCombinedSegments(spark,
+      tempDir("combined-ingest-nolog") + "/missing",
+      "doc_id", "text", "embedding", cents, frozen, tdf, base) eq base)
     base.unpersist(); tdf.unpersist()
   }
 }
