@@ -839,7 +839,13 @@ object ServingFusion {
     * PRECONDITIONS: batch doc ids are DISJOINT from the base index's (an
     * id present in both would be scored twice — append-only segments, no
     * upsert; route updates through compaction), and `newAssigned` ⊆
-    * `newIds` (checked by [[combinedRows]]).
+    * `newIds` (checked by [[combinedRows]]). Pass `baseMaxId` — the base
+    * index's maximum doc id, a driver-held scalar the builder records
+    * once per rebuild — to CHECK the disjointness for pennies (VERDICT
+    * r16 #3): ids at or below the watermark fail the append loudly
+    * instead of silently double-scoring. The watermark shape assumes
+    * monotone id assignment (the oplog's, and every ingest pipeline
+    * here); id spaces that interleave need the compaction route anyway.
     *
     * Caching discipline: cache the SEGMENT (or let this method's result
     * stay lazy over an already-cached base) — caching the returned union
@@ -857,11 +863,14 @@ object ServingFusion {
       frozenStats: (Long, Double),
       prebuiltTokenDf: DataFrame,
       dec: Option[DataFrame] = None,
-      numShards: Int = 0): org.apache.spark.rdd.RDD[CombinedShard] =
+      numShards: Int = 0,
+      baseMaxId: Option[Long] = None): org.apache.spark.rdd.RDD[CombinedShard] = {
+    baseMaxId.foreach(requireIdsAbove(newIds, idCol, _))
     index.union(buildCombined(newIds, newPost, idCol, newAssigned, dec,
       numShards, prebuiltDocLengths = None,
       prebuiltTokenDf = Some(prebuiltTokenDf),
       frozenStats = Some(frozenStats)))
+  }
 
   /** [[appendCombined]]'s compressed twin: the segment quantizes against
     * the SAME `absMax` the base index was built with (another frozen
@@ -877,11 +886,28 @@ object ServingFusion {
       frozenStats: (Long, Double),
       prebuiltTokenDf: DataFrame,
       dec: Option[DataFrame] = None,
-      numShards: Int = 0): org.apache.spark.rdd.RDD[CombinedShardInt8] =
+      numShards: Int = 0,
+      baseMaxId: Option[Long] = None): org.apache.spark.rdd.RDD[CombinedShardInt8] = {
+    baseMaxId.foreach(requireIdsAbove(newIds, idCol, _))
     index.union(buildCombinedInt8(newIds, newPost, idCol, newAssigned,
       absMax, dec, numShards, prebuiltDocLengths = None,
       prebuiltTokenDf = Some(prebuiltTokenDf),
       frozenStats = Some(frozenStats)))
+  }
+
+  /** The append-only id watermark check (see [[appendCombined]]'s
+    * preconditions): every arriving id must be STRICTLY above the base
+    * index's max id. One min-aggregate over the batch-sized frame.
+    */
+  private def requireIdsAbove(newIds: DataFrame, idCol: String,
+      watermark: Long): Unit = {
+    val r = newIds.agg(min(col(idCol).cast("long"))).head()
+    require(r.isNullAt(0) || r.getLong(0) > watermark,
+      s"appendCombined: arriving id ${r.getLong(0)} is <= the base " +
+        s"index's id watermark $watermark — an id present in both base " +
+        "and segment would be scored twice (append-only segments, no " +
+        "upsert; route updates through compaction)")
+  }
 
   /** Per-partition partial for the combined pass: the text-leg
     * [[FusedPartial]] plus a kVec-bounded vector top-k whose entries CARRY
@@ -959,6 +985,19 @@ object ServingFusion {
     *
     * Returns driver-resident rows (qid, id, fused score), per-qid top-k
     * by (score desc, id asc) — a serving response, not a plan.
+    *
+    * `tombstones` (VERDICT r16 #2 — live deletes): doc ids in this set are
+    * INVISIBLE to both legs — never inserted into a top-k, never counted
+    * toward a query's max raw score — so serving with tombstones is
+    * EXACTLY a frozen-stats rebuild without those docs (under frozen
+    * corpus stats + token-df, every per-doc score is independent of the
+    * other docs; CombinedServingSpec pins the equality bit-for-bit). This
+    * is the reference's serve-visible delete (`pkg/engine/ops.go:401` →
+    * tombstoned HNSW nodes skipped at search, `hnsw_index.go:2292`)
+    * mapped to segments: the set is driver-resident and rides the query
+    * broadcast (deletes are rare relative to corpus size by contract),
+    * and COMPACTION — the periodic rebuild — physically drops the docs
+    * and clears the set.
     */
   def fusedTopKCombined(
       combined: org.apache.spark.rdd.RDD[CombinedShard],
@@ -968,7 +1007,9 @@ object ServingFusion {
       k: Int,
       nProbe: Int,
       kVec: Int = 10,
-      metric: String = "cosine"): Array[(Long, Long, Double)] = {
+      metric: String = "cosine",
+      tombstones: Array[Long] = Array.emptyLongArray): Array[(Long, Long, Double)] = {
+    val tomb = sortedTombstones(tombstones)
     val alpha = if (alpha0 < 0 || alpha0 > 1) 0.5 else alpha0
     val l2 = metric == "l2"
     val qs = queries.sortBy(_.qid).toArray
@@ -995,9 +1036,10 @@ object ServingFusion {
       } else null
     val probedByQ = invertProbes(
       Ivf.probeAssignments(cents, adj, l2 = l2, qvecs, nProbe), nq)
-    val bc = combined.sparkContext.broadcast((qvecs, toksByQ, probedByQ, qsq))
+    val bc = combined.sparkContext.broadcast(
+      (qvecs, toksByQ, probedByQ, qsq, tomb))
     val partials = combined.mapPartitions { it =>
-      val (qvs, toks, probed, qsqB) = bc.value
+      val (qvs, toks, probed, qsqB, tombB) = bc.value
       val p = new CombinedPartial(qvs.length, k, kVec)
       it.foreach { csh =>
         val sh = csh.text
@@ -1014,9 +1056,12 @@ object ServingFusion {
           var i = 0
           while (i < tn) {
             val d = touched(i)
-            val raw = acc(d)
-            if (raw > p.text.maxRaw(qi)) p.text.maxRaw(qi) = raw
-            p.text.insert(qi, -(raw * sh.dec(d)), sh.ids(d), raw, sh.dec(d))
+            if (tombB.length == 0 ||
+                java.util.Arrays.binarySearch(tombB, sh.ids(d)) < 0) {
+              val raw = acc(d)
+              if (raw > p.text.maxRaw(qi)) p.text.maxRaw(qi) = raw
+              p.text.insert(qi, -(raw * sh.dec(d)), sh.ids(d), raw, sh.dec(d))
+            }
             i += 1
           }
           // Vector leg over this partition's probed bucket blocks, with
@@ -1031,17 +1076,21 @@ object ServingFusion {
               val end = csh.bOff(blk + 1)
               while (r < end) {
                 val li = csh.vecLocal(r)
-                var dot = 0f
-                var j = 0
-                val off = r * csh.dim
-                while (j < csh.dim) { dot += csh.flat(off + j) * qv(j); j += 1 }
-                val dist =
-                  if (qsqB != null)
-                    csh.rowSq(r).toDouble - 2.0d * dot + qsqB(qi)
-                  else 1.0d - dot
-                val hasT = seen(li) == epoch
-                p.insertVec(qi, dist, sh.ids(li),
-                  if (hasT) acc(li) else 0.0, sh.dec(li), hasT)
+                val id = sh.ids(li)
+                if (tombB.length == 0 ||
+                    java.util.Arrays.binarySearch(tombB, id) < 0) {
+                  var dot = 0f
+                  var j = 0
+                  val off = r * csh.dim
+                  while (j < csh.dim) { dot += csh.flat(off + j) * qv(j); j += 1 }
+                  val dist =
+                    if (qsqB != null)
+                      csh.rowSq(r).toDouble - 2.0d * dot + qsqB(qi)
+                    else 1.0d - dot
+                  val hasT = seen(li) == epoch
+                  p.insertVec(qi, dist, id,
+                    if (hasT) acc(li) else 0.0, sh.dec(li), hasT)
+                }
                 r += 1
               }
             }
@@ -1075,7 +1124,9 @@ object ServingFusion {
       alpha0: Double,
       k: Int,
       nProbe: Int,
-      kVec: Int = 10): Array[(Long, Long, Double)] = {
+      kVec: Int = 10,
+      tombstones: Array[Long] = Array.emptyLongArray): Array[(Long, Long, Double)] = {
+    val tomb = sortedTombstones(tombstones)
     val alpha = if (alpha0 < 0 || alpha0 > 1) 0.5 else alpha0
     val qs = queries.sortBy(_.qid).toArray
     require(qs.map(_.qid).distinct.length == qs.length,
@@ -1091,9 +1142,10 @@ object ServingFusion {
     val qnorms = qcodes.map(Ivf.int8Norm)
     val probedByQ = invertProbes(Ivf.probeAssignments(cents,
       Ivf.bucketAdj(cents, "cosine"), l2 = false, qvecs, nProbe), nq)
-    val bc = combined.sparkContext.broadcast((qcodes, qnorms, toksByQ, probedByQ))
+    val bc = combined.sparkContext.broadcast(
+      (qcodes, qnorms, toksByQ, probedByQ, tomb))
     val partials = combined.mapPartitions { it =>
-      val (qcs, qns, toks, probed) = bc.value
+      val (qcs, qns, toks, probed, tombB) = bc.value
       val p = new CombinedPartial(qcs.length, k, kVec)
       it.foreach { csh =>
         val sh = csh.text
@@ -1109,9 +1161,12 @@ object ServingFusion {
           var i = 0
           while (i < tn) {
             val d = touched(i)
-            val raw = acc(d)
-            if (raw > p.text.maxRaw(qi)) p.text.maxRaw(qi) = raw
-            p.text.insert(qi, -(raw * sh.dec(d)), sh.ids(d), raw, sh.dec(d))
+            if (tombB.length == 0 ||
+                java.util.Arrays.binarySearch(tombB, sh.ids(d)) < 0) {
+              val raw = acc(d)
+              if (raw > p.text.maxRaw(qi)) p.text.maxRaw(qi) = raw
+              p.text.insert(qi, -(raw * sh.dec(d)), sh.ids(d), raw, sh.dec(d))
+            }
             i += 1
           }
           val qc = qcs(qi)
@@ -1124,23 +1179,27 @@ object ServingFusion {
               var r = csh.bOff(blk)
               val end = csh.bOff(blk + 1)
               while (r < end) {
-                var dot = 0
-                var j = 0
-                val off = r * csh.dim
-                while (j < csh.dim) { dot += csh.codes(off + j).toInt * qc(j).toInt; j += 1 }
-                val norm = csh.norms(r)
-                val dist =
-                  if (norm == 0f || qn == 0.0) 1.0
-                  else {
-                    var sim = dot.toDouble / (norm.toDouble * qn)
-                    if (sim > 1.0) sim = 1.0
-                    if (sim < -1.0) sim = -1.0
-                    1.0 - sim
-                  }
                 val li = csh.vecLocal(r)
-                val hasT = seen(li) == epoch
-                p.insertVec(qi, dist, sh.ids(li),
-                  if (hasT) acc(li) else 0.0, sh.dec(li), hasT)
+                val id = sh.ids(li)
+                if (tombB.length == 0 ||
+                    java.util.Arrays.binarySearch(tombB, id) < 0) {
+                  var dot = 0
+                  var j = 0
+                  val off = r * csh.dim
+                  while (j < csh.dim) { dot += csh.codes(off + j).toInt * qc(j).toInt; j += 1 }
+                  val norm = csh.norms(r)
+                  val dist =
+                    if (norm == 0f || qn == 0.0) 1.0
+                    else {
+                      var sim = dot.toDouble / (norm.toDouble * qn)
+                      if (sim > 1.0) sim = 1.0
+                      if (sim < -1.0) sim = -1.0
+                      1.0 - sim
+                    }
+                  val hasT = seen(li) == epoch
+                  p.insertVec(qi, dist, id,
+                    if (hasT) acc(li) else 0.0, sh.dec(li), hasT)
+                }
                 r += 1
               }
             }
@@ -1157,6 +1216,17 @@ object ServingFusion {
     bc.destroy()
     blendCombined(qids, merged, alpha, k)
   }
+
+  /** Defensive copy of a serve-time tombstone set, sorted for the scan
+    * loops' binary search. Driver-resident, batch-call-sized work.
+    */
+  private def sortedTombstones(tombstones: Array[Long]): Array[Long] =
+    if (tombstones.isEmpty) tombstones
+    else {
+      val t = tombstones.clone()
+      java.util.Arrays.sort(t)
+      t
+    }
 
   /** Invert bucket → probing-query lists into per-query ascending bucket
     * lists for the partition scans.
@@ -1283,9 +1353,11 @@ object ServingFusion {
       nProbe: Int,
       lam: Double,
       oneMinusLam: Double,
-      metric: String = "cosine"): Array[(Long, Long, Long, Double)] = {
+      metric: String = "cosine",
+      tombstones: Array[Long] = Array.emptyLongArray): Array[(Long, Long, Long, Double)] = {
     require(pool > 0 && pool <= Mmr.MaxPoolPerQuery,
       s"pool=$pool outside (0, ${Mmr.MaxPoolPerQuery}]")
+    val tomb = sortedTombstones(tombstones)
     val l2 = metric == "l2"
     val qs = queries.sortBy(_._1).toArray
     require(qs.map(_._1).distinct.length == qs.length,
@@ -1303,9 +1375,9 @@ object ServingFusion {
       } else null
     val probedByQ = invertProbes(
       Ivf.probeAssignments(cents, adj, l2 = l2, qvecs, nProbe), nq)
-    val bc = combined.sparkContext.broadcast((qvecs, probedByQ, qsq))
+    val bc = combined.sparkContext.broadcast((qvecs, probedByQ, qsq, tomb))
     val partials = combined.mapPartitions { it =>
-      val (qvs, probed, qsqB) = bc.value
+      val (qvs, probed, qsqB, tombB) = bc.value
       val p = new VecPoolPartial(qvs.length, pool)
       it.foreach { csh =>
         var qi = 0
@@ -1319,17 +1391,21 @@ object ServingFusion {
               var r = csh.bOff(blk)
               val end = csh.bOff(blk + 1)
               while (r < end) {
-                var dot = 0f
-                var j = 0
-                val off = r * csh.dim
-                while (j < csh.dim) { dot += csh.flat(off + j) * qv(j); j += 1 }
-                val dist =
-                  if (qsqB != null)
-                    csh.rowSq(r).toDouble - 2.0d * dot + qsqB(qi)
-                  else 1.0d - dot
-                val s = p.slotFor(qi, dist, csh.text.ids(csh.vecLocal(r)))
-                if (s >= 0) p.pv(qi)(s) =
-                  java.util.Arrays.copyOfRange(csh.flat, off, off + csh.dim)
+                val id = csh.text.ids(csh.vecLocal(r))
+                if (tombB.length == 0 ||
+                    java.util.Arrays.binarySearch(tombB, id) < 0) {
+                  var dot = 0f
+                  var j = 0
+                  val off = r * csh.dim
+                  while (j < csh.dim) { dot += csh.flat(off + j) * qv(j); j += 1 }
+                  val dist =
+                    if (qsqB != null)
+                      csh.rowSq(r).toDouble - 2.0d * dot + qsqB(qi)
+                    else 1.0d - dot
+                  val s = p.slotFor(qi, dist, id)
+                  if (s >= 0) p.pv(qi)(s) =
+                    java.util.Arrays.copyOfRange(csh.flat, off, off + csh.dim)
+                }
                 r += 1
               }
             }
@@ -1384,9 +1460,11 @@ object ServingFusion {
       pool: Int,
       nProbe: Int,
       lam: Double,
-      oneMinusLam: Double): Array[(Long, Long, Long, Double)] = {
+      oneMinusLam: Double,
+      tombstones: Array[Long] = Array.emptyLongArray): Array[(Long, Long, Long, Double)] = {
     require(pool > 0 && pool <= Mmr.MaxPoolPerQuery,
       s"pool=$pool outside (0, ${Mmr.MaxPoolPerQuery}]")
+    val tomb = sortedTombstones(tombstones)
     val qs = queries.sortBy(_._1).toArray
     require(qs.map(_._1).distinct.length == qs.length,
       "mmrTopKCombinedInt8: duplicate qids in the batch")
@@ -1398,9 +1476,9 @@ object ServingFusion {
     val qnorms = qcodes.map(Ivf.int8Norm)
     val probedByQ = invertProbes(Ivf.probeAssignments(cents,
       Ivf.bucketAdj(cents, "cosine"), l2 = false, qvecs, nProbe), nq)
-    val bc = combined.sparkContext.broadcast((qcodes, qnorms, probedByQ))
+    val bc = combined.sparkContext.broadcast((qcodes, qnorms, probedByQ, tomb))
     val partials = combined.mapPartitions { it =>
-      val (qcs, qns, probed) = bc.value
+      val (qcs, qns, probed, tombB) = bc.value
       val p = new VecPoolPartial(qcs.length, pool)
       it.foreach { csh =>
         var qi = 0
@@ -1415,25 +1493,28 @@ object ServingFusion {
               var r = csh.bOff(blk)
               val end = csh.bOff(blk + 1)
               while (r < end) {
-                var dot = 0
-                var j = 0
-                val off = r * csh.dim
-                while (j < csh.dim) {
-                  dot += csh.codes(off + j).toInt * qc(j).toInt; j += 1
-                }
-                val norm = csh.norms(r)
-                val dist =
-                  if (norm == 0f || qn == 0.0) 1.0
-                  else {
-                    var sim = dot.toDouble / (norm.toDouble * qn)
-                    if (sim > 1.0) sim = 1.0
-                    if (sim < -1.0) sim = -1.0
-                    1.0 - sim
+                val id = csh.text.ids(csh.vecLocal(r))
+                if (tombB.length == 0 ||
+                    java.util.Arrays.binarySearch(tombB, id) < 0) {
+                  var dot = 0
+                  var j = 0
+                  val off = r * csh.dim
+                  while (j < csh.dim) {
+                    dot += csh.codes(off + j).toInt * qc(j).toInt; j += 1
                   }
-                val s = p.slotFor(qi, dist,
-                  csh.text.ids(csh.vecLocal(r)))
-                if (s >= 0) p.pv(qi)(s) =
-                  java.util.Arrays.copyOfRange(csh.codes, off, off + csh.dim)
+                  val norm = csh.norms(r)
+                  val dist =
+                    if (norm == 0f || qn == 0.0) 1.0
+                    else {
+                      var sim = dot.toDouble / (norm.toDouble * qn)
+                      if (sim > 1.0) sim = 1.0
+                      if (sim < -1.0) sim = -1.0
+                      1.0 - sim
+                    }
+                  val s = p.slotFor(qi, dist, id)
+                  if (s >= 0) p.pv(qi)(s) =
+                    java.util.Arrays.copyOfRange(csh.codes, off, off + csh.dim)
+                }
                 r += 1
               }
             }

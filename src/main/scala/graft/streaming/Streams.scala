@@ -464,14 +464,37 @@ object Streams {
     *   - EPHEMERAL (`segmentLog = None`): use a FRESH checkpoint per
     *     base build — compaction (the periodic full rebuild) is the
     *     recovery point, exactly as centroid refresh is for
-    *     `ivfIngest`;
-    *   - DURABLE (`segmentLog = Some(path)`): every batch parquet-
-    *     appends its raw docs to the log BEFORE the in-memory swap
-    *     (ivfIngest's side-effect discipline), and on restart
-    *     [[recoverCombinedSegments]] rebuilds ONE segment from the
-    *     whole log onto a fresh base `ref` — the same checkpoint can
-    *     then resume, because everything it considers committed is in
-    *     the log. The log is truncated by compaction.
+    *     `ivfIngest`. Pass `baseBuildId` to ENFORCE the freshness
+    *     programmatically (ADVICE r16): the id is pinned into a marker
+    *     file inside the checkpoint directory and a mismatch fails
+    *     fast, instead of silently never re-delivering batches the old
+    *     checkpoint had committed against the previous base.
+    *   - DURABLE (`segmentLog = Some(path)`): every batch lands its raw
+    *     docs in the log under `batch=<batchId>/` BEFORE the in-memory
+    *     swap, and on restart [[recoverCombinedSegments]] rebuilds ONE
+    *     segment from the whole log onto a fresh base `ref` — the same
+    *     checkpoint can then resume. The log is truncated by compaction.
+    *
+    * EXACTLY-ONCE DISCIPLINE (VERDICT r16 #1): `foreachBatch` is
+    * at-least-once — a crash between the log write and the checkpoint
+    * commit re-delivers the batch on restart. The log write is therefore
+    * keyed by the batchId (overwrite of `batch=<batchId>/`, never a blind
+    * append), and a re-delivered batch whose log directory is already
+    * complete (`_SUCCESS` present) SKIPS the in-memory append too: the
+    * restart invariant is `ref == base ∪ log` (recovery rebuilds the ref
+    * from the WHOLE log, committed or not), so appending a
+    * recovered-and-re-delivered batch again would double-serve its docs —
+    * the duplicate-scoring hole the r16 `mode("append")` log had. A
+    * partially-written directory (crash mid-write, no `_SUCCESS`) is
+    * invisible to recovery and rewritten whole here. This is the AOF
+    * idempotent-replay contract (reference: `pkg/engine/recovery.go:169`,
+    * replaying a command already reflected in the snapshot is a no-op).
+    *
+    * `idWatermark` (VERDICT r16 #3): when given, every batch is checked
+    * against the append-only id precondition — all arriving ids must be
+    * STRICTLY greater than the watermark (initially the base index's max
+    * id; advanced per batch), so a base∩segment or segment∩segment id
+    * collision fails the batch loudly instead of double-scoring.
     */
   def combinedIngest(
       docs: DataFrame,
@@ -485,15 +508,74 @@ object Streams {
         org.apache.spark.rdd.RDD[graft.search.ServingFusion.CombinedShard]],
       checkpoint: String,
       numShardsPerSegment: Int = 1,
-      segmentLog: Option[String] = None)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      segmentLog: Option[String] = None,
+      baseBuildId: Option[String] = None,
+      idWatermark: Option[Long] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    baseBuildId.foreach(id => bindCheckpointToBase(
+      docs.sparkSession, checkpoint, id))
+    val wm = idWatermark.map(w => new java.util.concurrent.atomic.AtomicLong(w))
     docs.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val b = batch.persist()
-        if (b.count() > 0) {
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestCombinedBatch(batch, batchId, idCol, textCol, vecCol, cents,
+          frozenStats, frozenTokenDf, ref, numShardsPerSegment, segmentLog,
+          wm)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
+  /** One [[combinedIngest]] micro-batch, factored out so the crash-window
+    * spec can RE-DELIVER a batch (same frame, same batchId) and assert the
+    * served index and the log are unchanged — the at-least-once window a
+    * running stream only hits across a crash. See [[combinedIngest]] for
+    * the exactly-once discipline this implements.
+    */
+  def ingestCombinedBatch(
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      textCol: String,
+      vecCol: String,
+      cents: Array[Array[Float]],
+      frozenStats: (Long, Double),
+      frozenTokenDf: DataFrame,
+      ref: java.util.concurrent.atomic.AtomicReference[
+        org.apache.spark.rdd.RDD[graft.search.ServingFusion.CombinedShard]],
+      numShardsPerSegment: Int = 1,
+      segmentLog: Option[String] = None,
+      idWatermark: Option[java.util.concurrent.atomic.AtomicLong] = None)
+      : Unit = {
+    val spark = batch.sparkSession
+    val b = batch.persist()
+    try {
+      if (b.count() > 0) {
+        // Append-only id guard (VERDICT r16 #3): ids at or below the
+        // watermark are already served — fail the batch loudly.
+        idWatermark.foreach { w =>
+          val mm = b.agg(min(col(idCol).cast("long")),
+            max(col(idCol).cast("long"))).head()
+          require(mm.getLong(0) > w.get(),
+            s"combinedIngest batch $batchId: id ${mm.getLong(0)} is <= the " +
+              s"served index's id watermark ${w.get()} — an id present in " +
+              "both would be scored twice (append-only segments; route " +
+              "updates through compaction)")
+          w.set(math.max(w.get(), mm.getLong(1)))
+        }
+        // Re-delivery detection: a COMPLETE log directory for this batchId
+        // means the docs are already in the served ref (recovery reads the
+        // whole log) — skip both the rewrite and the in-memory append.
+        val redelivered = segmentLog.exists { path =>
+          val dir = new org.apache.hadoop.fs.Path(s"$path/batch=$batchId")
+          val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))
+        }
+        if (!redelivered) {
           segmentLog.foreach { path =>
             b.select(col(idCol), col(textCol), col(vecCol))
-              .write.mode("append").parquet(path)
+              .write.mode("overwrite").parquet(s"$path/batch=$batchId")
           }
           val ids = b.select(col(idCol))
           val post = graft.text.Bm25.postings(b, idCol, textCol)
@@ -513,12 +595,35 @@ object Streams {
           seg.count() // materialize BEFORE the atomic swap
           ref.set(ref.get().union(seg))
         }
-        b.unpersist()
-        ()
       }
-      .option("checkpointLocation", checkpoint)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    } finally b.unpersist()
+  }
+
+  /** Pin `checkpoint` to one base build (ADVICE r16): writes
+    * `<checkpoint>/graft.base_build_id` on first use and fails fast when
+    * an existing marker names a DIFFERENT base — reusing a checkpoint
+    * across base rebuilds silently never re-delivers its committed
+    * batches (permanent recall loss until compaction), so the doc-only
+    * contract becomes a programmatic one.
+    */
+  def bindCheckpointToBase(spark: SparkSession, checkpoint: String,
+      baseBuildId: String): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(checkpoint, "graft.base_build_id")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val existing = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      require(existing == baseBuildId,
+        s"checkpoint $checkpoint is bound to base build '$existing' but the " +
+          s"stream was started against base build '$baseBuildId' — a reused " +
+          "checkpoint never re-delivers batches committed against the old " +
+          "base; use a fresh checkpoint per base build")
+    } else {
+      val out = fs.create(marker, false)
+      try out.write(baseBuildId.getBytes("UTF-8")) finally out.close()
+    }
+  }
 
   /** Restart recovery for [[combinedIngest]]'s durable shape: rebuild the
     * segment log's docs as ONE combined segment (same frozen artifacts,
@@ -526,6 +631,11 @@ object Streams {
     * GRANULARITY never affects results, only which partition serves a
     * doc) and union it onto the fresh base index. Returns the recovered
     * index, materialized; an empty/absent log returns the base unchanged.
+    *
+    * Only COMPLETE batch directories (`batch=<id>/` with a `_SUCCESS`
+    * marker) are read: a directory truncated by a crash mid-write is
+    * skipped here and rewritten whole when the checkpoint re-delivers its
+    * batch — see [[combinedIngest]]'s exactly-once discipline.
     */
   def recoverCombinedSegments(
       spark: SparkSession,
@@ -539,9 +649,9 @@ object Streams {
       base: org.apache.spark.rdd.RDD[graft.search.ServingFusion.CombinedShard],
       numShards: Int = 1)
       : org.apache.spark.rdd.RDD[graft.search.ServingFusion.CombinedShard] = {
-    val logged = try spark.read.parquet(segmentLog) catch {
-      case _: org.apache.spark.sql.AnalysisException => return base
-    }
+    val dirs = completedLogBatches(spark, segmentLog)
+    if (dirs.isEmpty) return base
+    val logged = spark.read.parquet(dirs: _*)
     if (logged.isEmpty) return base
     val assigned = graft.search.Ivf.assignFast(
       logged.select(col(idCol).cast("long").as("id"),
@@ -555,5 +665,35 @@ object Streams {
       frozenStats = Some(frozenStats)).cache()
     seg.count()
     base.union(seg)
+  }
+
+  /** The segment log's COMPLETE batch directories (`batch=<id>/` carrying
+    * `_SUCCESS`), sorted by batch id — the readable unit of the durable
+    * log. Absent/empty logs return Nil.
+    */
+  def completedLogBatches(spark: SparkSession, segmentLog: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(segmentLog)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .filter(st => fs.exists(
+        new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .sortBy(st => st.getPath.getName.stripPrefix("batch=").toLong)
+      .map(_.getPath.toString)
+  }
+
+  /** The maximum doc id across the log's complete batches — the restart
+    * value for [[combinedIngest]]'s `idWatermark` when the served base was
+    * recovered through [[recoverCombinedSegments]] (the base index's own
+    * max id is the caller's; this covers the recovered segments).
+    */
+  def maxLoggedId(spark: SparkSession, segmentLog: String,
+      idCol: String): Option[Long] = {
+    val dirs = completedLogBatches(spark, segmentLog)
+    if (dirs.isEmpty) return None
+    val r = spark.read.parquet(dirs: _*)
+      .agg(max(col(idCol).cast("long"))).head()
+    if (r.isNullAt(0)) None else Some(r.getLong(0))
   }
 }

@@ -434,4 +434,133 @@ class CombinedServingSpec extends SparkSpec {
     base.unpersist(); appended.unpersist(); rebuilt.unpersist()
     base8.unpersist(); tdf.unpersist(); qsN.unpersist(); qt.unpersist()
   }
+
+  test("tombstoned docs serve exactly like a frozen-stats rebuild without them") {
+    val (t, post, dec, cents, assigned, qsN, qt) = fixtures()
+    val asgAll = assigned
+      .select(col("id").as("doc_id"), col("vector"), col("bucket"))
+    // Frozen artifacts pinned over the FULL corpus — the serving state a
+    // delete arrives into (stats refresh is compaction's job, exactly as
+    // for appends).
+    val frozen = Bm25.corpusStats(Bm25.docLengthsFromPostings(
+      t.select(col("doc_id")), post, "doc_id"))
+    val tdf = Bm25.tokenDf(post).cache()
+    tdf.count()
+    def build(docs: DataFrame) = {
+      val keep = docs.select(col("doc_id"))
+      ServingFusion.buildCombined(keep,
+        post.join(keep, Seq("doc_id"), "left_semi"), "doc_id",
+        asgAll.join(keep, Seq("doc_id"), "left_semi"),
+        dec.map(_.join(keep, Seq("doc_id"), "left_semi")),
+        numShards = 3, prebuiltTokenDf = Some(tdf),
+        frozenStats = Some(frozen)).cache()
+    }
+    val full = build(t)
+    full.count()
+    // Doc 0 is a strong TEXT hit (qid 0 "spark join plan"); doc 9 serves
+    // through the VECTOR leg only — the two scan paths a tombstone must
+    // silence.
+    val del = Array(9L, 0L) // unsorted on purpose: the kernels sort
+    val reduced = build(t.filter(!col("doc_id").isin(del.toSeq: _*)))
+    reduced.count()
+
+    val sq = servedQueries(qsN, qt)
+    def serve(ix: org.apache.spark.rdd.RDD[ServingFusion.CombinedShard],
+        tomb: Array[Long]) =
+      ServingFusion.fusedTopKCombined(ix, cents, sq, params.alpha,
+          params.k, nProbe = 2, kVec = 3, tombstones = tomb)
+        .sortBy(r => (r._1, -r._3, r._2)).toSeq
+    val baseline = serve(full, Array.emptyLongArray)
+    assert(baseline.exists(r => del.contains(r._2)),
+      "fixture must serve a to-be-deleted doc, or the test proves nothing")
+    val tombed = serve(full, del)
+    assert(tombed.forall(r => !del.contains(r._2)),
+      "a tombstoned doc reached the served results")
+    assert(tombed === serve(reduced, Array.emptyLongArray),
+      "tombstoned serve must equal the rebuild without the docs, exactly")
+
+    // Int8 twin: same tombstones, same frozen absMax.
+    def build8(docs: DataFrame) = {
+      val keep = docs.select(col("doc_id"))
+      ServingFusion.buildCombinedInt8(keep,
+        post.join(keep, Seq("doc_id"), "left_semi"), "doc_id",
+        asgAll.join(keep, Seq("doc_id"), "left_semi"), absMax = 1.0,
+        dec.map(_.join(keep, Seq("doc_id"), "left_semi")),
+        numShards = 3, prebuiltTokenDf = Some(tdf),
+        frozenStats = Some(frozen)).cache()
+    }
+    val full8 = build8(t)
+    full8.count()
+    val reduced8 = build8(t.filter(!col("doc_id").isin(del.toSeq: _*)))
+    reduced8.count()
+    def serve8(ix: org.apache.spark.rdd.RDD[ServingFusion.CombinedShardInt8],
+        tomb: Array[Long]) =
+      ServingFusion.fusedTopKCombinedInt8(ix, cents, sq, absMax = 1.0,
+          params.alpha, params.k, nProbe = 2, kVec = 3, tombstones = tomb)
+        .sortBy(r => (r._1, -r._3, r._2)).toSeq
+    assert(serve8(full8, del) === serve8(reduced8, Array.emptyLongArray))
+
+    // Served MMR, both layouts: the pool must not admit tombstoned docs —
+    // their absence changes the whole greedy chain, so equality with the
+    // reduced index is the strong form.
+    val mq = sq.map(q => (q.qid, q.qvec))
+    def mmr(ix: org.apache.spark.rdd.RDD[ServingFusion.CombinedShard],
+        tomb: Array[Long]) =
+      ServingFusion.mmrTopKCombined(ix, cents, mq, k = 3, pool = 6,
+        nProbe = 2, lam = 0.7, oneMinusLam = 0.3, tombstones = tomb).toSeq
+    assert(mmr(full, del) === mmr(reduced, Array.emptyLongArray))
+    assert(mmr(full, del).forall(r => !del.contains(r._3)))
+    def mmr8(ix: org.apache.spark.rdd.RDD[ServingFusion.CombinedShardInt8],
+        tomb: Array[Long]) =
+      ServingFusion.mmrTopKCombinedInt8(ix, cents, mq, absMax = 1.0,
+        k = 3, pool = 6, nProbe = 2, lam = 0.7, oneMinusLam = 0.3,
+        tombstones = tomb).toSeq
+    assert(mmr8(full8, del) === mmr8(reduced8, Array.emptyLongArray))
+
+    full.unpersist(); reduced.unpersist(); full8.unpersist()
+    reduced8.unpersist(); tdf.unpersist(); qsN.unpersist(); qt.unpersist()
+  }
+
+  test("append id-watermark guard fails loudly on a base∩segment collision") {
+    val (t, post, dec, cents, assigned, qsN, qt) = fixtures()
+    val baseT = t.filter(col("doc_id") <= 7)
+    val postBase = Bm25.postings(baseT, "doc_id", "text")
+    val frozen = Bm25.corpusStats(Bm25.docLengthsFromPostings(
+      baseT.select(col("doc_id")), postBase, "doc_id"))
+    val tdf = Bm25.tokenDf(postBase).cache()
+    tdf.count()
+    val asgBase = assigned.filter(col("id") <= 7)
+      .select(col("id").as("doc_id"), col("vector"), col("bucket"))
+    val base = ServingFusion.buildCombined(
+      baseT.select(col("doc_id")), postBase, "doc_id", asgBase,
+      dec.map(_.filter(col("doc_id") <= 7)), numShards = 2,
+      prebuiltTokenDf = Some(tdf), frozenStats = Some(frozen)).cache()
+    base.count()
+    // Colliding batch: doc 5 is already in the base. Without the
+    // watermark the append silently double-scores; with it, it throws.
+    val badT = t.filter(col("doc_id") === 5 || col("doc_id") === 8)
+    val postBad = Bm25.postings(badT, "doc_id", "text")
+    val asgBad = assigned.filter(col("id") === 5 || col("id") === 8)
+      .select(col("id").as("doc_id"), col("vector"), col("bucket"))
+    val ex = intercept[IllegalArgumentException] {
+      ServingFusion.appendCombined(base, badT.select(col("doc_id")),
+        postBad, "doc_id", asgBad, frozen, tdf,
+        dec = dec.map(_.filter(col("doc_id") === 5 || col("doc_id") === 8)),
+        numShards = 1, baseMaxId = Some(7L))
+    }
+    assert(ex.getMessage.contains("watermark"))
+    // A genuinely disjoint batch passes the same guard.
+    val okT = t.filter(col("doc_id") >= 8)
+    val appended = ServingFusion.appendCombined(base,
+      okT.select(col("doc_id")), Bm25.postings(okT, "doc_id", "text"),
+      "doc_id",
+      assigned.filter(col("id") >= 8)
+        .select(col("id").as("doc_id"), col("vector"), col("bucket")),
+      frozen, tdf, dec = dec.map(_.filter(col("doc_id") >= 8)),
+      numShards = 1, baseMaxId = Some(7L))
+    val sq = servedQueries(qsN, qt)
+    assert(ServingFusion.fusedTopKCombined(appended, cents, sq,
+      params.alpha, params.k, nProbe = 2, kVec = 3).nonEmpty)
+    base.unpersist(); tdf.unpersist(); qsN.unpersist(); qt.unpersist()
+  }
 }

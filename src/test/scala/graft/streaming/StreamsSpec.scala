@@ -786,6 +786,81 @@ class StreamsSpec extends SparkSpec {
     assert(Streams.recoverCombinedSegments(spark,
       tempDir("combined-ingest-nolog") + "/missing",
       "doc_id", "text", "embedding", cents, frozen, tdf, base) eq base)
+
+    // CRASH-WINDOW RE-DELIVERY (VERDICT r16 #1): foreachBatch is
+    // at-least-once — a crash between the log write and the checkpoint
+    // commit re-delivers the batch. The batch's log directory is already
+    // complete, so the re-delivery must change NOTHING: not the log (the
+    // r16 `mode("append")` bug doubled it), not the served ref (its docs
+    // arrived through recovery/the original delivery).
+    val logRows = spark.read.parquet(log).count()
+    val refBefore = ref2.get()
+    Streams.ingestCombinedBatch(
+      newDocs.filter(col("doc_id") < 13), batchId = 0L,
+      "doc_id", "text", "embedding", cents, frozen, tdf, ref2,
+      numShardsPerSegment = 1, segmentLog = Some(log))
+    assert(ref2.get() eq refBefore,
+      "a re-delivered batch must not append a duplicate segment")
+    assert(spark.read.parquet(log).count() === logRows,
+      "a re-delivered batch must not grow the log")
+    assert(serve(Streams.recoverCombinedSegments(spark, log,
+      "doc_id", "text", "embedding", cents, frozen, tdf, base)) === served,
+      "served results must be unchanged after a re-delivered batch")
+
+    // Crash MID-LOG-WRITE: a batch directory without _SUCCESS is invisible
+    // to recovery, and the re-delivery rewrites it whole and appends.
+    val extraDocs = (16L until 19L).map(doc).toDF("doc_id", "text", "embedding")
+    Streams.ingestCombinedBatch(extraDocs, batchId = 2L,
+      "doc_id", "text", "embedding", cents, frozen, tdf, ref2,
+      numShardsPerSegment = 1, segmentLog = Some(log))
+    val servedExtra = serve(ref2.get())
+    val succ = new java.io.File(s"$log/batch=2/_SUCCESS")
+    assert(succ.exists())
+    assert(succ.delete())
+    assert(Streams.completedLogBatches(spark, log).size === 2,
+      "a partial batch directory must be invisible to recovery")
+    assert(serve(Streams.recoverCombinedSegments(spark, log,
+      "doc_id", "text", "embedding", cents, frozen, tdf, base)) === served,
+      "recovery must not read a partially-written batch directory")
+    val ref3 = new java.util.concurrent.atomic.AtomicReference(recovered)
+    Streams.ingestCombinedBatch(extraDocs, batchId = 2L,
+      "doc_id", "text", "embedding", cents, frozen, tdf, ref3,
+      numShardsPerSegment = 1, segmentLog = Some(log))
+    assert(serve(ref3.get()) === servedExtra,
+      "re-delivery after a mid-write crash must land the batch exactly once")
+    assert(Streams.completedLogBatches(spark, log).size === 3)
+    assert(serve(Streams.recoverCombinedSegments(spark, log,
+      "doc_id", "text", "embedding", cents, frozen, tdf, base)) === servedExtra)
+    assert(Streams.maxLoggedId(spark, log, "doc_id") === Some(18L))
+
+    // Append-only id watermark (VERDICT r16 #3): an id at or below the
+    // served watermark fails the batch loudly instead of double-scoring.
+    val wm = new java.util.concurrent.atomic.AtomicLong(18L)
+    val ex = intercept[IllegalArgumentException] {
+      Streams.ingestCombinedBatch(extraDocs, batchId = 3L,
+        "doc_id", "text", "embedding", cents, frozen, tdf, ref3,
+        numShardsPerSegment = 1, segmentLog = None, idWatermark = Some(wm))
+    }
+    assert(ex.getMessage.contains("watermark"))
+    val okDocs = (19L until 21L).map(doc).toDF("doc_id", "text", "embedding")
+    Streams.ingestCombinedBatch(okDocs, batchId = 3L,
+      "doc_id", "text", "embedding", cents, frozen, tdf, ref3,
+      numShardsPerSegment = 1, segmentLog = None, idWatermark = Some(wm))
+    assert(wm.get() === 20L, "the watermark must advance past a clean batch")
+
     base.unpersist(); tdf.unpersist()
+  }
+
+  test("combined ingest checkpoint binds to one base build") {
+    val cp = tempDir("combined-ingest-bind")
+    Streams.bindCheckpointToBase(spark, cp, "base-build-7")
+    // Same base: idempotent.
+    Streams.bindCheckpointToBase(spark, cp, "base-build-7")
+    // A rebuilt base against the old checkpoint: fail fast, not silent
+    // recall loss.
+    val ex = intercept[IllegalArgumentException] {
+      Streams.bindCheckpointToBase(spark, cp, "base-build-8")
+    }
+    assert(ex.getMessage.contains("bound to base build"))
   }
 }
