@@ -377,6 +377,65 @@ object TextPipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // X41: the per-language CCNet gate AS SERVED AT INGEST (VERDICT r16
+    // #6) — the BATCH DEGRADE of Streams.surprisalGatePerLangStream, so
+    // the oracle checks the exact code the stream runs: map-only langid
+    // (TextPipeline.langBestLang — one column expression, no shuffle) →
+    // per-language frozen-LM surprisal (keyed joins; plang is one more
+    // join key) → per-language calibrated cut (that language's corpus
+    // mean, x36's calibration run per language — a gate consumes cuts as
+    // an offline artifact, so calibration here is the offline job the
+    // artifacts come from). x40 is the tercile-bucketing sibling; this
+    // is the keep/drop gate a streaming ingest actually applies.
+    "x41_perlang_gate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          injected(col("lang"), col("text")).as("content"))
+      val d = docs.withColumn("plang",
+        TextPipeline.langBestLang(col("content")))
+      def bigrams(df: DataFrame): DataFrame = df
+        .select(col("doc_id"), col("plang"),
+          split(col("content"), " ").as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(col("doc_id"), col("plang"), explode(zip_with(
+          slice(col("ts"), lit(1), size(col("ts")) - 1),
+          slice(col("ts"), lit(2), size(col("ts")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+        .select(col("doc_id"), col("plang"),
+          col("p.w1").as("w1"), col("p.w2").as("w2"))
+      // Offline training + calibration (pinned: the gate reconsumes lm/
+      // uni/v, and cuts' own chain would otherwise re-run the langid scan
+      // and bigram explosions — the s21/x40 re-evaluation hazard).
+      val lmSlice = d.filter(col("doc_id") % 5 === 0)
+      val lm = bigrams(lmSlice)
+        .groupBy(col("plang"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c12"))
+        .localCheckpoint(true)
+      val uni = lm.groupBy(col("plang"), col("w1"))
+        .agg(sum(col("c12")).as("c1"))
+      val v = lmSlice
+        .select(col("plang"), explode(split(col("content"), " ")).as("t"))
+        .groupBy(col("plang")).agg(countDistinct(col("t")).as("nv"))
+        .localCheckpoint(true)
+      val cuts = bigrams(d)
+        .join(broadcast(v), Seq("plang"))
+        .join(lm, Seq("plang", "w1", "w2"), "left")
+        .join(uni, Seq("plang", "w1"), "left")
+        .withColumn("bits",
+          (length(bin(expr(
+            "(coalesce(c1, 0) + nv) div (coalesce(c12, 0) + 1)"))) - 1)
+            .cast("long"))
+        .groupBy(col("doc_id"), col("plang"))
+        .agg(count(lit(1)).as("nb"), sum(col("bits")).as("sb"))
+        .groupBy(col("plang"))
+        .agg(expr("(1000 * sum(sb)) div sum(nb)").as("cut_milli"))
+        .localCheckpoint(true)
+      graft.streaming.Streams.surprisalGatePerLangStream(
+          docs, "content", eventTimeCol = "_unused_on_batch",
+          lm, uni, v, cuts)
+        .orderBy(col("doc_id"))
+    }),
+
     // X4: rolling-hash fingerprint over word 4-gram shingles.
     "x4_fingerprint" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
@@ -1085,6 +1144,63 @@ object TextPipelineQueries {
          |       ELSE 'tail' END AS ppl_bucket,
          |  per.mean_milli <= thr.t2 AS keep
          |FROM per JOIN thr ON per.plang = thr.plang
+         |ORDER BY per.doc_id""".stripMargin,
+
+    "x41_perlang_gate" ->
+      s"""WITH $injectedSql,
+         |scores AS (
+         |  SELECT doc_id, l.lang, CAST(
+         |    CASE l.lang
+         |      WHEN 'en' THEN ${scoreSql(Seq("the", "of", "and", "is", "a"))}
+         |      WHEN 'es' THEN ${scoreSql(Seq("el", "los", "de", "y", "una"))}
+         |      WHEN 'de' THEN ${scoreSql(Seq("der", "die", "das", "und", "ein"))}
+         |      WHEN 'fr' THEN ${scoreSql(Seq("le", "la", "les", "et", "une"))}
+         |      ELSE ${scoreSql(Seq("de0", "shi4", "le0", "zai4", "he2"))}
+         |    END AS BIGINT) AS score
+         |  FROM injected CROSS JOIN (
+         |    SELECT unnest(['en','es','de','fr','zh']) AS lang) l),
+         |best AS (
+         |  SELECT doc_id, lang AS plang FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+         |    FROM scores)
+         |  WHERE rn = 1),
+         |tok AS (
+         |  -- rtrim: injectedSql's repeat() leaves a trailing space, which
+         |  -- str_split would turn into a phantom empty token (the Spark
+         |  -- side's concat-built content has no trailing separator).
+         |  SELECT i.doc_id, best.plang, str_split(rtrim(i.content), ' ') AS ts
+         |  FROM injected i JOIN best ON i.doc_id = best.doc_id),
+         |bg AS (
+         |  SELECT doc_id, plang, ts[i] AS w1, ts[i + 1] AS w2
+         |  FROM tok, unnest(range(1, len(ts))) t(i)),
+         |lm AS (SELECT plang, w1, w2, CAST(count(*) AS BIGINT) AS c12
+         |       FROM bg WHERE doc_id % 5 = 0 GROUP BY 1, 2, 3),
+         |uni AS (SELECT plang, w1, CAST(sum(c12) AS BIGINT) AS c1
+         |        FROM lm GROUP BY 1, 2),
+         |v AS (SELECT plang, CAST(count(DISTINCT t) AS BIGINT) AS nv
+         |      FROM (SELECT plang, unnest(ts) AS t FROM tok
+         |            WHERE doc_id % 5 = 0) GROUP BY plang),
+         |sc AS (
+         |  SELECT bg.doc_id, bg.plang,
+         |    CAST(length(bin((COALESCE(uni.c1, 0) + v.nv) //
+         |      (COALESCE(lm.c12, 0) + 1))) - 1 AS BIGINT) AS bits
+         |  FROM bg JOIN v ON bg.plang = v.plang
+         |  LEFT JOIN lm ON bg.plang = lm.plang AND bg.w1 = lm.w1
+         |    AND bg.w2 = lm.w2
+         |  LEFT JOIN uni ON bg.plang = uni.plang AND bg.w1 = uni.w1),
+         |per AS (
+         |  SELECT doc_id, plang, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(bits) AS BIGINT) AS surprisal_bits,
+         |    CAST((1000 * sum(bits)) // count(*) AS BIGINT) AS mean_milli
+         |  FROM sc GROUP BY 1, 2),
+         |cuts AS (
+         |  SELECT plang, CAST((1000 * sum(surprisal_bits)) //
+         |    sum(n_bigrams) AS BIGINT) AS cut_milli
+         |  FROM per GROUP BY plang)
+         |SELECT per.doc_id, per.plang, per.n_bigrams, per.surprisal_bits,
+         |  per.mean_milli, per.mean_milli <= cuts.cut_milli AS keep
+         |FROM per JOIN cuts ON per.plang = cuts.plang
          |ORDER BY per.doc_id""".stripMargin,
 
     "x32_token_fertility" ->

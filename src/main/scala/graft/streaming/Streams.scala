@@ -364,6 +364,71 @@ object Streams {
         col("mean_milli"), col("keep"))
   }
 
+  /** PER-LANGUAGE streaming LM gate (VERDICT r16 #6) — CCNet's actual
+    * ingest shape (arXiv:1911.00359 §3.2: langid first, then score
+    * against THAT language's LM, cut at that language's calibrated
+    * threshold). [[surprisalGateStream]] is the single-LM special case;
+    * x40 is the same composition as an offline batch job. Three frozen
+    * offline-trained artifact families ride in: per-language `lm
+    * (plang, w1, w2, c12)` / `uni (plang, w1, c1)` bigram tables
+    * (corpus-scaled → STREAM-STATIC equi-joins, `plang` is simply one
+    * more join key, never broadcast) and the n-languages-row `vocab
+    * (plang, nv)` / `cuts (plang, cut_milli)` tables (broadcast — they
+    * have one row per language by construction). Langid itself is
+    * [[graft.text.TextPipeline.langBestLang]] — pure column math, so it
+    * runs unchanged on the stream (the map-only property x40 established
+    * for batch). A doc whose predicted language has no vocabulary row
+    * drops (inner join) — CCNet cannot score a language it has no LM
+    * for, exactly x40's contract. Batch frames degrade to the plain
+    * per-doc aggregation (the x41 oracle query).
+    *
+    * `langCol`: pass a column name to use a PRE-predicted language
+    * instead of running langid on `textCol` (e.g. when the id ran on a
+    * different field than the one being scored).
+    */
+  def surprisalGatePerLangStream(docs: DataFrame, textCol: String,
+      eventTimeCol: String, lm: DataFrame, uni: DataFrame, vocab: DataFrame,
+      cuts: DataFrame, langCol: Option[String] = None,
+      lateness: String = "1 hour",
+      windowSize: String = "10 minutes"): DataFrame = {
+    val streaming = docs.isStreaming
+    val plang = langCol.map(col).getOrElse(
+      graft.text.TextPipeline.langBestLang(col(textCol)))
+    val baseCols = Seq(col("doc_id"), plang.as("plang")) ++
+      (if (streaming) Seq(col(eventTimeCol)) else Nil)
+    val keyCols = Seq(col("doc_id"), col("plang")) ++
+      (if (streaming) Seq(col(eventTimeCol)) else Nil)
+    val bg = docs
+      .select(baseCols :+ split(col(textCol), " ").as("_w"): _*)
+      .filter(size(col("_w")) >= 2)
+      .select(keyCols :+ explode(zip_with(
+        slice(col("_w"), lit(1), size(col("_w")) - 1),
+        slice(col("_w"), lit(2), size(col("_w")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"): _*)
+      .select(keyCols :+ col("p.w1").as("w1") :+ col("p.w2").as("w2"): _*)
+    val sc = bg
+      .join(broadcast(vocab), Seq("plang"))
+      .join(lm, Seq("plang", "w1", "w2"), "left")
+      .join(uni, Seq("plang", "w1"), "left")
+      .withColumn("bits",
+        (length(bin(expr(
+          "(coalesce(c1, 0) + nv) div (coalesce(c12, 0) + 1)"))) - 1)
+          .cast("long"))
+    val grouped =
+      if (streaming)
+        sc.withWatermark(eventTimeCol, lateness)
+          .groupBy(window(col(eventTimeCol), windowSize), col("doc_id"),
+            col("plang"))
+      else sc.groupBy(col("doc_id"), col("plang"))
+    grouped
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("surprisal_bits"))
+      .withColumn("mean_milli", expr("(1000 * surprisal_bits) div n_bigrams"))
+      .join(broadcast(cuts), Seq("plang"))
+      .select(col("doc_id"), col("plang"), col("n_bigrams"),
+        col("surprisal_bits"), col("mean_milli"),
+        (col("mean_milli") <= col("cut_milli")).as("keep"))
+  }
+
   def dedupStream(docs: DataFrame, textCol: String, eventTimeCol: String,
       lateness: String = "1 hour"): DataFrame = {
     val hashed = docs.withColumn("content_hash", sha2(col(textCol), 256))

@@ -68,6 +68,23 @@ object TextPipeline {
         col("_b.score").as("score"))
   }
 
+  /** [[langBest]]'s winning LANGUAGE as one self-contained column
+    * expression — no intermediate projection, so it drops into any frame
+    * (including a STREAMING one: pure column math, no aggregation — the
+    * property the per-language ingest gate needs). Same winner as
+    * `langBest(...).select("lang")`: max profile score, ties to the
+    * alphabetically-smallest language.
+    */
+  def langBestLang(contentCol: Column): Column = {
+    val langs = LangProfiles.toSeq.sortBy(_._1)
+    val best = greatest(langs.zipWithIndex.map { case ((_, words), i) =>
+      struct(profileScore(contentCol, words).cast("long").as("score"),
+        lit(-i).as("nidx"))
+    }: _*)
+    element_at(array(langs.map(l => lit(l._1)): _*),
+      -best.getField("nidx") + 1)
+  }
+
   /** Quality heuristics (Gopher-style rule set): word count bounds, mean
     * word length bounds, stopword ratio floor, unique-token ratio floor.
     * Each rule contributes 0.25; pass at ≥ 0.75.

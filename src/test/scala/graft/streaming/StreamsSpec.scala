@@ -352,6 +352,73 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("per-language streaming LM gate: langid routes docs to their own LM and cut, stream == batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+
+    // Two frozen per-language LMs with distinct vocab sizes, and — the
+    // per-language point — DIFFERENT calibrated cuts: docs 1 (en) and 3
+    // (es) score the same 1333 mean_milli, but en's cut drops it while
+    // es's keeps it. Doc 4's profile predicts 'de', which has no
+    // vocabulary row: CCNet cannot score a language it has no LM for, so
+    // the doc drops entirely (x40's inner-join contract).
+    val lm = Seq(("en", "the", "of", 2L), ("en", "of", "the", 1L),
+      ("es", "el", "de", 2L), ("es", "de", "el", 1L))
+      .toDF("plang", "w1", "w2", "c12")
+    val uni = Seq(("en", "the", 2L), ("en", "of", 1L),
+      ("es", "el", 2L), ("es", "de", 1L)).toDF("plang", "w1", "c1")
+    val vocab = Seq(("en", 2L), ("es", 3L)).toDF("plang", "nv")
+    val cuts = Seq(("en", 1000L), ("es", 1400L)).toDF("plang", "cut_milli")
+    val docsB = Seq(
+      (0L, "the of the of", t(0)),      // en: 0+0+0 → 0, keep
+      (1L, "the unknown weird stuff", t(1)), // en: 2+1+1 → 1333 > 1000, drop
+      (2L, "el de el de", t(2)),        // es: 0+1+0 → 333, keep
+      (3L, "el raro cosa x", t(3)),     // es: 2+1+1 → 1333 <= 1400, keep
+      (4L, "der die das und", t(4)))    // de: no LM → no output row
+      .toDF("doc_id", "text", "ts")
+    val expect = Set(
+      (0L, "en", 3L, 0L, 0L, true),
+      (1L, "en", 3L, 4L, 1333L, false),
+      (2L, "es", 3L, 1L, 333L, true),
+      (3L, "es", 3L, 4L, 1333L, true))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toSet
+
+    val batchOut = Streams.surprisalGatePerLangStream(
+      docsB, "text", "ts", lm, uni, vocab, cuts)
+    assert(rows(batchOut) == expect)
+
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = Streams.surprisalGatePerLangStream(
+      ms.toDF.toDF("doc_id", "text", "ts"), "text", "ts", lm, uni, vocab,
+      cuts, lateness = "10 seconds", windowSize = "1 minute")
+    val q = out.writeStream.format("memory").queryName("perlang_gate")
+      .outputMode("append").start()
+    try {
+      ms.addData((0L, "the of the of", t(0)),
+        (1L, "the unknown weird stuff", t(1)))
+      q.processAllAvailable()
+      ms.addData((2L, "el de el de", t(2)), (3L, "el raro cosa x", t(3)),
+        (4L, "der die das und", t(4)))
+      q.processAllAvailable()
+      ms.addData((99L, "the flush", t(600))) // push the watermark
+      q.processAllAvailable()
+      val got = rows(spark.table("perlang_gate").filter(col("doc_id") < 99))
+      assert(got == expect, got)
+    } finally q.stop()
+
+    // Pre-predicted language column: langCol bypasses the in-row langid
+    // (for callers whose id ran on a different field).
+    val pre = Streams.surprisalGatePerLangStream(
+      docsB.withColumn("already", lit("es")), "text", "ts", lm, uni, vocab,
+      cuts, langCol = Some("already"))
+    assert(pre.select(col("plang")).distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("es"))
+  }
+
   test("streaming near-dup: stream == batch, fingerprint == TextPipeline's") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
