@@ -77,17 +77,41 @@ object Bench {
     // vs 1786.8 prior, unexplained) shipped unexamined. Prior keys for
     // these store QPS (make_bench_prior.py keeps the per-key MAX — a
     // slow-host epoch can only deflate QPS); a fresh point measuring
-    // < 1/3 of its prior QPS (sec > 3·nq/priorQps) re-measures, best
-    // kept. Genuine regressions survive — they reproduce on every rep.
+    // below `1/factor` of its prior QPS (sec > factor·nq/priorQps)
+    // re-measures, best kept. Genuine regressions survive — they
+    // reproduce on every rep. The SERVING family passes factor=2 (floor
+    // ½ — VERDICT r16 #5: r16's sf combined point halved and sailed
+    // under the ⅓ floor); everything else keeps the original ⅓.
+    //
+    // `qpsGuard` (ADVICE r16): every guarded point's same-run spread and
+    // extra-rep count land in the artifact (`"qps_guard"`), so committed
+    // QPS numbers are no longer silently conditional best-of-N — a
+    // cross-round comparison can see which points got the extended
+    // protocol and how wide the host noise was that run.
+    val qpsGuard = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Double, Double, Int, Double)] // (minSec, maxSec, extraReps, factor)
+    def recordSpread(key: String, reps: Seq[Double]): Double = {
+      qpsGuard(key) = (reps.min, reps.max, 0, 0.0)
+      reps.min
+    }
     def replausibleQps(key: String, measuredSec: Double, nq: Double,
-        maxExtra: Int = 2)(again: => Double): Double =
+        maxExtra: Int = 2, factor: Double = 3.0)(again: => Double): Double =
       priorTimes.get(key) match {
         case Some(pQps) if pQps > 0 =>
           var best = measuredSec
+          var worst = measuredSec
           var extra = 0
-          while (best > 3 * nq / pQps && extra < maxExtra) {
-            best = math.min(best, try again catch { case _: Throwable => best })
+          while (best > factor * nq / pQps && extra < maxExtra) {
+            val t = try again catch { case _: Throwable => best }
+            best = math.min(best, t)
+            worst = math.max(worst, t)
             extra += 1
+          }
+          if (extra > 0 || qpsGuard.contains(key)) {
+            val prev = qpsGuard.getOrElse(key,
+              (measuredSec, measuredSec, 0, 0.0))
+            qpsGuard(key) = (math.min(prev._1, best),
+              math.max(prev._2, worst), extra, factor)
           }
           best
         case _ => measuredSec
@@ -840,7 +864,8 @@ object Bench {
         * fused QPS is only interpretable next to text selectivity.
         */
       def servePoint(table: DataFrame, post: DataFrame, qs: DataFrame,
-                     nq: Int, corpusN: Long, priorKey: String): String = {
+                     nq: Int, corpusN: Long, priorKey: String,
+                     segmentCurve: Boolean = false): String = {
         val tableN = table.select(col("doc_id").cast("long").as("id"),
           VectorFunctions.normalize(col("embedding")).as("vector"))
         val kC = math.max(16, math.sqrt(corpusN.toDouble).round).toInt
@@ -889,7 +914,8 @@ object Bench {
         }
         run() // warm: codegen + broadcasts
         val sec = replausibleQps(s"$priorKey.fused_qps",
-          Seq.fill(3)(timeIt(run())).min, nq)(timeIt(run()))
+          recordSpread(s"$priorKey.fused_qps",
+            Seq.fill(3)(timeIt(run()))), nq, factor = 2.0)(timeIt(run()))
         // SERVED batch: the same workload through the one-pass serving
         // twin — ANN leg off the bucket blocks, text+fusion off the
         // postings shards, driver α-blend. Same results (ServingFusionSpec
@@ -904,7 +930,8 @@ object Bench {
         }
         runServed(qsN, qTokens) // warm
         val secServed = replausibleQps(s"$priorKey.fused_qps_served",
-          Seq.fill(3)(timeIt(runServed(qsN, qTokens))).min, nq)(
+          recordSpread(s"$priorKey.fused_qps_served",
+            Seq.fill(3)(timeIt(runServed(qsN, qTokens)))), nq, factor = 2.0)(
           timeIt(runServed(qsN, qTokens)))
         // Fused single-query latency (VERDICT r11 #6): the flagship hybrid
         // path one query at a time, completing the serving-latency story —
@@ -957,7 +984,9 @@ object Bench {
             params.alpha, params.k, nProbe = 8, kVec = 10)
         runC(sqAll) // warm
         val secC = replausibleQps(s"$priorKey.fused_qps_combined",
-          Seq.fill(3)(timeIt(runC(sqAll))).min, nq)(timeIt(runC(sqAll)))
+          recordSpread(s"$priorKey.fused_qps_combined",
+            Seq.fill(3)(timeIt(runC(sqAll)))), nq, factor = 2.0)(
+          timeIt(runC(sqAll)))
         val sq1 = sqAll.filter(_.qid == 0L)
         def run1c(): Unit = runC(sq1)
         run1c()
@@ -978,10 +1007,11 @@ object Bench {
             qs2, absMax = 1.0, params.alpha, params.k, nProbe = 8, kVec = 10)
         runC8(sqAll)
         val secC8 = replausibleQps(s"$priorKey.fused_qps_combined_int8",
-          Seq.fill(3)(timeIt(runC8(sqAll))).min, nq)(timeIt(runC8(sqAll)))
+          recordSpread(s"$priorKey.fused_qps_combined_int8",
+            Seq.fill(3)(timeIt(runC8(sqAll)))), nq, factor = 2.0)(
+          timeIt(runC8(sqAll)))
         runC8(sq1)
         val sec1c8 = Seq.fill(5)(timeIt(runC8(sq1))).min
-        combined8.unpersist()
         // Served MMR (v26's diversity re-rank as ONE job): pool retrieval
         // with vectors off the same combined shards, greedy chain as
         // driver math. Batch kept small (64) — MMR partials carry pool
@@ -992,7 +1022,8 @@ object Bench {
             k = 10, pool = 64, nProbe = 8, lam = 0.7, oneMinusLam = 0.3)
         runM(mmrQs)
         val secM = replausibleQps(s"$priorKey.mmr_qps_combined",
-          Seq.fill(3)(timeIt(runM(mmrQs))).min, mmrQs.size)(
+          recordSpread(s"$priorKey.mmr_qps_combined",
+            Seq.fill(3)(timeIt(runM(mmrQs)))), mmrQs.size, factor = 2.0)(
           timeIt(runM(mmrQs)))
         val mmrQ1 = mmrQs.take(1)
         runM(mmrQ1)
@@ -1005,28 +1036,28 @@ object Bench {
         // the one serving timer where the state build IS the measured
         // action; 1024-doc batch, min of 3 fresh segments.
         val ingestDocs = 1024
+        val ingOff = lit(1000000000L)
+        val ingBatchT = table.limit(ingestDocs)
+          .withColumn("doc_id", col("doc_id") + ingOff)
+          .localCheckpoint(true)
+        val ingPostB = Bm25.postings(ingBatchT, "doc_id", "text")
+          .localCheckpoint(true)
+        val ingDecB = Fusion.decayFrame(ingBatchT, "doc_id", params)
+        val ingAsgB = Ivf.assignFast(
+          ingBatchT.select(col("doc_id").cast("long").as("id"),
+            VectorFunctions.normalize(col("embedding")).as("vector")),
+          cents)
+          .select(col("id").as("doc_id"), col("vector"), col("bucket"))
+          .localCheckpoint(true)
+        val frozen = graft.text.Bm25.corpusStats(dls)
+        val sq1c = sqAll.take(1)
         val ingSec = {
-          val off = lit(1000000000L)
-          val batchT = table.limit(ingestDocs)
-            .withColumn("doc_id", col("doc_id") + off)
-            .localCheckpoint(true)
-          val postB = Bm25.postings(batchT, "doc_id", "text")
-            .localCheckpoint(true)
-          val decB = Fusion.decayFrame(batchT, "doc_id", params)
-          val asgB = Ivf.assignFast(
-            batchT.select(col("doc_id").cast("long").as("id"),
-              VectorFunctions.normalize(col("embedding")).as("vector")),
-            cents)
-            .select(col("id").as("doc_id"), col("vector"), col("bucket"))
-            .localCheckpoint(true)
-          val frozen = graft.text.Bm25.corpusStats(dls)
-          val sq1c = sqAll.take(1)
           // Mirrors Streams.combinedIngest: cache + materialize ONLY the
           // segment, serve over the lazy union of cached parents.
           def rep(): Double = timeIt {
             val seg = graft.search.ServingFusion.buildCombined(
-              batchT.select(col("doc_id")), postB, "doc_id", asgB,
-              dec = decB, numShards = 1, prebuiltTokenDf = Some(tdf),
+              ingBatchT.select(col("doc_id")), ingPostB, "doc_id", ingAsgB,
+              dec = ingDecB, numShards = 1, prebuiltTokenDf = Some(tdf),
               frozenStats = Some(frozen)).cache()
             seg.count()
             graft.search.ServingFusion.fusedTopKCombined(
@@ -1037,6 +1068,74 @@ object Bench {
           replausible(s"$priorKey.ingest_to_serve_sec",
             Seq.fill(3)(rep()).min)(rep())
         }
+        // Int8 ingest twin (VERDICT r16 #7): same frozen-absMax discipline
+        // (appendCombinedInt8's contract), landed into the COMPRESSED
+        // combined index — one number, closes the f32/int8 symmetry.
+        val ing8Sec = {
+          def rep(): Double = timeIt {
+            val seg = graft.search.ServingFusion.buildCombinedInt8(
+              ingBatchT.select(col("doc_id")), ingPostB, "doc_id", ingAsgB,
+              absMax = 1.0, dec = ingDecB, numShards = 1,
+              prebuiltTokenDf = Some(tdf), frozenStats = Some(frozen)).cache()
+            seg.count()
+            graft.search.ServingFusion.fusedTopKCombinedInt8(
+              combined8.union(seg), cents, sq1c, absMax = 1.0, params.alpha,
+              params.k, nProbe = 8, kVec = 10)
+            seg.unpersist()
+          }
+          replausible(s"$priorKey.ingest_to_serve_int8_sec",
+            Seq.fill(3)(rep()).min)(rep())
+        }
+        combined8.unpersist()
+        // Serve-vs-segment-count curve (VERDICT r16 #4): fused batch QPS
+        // after K appended micro-batch segments — each batch lands as ONE
+        // extra single-shard partition on the served union, so after K
+        // batches the fused job runs base+K tasks. ONE combined build
+        // shards the extra docs 128 ways, and PartitionPruningRDD slices
+        // the first K shards out — the union of K one-shard segments and
+        // a K-sharded segment RDD are the same partition list, so the
+        // measured job IS the post-K-batches serve job without paying 128
+        // separate tiny builds. The curve picks the compaction threshold
+        // (Streams.combinedIngest's compactionThreshold): rebuild when
+        // the marginal QPS loss crosses what a rebuild buys back.
+        val segJson = if (!segmentCurve) "" else try {
+          val segDocs = 128
+          val nSegs = 128
+          val segT = table.limit(segDocs * nSegs)
+            .withColumn("doc_id", col("doc_id") + lit(1100000000L))
+            .localCheckpoint(true)
+          val segPost = Bm25.postings(segT, "doc_id", "text")
+          val segAsg = Ivf.assignFast(
+            segT.select(col("doc_id").cast("long").as("id"),
+              VectorFunctions.normalize(col("embedding")).as("vector")),
+            cents)
+            .select(col("id").as("doc_id"), col("vector"), col("bucket"))
+          val segAll = graft.search.ServingFusion.buildCombined(
+            segT.select(col("doc_id")), segPost, "doc_id", segAsg,
+            dec = Fusion.decayFrame(segT, "doc_id", params),
+            numShards = nSegs, prebuiltTokenDf = Some(tdf),
+            frozenStats = Some(frozen)).cache()
+          segAll.count()
+          def atK(kSegs: Int): Double = {
+            val ix =
+              if (kSegs == 0) combined
+              else combined.union(
+                org.apache.spark.rdd.PartitionPruningRDD.create(
+                  segAll, _ < kSegs))
+            def run(): Unit = {
+              graft.search.ServingFusion.fusedTopKCombined(ix, cents, sqAll,
+                params.alpha, params.k, nProbe = 8, kVec = 10)
+              ()
+            }
+            run() // warm
+            Seq.fill(3)(timeIt(run())).min
+          }
+          val curve = Seq(0, 8, 32, 128).map(k => k -> atK(k))
+          segAll.unpersist()
+          curve.map { case (k, s) =>
+            s""""qps_s$k":${c1(nq / s)}"""
+          }.mkString(s""","segments":{"docs_per_segment":$segDocs,""", ",", "}")
+        } catch { case _: Throwable => "" }
         combined.unpersist()
         q1.unpersist(); qt1.unpersist()
         assigned.unpersist(); serving.unpersist(); qsN.unpersist()
@@ -1053,21 +1152,37 @@ object Bench {
           s""""single_query_combined_int8_sec":${r3(sec1c8)},""" +
           s""""mmr_qps_combined":${c1(mmrQs.size / secM)},""" +
           s""""ingest_to_serve_sec":${r3(ingSec)},""" +
+          s""""ingest_to_serve_int8_sec":${r3(ing8Sec)},""" +
           s""""ingest_batch_docs":$ingestDocs,""" +
           s""""single_query_mmr_combined_sec":${r3(sec1m)},""" +
           s""""single_query_fused_sec":${r3(sec1)},""" +
           s""""single_query_combined_sec":${r3(sec1c)},""" +
-          s""""single_query_plan_sec":${r3(sec1plan)}}"""
+          s""""single_query_plan_sec":${r3(sec1plan)}$segJson}"""
       }
 
       val NQ = sys.env.getOrElse("SPARK_GRAFT_FUSION_NQ", "4096").toInt
 
-      // Point 1: the sf memory view. Its ~40-word vocabulary makes BM25
-      // DEGENERATE — every query matches ~the whole corpus, so the text
-      // branch scores nq×corpus candidates (the worst case); QPS here
-      // measures candidate throughput, not serving latency.
+      // Point 1: the sf memory view. Through r16 its ~40-word vocabulary
+      // made BM25 DEGENERATE — every query matched ~the whole corpus
+      // (hits_per_query ~1951 of 2000), so the point measured candidate
+      // throughput and swung 2× round-to-round on blend overhead alone
+      // (VERDICT r16 #5: the committed sf combined QPS halved while the
+      // controlled synthetic twin hit its best-ever the same run). Fixed
+      // per that directive: each doc carries 3 rare salt tokens
+      // (~12 docs/token) and queries ask for 3 of those, so the point now
+      // measures SELECTIVE retrieval over the real sf decay metadata —
+      // hits_per_query ~tens, the regime a memory view actually serves.
+      // (Pre-r17 fusion.sf priors describe the degenerate workload; the
+      // guard's per-key MAX semantics keep them harmless.)
       val sfPoint = {
-        val mem = FusionQueries.memoryView(spark, sfDir).cache()
+        val salt = 503
+        def saltTok(c: Column): Column = concat(lit("tok"), c)
+        val mem = FusionQueries.memoryView(spark, sfDir)
+          .withColumn("text", concat_ws(" ", col("text"),
+            saltTok(pmod(col("doc_id") * 7 + 1, lit(salt))),
+            saltTok(pmod(col("doc_id") * 13 + 2, lit(salt))),
+            saltTok(pmod(col("doc_id") * 29 + 3, lit(salt)))))
+          .cache()
         val memN = mem.count()
         val post = Bm25.postings(mem, "doc_id", "text")
           .repartition(col("token")).cache()
@@ -1075,14 +1190,12 @@ object Bench {
         val emb = graft.core.Tables.embeddings(spark, sfDir)
           .select(col("vec_id"), col("embedding")).cache()
         val embN = emb.count()
-        val texts = Seq("table merge query", "fast hash join order",
-          "window agg stream", "vector scan filter", "sort batch spark data",
-          "customer line part value", "slow group key column",
-          "big small row scan scan")
         val qs = spark.range(NQ)
           .select(col("id").as("qid"), pmod(col("id"), lit(embN)).as("_vid"),
-            element_at(array(texts.map(lit): _*),
-              (pmod(col("id"), lit(texts.size)) + 1).cast("int")).as("qtext"))
+            concat_ws(" ",
+              saltTok(pmod(col("id") * 37, lit(salt))),
+              saltTok(pmod(col("id") * 911 + 130, lit(salt))),
+              saltTok(pmod(col("id") * 241 + 29, lit(salt)))).as("qtext"))
           .join(emb, col("_vid") === col("vec_id"))
           .select(col("qid"), col("embedding").as("qvec"), col("qtext"))
           .cache()
@@ -1147,7 +1260,8 @@ object Bench {
               .as("qtext"))
           .cache()
         qs.count()
-        val out = servePoint(corpus, post, qs, NQ2, N.toLong, "fusion.synth")
+        val out = servePoint(corpus, post, qs, NQ2, N.toLong, "fusion.synth",
+          segmentCurve = true)
         corpus.unpersist(); post.unpersist(); qs.unpersist()
         out
       }
@@ -1327,8 +1441,17 @@ object Bench {
     // Section order matters: the driver's artifact keeps only the LAST
     // ~2000 chars of stdout, so the headline GloVe-100d `ann` block goes
     // last (right before total/sf) and the supporting sections first.
+    // Guarded-point protocol record (ADVICE r16): same-run spread +
+    // extra-rep count per guarded QPS point. Placed BEFORE the named
+    // sections so compactSummary's section slicing never runs into it.
+    val guardJson =
+      if (qpsGuard.isEmpty) ""
+      else qpsGuard.map { case (k, (mn, mx, ex, fl)) =>
+        val floor = if (fl > 0) math.rint(100.0 / fl) / 100 else 0.0
+        s""""$k":{"min_sec":${r3(mn)},"max_sec":${r3(mx)},"extra_reps":$ex,"refloor":$floor}"""
+      }.mkString(""","qps_guard":{""", ",", "}")
     val json =
-      s"""{"metric":"total","unit":"sec","cpus":$cpus,"failed":$failed,"flaky":$flaky,"queries":$perQuery$fusionBatch$f16Sec$binSec$annHiDim$annL2$ann,"value":$total,"sf":"$sfDir"}"""
+      s"""{"metric":"total","unit":"sec","cpus":$cpus,"failed":$failed,"flaky":$flaky,"queries":$perQuery$guardJson$fusionBatch$f16Sec$binSec$annHiDim$annL2$ann,"value":$total,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outPath), json + "\n")
     println(json)
     // The full line above has exceeded the driver's 2000-char stdout tail

@@ -245,7 +245,12 @@ object ScaleCheck {
         s""""ratio":${r3(s / b)},""" +
         s""""rebuild_base_sec":${r3(bBuild)},"rebuild_x${factor}_sec":${r3(sBuild)},""" +
         s""""rebuild_ratio":${r3(sBuild / bBuild)}}"""
-    } catch { case _: Throwable => "{}" }
+    } catch {
+      // A broken ingest path must be VISIBLE in the committed artifact
+      // (ADVICE r16): "{}" read as 'not run', hiding regressions.
+      case e: Throwable =>
+        s"""{"error":"${e.getClass.getSimpleName}"}"""
+    }
   }
 
   /** ANN serving paths at 1× vs `factor`× corpus (VERDICT r09 next-round

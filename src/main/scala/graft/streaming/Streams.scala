@@ -560,6 +560,20 @@ object Streams {
     * STRICTLY greater than the watermark (initially the base index's max
     * id; advanced per batch), so a base∩segment or segment∩segment id
     * collision fails the batch loudly instead of double-scoring.
+    *
+    * COMPACTION TRIGGER (VERDICT r16 #4): every appended segment adds one
+    * partition group to the served union, so the fused job's task count
+    * — and its fixed scheduling cost — grows linearly with batches since
+    * the last rebuild. The bench's serve-vs-segment-count curve
+    * (`fusion_batch.synthetic.segments`) prices that: tiny per-segment
+    * cost up to a few dozen segments, then scheduling overhead compounds.
+    * When `compactionThreshold > 0`, `onCompactionNeeded` fires (on the
+    * micro-batch thread, after the swap) each time the appended-segment
+    * count reaches a multiple of the threshold — the hook schedules the
+    * offline compaction: a full rebuild (refreshing the frozen stats), or
+    * the cheap segment-only form, [[recoverCombinedSegments]] onto the
+    * base, which folds the K segments back into one under the SAME
+    * frozen artifacts (durable shape only — it reads the log).
     */
   def combinedIngest(
       docs: DataFrame,
@@ -575,16 +589,23 @@ object Streams {
       numShardsPerSegment: Int = 1,
       segmentLog: Option[String] = None,
       baseBuildId: Option[String] = None,
-      idWatermark: Option[Long] = None)
+      idWatermark: Option[Long] = None,
+      compactionThreshold: Int = 0,
+      onCompactionNeeded: () => Unit = () => ())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     baseBuildId.foreach(id => bindCheckpointToBase(
       docs.sparkSession, checkpoint, id))
     val wm = idWatermark.map(w => new java.util.concurrent.atomic.AtomicLong(w))
+    val segCount = new java.util.concurrent.atomic.AtomicInteger(0)
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val before = ref.get()
         ingestCombinedBatch(batch, batchId, idCol, textCol, vecCol, cents,
           frozenStats, frozenTokenDf, ref, numShardsPerSegment, segmentLog,
           wm)
+        if ((ref.get() ne before) && compactionThreshold > 0 &&
+            segCount.incrementAndGet() % compactionThreshold == 0)
+          onCompactionNeeded()
         ()
       }
       .option("checkpointLocation", checkpoint)

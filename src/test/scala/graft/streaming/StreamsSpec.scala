@@ -900,6 +900,26 @@ class StreamsSpec extends SparkSpec {
       "doc_id", "text", "embedding", cents, frozen, tdf, base)) === servedExtra)
     assert(Streams.maxLoggedId(spark, log, "doc_id") === Some(18L))
 
+    // Compaction trigger: two appended segments at threshold 2 fire the
+    // hook exactly once (the hook schedules the offline rebuild).
+    locally {
+      val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+      val refC = new java.util.concurrent.atomic.AtomicReference(base)
+      val qc = Streams.combinedIngest(
+        spark.readStream.schema(allDocs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src),
+        "doc_id", "text", "embedding", cents, frozen, tdf, refC,
+        tempDir("combined-ingest-cp3"), numShardsPerSegment = 1,
+        baseBuildId = Some("base-A"), idWatermark = Some(9L),
+        compactionThreshold = 2, onCompactionNeeded = () => {
+          fired.incrementAndGet(); ()
+        })
+      qc.awaitTermination(120000)
+      assert(fired.get() === 1,
+        "2 segments at threshold 2 must request compaction exactly once")
+      assert(serve(refC.get()) === served)
+    }
+
     // Append-only id watermark (VERDICT r16 #3): an id at or below the
     // served watermark fails the batch loudly instead of double-scoring.
     val wm = new java.util.concurrent.atomic.AtomicLong(18L)
