@@ -998,6 +998,17 @@ object ServingFusion {
     * broadcast (deletes are rare relative to corpus size by contract),
     * and COMPACTION — the periodic rebuild — physically drops the docs
     * and clears the set.
+    *
+    * `decOverrides` (VERDICT r16 #2 stretch — live metadata updates): the
+    * reference's `VReinforce`/`VMETA` mutate a doc's decay-relevant
+    * metadata in place and the next search sees it (`ops.go:697`); here a
+    * driver-resident (id → new decay factor) map rides the same broadcast
+    * and overrides the shard-baked factor at scan time — serving with an
+    * override is EXACTLY a rebuild whose decay frame carried the new
+    * value (the factor is per-doc multiplicative; frozen BM25 stats are
+    * untouched). The caller recomputes the one doc's factor from its
+    * updated metadata (driver math — [[Decay]]'s formulas over one row);
+    * compaction bakes the current factors and clears the map.
     */
   def fusedTopKCombined(
       combined: org.apache.spark.rdd.RDD[CombinedShard],
@@ -1008,8 +1019,10 @@ object ServingFusion {
       nProbe: Int,
       kVec: Int = 10,
       metric: String = "cosine",
-      tombstones: Array[Long] = Array.emptyLongArray): Array[(Long, Long, Double)] = {
+      tombstones: Array[Long] = Array.emptyLongArray,
+      decOverrides: Array[(Long, Double)] = Array.empty): Array[(Long, Long, Double)] = {
     val tomb = sortedTombstones(tombstones)
+    val (ovIds, ovDec) = sortedOverrides(decOverrides)
     val alpha = if (alpha0 < 0 || alpha0 > 1) 0.5 else alpha0
     val l2 = metric == "l2"
     val qs = queries.sortBy(_.qid).toArray
@@ -1037,9 +1050,15 @@ object ServingFusion {
     val probedByQ = invertProbes(
       Ivf.probeAssignments(cents, adj, l2 = l2, qvecs, nProbe), nq)
     val bc = combined.sparkContext.broadcast(
-      (qvecs, toksByQ, probedByQ, qsq, tomb))
+      (qvecs, toksByQ, probedByQ, qsq, tomb, ovIds, ovDec))
     val partials = combined.mapPartitions { it =>
-      val (qvs, toks, probed, qsqB, tombB) = bc.value
+      val (qvs, toks, probed, qsqB, tombB, ovI, ovD) = bc.value
+      def decOf(id: Long, baked: Double): Double =
+        if (ovI.length == 0) baked
+        else {
+          val i = java.util.Arrays.binarySearch(ovI, id)
+          if (i >= 0) ovD(i) else baked
+        }
       val p = new CombinedPartial(qvs.length, k, kVec)
       it.foreach { csh =>
         val sh = csh.text
@@ -1059,8 +1078,9 @@ object ServingFusion {
             if (tombB.length == 0 ||
                 java.util.Arrays.binarySearch(tombB, sh.ids(d)) < 0) {
               val raw = acc(d)
+              val dc = decOf(sh.ids(d), sh.dec(d))
               if (raw > p.text.maxRaw(qi)) p.text.maxRaw(qi) = raw
-              p.text.insert(qi, -(raw * sh.dec(d)), sh.ids(d), raw, sh.dec(d))
+              p.text.insert(qi, -(raw * dc), sh.ids(d), raw, dc)
             }
             i += 1
           }
@@ -1089,7 +1109,7 @@ object ServingFusion {
                     else 1.0d - dot
                   val hasT = seen(li) == epoch
                   p.insertVec(qi, dist, id,
-                    if (hasT) acc(li) else 0.0, sh.dec(li), hasT)
+                    if (hasT) acc(li) else 0.0, decOf(id, sh.dec(li)), hasT)
                 }
                 r += 1
               }
@@ -1125,8 +1145,10 @@ object ServingFusion {
       k: Int,
       nProbe: Int,
       kVec: Int = 10,
-      tombstones: Array[Long] = Array.emptyLongArray): Array[(Long, Long, Double)] = {
+      tombstones: Array[Long] = Array.emptyLongArray,
+      decOverrides: Array[(Long, Double)] = Array.empty): Array[(Long, Long, Double)] = {
     val tomb = sortedTombstones(tombstones)
+    val (ovIds, ovDec) = sortedOverrides(decOverrides)
     val alpha = if (alpha0 < 0 || alpha0 > 1) 0.5 else alpha0
     val qs = queries.sortBy(_.qid).toArray
     require(qs.map(_.qid).distinct.length == qs.length,
@@ -1143,9 +1165,15 @@ object ServingFusion {
     val probedByQ = invertProbes(Ivf.probeAssignments(cents,
       Ivf.bucketAdj(cents, "cosine"), l2 = false, qvecs, nProbe), nq)
     val bc = combined.sparkContext.broadcast(
-      (qcodes, qnorms, toksByQ, probedByQ, tomb))
+      (qcodes, qnorms, toksByQ, probedByQ, tomb, ovIds, ovDec))
     val partials = combined.mapPartitions { it =>
-      val (qcs, qns, toks, probed, tombB) = bc.value
+      val (qcs, qns, toks, probed, tombB, ovI, ovD) = bc.value
+      def decOf(id: Long, baked: Double): Double =
+        if (ovI.length == 0) baked
+        else {
+          val i = java.util.Arrays.binarySearch(ovI, id)
+          if (i >= 0) ovD(i) else baked
+        }
       val p = new CombinedPartial(qcs.length, k, kVec)
       it.foreach { csh =>
         val sh = csh.text
@@ -1164,8 +1192,9 @@ object ServingFusion {
             if (tombB.length == 0 ||
                 java.util.Arrays.binarySearch(tombB, sh.ids(d)) < 0) {
               val raw = acc(d)
+              val dc = decOf(sh.ids(d), sh.dec(d))
               if (raw > p.text.maxRaw(qi)) p.text.maxRaw(qi) = raw
-              p.text.insert(qi, -(raw * sh.dec(d)), sh.ids(d), raw, sh.dec(d))
+              p.text.insert(qi, -(raw * dc), sh.ids(d), raw, dc)
             }
             i += 1
           }
@@ -1198,7 +1227,7 @@ object ServingFusion {
                     }
                   val hasT = seen(li) == epoch
                   p.insertVec(qi, dist, id,
-                    if (hasT) acc(li) else 0.0, sh.dec(li), hasT)
+                    if (hasT) acc(li) else 0.0, decOf(id, sh.dec(li)), hasT)
                 }
                 r += 1
               }
@@ -1226,6 +1255,24 @@ object ServingFusion {
       val t = tombstones.clone()
       java.util.Arrays.sort(t)
       t
+    }
+
+  /** Serve-time decay overrides as parallel (sorted ids, factors) arrays
+    * for the scan loops' binary search. Duplicate ids rejected — which
+    * factor wins would depend on sort stability otherwise.
+    */
+  private def sortedOverrides(
+      overrides: Array[(Long, Double)]): (Array[Long], Array[Double]) =
+    if (overrides.isEmpty) (Array.emptyLongArray, Array.emptyDoubleArray)
+    else {
+      val s = overrides.sortBy(_._1)
+      var i = 1
+      while (i < s.length) {
+        require(s(i)._1 != s(i - 1)._1,
+          s"duplicate decay override for id ${s(i)._1}")
+        i += 1
+      }
+      (s.map(_._1), s.map(_._2))
     }
 
   /** Invert bucket → probing-query lists into per-query ascending bucket

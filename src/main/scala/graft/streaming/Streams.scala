@@ -685,6 +685,50 @@ object Streams {
     } finally b.unpersist()
   }
 
+  /** Streaming DELETE ingest for combined serving (VERDICT r16 #2): each
+    * micro-batch of deleted doc ids merges into the driver-resident
+    * tombstone set the serving kernels consult
+    * ([[graft.search.ServingFusion.fusedTopKCombined]]'s `tombstones`),
+    * so a delete is serve-visible at the next query — the reference's
+    * `VDelete` semantics (`pkg/engine/ops.go:401`) without touching any
+    * built segment. The set is BOUNDED by contract: deletes between
+    * compactions are rare relative to corpus size (the same assumption
+    * the reference's tombstone-and-vacuum design makes,
+    * `hnsw_index.go:2292`); compaction — the periodic rebuild, which
+    * excludes deleted docs — resets `ref` to empty. The collect is the
+    * deliberate exception to the no-driver-collect rule: a delete batch
+    * is operator-action-sized, and the set must live at the driver
+    * because it rides the query broadcast.
+    *
+    * Restart: the checkpoint marks delete batches committed once merged
+    * into the in-memory set, which dies with the process — so on restart
+    * either rebuild the set from the source of truth (the oplog's
+    * soft-delete rows, one filter — the same recovery shape as
+    * [[recoverCombinedSegments]]) or use a fresh checkpoint per process
+    * and let the stream re-read. Deletes are idempotent (a set union),
+    * so re-delivery is harmless — no batchId keying needed.
+    */
+  def tombstoneIngest(
+      deletes: DataFrame,
+      idCol: String,
+      ref: java.util.concurrent.atomic.AtomicReference[Array[Long]],
+      checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    deletes.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ids = batch.select(col(idCol).cast("long")).distinct()
+          .collect().map(_.getLong(0))
+        if (ids.nonEmpty) {
+          val merged = (ref.get().toSet ++ ids).toArray
+          java.util.Arrays.sort(merged)
+          ref.set(merged)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Pin `checkpoint` to one base build (ADVICE r16): writes
     * `<checkpoint>/graft.base_build_id` on first use and fails fast when
     * an existing marker names a DIFFERENT base — reusing a checkpoint

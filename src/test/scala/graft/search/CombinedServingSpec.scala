@@ -521,6 +521,68 @@ class CombinedServingSpec extends SparkSpec {
     reduced8.unpersist(); tdf.unpersist(); qsN.unpersist(); qt.unpersist()
   }
 
+  test("decay overrides serve exactly like a rebuild with the updated decay frame") {
+    val (t, post, dec, cents, assigned, qsN, qt) = fixtures()
+    val asgAll = assigned
+      .select(col("id").as("doc_id"), col("vector"), col("bucket"))
+    // Live metadata update (reference ops.go:697): docs 0 (text-leg hit)
+    // and 4 (vector doc) get new decay factors — 0 demoted hard, 4 boosted
+    // to pinned-like 1.0. Frozen BM25 stats untouched (decay is per-doc
+    // multiplicative), so override == rebuild is exact.
+    val updates = Array((4L, 1.0), (0L, 0.125)) // unsorted: the kernel sorts
+    val decUpdated = dec.map(_.select(col("doc_id"),
+      when(col("doc_id") === 0, 0.125)
+        .when(col("doc_id") === 4, 1.0)
+        .otherwise(col("_dec")).as("_dec")))
+    def build(d: Option[DataFrame]) = {
+      val ix = ServingFusion.buildCombined(
+        t.select(col("doc_id")), post, "doc_id", asgAll, d,
+        numShards = 3).cache()
+      ix.count()
+      ix
+    }
+    val full = build(dec)
+    val rebuilt = build(decUpdated)
+    val sq = servedQueries(qsN, qt)
+    def serve(ix: org.apache.spark.rdd.RDD[ServingFusion.CombinedShard],
+        ov: Array[(Long, Double)]) =
+      ServingFusion.fusedTopKCombined(ix, cents, sq, params.alpha,
+          params.k, nProbe = 2, kVec = 3, decOverrides = ov)
+        .sortBy(r => (r._1, -r._3, r._2)).toSeq
+    val baseline = serve(full, Array.empty)
+    val overridden = serve(full, updates)
+    assert(overridden !== baseline,
+      "fixture overrides must change served scores, or the test proves nothing")
+    assert(overridden === serve(rebuilt, Array.empty),
+      "override serve must equal the rebuild with the updated decay frame")
+
+    // Int8 twin.
+    def build8(d: Option[DataFrame]) = {
+      val ix = ServingFusion.buildCombinedInt8(
+        t.select(col("doc_id")), post, "doc_id", asgAll, absMax = 1.0, d,
+        numShards = 3).cache()
+      ix.count()
+      ix
+    }
+    val full8 = build8(dec)
+    val rebuilt8 = build8(decUpdated)
+    def serve8(ix: org.apache.spark.rdd.RDD[ServingFusion.CombinedShardInt8],
+        ov: Array[(Long, Double)]) =
+      ServingFusion.fusedTopKCombinedInt8(ix, cents, sq, absMax = 1.0,
+          params.alpha, params.k, nProbe = 2, kVec = 3, decOverrides = ov)
+        .sortBy(r => (r._1, -r._3, r._2)).toSeq
+    assert(serve8(full8, updates) === serve8(rebuilt8, Array.empty))
+
+    // Duplicate override ids fail loudly.
+    val ex = intercept[IllegalArgumentException] {
+      serve(full, Array((0L, 0.5), (0L, 0.7)))
+    }
+    assert(ex.getMessage.contains("duplicate decay override"))
+
+    full.unpersist(); rebuilt.unpersist(); full8.unpersist()
+    rebuilt8.unpersist(); qsN.unpersist(); qt.unpersist()
+  }
+
   test("append id-watermark guard fails loudly on a base∩segment collision") {
     val (t, post, dec, cents, assigned, qsN, qt) = fixtures()
     val baseT = t.filter(col("doc_id") <= 7)

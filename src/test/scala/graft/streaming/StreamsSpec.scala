@@ -938,6 +938,28 @@ class StreamsSpec extends SparkSpec {
     base.unpersist(); tdf.unpersist()
   }
 
+  test("streaming delete ingest merges a sorted tombstone set across batches") {
+    import spark.implicits._
+    val src = tempDir("tombstone-src")
+    // Two staged files → two micro-batches; doc 12 deleted twice (deletes
+    // are idempotent set unions — re-delivery needs no batchId keying).
+    Seq(12L).toDF("doc_id").coalesce(1).write.mode("append").parquet(src)
+    Seq(10L, 12L, 3L).toDF("doc_id").coalesce(1)
+      .write.mode("append").parquet(src)
+    val ref = new java.util.concurrent.atomic.AtomicReference(
+      Array.emptyLongArray)
+    val q = Streams.tombstoneIngest(
+      spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType))))
+        .option("maxFilesPerTrigger", 1).parquet(src),
+      "doc_id", ref, tempDir("tombstone-cp"))
+    q.awaitTermination(120000)
+    assert(ref.get().toSeq === Seq(3L, 10L, 12L),
+      "tombstones must merge sorted and deduped across micro-batches")
+  }
+
   test("combined ingest checkpoint binds to one base build") {
     val cp = tempDir("combined-ingest-bind")
     Streams.bindCheckpointToBase(spark, cp, "base-build-7")
