@@ -1131,10 +1131,32 @@ object Bench {
             Seq.fill(3)(timeIt(run())).min
           }
           val curve = Seq(0, 8, 32, 128).map(k => k -> atK(k))
+          // Compaction closes the curve (r17): fold the worst case — all
+          // 128 segments — back into base-partition-count shards
+          // (ServingFusion.compactCombined, the operation the
+          // compactionThreshold hook schedules) and measure BOTH sides of
+          // the trade the threshold decides: the one-off rewrite cost and
+          // the fused QPS it restores (over base + all segment docs, so
+          // parity with qps_s0 is the honest target, not a given).
+          val full128 = combined.union(segAll)
+          val compacted = graft.search.ServingFusion.compactCombined(
+            full128, numPartitions = combined.getNumPartitions)
+          val compactSec = timeIt { compacted.cache(); compacted.count(); () }
+          def runCompacted(): Unit = {
+            graft.search.ServingFusion.fusedTopKCombined(compacted, cents,
+              sqAll, params.alpha, params.k, nProbe = 8, kVec = 10)
+            ()
+          }
+          runCompacted() // warm
+          val compQps = nq / Seq.fill(3)(timeIt(runCompacted())).min
+          compacted.unpersist()
           segAll.unpersist()
-          curve.map { case (k, s) =>
+          (curve.map { case (k, s) =>
             s""""qps_s$k":${c1(nq / s)}"""
-          }.mkString(s""","segments":{"docs_per_segment":$segDocs,""", ",", "}")
+          } ++ Seq(s""""compact_sec":${r3(compactSec)}""",
+            s""""qps_compacted":${c1(compQps)}"""))
+            .mkString(s""","segments":{"docs_per_segment":$segDocs,""",
+              ",", "}")
         } catch { case _: Throwable => "" }
         combined.unpersist()
         q1.unpersist(); qt1.unpersist()

@@ -172,8 +172,8 @@ object ScaleCheck {
     }
     def r3(d: Double): Double = math.rint(d * 1000) / 1000
 
-    /** (ingest_to_serve_sec, base_build_sec) at index size n. */
-    def measure(n: Int): (Double, Double) = {
+    /** (ingest_to_serve_sec, base_build_sec, compact_sec) at index size n. */
+    def measure(n: Int): (Double, Double, Double) = {
       val corpus = spark.range(n).select(
           col("id").as("doc_id"),
           concat_ws(" ", transform(sequence(lit(0), lit(39)),
@@ -234,17 +234,34 @@ object ScaleCheck {
       }
       rep() // warm
       val ing = Seq.fill(2)(rep()).min
+      // Compaction at index size n (r17): a no-shuffle pass over the
+      // resident shards (vacuum 1% tombstones + fold), so the work is
+      // LINEAR in index size but embarrassingly parallel — the honest
+      // expectation is ratio ≈ factor here (one host), amortized across
+      // executors at cluster scale. What would be a red flag is
+      // super-linear growth (a shuffle or a driver collect hiding in the
+      // rewrite).
+      val tomb = Array.tabulate(n / 100)(i => (i * 100).toLong)
+      val tc = System.nanoTime()
+      val compacted = ServingFusion.compactCombined(combined, tomb,
+        numPartitions = combined.getNumPartitions).cache()
+      compacted.count()
+      val compactSec = (System.nanoTime() - tc) / 1e9
+      compacted.unpersist()
       Seq[DataFrame](corpus, post, assigned, dls, tdf).foreach(_.unpersist())
       combined.unpersist()
-      (ing, buildSec)
+      (ing, buildSec, compactSec)
     }
     try {
-      val (b, bBuild) = measure(baseN)
-      val (s, sBuild) = measure(baseN * factor)
+      val (b, bBuild, bCompact) = measure(baseN)
+      val (s, sBuild, sCompact) = measure(baseN * factor)
       s"""{"batch_docs":1024,"base_sec":${r3(b)},"x${factor}_sec":${r3(s)},""" +
         s""""ratio":${r3(s / b)},""" +
         s""""rebuild_base_sec":${r3(bBuild)},"rebuild_x${factor}_sec":${r3(sBuild)},""" +
-        s""""rebuild_ratio":${r3(sBuild / bBuild)}}"""
+        s""""rebuild_ratio":${r3(sBuild / bBuild)},""" +
+        s""""compact_base_sec":${r3(bCompact)},""" +
+        s""""compact_x${factor}_sec":${r3(sCompact)},""" +
+        s""""compact_ratio":${r3(sCompact / bCompact)}}"""
     } catch {
       // A broken ingest path must be VISIBLE in the committed artifact
       // (ADVICE r16): "{}" read as 'not run', hiding regressions.

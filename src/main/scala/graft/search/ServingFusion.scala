@@ -657,71 +657,80 @@ object ServingFusion {
       prebuiltTokenDf: Option[DataFrame] = None,
       frozenStats: Option[(Long, Double)] = None): org.apache.spark.rdd.RDD[CombinedShard] = {
     combinedRows(allIds, post, idCol, assigned, dec, numShards,
-      prebuiltDocLengths, prebuiltTokenDf, frozenStats).rdd.mapPartitions { it =>
-      val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
-      val decB = scala.collection.mutable.ArrayBuffer.empty[Double]
-      val byTok = new java.util.HashMap[String,
-        (scala.collection.mutable.ArrayBuilder.ofInt,
-         scala.collection.mutable.ArrayBuilder.ofDouble)]()
-      val byBucket = scala.collection.mutable.LongMap
-        .empty[(scala.collection.mutable.ArrayBuilder.ofInt,
-                scala.collection.mutable.ArrayBuffer[Array[Float]])]
-      it.foreach { r =>
-        ids += r.getLong(0)
-        decB += r.getDouble(1)
-        val li = ids.length - 1
-        if (!r.isNullAt(2) && !r.isNullAt(3)) {
-          val e = byBucket.getOrElseUpdate(r.getLong(3),
-            (new scala.collection.mutable.ArrayBuilder.ofInt,
-             scala.collection.mutable.ArrayBuffer.empty[Array[Float]]))
+      prebuiltDocLengths, prebuiltTokenDf, frozenStats).rdd
+      .mapPartitions(assembleF32)
+  }
+
+  /** Assemble one partition of `(_id, _dec, _vec, _bucket, _post)` rows —
+    * the [[combinedRows]] frame, positionally — into one [[CombinedShard]].
+    * Shared by [[buildCombined]] and [[loadCombined]] (the persisted
+    * layout stores exactly this row shape).
+    */
+  private def assembleF32(
+      it: Iterator[org.apache.spark.sql.Row]): Iterator[CombinedShard] = {
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val decB = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val byTok = new java.util.HashMap[String,
+      (scala.collection.mutable.ArrayBuilder.ofInt,
+       scala.collection.mutable.ArrayBuilder.ofDouble)]()
+    val byBucket = scala.collection.mutable.LongMap
+      .empty[(scala.collection.mutable.ArrayBuilder.ofInt,
+              scala.collection.mutable.ArrayBuffer[Array[Float]])]
+    it.foreach { r =>
+      ids += r.getLong(0)
+      decB += r.getDouble(1)
+      val li = ids.length - 1
+      if (!r.isNullAt(2) && !r.isNullAt(3)) {
+        val e = byBucket.getOrElseUpdate(r.getLong(3),
+          (new scala.collection.mutable.ArrayBuilder.ofInt,
+           scala.collection.mutable.ArrayBuffer.empty[Array[Float]]))
+        e._1 += li
+        e._2 += r.getSeq[Float](2).toArray
+      }
+      if (!r.isNullAt(4)) {
+        r.getSeq[org.apache.spark.sql.Row](4).foreach { p =>
+          var e = byTok.get(p.getString(0))
+          if (e == null) {
+            e = (new scala.collection.mutable.ArrayBuilder.ofInt,
+              new scala.collection.mutable.ArrayBuilder.ofDouble)
+            byTok.put(p.getString(0), e)
+          }
           e._1 += li
-          e._2 += r.getSeq[Float](2).toArray
-        }
-        if (!r.isNullAt(4)) {
-          r.getSeq[org.apache.spark.sql.Row](4).foreach { p =>
-            var e = byTok.get(p.getString(0))
-            if (e == null) {
-              e = (new scala.collection.mutable.ArrayBuilder.ofInt,
-                new scala.collection.mutable.ArrayBuilder.ofDouble)
-              byTok.put(p.getString(0), e)
-            }
-            e._1 += li
-            e._2 += p.getDouble(1)
-          }
+          e._2 += p.getDouble(1)
         }
       }
-      if (ids.isEmpty) Iterator.empty
-      else {
-        val shard = finishShard(ids.toArray, decB.toArray, byTok)
-        // Bucket blocks in ascending bucket order (deterministic layout;
-        // scan results don't depend on it — the (distance, id) total
-        // order handles ties).
-        val bs = byBucket.keys.toArray.sorted
-        val locals = bs.map(b => byBucket(b)._1.result())
-        val vecs = bs.map(b => byBucket(b)._2)
-        val nVec = locals.map(_.length).sum
-        val dim = vecs.collectFirst {
-          case v if v.nonEmpty => v(0).length
-        }.getOrElse(0)
-        val bOff = new Array[Int](bs.length + 1)
-        val vecLocal = new Array[Int](nVec)
-        val flat = new Array[Float](nVec * dim)
-        var b = 0
-        var off = 0
-        while (b < bs.length) {
-          bOff(b) = off
-          System.arraycopy(locals(b), 0, vecLocal, off, locals(b).length)
-          var r = 0
-          while (r < vecs(b).length) {
-            System.arraycopy(vecs(b)(r), 0, flat, (off + r) * dim, dim)
-            r += 1
-          }
-          off += locals(b).length
-          b += 1
+    }
+    if (ids.isEmpty) Iterator.empty
+    else {
+      val shard = finishShard(ids.toArray, decB.toArray, byTok)
+      // Bucket blocks in ascending bucket order (deterministic layout;
+      // scan results don't depend on it — the (distance, id) total
+      // order handles ties).
+      val bs = byBucket.keys.toArray.sorted
+      val locals = bs.map(b => byBucket(b)._1.result())
+      val vecs = bs.map(b => byBucket(b)._2)
+      val nVec = locals.map(_.length).sum
+      val dim = vecs.collectFirst {
+        case v if v.nonEmpty => v(0).length
+      }.getOrElse(0)
+      val bOff = new Array[Int](bs.length + 1)
+      val vecLocal = new Array[Int](nVec)
+      val flat = new Array[Float](nVec * dim)
+      var b = 0
+      var off = 0
+      while (b < bs.length) {
+        bOff(b) = off
+        System.arraycopy(locals(b), 0, vecLocal, off, locals(b).length)
+        var r = 0
+        while (r < vecs(b).length) {
+          System.arraycopy(vecs(b)(r), 0, flat, (off + r) * dim, dim)
+          r += 1
         }
-        bOff(bs.length) = off
-        Iterator.single(CombinedShard(shard, bs, bOff, vecLocal, flat, dim))
+        off += locals(b).length
+        b += 1
       }
+      bOff(bs.length) = off
+      Iterator.single(CombinedShard(shard, bs, bOff, vecLocal, flat, dim))
     }
   }
 
@@ -907,6 +916,554 @@ object ServingFusion {
         s"index's id watermark $watermark — an id present in both base " +
         "and segment would be scored twice (append-only segments, no " +
         "upsert; route updates through compaction)")
+  }
+
+  /** COMPACTION (the operation [[appendCombined]]'s scaladoc and the
+    * serve-time tombstone/override contracts defer to): physically rewrite
+    * a served combined index so the live driver-side sets can be cleared —
+    * tombstoned docs are DROPPED from every shard (the reference's vacuum
+    * over soft-deleted HNSW nodes, `pkg/core/hnsw/optimizer.go` via
+    * `hnsw_index.go:2292` tombstones), decay overrides are BAKED into the
+    * stored per-doc factors (`pkg/engine/ops.go:697`'s in-place metadata
+    * mutation, realized at rewrite time), and the base + K appended
+    * micro-batch segments FOLD back into `numPartitions` doc-major shards
+    * — one shard per partition, the fresh-build layout — so the fused
+    * job's task count stops growing with batches since the last rebuild
+    * (the serve-vs-segment-count curve in the bench artifact prices
+    * exactly that growth).
+    *
+    * Score semantics: EXACT. Every stored term weight was computed under
+    * frozen corpus stats, so a doc's text score is independent of which
+    * other docs exist or where they live; the decay factor is per-doc
+    * multiplicative; vector rows are copied bit-for-bit and both scan
+    * kernels accumulate per-doc in query-token / per-row order — layout
+    * never enters. So `serve(compact(ix, T, O))` == `serve(ix,
+    * tombstones = T, decOverrides = O)` bit-identically
+    * (CombinedServingSpec pins it), and compaction commutes with further
+    * appends. Frozen stats are NOT refreshed here — that is the full
+    * rebuild's job; compaction is the cheap in-family rewrite that never
+    * touches the source tables (at 100 TB the difference is a cluster
+    * scan vs a pass over the resident index).
+    *
+    * Durability: compaction rewrites the SERVED state only. Keep the
+    * segment log — restart recovery (`Streams.recoverCombinedSegments`)
+    * rebuilds the same docs from base-source + log and the tombstone set
+    * re-derives from the oplog's soft-deletes, which stays consistent
+    * with the compacted in-memory state. Truncate the log only when the
+    * base SOURCE snapshot advances past its batches (the AOF-rewrite
+    * coupling, SURVEY §2 S3: snapshot first, then truncate).
+    *
+    * The caller caches + materializes the result before swapping it in
+    * ([[graft.streaming.Streams.compactCombinedServing]] orchestrates the
+    * swap and the live-set clearing).
+    */
+  def compactCombined(
+      index: org.apache.spark.rdd.RDD[CombinedShard],
+      tombstones: Array[Long] = Array.emptyLongArray,
+      decOverrides: Array[(Long, Double)] = Array.empty,
+      numPartitions: Int = 1): org.apache.spark.rdd.RDD[CombinedShard] = {
+    val tomb = sortedTombstones(tombstones)
+    val (ovI, ovD) = sortedOverrides(decOverrides)
+    index.coalesce(math.max(1, numPartitions)).mapPartitions { it =>
+      val shards = it.toArray
+      if (shards.isEmpty) Iterator.empty
+      else {
+        val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val decB = scala.collection.mutable.ArrayBuffer.empty[Double]
+        val byTok = new java.util.HashMap[String,
+          (scala.collection.mutable.ArrayBuilder.ofInt,
+           scala.collection.mutable.ArrayBuilder.ofDouble)]()
+        val byBucket = scala.collection.mutable.LongMap
+          .empty[(scala.collection.mutable.ArrayBuilder.ofInt,
+                  scala.collection.mutable.ArrayBuffer[Array[Float]])]
+        var dim = 0
+        shards.foreach { csh =>
+          val remap = vacuumText(csh.text, tomb, ovI, ovD, ids, decB, byTok)
+          if (csh.dim > 0) dim = csh.dim
+          var blk = 0
+          while (blk < csh.buckets.length) {
+            var r = csh.bOff(blk)
+            val end = csh.bOff(blk + 1)
+            while (r < end) {
+              val nl = remap(csh.vecLocal(r))
+              if (nl >= 0) {
+                val e = byBucket.getOrElseUpdate(csh.buckets(blk),
+                  (new scala.collection.mutable.ArrayBuilder.ofInt,
+                   scala.collection.mutable.ArrayBuffer.empty[Array[Float]]))
+                e._1 += nl
+                e._2 += java.util.Arrays.copyOfRange(
+                  csh.flat, r * csh.dim, (r + 1) * csh.dim)
+              }
+              r += 1
+            }
+            blk += 1
+          }
+        }
+        if (ids.isEmpty) Iterator.empty
+        else {
+          val shard = finishShard(ids.toArray, decB.toArray, byTok)
+          val bs = byBucket.keys.toArray.sorted
+          val locals = bs.map(b => byBucket(b)._1.result())
+          val rowBufs = bs.map(b => byBucket(b)._2)
+          val nVec = locals.map(_.length).sum
+          val bOff = new Array[Int](bs.length + 1)
+          val vecLocal = new Array[Int](nVec)
+          val flat = new Array[Float](nVec * dim)
+          var b = 0
+          var off = 0
+          while (b < bs.length) {
+            bOff(b) = off
+            System.arraycopy(locals(b), 0, vecLocal, off, locals(b).length)
+            var r = 0
+            while (r < rowBufs(b).length) {
+              System.arraycopy(rowBufs(b)(r), 0, flat, (off + r) * dim, dim)
+              r += 1
+            }
+            off += locals(b).length
+            b += 1
+          }
+          bOff(bs.length) = off
+          Iterator.single(CombinedShard(shard, bs, bOff, vecLocal, flat, dim))
+        }
+      }
+    }
+  }
+
+  /** [[compactCombined]]'s compressed twin. Codes and stored norms are
+    * copied verbatim (recomputing norms would be exact too, but copying
+    * keeps the invariant self-evident): same frozen `absMax` discipline
+    * as [[appendCombinedInt8]].
+    */
+  def compactCombinedInt8(
+      index: org.apache.spark.rdd.RDD[CombinedShardInt8],
+      tombstones: Array[Long] = Array.emptyLongArray,
+      decOverrides: Array[(Long, Double)] = Array.empty,
+      numPartitions: Int = 1): org.apache.spark.rdd.RDD[CombinedShardInt8] = {
+    val tomb = sortedTombstones(tombstones)
+    val (ovI, ovD) = sortedOverrides(decOverrides)
+    index.coalesce(math.max(1, numPartitions)).mapPartitions { it =>
+      val shards = it.toArray
+      if (shards.isEmpty) Iterator.empty
+      else {
+        val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val decB = scala.collection.mutable.ArrayBuffer.empty[Double]
+        val byTok = new java.util.HashMap[String,
+          (scala.collection.mutable.ArrayBuilder.ofInt,
+           scala.collection.mutable.ArrayBuilder.ofDouble)]()
+        val byBucket = scala.collection.mutable.LongMap
+          .empty[(scala.collection.mutable.ArrayBuilder.ofInt,
+                  scala.collection.mutable.ArrayBuffer[(Array[Byte], Float)])]
+        var dim = 0
+        shards.foreach { csh =>
+          val remap = vacuumText(csh.text, tomb, ovI, ovD, ids, decB, byTok)
+          if (csh.dim > 0) dim = csh.dim
+          var blk = 0
+          while (blk < csh.buckets.length) {
+            var r = csh.bOff(blk)
+            val end = csh.bOff(blk + 1)
+            while (r < end) {
+              val nl = remap(csh.vecLocal(r))
+              if (nl >= 0) {
+                val e = byBucket.getOrElseUpdate(csh.buckets(blk),
+                  (new scala.collection.mutable.ArrayBuilder.ofInt,
+                   scala.collection.mutable.ArrayBuffer
+                     .empty[(Array[Byte], Float)]))
+                e._1 += nl
+                e._2 += ((java.util.Arrays.copyOfRange(
+                  csh.codes, r * csh.dim, (r + 1) * csh.dim), csh.norms(r)))
+              }
+              r += 1
+            }
+            blk += 1
+          }
+        }
+        if (ids.isEmpty) Iterator.empty
+        else {
+          val shard = finishShard(ids.toArray, decB.toArray, byTok)
+          val bs = byBucket.keys.toArray.sorted
+          val locals = bs.map(b => byBucket(b)._1.result())
+          val rowBufs = bs.map(b => byBucket(b)._2)
+          val nVec = locals.map(_.length).sum
+          val bOff = new Array[Int](bs.length + 1)
+          val vecLocal = new Array[Int](nVec)
+          val codes = new Array[Byte](nVec * dim)
+          val norms = new Array[Float](nVec)
+          var b = 0
+          var off = 0
+          while (b < bs.length) {
+            bOff(b) = off
+            System.arraycopy(locals(b), 0, vecLocal, off, locals(b).length)
+            var r = 0
+            while (r < rowBufs(b).length) {
+              System.arraycopy(rowBufs(b)(r)._1, 0, codes, (off + r) * dim, dim)
+              norms(off + r) = rowBufs(b)(r)._2
+              r += 1
+            }
+            off += locals(b).length
+            b += 1
+          }
+          bOff(bs.length) = off
+          Iterator.single(CombinedShardInt8(shard, bs, bOff, vecLocal, codes,
+            norms, dim))
+        }
+      }
+    }
+  }
+
+  /** Shared text-side vacuum+merge step for the two compaction kernels:
+    * appends `sh`'s SURVIVING docs (not in `tomb`) into the partition's
+    * merged id/decay builders — decay overridden where `ovI` says so — and
+    * folds each token slot's surviving postings into `byTok` with local
+    * indices remapped to the merged layout. Returns old-local → new-local
+    * (−1 = tombstoned), which the callers use to vacuum the vector blocks.
+    */
+  private def vacuumText(
+      sh: Shard,
+      tomb: Array[Long],
+      ovI: Array[Long],
+      ovD: Array[Double],
+      ids: scala.collection.mutable.ArrayBuffer[Long],
+      decB: scala.collection.mutable.ArrayBuffer[Double],
+      byTok: java.util.HashMap[String,
+        (scala.collection.mutable.ArrayBuilder.ofInt,
+         scala.collection.mutable.ArrayBuilder.ofDouble)]): Array[Int] = {
+    val remap = new Array[Int](sh.ids.length)
+    var li = 0
+    while (li < sh.ids.length) {
+      val id = sh.ids(li)
+      if (tomb.length > 0 && java.util.Arrays.binarySearch(tomb, id) >= 0)
+        remap(li) = -1
+      else {
+        remap(li) = ids.length
+        ids += id
+        val oi =
+          if (ovI.length == 0) -1
+          else java.util.Arrays.binarySearch(ovI, id)
+        decB += (if (oi >= 0) ovD(oi) else sh.dec(li))
+      }
+      li += 1
+    }
+    var s = 0
+    while (s < sh.tokens.length) {
+      var e = sh.offsets(s)
+      val end = sh.offsets(s + 1)
+      var slot: (scala.collection.mutable.ArrayBuilder.ofInt,
+        scala.collection.mutable.ArrayBuilder.ofDouble) = null
+      while (e < end) {
+        val nl = remap(sh.docIx(e))
+        if (nl >= 0) {
+          if (slot == null) {
+            slot = byTok.get(sh.tokens(s))
+            if (slot == null) {
+              slot = (new scala.collection.mutable.ArrayBuilder.ofInt,
+                new scala.collection.mutable.ArrayBuilder.ofDouble)
+              byTok.put(sh.tokens(s), slot)
+            }
+          }
+          slot._1 += nl
+          slot._2 += sh.w(e)
+        }
+        e += 1
+      }
+      s += 1
+    }
+    remap
+  }
+
+  // ===== Persistence — the serving layer's snapshot (SURVEY §2 S2's
+  // analogue for the combined index, reference: gob snapshots + mmap
+  // arena under pkg/persistence/; here the snapshot is a parquet table
+  // in the index's own doc-row shape). =====
+
+  /** The persisted combined layout's doc-row schema — exactly the
+    * [[combinedRows]] frame ([[assembleF32]]'s positional contract), so
+    * load is repartition + the same assembly pass a build runs.
+    */
+  private val combinedDocSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("_id",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("_dec",
+      org.apache.spark.sql.types.DoubleType, nullable = false),
+    org.apache.spark.sql.types.StructField("_vec",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, containsNull = false),
+      nullable = true),
+    org.apache.spark.sql.types.StructField("_bucket",
+      org.apache.spark.sql.types.LongType, nullable = true),
+    org.apache.spark.sql.types.StructField("_post",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("token",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("w",
+            org.apache.spark.sql.types.DoubleType, nullable = false))),
+        containsNull = false), nullable = true)))
+
+  /** The int8 twin's doc-row schema: codes stored VERBATIM as binary (a
+    * load must not re-quantize — absMax rides the meta table instead).
+    */
+  private val combinedDocSchemaInt8 = org.apache.spark.sql.types.StructType(
+    Seq(
+      org.apache.spark.sql.types.StructField("_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("_dec",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("_codes",
+        org.apache.spark.sql.types.BinaryType, nullable = true),
+      org.apache.spark.sql.types.StructField("_norm",
+        org.apache.spark.sql.types.FloatType, nullable = true),
+      org.apache.spark.sql.types.StructField("_bucket",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("_post",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("token",
+              org.apache.spark.sql.types.StringType, nullable = false),
+            org.apache.spark.sql.types.StructField("w",
+              org.apache.spark.sql.types.DoubleType, nullable = false))),
+          containsNull = false), nullable = true)))
+
+  /** One shard exploded back into its doc rows, the inverse of
+    * [[assembleF32]]: per local doc — id, decay factor, its vector row
+    * (null for text-only docs) + owning bucket, and its (token, weight)
+    * posting list transposed out of the CSR. Partition-local work,
+    * bounded by the shard.
+    */
+  private def explodeDocRows(csh: CombinedShard): Iterator[org.apache.spark.sql.Row] = {
+    val sh = csh.text
+    val n = sh.ids.length
+    val (vecRow, bucketOf) = vecRowsOf(sh.ids.length, csh.buckets, csh.bOff,
+      csh.vecLocal)
+    val posts = postsOf(sh)
+    Iterator.tabulate(n) { li =>
+      val r = vecRow(li)
+      org.apache.spark.sql.Row(
+        sh.ids(li), sh.dec(li),
+        if (r < 0) null
+        else java.util.Arrays.copyOfRange(csh.flat, r * csh.dim,
+          (r + 1) * csh.dim),
+        if (r < 0) null else java.lang.Long.valueOf(bucketOf(li)),
+        posts(li))
+    }
+  }
+
+  private def explodeDocRowsInt8(
+      csh: CombinedShardInt8): Iterator[org.apache.spark.sql.Row] = {
+    val sh = csh.text
+    val n = sh.ids.length
+    val (vecRow, bucketOf) = vecRowsOf(sh.ids.length, csh.buckets, csh.bOff,
+      csh.vecLocal)
+    val posts = postsOf(sh)
+    Iterator.tabulate(n) { li =>
+      val r = vecRow(li)
+      org.apache.spark.sql.Row(
+        sh.ids(li), sh.dec(li),
+        if (r < 0) null
+        else java.util.Arrays.copyOfRange(csh.codes, r * csh.dim,
+          (r + 1) * csh.dim),
+        if (r < 0) null else java.lang.Float.valueOf(csh.norms(r)),
+        if (r < 0) null else java.lang.Long.valueOf(bucketOf(li)),
+        posts(li))
+    }
+  }
+
+  /** local doc → (vector row or −1, owning bucket) for an explode pass. */
+  private def vecRowsOf(n: Int, buckets: Array[Long], bOff: Array[Int],
+      vecLocal: Array[Int]): (Array[Int], Array[Long]) = {
+    val vecRow = Array.fill(n)(-1)
+    val bucketOf = new Array[Long](n)
+    var blk = 0
+    while (blk < buckets.length) {
+      var r = bOff(blk)
+      val end = bOff(blk + 1)
+      while (r < end) {
+        vecRow(vecLocal(r)) = r
+        bucketOf(vecLocal(r)) = buckets(blk)
+        r += 1
+      }
+      blk += 1
+    }
+    (vecRow, bucketOf)
+  }
+
+  /** local doc → (token, w) posting rows (null when the doc has none),
+    * transposed out of the shard's token-major CSR.
+    */
+  private def postsOf(sh: Shard): Array[Seq[org.apache.spark.sql.Row]] = {
+    val posts = new Array[scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.Row]](sh.ids.length)
+    var s = 0
+    while (s < sh.tokens.length) {
+      var e = sh.offsets(s)
+      val end = sh.offsets(s + 1)
+      while (e < end) {
+        val d = sh.docIx(e)
+        if (posts(d) == null)
+          posts(d) = scala.collection.mutable.ArrayBuffer.empty
+        posts(d) += org.apache.spark.sql.Row(sh.tokens(s), sh.w(e))
+        e += 1
+      }
+      s += 1
+    }
+    posts.map(p => if (p == null) null else p.toSeq)
+  }
+
+  /** Persist a combined serving index with everything a restart needs to
+    * SERVE and to keep APPENDING: `docs/` — one parquet row per doc in
+    * the index's own row shape (stored term WEIGHTS, not text: the
+    * tokenize+stem+weight pipeline over the raw corpus is the expensive
+    * part of a build at 100 TB and is never re-run on load), `tokendf/` —
+    * the frozen token-df artifact segments append under, `meta/` — the
+    * frozen corpus scalars. One no-shuffle pass over the resident shards;
+    * [[loadCombined]] restores with a partitioned scan + the build's own
+    * doc-major repartition + assembly (no analyzer, no weighting, no
+    * KMeans). Serve-exact round trip pinned by CombinedServingSpec. Save
+    * AFTER compaction for the snapshot-then-truncate-log coupling
+    * ([[compactCombined]]'s durability note); tombstones/overrides are
+    * live driver state, deliberately NOT persisted (they re-derive from
+    * the oplog, and a compacted save has none).
+    */
+  def saveCombined(
+      index: org.apache.spark.rdd.RDD[CombinedShard],
+      path: String,
+      frozenStats: (Long, Double),
+      tokenDf: DataFrame): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    spark.createDataFrame(index.mapPartitions(_.flatMap(explodeDocRows)),
+        combinedDocSchema)
+      .write.mode("overwrite").parquet(s"$path/docs")
+    tokenDf.select(col("token"), col("df").cast("long").as("df"))
+      .write.mode("overwrite").parquet(s"$path/tokendf")
+    spark.createDataFrame(Seq((frozenStats._1, frozenStats._2)))
+      .toDF("total_docs", "avgdl")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Restore a [[saveCombined]] snapshot: `(index, frozenStats, tokenDf)`
+    * — the full append-ready bundle. The caller caches + materializes the
+    * index (and re-derives the serve-time tombstone set from the oplog,
+    * [[graft.streaming.Streams.tombstoneIngest]]'s restart contract).
+    */
+  def loadCombined(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      numShards: Int = 0): (org.apache.spark.rdd.RDD[CombinedShard],
+        (Long, Double), DataFrame) = {
+    val meta = spark.read.parquet(s"$path/meta")
+      .select(col("total_docs").cast("long"), col("avgdl").cast("double"))
+      .head()
+    val docs = spark.read.parquet(s"$path/docs")
+      .select(col("_id"), col("_dec"), col("_vec"), col("_bucket"),
+        col("_post"))
+    (docMajor(docs, numShards).rdd.mapPartitions(assembleF32),
+      (meta.getLong(0), meta.getDouble(1)),
+      spark.read.parquet(s"$path/tokendf"))
+  }
+
+  /** [[saveCombined]]'s compressed twin: codes + norms stored verbatim
+    * (never re-quantized), `absMax` rides the meta table — the complete
+    * frozen-artifact set for int8 appends.
+    */
+  def saveCombinedInt8(
+      index: org.apache.spark.rdd.RDD[CombinedShardInt8],
+      path: String,
+      absMax: Double,
+      frozenStats: (Long, Double),
+      tokenDf: DataFrame): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    spark.createDataFrame(index.mapPartitions(_.flatMap(explodeDocRowsInt8)),
+        combinedDocSchemaInt8)
+      .write.mode("overwrite").parquet(s"$path/docs")
+    tokenDf.select(col("token"), col("df").cast("long").as("df"))
+      .write.mode("overwrite").parquet(s"$path/tokendf")
+    spark.createDataFrame(Seq((frozenStats._1, frozenStats._2, absMax)))
+      .toDF("total_docs", "avgdl", "abs_max")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Restore a [[saveCombinedInt8]] snapshot:
+    * `(index, absMax, frozenStats, tokenDf)`.
+    */
+  def loadCombinedInt8(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      numShards: Int = 0): (org.apache.spark.rdd.RDD[CombinedShardInt8],
+        Double, (Long, Double), DataFrame) = {
+    val meta = spark.read.parquet(s"$path/meta")
+      .select(col("total_docs").cast("long"), col("avgdl").cast("double"),
+        col("abs_max").cast("double"))
+      .head()
+    val docs = spark.read.parquet(s"$path/docs")
+      .select(col("_id"), col("_dec"), col("_codes"), col("_norm"),
+        col("_bucket"), col("_post"))
+    val ix = docMajor(docs, numShards).rdd.mapPartitions { it =>
+      val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val decB = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val byTok = new java.util.HashMap[String,
+        (scala.collection.mutable.ArrayBuilder.ofInt,
+         scala.collection.mutable.ArrayBuilder.ofDouble)]()
+      val byBucket = scala.collection.mutable.LongMap
+        .empty[(scala.collection.mutable.ArrayBuilder.ofInt,
+                scala.collection.mutable.ArrayBuffer[(Array[Byte], Float)])]
+      it.foreach { r =>
+        ids += r.getLong(0)
+        decB += r.getDouble(1)
+        val li = ids.length - 1
+        if (!r.isNullAt(2) && !r.isNullAt(4)) {
+          val e = byBucket.getOrElseUpdate(r.getLong(4),
+            (new scala.collection.mutable.ArrayBuilder.ofInt,
+             scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Float)]))
+          e._1 += li
+          e._2 += ((r.getAs[Array[Byte]](2), r.getFloat(3)))
+        }
+        if (!r.isNullAt(5)) {
+          r.getSeq[org.apache.spark.sql.Row](5).foreach { p =>
+            var e = byTok.get(p.getString(0))
+            if (e == null) {
+              e = (new scala.collection.mutable.ArrayBuilder.ofInt,
+                new scala.collection.mutable.ArrayBuilder.ofDouble)
+              byTok.put(p.getString(0), e)
+            }
+            e._1 += li
+            e._2 += p.getDouble(1)
+          }
+        }
+      }
+      if (ids.isEmpty) Iterator.empty
+      else {
+        val shard = finishShard(ids.toArray, decB.toArray, byTok)
+        val bs = byBucket.keys.toArray.sorted
+        val locals = bs.map(b => byBucket(b)._1.result())
+        val rowBufs = bs.map(b => byBucket(b)._2)
+        val nVec = locals.map(_.length).sum
+        val dim = rowBufs.collectFirst {
+          case v if v.nonEmpty => v(0)._1.length
+        }.getOrElse(0)
+        val bOff = new Array[Int](bs.length + 1)
+        val vecLocal = new Array[Int](nVec)
+        val codes = new Array[Byte](nVec * dim)
+        val norms = new Array[Float](nVec)
+        var b = 0
+        var off = 0
+        while (b < bs.length) {
+          bOff(b) = off
+          System.arraycopy(locals(b), 0, vecLocal, off, locals(b).length)
+          var r = 0
+          while (r < rowBufs(b).length) {
+            System.arraycopy(rowBufs(b)(r)._1, 0, codes, (off + r) * dim, dim)
+            norms(off + r) = rowBufs(b)(r)._2
+            r += 1
+          }
+          off += locals(b).length
+          b += 1
+        }
+        bOff(bs.length) = off
+        Iterator.single(CombinedShardInt8(shard, bs, bOff, vecLocal, codes,
+          norms, dim))
+      }
+    }
+    (ix, meta.getDouble(2), (meta.getLong(0), meta.getDouble(1)),
+      spark.read.parquet(s"$path/tokendf"))
   }
 
   /** Per-partition partial for the combined pass: the text-leg

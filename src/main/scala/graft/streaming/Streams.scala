@@ -638,27 +638,32 @@ object Streams {
     val b = batch.persist()
     try {
       if (b.count() > 0) {
-        // Append-only id guard (VERDICT r16 #3): ids at or below the
-        // watermark are already served — fail the batch loudly.
-        idWatermark.foreach { w =>
-          val mm = b.agg(min(col(idCol).cast("long")),
-            max(col(idCol).cast("long"))).head()
-          require(mm.getLong(0) > w.get(),
-            s"combinedIngest batch $batchId: id ${mm.getLong(0)} is <= the " +
-              s"served index's id watermark ${w.get()} — an id present in " +
-              "both would be scored twice (append-only segments; route " +
-              "updates through compaction)")
-          w.set(math.max(w.get(), mm.getLong(1)))
-        }
-        // Re-delivery detection: a COMPLETE log directory for this batchId
-        // means the docs are already in the served ref (recovery reads the
-        // whole log) — skip both the rewrite and the in-memory append.
+        // Re-delivery detection FIRST: a COMPLETE log directory for this
+        // batchId means the docs are already in the served ref (recovery
+        // reads the whole log) — skip the rewrite, the in-memory append
+        // AND the watermark guard. A re-delivered batch's ids are
+        // legitimately at or below the watermark (a restart derives it
+        // from maxLoggedId, which covers this very batch); guarding
+        // before detecting re-delivery would crash the recovering stream
+        // on its first replayed batch.
         val redelivered = segmentLog.exists { path =>
           val dir = new org.apache.hadoop.fs.Path(s"$path/batch=$batchId")
           val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
           fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))
         }
         if (!redelivered) {
+          // Append-only id guard (VERDICT r16 #3): ids at or below the
+          // watermark are already served — fail the batch loudly.
+          idWatermark.foreach { w =>
+            val mm = b.agg(min(col(idCol).cast("long")),
+              max(col(idCol).cast("long"))).head()
+            require(mm.getLong(0) > w.get(),
+              s"combinedIngest batch $batchId: id ${mm.getLong(0)} is <= the " +
+                s"served index's id watermark ${w.get()} — an id present in " +
+                "both would be scored twice (append-only segments; route " +
+                "updates through compaction)")
+            w.set(math.max(w.get(), mm.getLong(1)))
+          }
           segmentLog.foreach { path =>
             b.select(col(idCol), col(textCol), col(vecCol))
               .write.mode("overwrite").parquet(s"$path/batch=$batchId")
@@ -728,6 +733,192 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+
+  /** Streaming METADATA-UPDATE ingest for combined serving — the decay
+    * half of the reference's `VReinforce`/`VMETA` live mutation
+    * (`pkg/engine/ops.go:697`): each micro-batch of `(id, factor)` rows
+    * merges LAST-WRITE-WINS into the driver-resident override map the
+    * serving kernels consult ([[graft.search.ServingFusion
+    * .fusedTopKCombined]]'s `decOverrides`), so a reinforcement or pin is
+    * serve-visible at the next query without touching any built segment.
+    * The caller computes `factor` from the doc's updated metadata
+    * (driver math — [[graft.search.Decay]]'s formulas over one row).
+    *
+    * Within a micro-batch there is no row order, so "last" needs a
+    * version: `verCol` (an update timestamp or oplog sequence) arbitrates
+    * both within a batch and ACROSS batches — an override only replaces a
+    * stored one when its version is strictly higher, which also makes the
+    * merge idempotent under re-delivery (replaying a batch re-offers the
+    * same (factor, version) pairs; none wins over itself). Ties at equal
+    * version keep the higher factor, so the merge stays deterministic
+    * even for a pathological same-version double-write. Same boundedness
+    * and restart contract as [[tombstoneIngest]]: the map is
+    * operator-action-sized between compactions, dies with the process,
+    * and rebuilds from the oplog's metadata rows on restart; compaction
+    * bakes the factors into the shards and clears it
+    * ([[compactCombinedServing]]).
+    */
+  def decayOverrideIngest(
+      updates: DataFrame,
+      idCol: String,
+      factorCol: String,
+      verCol: String,
+      ref: java.util.concurrent.atomic.AtomicReference[Map[Long, (Double, Long)]],
+      checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch.select(col(idCol).cast("long"),
+            col(factorCol).cast("double"), col(verCol).cast("long"))
+          .collect()
+          .map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2))))
+        if (rows.nonEmpty) {
+          val merged = rows.foldLeft(ref.get()) { case (m, (id, fv)) =>
+            m.get(id) match {
+              case Some((f0, v0)) if v0 > fv._2 ||
+                  (v0 == fv._2 && f0 >= fv._1) => m
+              case _ => m.updated(id, fv)
+            }
+          }
+          ref.set(merged)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** The serving kernels' `decOverrides` view of an override map —
+    * versions stripped, one (id, factor) per entry.
+    */
+  def overridesArray(m: Map[Long, (Double, Long)]): Array[(Long, Double)] =
+    m.iterator.map { case (id, (f, _)) => (id, f) }.toArray
+
+  /** Streaming UPSERT ingest for combined serving — the reference's
+    * update flow made live. kektordb's HNSW `Add` REJECTS an existing
+    * external id (`pkg/core/hnsw/hnsw_index.go:525` "ID already exists"),
+    * so an update is always delete-then-add: tombstone the old internal
+    * node, insert the new copy as a NEW node. Mapped to segments, an
+    * upsert micro-batch carries the replacement doc under a FRESH internal
+    * id (`idCol`, above the watermark like every append) plus the id it
+    * supersedes (`replacesCol`, null for plain inserts): each batch first
+    * merges the superseded ids into the serve-time tombstone set, THEN
+    * lands the segment — delete-visible-before-add, the reference's
+    * ordering, so no moment serves both copies (the converse window — old
+    * hidden, new not yet swapped — is the same transient a VDelete;VADD
+    * pair has). External-key → internal-id translation is the catalog's
+    * job, exactly as in the reference (`externalToInternalID`).
+    *
+    * Exactly-once: the tombstone merge is a set union (idempotent) and
+    * the segment append carries [[ingestCombinedBatch]]'s batchId-keyed
+    * log discipline, so a crash-window re-delivery changes nothing
+    * (StreamsSpec pins it). Restart rebuilds the tombstone set from the
+    * oplog — which recorded the upsert as delete+add — and recovers
+    * segments from the log; the recovered state is the same serve.
+    */
+  def upsertIngest(
+      docs: DataFrame,
+      idCol: String,
+      replacesCol: String,
+      textCol: String,
+      vecCol: String,
+      cents: Array[Array[Float]],
+      frozenStats: (Long, Double),
+      frozenTokenDf: DataFrame,
+      ref: java.util.concurrent.atomic.AtomicReference[
+        org.apache.spark.rdd.RDD[graft.search.ServingFusion.CombinedShard]],
+      tombRef: java.util.concurrent.atomic.AtomicReference[Array[Long]],
+      checkpoint: String,
+      numShardsPerSegment: Int = 1,
+      segmentLog: Option[String] = None,
+      baseBuildId: Option[String] = None,
+      idWatermark: Option[Long] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    baseBuildId.foreach(id => bindCheckpointToBase(
+      docs.sparkSession, checkpoint, id))
+    val wm = idWatermark.map(w => new java.util.concurrent.atomic.AtomicLong(w))
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        upsertCombinedBatch(batch, batchId, idCol, replacesCol, textCol,
+          vecCol, cents, frozenStats, frozenTokenDf, ref, tombRef,
+          numShardsPerSegment, segmentLog, wm)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
+  /** One [[upsertIngest]] micro-batch, factored out like
+    * [[ingestCombinedBatch]] so the spec can re-deliver it. Tombstones
+    * first (see [[upsertIngest]]'s ordering contract), then the segment.
+    */
+  def upsertCombinedBatch(
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      replacesCol: String,
+      textCol: String,
+      vecCol: String,
+      cents: Array[Array[Float]],
+      frozenStats: (Long, Double),
+      frozenTokenDf: DataFrame,
+      ref: java.util.concurrent.atomic.AtomicReference[
+        org.apache.spark.rdd.RDD[graft.search.ServingFusion.CombinedShard]],
+      tombRef: java.util.concurrent.atomic.AtomicReference[Array[Long]],
+      numShardsPerSegment: Int = 1,
+      segmentLog: Option[String] = None,
+      idWatermark: Option[java.util.concurrent.atomic.AtomicLong] = None)
+      : Unit = {
+    val b = batch.persist()
+    try {
+      val replaced = b.filter(col(replacesCol).isNotNull)
+        .select(col(replacesCol).cast("long")).distinct()
+        .collect().map(_.getLong(0))
+      if (replaced.nonEmpty) {
+        val merged = (tombRef.get().toSet ++ replaced).toArray
+        java.util.Arrays.sort(merged)
+        tombRef.set(merged)
+      }
+      ingestCombinedBatch(b.drop(replacesCol), batchId, idCol, textCol,
+        vecCol, cents, frozenStats, frozenTokenDf, ref,
+        numShardsPerSegment, segmentLog, idWatermark)
+    } finally b.unpersist()
+  }
+
+  /** COMPACT the live combined serving state (the operation every live
+    * mutation above defers to): snapshot the served index + tombstone set
+    * + override map, run [[graft.search.ServingFusion.compactCombined]]
+    * (drop tombstoned docs, bake overridden factors, fold base+segments
+    * to `numPartitions` shards), materialize, atomically swap, and clear
+    * EXACTLY the snapshot from the live sets — deletes and overrides that
+    * raced in DURING the compaction survive the clear and stay serve-
+    * visible against the new state (the subtraction is keyed, not a
+    * wholesale reset). Returns the compacted, cached index. The previous
+    * index's cached partitions are left to their owner — the base/segment
+    * RDDs the caller materialized; unpersist them once no in-flight query
+    * holds them.
+    */
+  def compactCombinedServing(
+      ref: java.util.concurrent.atomic.AtomicReference[
+        org.apache.spark.rdd.RDD[graft.search.ServingFusion.CombinedShard]],
+      tombRef: java.util.concurrent.atomic.AtomicReference[Array[Long]],
+      ovRef: java.util.concurrent.atomic.AtomicReference[Map[Long, (Double, Long)]],
+      numPartitions: Int)
+      : org.apache.spark.rdd.RDD[graft.search.ServingFusion.CombinedShard] = {
+    val tomb = tombRef.get()
+    val ov = ovRef.get()
+    val compacted = graft.search.ServingFusion.compactCombined(
+      ref.get(), tomb, overridesArray(ov), numPartitions).cache()
+    compacted.count() // materialize BEFORE the swap
+    ref.set(compacted)
+    val tombSnap = tomb.toSet
+    tombRef.updateAndGet(cur => cur.filterNot(tombSnap))
+    ovRef.updateAndGet(cur => cur.filterNot { case (id, fv) =>
+      ov.get(id).contains(fv)
+    })
+    compacted
+  }
 
   /** Pin `checkpoint` to one base build (ADVICE r16): writes
     * `<checkpoint>/graft.base_build_id` on first use and fails fast when

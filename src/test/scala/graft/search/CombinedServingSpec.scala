@@ -583,6 +583,206 @@ class CombinedServingSpec extends SparkSpec {
     rebuilt8.unpersist(); qsN.unpersist(); qt.unpersist()
   }
 
+  test("compaction folds segments and equals live tombstone+override serving, exactly") {
+    val (t, _, dec, cents, assigned, qsN, qt) = fixtures()
+    // Served state: base (docs 0-7, 3 shards) + one appended segment
+    // (docs 8-10, 2 shards) + live mutations — doc 0 (text hit) and doc 9
+    // (vector-only doc, lives in the SEGMENT) tombstoned, docs 2 and 4
+    // decay-overridden. Compaction must fold the 5 partitions to 3, drop
+    // the tombstoned docs physically, bake the overrides, and serve
+    // BIT-identically to the live sets.
+    val baseT = t.filter(col("doc_id") <= 7)
+    val batchT = t.filter(col("doc_id") >= 8)
+    val postBase = Bm25.postings(baseT, "doc_id", "text")
+    val frozen = Bm25.corpusStats(Bm25.docLengthsFromPostings(
+      baseT.select(col("doc_id")), postBase, "doc_id"))
+    val tdf = Bm25.tokenDf(postBase).cache()
+    tdf.count()
+    val asgBase = assigned.filter(col("id") <= 7)
+      .select(col("id").as("doc_id"), col("vector"), col("bucket"))
+    val asgBatch = assigned.filter(col("id") >= 8)
+      .select(col("id").as("doc_id"), col("vector"), col("bucket"))
+    val base = ServingFusion.buildCombined(
+      baseT.select(col("doc_id")), postBase, "doc_id", asgBase,
+      dec.map(_.filter(col("doc_id") <= 7)), numShards = 3,
+      prebuiltTokenDf = Some(tdf), frozenStats = Some(frozen)).cache()
+    base.count()
+    val appended = ServingFusion.appendCombined(
+      base, batchT.select(col("doc_id")),
+      Bm25.postings(batchT, "doc_id", "text"), "doc_id", asgBatch,
+      frozen, tdf, dec = dec.map(_.filter(col("doc_id") >= 8)),
+      numShards = 2).cache()
+    appended.count()
+    val tomb = Array(9L, 0L)
+    val ov = Array((4L, 1.0), (2L, 0.25))
+
+    val compacted = ServingFusion.compactCombined(
+      appended, tomb, ov, numPartitions = 3).cache()
+    compacted.count()
+    assert(compacted.getNumPartitions === 3, "segments must fold")
+    assert(compacted.map(_ => 1).reduce(_ + _) <= 3,
+      "each compacted partition must hold at most one merged shard")
+    // Physical drop: no shard carries a tombstoned id anywhere.
+    assert(compacted.flatMap(_.text.ids).collect().toSet ===
+      (0L to 10L).toSet -- tomb.toSet)
+
+    val sq = servedQueries(qsN, qt)
+    def serve(ix: org.apache.spark.rdd.RDD[ServingFusion.CombinedShard],
+        tm: Array[Long], o: Array[(Long, Double)]) =
+      ServingFusion.fusedTopKCombined(ix, cents, sq, params.alpha,
+          params.k, nProbe = 2, kVec = 3, tombstones = tm,
+          decOverrides = o)
+        .sortBy(r => (r._1, -r._3, r._2)).toSeq
+    val live = serve(appended, tomb, ov)
+    assert(live !== serve(appended, Array.emptyLongArray, Array.empty),
+      "fixture mutations must change served results, or the test proves nothing")
+    assert(serve(compacted, Array.emptyLongArray, Array.empty) === live,
+      "compacted serve must equal live tombstone+override serve, exactly")
+    // Compaction is idempotent: a second pass with empty sets is a no-op
+    // on served results.
+    assert(serve(ServingFusion.compactCombined(compacted,
+      numPartitions = 3), Array.emptyLongArray, Array.empty) === live)
+    // Compaction commutes with further appends: a post-compaction segment
+    // under the same frozen artifacts serves like appending to the
+    // uncompacted index with the live sets still applied.
+    val lateT = t.filter(col("doc_id") >= 8)
+      .withColumn("doc_id", col("doc_id") + 20)
+    val asgLate = asgBatch.withColumn("doc_id", col("doc_id") + 20)
+    def appendLate(ix: org.apache.spark.rdd.RDD[ServingFusion.CombinedShard]) =
+      ServingFusion.appendCombined(ix, lateT.select(col("doc_id")),
+        Bm25.postings(lateT, "doc_id", "text"), "doc_id", asgLate,
+        frozen, tdf, dec = None, numShards = 1)
+    assert(serve(appendLate(compacted), Array.emptyLongArray, Array.empty)
+      === serve(appendLate(appended), tomb, ov))
+
+    // Served MMR runs over the compacted state too — equal to MMR over a
+    // frozen-stats REBUILD with the docs dropped and the decay frame
+    // updated (a no-op for MMR: pool relevance is pure vector cosine, so
+    // only the physical tombstone drop is observable on this path).
+    val decUpdated = dec.map(_.select(col("doc_id"),
+      when(col("doc_id") === 2, 0.25)
+        .when(col("doc_id") === 4, 1.0)
+        .otherwise(col("_dec")).as("_dec")))
+    val keepT = t.filter(!col("doc_id").isin(tomb.toSeq: _*))
+    val keep = keepT.select(col("doc_id"))
+    val rebuilt = ServingFusion.buildCombined(keep,
+      Bm25.postings(t, "doc_id", "text")
+        .join(keep, Seq("doc_id"), "left_semi"), "doc_id",
+      assigned.select(col("id").as("doc_id"), col("vector"), col("bucket"))
+        .join(keep, Seq("doc_id"), "left_semi"),
+      decUpdated.map(_.join(keep, Seq("doc_id"), "left_semi")),
+      numShards = 3, prebuiltTokenDf = Some(tdf),
+      frozenStats = Some(frozen)).cache()
+    rebuilt.count()
+    assert(serve(rebuilt, Array.emptyLongArray, Array.empty) === live,
+      "sanity: the rebuild fixture must match the live serve")
+    val mq = sq.map(q => (q.qid, q.qvec))
+    def mmr(ix: org.apache.spark.rdd.RDD[ServingFusion.CombinedShard]) =
+      ServingFusion.mmrTopKCombined(ix, cents, mq, k = 3, pool = 6,
+        nProbe = 2, lam = 0.7, oneMinusLam = 0.3).toSeq
+    assert(mmr(compacted) === mmr(rebuilt))
+
+    // Int8 twin: same mutations, codes + norms copied verbatim.
+    val base8 = ServingFusion.buildCombinedInt8(
+      baseT.select(col("doc_id")), postBase, "doc_id", asgBase,
+      absMax = 1.0, dec.map(_.filter(col("doc_id") <= 7)), numShards = 3,
+      prebuiltTokenDf = Some(tdf), frozenStats = Some(frozen)).cache()
+    base8.count()
+    val app8 = ServingFusion.appendCombinedInt8(
+      base8, batchT.select(col("doc_id")),
+      Bm25.postings(batchT, "doc_id", "text"), "doc_id", asgBatch,
+      absMax = 1.0, frozen, tdf,
+      dec = dec.map(_.filter(col("doc_id") >= 8)), numShards = 2).cache()
+    app8.count()
+    val comp8 = ServingFusion.compactCombinedInt8(
+      app8, tomb, ov, numPartitions = 3).cache()
+    comp8.count()
+    assert(comp8.getNumPartitions === 3)
+    def serve8(ix: org.apache.spark.rdd.RDD[ServingFusion.CombinedShardInt8],
+        tm: Array[Long], o: Array[(Long, Double)]) =
+      ServingFusion.fusedTopKCombinedInt8(ix, cents, sq, absMax = 1.0,
+          params.alpha, params.k, nProbe = 2, kVec = 3, tombstones = tm,
+          decOverrides = o)
+        .sortBy(r => (r._1, -r._3, r._2)).toSeq
+    assert(serve8(comp8, Array.emptyLongArray, Array.empty) ===
+      serve8(app8, tomb, ov))
+
+    base.unpersist(); appended.unpersist(); compacted.unpersist()
+    rebuilt.unpersist(); base8.unpersist(); app8.unpersist()
+    comp8.unpersist(); tdf.unpersist(); qsN.unpersist(); qt.unpersist()
+  }
+
+  test("save/load round-trips the combined serving state, append-ready") {
+    val (t, post, dec, cents, assigned, qsN, qt) = fixtures()
+    val asgAll = assigned
+      .select(col("id").as("doc_id"), col("vector"), col("bucket"))
+    val frozen = Bm25.corpusStats(Bm25.docLengthsFromPostings(
+      t.select(col("doc_id")), post, "doc_id"))
+    val tdf = Bm25.tokenDf(post).cache()
+    tdf.count()
+    val built = ServingFusion.buildCombined(
+      t.select(col("doc_id")), post, "doc_id", asgAll, dec,
+      numShards = 3, prebuiltTokenDf = Some(tdf),
+      frozenStats = Some(frozen)).cache()
+    built.count()
+    val dir = java.nio.file.Files.createTempDirectory("combined-snap")
+      .toString
+    ServingFusion.saveCombined(built, dir, frozen, tdf)
+    val (loaded0, frozenL, tdfL) = ServingFusion.loadCombined(spark, dir,
+      numShards = 3)
+    val loaded = loaded0.cache()
+    loaded.count()
+    assert(frozenL === frozen, "frozen corpus scalars must round-trip")
+    assert(tdfL.orderBy("token").collect().toSeq ===
+      tdf.select(col("token"), col("df").cast("long").as("df"))
+        .orderBy("token").collect().toSeq,
+      "the frozen token-df artifact must round-trip")
+
+    val sq = servedQueries(qsN, qt)
+    def serve(ix: org.apache.spark.rdd.RDD[ServingFusion.CombinedShard]) =
+      ServingFusion.fusedTopKCombined(ix, cents, sq, params.alpha,
+          params.k, nProbe = 2, kVec = 3)
+        .sortBy(r => (r._1, -r._3, r._2)).toSeq
+    assert(serve(loaded) === serve(built),
+      "a loaded snapshot must serve bit-identically")
+
+    // Append-ready: a post-restart segment lands on the LOADED index
+    // under the loaded artifacts and equals the same append on the
+    // original (the restart-continuation contract).
+    val lateT = t.filter(col("doc_id") >= 8)
+      .withColumn("doc_id", col("doc_id") + 20)
+    val asgLate = asgAll.filter(col("doc_id") >= 8)
+      .withColumn("doc_id", col("doc_id") + 20)
+    def appendLate(ix: org.apache.spark.rdd.RDD[ServingFusion.CombinedShard],
+        fz: (Long, Double), td: org.apache.spark.sql.DataFrame) =
+      ServingFusion.appendCombined(ix, lateT.select(col("doc_id")),
+        Bm25.postings(lateT, "doc_id", "text"), "doc_id", asgLate,
+        fz, td, dec = None, numShards = 1)
+    assert(serve(appendLate(loaded, frozenL, tdfL)) ===
+      serve(appendLate(built, frozen, tdf)))
+
+    // Int8 twin: codes + norms verbatim, absMax rides the meta.
+    val built8 = ServingFusion.buildCombinedInt8(
+      t.select(col("doc_id")), post, "doc_id", asgAll, absMax = 1.0, dec,
+      numShards = 3, prebuiltTokenDf = Some(tdf),
+      frozenStats = Some(frozen)).cache()
+    built8.count()
+    val dir8 = java.nio.file.Files.createTempDirectory("combined-snap8")
+      .toString
+    ServingFusion.saveCombinedInt8(built8, dir8, absMax = 1.0, frozen, tdf)
+    val (loaded8, absMaxL, frozen8, _) = ServingFusion.loadCombinedInt8(
+      spark, dir8, numShards = 3)
+    assert(absMaxL === 1.0 && frozen8 === frozen)
+    def serve8(ix: org.apache.spark.rdd.RDD[ServingFusion.CombinedShardInt8]) =
+      ServingFusion.fusedTopKCombinedInt8(ix, cents, sq, absMax = 1.0,
+          params.alpha, params.k, nProbe = 2, kVec = 3)
+        .sortBy(r => (r._1, -r._3, r._2)).toSeq
+    assert(serve8(loaded8) === serve8(built8))
+
+    built.unpersist(); loaded.unpersist(); built8.unpersist()
+    tdf.unpersist(); qsN.unpersist(); qt.unpersist()
+  }
+
   test("append id-watermark guard fails loudly on a base∩segment collision") {
     val (t, post, dec, cents, assigned, qsN, qt) = fixtures()
     val baseT = t.filter(col("doc_id") <= 7)

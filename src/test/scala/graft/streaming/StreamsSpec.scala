@@ -960,6 +960,221 @@ class StreamsSpec extends SparkSpec {
       "tombstones must merge sorted and deduped across micro-batches")
   }
 
+  test("streaming upsert ingest replaces a doc live, delete-visible first") {
+    import graft.search.{Ivf, ServingFusion}
+    import graft.text.{Analyzer, Bm25}
+    import spark.implicits._
+    val words = Array("spark", "join", "plan", "scan", "filter", "window",
+      "stream", "state", "hash", "probe")
+    def doc(i: Long): (Long, String, Array[Float]) = {
+      val text = (0 until 5).map(j => words(((i + j * 3) % 10).toInt))
+        .mkString(" ")
+      val raw = Array.tabulate(4)(j => (math.sin(i * (j + 1)) + 1.5).toFloat)
+      val n = math.sqrt(raw.map(x => x.toDouble * x).sum)
+      (i, text, raw.map(x => (x / n).toFloat))
+    }
+    val baseDocs = (0L until 10L).map(doc).toDF("doc_id", "text", "embedding")
+    def vecs(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id").cast("long").as("id"),
+        col("embedding").cast("array<float>").as("vector"))
+    val cents = Ivf.trainKMeansArrays(vecs(baseDocs), 3, iters = 2)
+    val postBase = Bm25.postings(baseDocs, "doc_id", "text")
+    val frozen = Bm25.corpusStats(Bm25.docLengthsFromPostings(
+      baseDocs.select(col("doc_id")), postBase, "doc_id"))
+    val tdf = Bm25.tokenDf(postBase).cache()
+    tdf.count()
+    def asg(df: org.apache.spark.sql.DataFrame) =
+      Ivf.assignFast(vecs(df), cents)
+        .select(col("id").as("doc_id"), col("vector"), col("bucket"))
+    val base = ServingFusion.buildCombined(
+      baseDocs.select(col("doc_id")), postBase, "doc_id", asg(baseDocs),
+      numShards = 2, prebuiltTokenDf = Some(tdf),
+      frozenStats = Some(frozen)).cache()
+    base.count()
+
+    // Upsert batch: doc 11 REPLACES doc 3 (new text+vector under a fresh
+    // internal id — the reference's delete-then-add update flow,
+    // hnsw_index.go:525 rejects an existing id); doc 12 is a plain insert.
+    val upDocs = Seq(
+      (11L, Some(3L), "probe hash state window filter",
+        doc(11L)._3),
+      (12L, None: Option[Long], doc(12L)._2, doc(12L)._3))
+      .toDF("doc_id", "replaces", "text", "embedding")
+    val ref = new java.util.concurrent.atomic.AtomicReference(base)
+    val tombRef = new java.util.concurrent.atomic.AtomicReference(
+      Array.emptyLongArray)
+    val log = tempDir("upsert-log")
+    val wm = new java.util.concurrent.atomic.AtomicLong(9L)
+    Streams.upsertCombinedBatch(upDocs, batchId = 0L, "doc_id", "replaces",
+      "text", "embedding", cents, frozen, tdf, ref, tombRef,
+      numShardsPerSegment = 1, segmentLog = Some(log), idWatermark = Some(wm))
+    assert(tombRef.get().toSeq === Seq(3L),
+      "the superseded id must join the tombstone set")
+    assert(wm.get() === 12L)
+
+    // Serve == frozen-stats rebuild with the doc REPLACED.
+    val sq = Seq(0L, 1L).map { qid =>
+      val qtext = if (qid == 0) "spark join plan" else "probe hash window"
+      val toks = Analyzer.analyze(qtext, "english")
+        .groupBy(identity).map { case (t, g) => (t, g.size) }
+        .toArray.sortBy(_._1)
+      ServingFusion.ServedQuery(qid, doc(qid + 50)._3, toks)
+    }
+    def serve(ix: org.apache.spark.rdd.RDD[ServingFusion.CombinedShard],
+        tomb: Array[Long]) =
+      ServingFusion.fusedTopKCombined(ix, cents, sq, alpha0 = 0.6, k = 5,
+          nProbe = 2, kVec = 3, tombstones = tomb)
+        .sortBy(r => (r._1, -r._3, r._2)).toSeq
+    val replacedDocs = baseDocs.filter(col("doc_id") =!= 3)
+      .unionByName(upDocs.drop("replaces"))
+    val rebuilt = ServingFusion.buildCombined(
+      replacedDocs.select(col("doc_id")),
+      Bm25.postings(replacedDocs, "doc_id", "text"), "doc_id",
+      asg(replacedDocs), numShards = 2, prebuiltTokenDf = Some(tdf),
+      frozenStats = Some(frozen))
+    val served = serve(ref.get(), tombRef.get())
+    assert(served === serve(rebuilt, Array.emptyLongArray),
+      "upsert serve must equal the rebuild with the doc replaced")
+    assert(!served.exists(_._2 === 3L) && served.exists(_._2 >= 11L))
+
+    // Crash-window re-delivery: same frame, same batchId — the tombstone
+    // union is idempotent and the logged segment is skipped, INCLUDING
+    // the watermark guard (the replayed ids are at/below the advanced
+    // watermark by construction; the guard must not fire on a replay).
+    val refBefore = ref.get()
+    Streams.upsertCombinedBatch(upDocs, batchId = 0L, "doc_id", "replaces",
+      "text", "embedding", cents, frozen, tdf, ref, tombRef,
+      numShardsPerSegment = 1, segmentLog = Some(log), idWatermark = Some(wm))
+    assert(ref.get() eq refBefore)
+    assert(tombRef.get().toSeq === Seq(3L))
+    assert(serve(ref.get(), tombRef.get()) === served)
+
+    // The stream wrapper wires the same batch function.
+    val src = tempDir("upsert-src")
+    upDocs.coalesce(1).write.mode("append").parquet(src)
+    val ref2 = new java.util.concurrent.atomic.AtomicReference(base)
+    val tombRef2 = new java.util.concurrent.atomic.AtomicReference(
+      Array.emptyLongArray)
+    val q = Streams.upsertIngest(
+      spark.readStream.schema(upDocs.schema).parquet(src),
+      "doc_id", "replaces", "text", "embedding", cents, frozen, tdf,
+      ref2, tombRef2, tempDir("upsert-cp"), numShardsPerSegment = 1,
+      baseBuildId = Some("base-U"), idWatermark = Some(9L))
+    q.awaitTermination(120000)
+    assert(serve(ref2.get(), tombRef2.get()) === served)
+
+    base.unpersist(); tdf.unpersist()
+  }
+
+  test("decay override ingest merges last-write-wins by version") {
+    import spark.implicits._
+    val src = tempDir("override-src")
+    // Two staged files → two micro-batches. Doc 1 is updated twice
+    // (version 2 must win regardless of arrival order); doc 2's second
+    // write is STALE (version 0 — e.g. a replayed old oplog row) and must
+    // not clobber version 1.
+    Seq((1L, 0.5, 1L), (2L, 0.8, 1L)).toDF("doc_id", "factor", "ver")
+      .coalesce(1).write.mode("append").parquet(src)
+    Seq((1L, 0.9, 2L), (2L, 0.1, 0L)).toDF("doc_id", "factor", "ver")
+      .coalesce(1).write.mode("append").parquet(src)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("factor",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("ver",
+        org.apache.spark.sql.types.LongType)))
+    val ref = new java.util.concurrent.atomic.AtomicReference(
+      Map.empty[Long, (Double, Long)])
+    val q = Streams.decayOverrideIngest(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(src),
+      "doc_id", "factor", "ver", ref, tempDir("override-cp"))
+    q.awaitTermination(120000)
+    assert(ref.get() === Map(1L -> (0.9, 2L), 2L -> (0.8, 1L)))
+    assert(Streams.overridesArray(ref.get()).sortBy(_._1).toSeq ===
+      Seq((1L, 0.9), (2L, 0.8)))
+
+    // Re-delivery of EVERYTHING (fresh checkpoint, same in-memory map):
+    // version arbitration makes the merge idempotent.
+    val q2 = Streams.decayOverrideIngest(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(src),
+      "doc_id", "factor", "ver", ref, tempDir("override-cp2"))
+    q2.awaitTermination(120000)
+    assert(ref.get() === Map(1L -> (0.9, 2L), 2L -> (0.8, 1L)))
+  }
+
+  test("compactCombinedServing folds the live state and clears exactly the snapshot") {
+    import graft.search.{Ivf, ServingFusion}
+    import graft.text.{Analyzer, Bm25}
+    import spark.implicits._
+    val words = Array("spark", "join", "plan", "scan", "filter", "window",
+      "stream", "state", "hash", "probe")
+    def doc(i: Long): (Long, String, Array[Float]) = {
+      val text = (0 until 5).map(j => words(((i + j * 3) % 10).toInt))
+        .mkString(" ")
+      val raw = Array.tabulate(4)(j => (math.sin(i * (j + 1)) + 1.5).toFloat)
+      val n = math.sqrt(raw.map(x => x.toDouble * x).sum)
+      (i, text, raw.map(x => (x / n).toFloat))
+    }
+    val baseDocs = (0L until 10L).map(doc).toDF("doc_id", "text", "embedding")
+    val newDocs = (10L until 13L).map(doc).toDF("doc_id", "text", "embedding")
+    def vecs(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id").cast("long").as("id"),
+        col("embedding").cast("array<float>").as("vector"))
+    val cents = Ivf.trainKMeansArrays(vecs(baseDocs), 3, iters = 2)
+    val postBase = Bm25.postings(baseDocs, "doc_id", "text")
+    val frozen = Bm25.corpusStats(Bm25.docLengthsFromPostings(
+      baseDocs.select(col("doc_id")), postBase, "doc_id"))
+    val tdf = Bm25.tokenDf(postBase).cache()
+    tdf.count()
+    def asg(df: org.apache.spark.sql.DataFrame) =
+      Ivf.assignFast(vecs(df), cents)
+        .select(col("id").as("doc_id"), col("vector"), col("bucket"))
+    val base = ServingFusion.buildCombined(
+      baseDocs.select(col("doc_id")), postBase, "doc_id", asg(baseDocs),
+      numShards = 2, prebuiltTokenDf = Some(tdf),
+      frozenStats = Some(frozen)).cache()
+    base.count()
+    val live = ServingFusion.appendCombined(base,
+      newDocs.select(col("doc_id")),
+      Bm25.postings(newDocs, "doc_id", "text"), "doc_id", asg(newDocs),
+      frozen, tdf, numShards = 1).cache()
+    live.count()
+
+    val ref = new java.util.concurrent.atomic.AtomicReference(live)
+    val tombRef = new java.util.concurrent.atomic.AtomicReference(
+      Array(4L, 11L))
+    val ovRef = new java.util.concurrent.atomic.AtomicReference(
+      Map(2L -> (0.25, 5L)))
+    val sq = Seq(0L, 1L).map { qid =>
+      val qtext = if (qid == 0) "spark join plan" else "filter window stream"
+      val toks = Analyzer.analyze(qtext, "english")
+        .groupBy(identity).map { case (t, g) => (t, g.size) }
+        .toArray.sortBy(_._1)
+      ServingFusion.ServedQuery(qid, doc(qid + 50)._3, toks)
+    }
+    def serve(ix: org.apache.spark.rdd.RDD[ServingFusion.CombinedShard],
+        tomb: Array[Long], ov: Array[(Long, Double)]) =
+      ServingFusion.fusedTopKCombined(ix, cents, sq, alpha0 = 0.6, k = 5,
+          nProbe = 2, kVec = 3, tombstones = tomb, decOverrides = ov)
+        .sortBy(r => (r._1, -r._3, r._2)).toSeq
+    val before = serve(live, tombRef.get(),
+      Streams.overridesArray(ovRef.get()))
+
+    val compacted = Streams.compactCombinedServing(ref, tombRef, ovRef,
+      numPartitions = 2)
+    assert(ref.get() eq compacted, "the swap must be visible through ref")
+    assert(compacted.getNumPartitions === 2, "base+segment must fold")
+    assert(tombRef.get().isEmpty && ovRef.get().isEmpty,
+      "compaction must clear the snapshot it baked in")
+    assert(serve(compacted, Array.emptyLongArray, Array.empty) === before,
+      "compacted serve must equal the live sets' serve, exactly")
+
+    base.unpersist(); live.unpersist(); tdf.unpersist()
+  }
+
   test("combined ingest checkpoint binds to one base build") {
     val cp = tempDir("combined-ingest-bind")
     Streams.bindCheckpointToBase(spark, cp, "base-build-7")
