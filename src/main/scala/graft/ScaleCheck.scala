@@ -172,8 +172,10 @@ object ScaleCheck {
     }
     def r3(d: Double): Double = math.rint(d * 1000) / 1000
 
-    /** (ingest_to_serve_sec, base_build_sec, compact_sec) at index size n. */
-    def measure(n: Int): (Double, Double, Double) = {
+    /** (ingest_to_serve_sec, base_build_sec, compact_sec, save_sec,
+      * load_sec) at index size n.
+      */
+    def measure(n: Int): (Double, Double, Double, Double, Double) = {
       val corpus = spark.range(n).select(
           col("id").as("doc_id"),
           concat_ws(" ", transform(sequence(lit(0), lit(39)),
@@ -248,20 +250,41 @@ object ScaleCheck {
       compacted.count()
       val compactSec = (System.nanoTime() - tc) / 1e9
       compacted.unpersist()
+      // Snapshot save/load at index size n (r17): load reads the stored
+      // term WEIGHTS — no analyzer, no weighting, no KMeans — so
+      // load_sec vs rebuild_sec is the measured value of persisting the
+      // serving layout instead of rebuilding it from the corpus. (The
+      // toy rebuild runs over pre-tokenized synthetic text on warm
+      // caches; at 100 TB the gap widens by the whole text-analysis
+      // pipeline.)
+      val snap = java.nio.file.Files.createTempDirectory("scale-snap")
+        .toString
+      val ts = System.nanoTime()
+      ServingFusion.saveCombined(combined, snap, frozen, tdf)
+      val saveSec = (System.nanoTime() - ts) / 1e9
+      val tl = System.nanoTime()
+      val loadedC = ServingFusion.loadCombined(spark, snap,
+        numShards = combined.getNumPartitions).index.cache()
+      loadedC.count()
+      val loadSec = (System.nanoTime() - tl) / 1e9
+      loadedC.unpersist()
       Seq[DataFrame](corpus, post, assigned, dls, tdf).foreach(_.unpersist())
       combined.unpersist()
-      (ing, buildSec, compactSec)
+      (ing, buildSec, compactSec, saveSec, loadSec)
     }
     try {
-      val (b, bBuild, bCompact) = measure(baseN)
-      val (s, sBuild, sCompact) = measure(baseN * factor)
+      val (b, bBuild, bCompact, bSave, bLoad) = measure(baseN)
+      val (s, sBuild, sCompact, sSave, sLoad) = measure(baseN * factor)
       s"""{"batch_docs":1024,"base_sec":${r3(b)},"x${factor}_sec":${r3(s)},""" +
         s""""ratio":${r3(s / b)},""" +
         s""""rebuild_base_sec":${r3(bBuild)},"rebuild_x${factor}_sec":${r3(sBuild)},""" +
         s""""rebuild_ratio":${r3(sBuild / bBuild)},""" +
         s""""compact_base_sec":${r3(bCompact)},""" +
         s""""compact_x${factor}_sec":${r3(sCompact)},""" +
-        s""""compact_ratio":${r3(sCompact / bCompact)}}"""
+        s""""compact_ratio":${r3(sCompact / bCompact)},""" +
+        s""""save_base_sec":${r3(bSave)},"save_x${factor}_sec":${r3(sSave)},""" +
+        s""""load_base_sec":${r3(bLoad)},"load_x${factor}_sec":${r3(sLoad)},""" +
+        s""""load_vs_rebuild_x${factor}":${r3(sLoad / sBuild)}}"""
     } catch {
       // A broken ingest path must be VISIBLE in the committed artifact
       // (ADVICE r16): "{}" read as 'not run', hiding regressions.

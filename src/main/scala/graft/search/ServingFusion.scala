@@ -1329,35 +1329,64 @@ object ServingFusion {
       frozenStats: (Long, Double),
       tokenDf: DataFrame): Unit = {
     val spark = org.apache.spark.sql.SparkSession.active
+    val maxId = maxIdOf(index.map(csh =>
+      if (csh.text.ids.isEmpty) Long.MinValue else csh.text.ids.max))
     spark.createDataFrame(index.mapPartitions(_.flatMap(explodeDocRows)),
         combinedDocSchema)
       .write.mode("overwrite").parquet(s"$path/docs")
     tokenDf.select(col("token"), col("df").cast("long").as("df"))
       .write.mode("overwrite").parquet(s"$path/tokendf")
-    spark.createDataFrame(Seq((frozenStats._1, frozenStats._2)))
-      .toDF("total_docs", "avgdl")
+    spark.createDataFrame(Seq((frozenStats._1, frozenStats._2, maxId)))
+      .toDF("total_docs", "avgdl", "max_id")
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  /** Restore a [[saveCombined]] snapshot: `(index, frozenStats, tokenDf)`
-    * — the full append-ready bundle. The caller caches + materializes the
-    * index (and re-derives the serve-time tombstone set from the oplog,
+  /** The snapshot's id watermark: max doc id across shards (MinValue for
+    * an empty index — every id is above it, so recovery filters nothing).
+    */
+  private def maxIdOf(perShard: org.apache.spark.rdd.RDD[Long]): Long =
+    if (perShard.isEmpty()) Long.MinValue
+    else perShard.reduce(math.max)
+
+  /** A restored [[saveCombined]] snapshot: the index plus every frozen
+    * artifact appends need, and the snapshot's id watermark `maxId` — the
+    * `minIdExclusive` recovery and restart ingest resume from
+    * ([[graft.streaming.Streams.recoverCombinedSegments]]).
+    */
+  final case class LoadedCombined(
+      index: org.apache.spark.rdd.RDD[CombinedShard],
+      frozenStats: (Long, Double),
+      tokenDf: DataFrame,
+      maxId: Long)
+
+  final case class LoadedCombinedInt8(
+      index: org.apache.spark.rdd.RDD[CombinedShardInt8],
+      absMax: Double,
+      frozenStats: (Long, Double),
+      tokenDf: DataFrame,
+      maxId: Long)
+
+  /** Restore a [[saveCombined]] snapshot — the full append-ready bundle.
+    * The caller caches + materializes the index (and re-derives the
+    * serve-time tombstone set from the oplog,
     * [[graft.streaming.Streams.tombstoneIngest]]'s restart contract).
     */
   def loadCombined(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
-      numShards: Int = 0): (org.apache.spark.rdd.RDD[CombinedShard],
-        (Long, Double), DataFrame) = {
+      numShards: Int = 0): LoadedCombined = {
     val meta = spark.read.parquet(s"$path/meta")
-      .select(col("total_docs").cast("long"), col("avgdl").cast("double"))
+      .select(col("total_docs").cast("long"), col("avgdl").cast("double"),
+        col("max_id").cast("long"))
       .head()
     val docs = spark.read.parquet(s"$path/docs")
       .select(col("_id"), col("_dec"), col("_vec"), col("_bucket"),
         col("_post"))
-    (docMajor(docs, numShards).rdd.mapPartitions(assembleF32),
+    LoadedCombined(
+      docMajor(docs, numShards).rdd.mapPartitions(assembleF32),
       (meta.getLong(0), meta.getDouble(1)),
-      spark.read.parquet(s"$path/tokendf"))
+      spark.read.parquet(s"$path/tokendf"),
+      meta.getLong(2))
   }
 
   /** [[saveCombined]]'s compressed twin: codes + norms stored verbatim
@@ -1371,27 +1400,27 @@ object ServingFusion {
       frozenStats: (Long, Double),
       tokenDf: DataFrame): Unit = {
     val spark = org.apache.spark.sql.SparkSession.active
+    val maxId = maxIdOf(index.map(csh =>
+      if (csh.text.ids.isEmpty) Long.MinValue else csh.text.ids.max))
     spark.createDataFrame(index.mapPartitions(_.flatMap(explodeDocRowsInt8)),
         combinedDocSchemaInt8)
       .write.mode("overwrite").parquet(s"$path/docs")
     tokenDf.select(col("token"), col("df").cast("long").as("df"))
       .write.mode("overwrite").parquet(s"$path/tokendf")
-    spark.createDataFrame(Seq((frozenStats._1, frozenStats._2, absMax)))
-      .toDF("total_docs", "avgdl", "abs_max")
+    spark.createDataFrame(Seq((frozenStats._1, frozenStats._2, absMax,
+        maxId)))
+      .toDF("total_docs", "avgdl", "abs_max", "max_id")
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  /** Restore a [[saveCombinedInt8]] snapshot:
-    * `(index, absMax, frozenStats, tokenDf)`.
-    */
+  /** Restore a [[saveCombinedInt8]] snapshot. */
   def loadCombinedInt8(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
-      numShards: Int = 0): (org.apache.spark.rdd.RDD[CombinedShardInt8],
-        Double, (Long, Double), DataFrame) = {
+      numShards: Int = 0): LoadedCombinedInt8 = {
     val meta = spark.read.parquet(s"$path/meta")
       .select(col("total_docs").cast("long"), col("avgdl").cast("double"),
-        col("abs_max").cast("double"))
+        col("abs_max").cast("double"), col("max_id").cast("long"))
       .head()
     val docs = spark.read.parquet(s"$path/docs")
       .select(col("_id"), col("_dec"), col("_codes"), col("_norm"),
@@ -1462,8 +1491,9 @@ object ServingFusion {
           norms, dim))
       }
     }
-    (ix, meta.getDouble(2), (meta.getLong(0), meta.getDouble(1)),
-      spark.read.parquet(s"$path/tokendf"))
+    LoadedCombinedInt8(ix, meta.getDouble(2),
+      (meta.getLong(0), meta.getDouble(1)),
+      spark.read.parquet(s"$path/tokendf"), meta.getLong(3))
   }
 
   /** Per-partition partial for the combined pass: the text-leg

@@ -920,6 +920,49 @@ object Streams {
     compacted
   }
 
+  /** Snapshot-then-truncate — the serving layer's AOF rewrite (SURVEY §2
+    * S2+S3, reference `pkg/persistence/`: write the snapshot, THEN
+    * truncate the journal it supersedes): persist the served combined
+    * index ([[graft.search.ServingFusion.saveCombined]], which records
+    * the index's max-id watermark in the snapshot meta) and drop the
+    * segment log's batch directories, whose docs the snapshot now
+    * carries. Returns the number of truncated batches.
+    *
+    * Crash-safety, both windows: a crash BEFORE the save leaves the old
+    * restart path intact (base source + full log); a crash AFTER the
+    * save but BEFORE the truncate leaves a stale log behind — recovery
+    * passes the snapshot's `maxId` as [[recoverCombinedSegments]]'
+    * `minIdExclusive`, which filters every superseded batch's docs, so
+    * the half-completed rewrite never double-serves (StreamsSpec drives
+    * exactly this window). Call on a COMPACTED index so the snapshot
+    * carries no tombstoned docs ([[compactCombinedServing]] first).
+    */
+  def snapshotCombined(
+      index: org.apache.spark.rdd.RDD[graft.search.ServingFusion.CombinedShard],
+      path: String,
+      frozenStats: (Long, Double),
+      tokenDf: DataFrame,
+      segmentLog: Option[String] = None): Int = {
+    graft.search.ServingFusion.saveCombined(index, path, frozenStats,
+      tokenDf)
+    segmentLog.map(truncateSegmentLog(tokenDf.sparkSession, _)).getOrElse(0)
+  }
+
+  /** Drop every `batch=<id>/` directory of a segment log — ONLY valid
+    * once a snapshot carries their docs ([[snapshotCombined]] orders the
+    * two; calling this alone forfeits those batches on restart). Returns
+    * the number of batch directories removed.
+    */
+  def truncateSegmentLog(spark: SparkSession, segmentLog: String): Int = {
+    val root = new org.apache.hadoop.fs.Path(segmentLog)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    val dirs = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+    dirs.foreach(st => fs.delete(st.getPath, true))
+    dirs.size
+  }
+
   /** Pin `checkpoint` to one base build (ADVICE r16): writes
     * `<checkpoint>/graft.base_build_id` on first use and fails fast when
     * an existing marker names a DIFFERENT base — reusing a checkpoint
@@ -968,11 +1011,23 @@ object Streams {
       frozenStats: (Long, Double),
       frozenTokenDf: DataFrame,
       base: org.apache.spark.rdd.RDD[graft.search.ServingFusion.CombinedShard],
-      numShards: Int = 1)
+      numShards: Int = 1,
+      minIdExclusive: Option[Long] = None)
       : org.apache.spark.rdd.RDD[graft.search.ServingFusion.CombinedShard] = {
     val dirs = completedLogBatches(spark, segmentLog)
     if (dirs.isEmpty) return base
-    val logged = spark.read.parquet(dirs: _*)
+    // `minIdExclusive` — the base SNAPSHOT's id watermark
+    // (`LoadedCombined.maxId`): log docs at or below it are already IN
+    // the base, i.e. the log batches a [[snapshotCombined]] superseded
+    // but a crash before the truncate left behind. Filtering here (ids
+    // are monotone by the append-only contract) makes
+    // snapshot-then-truncate crash-safe: recovery over a stale log never
+    // double-serves a snapshotted doc.
+    val loggedAll = spark.read.parquet(dirs: _*)
+    val logged = minIdExclusive match {
+      case Some(wm) => loggedAll.filter(col(idCol).cast("long") > wm)
+      case None => loggedAll
+    }
     if (logged.isEmpty) return base
     val assigned = graft.search.Ivf.assignFast(
       logged.select(col(idCol).cast("long").as("id"),

@@ -728,11 +728,12 @@ class CombinedServingSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("combined-snap")
       .toString
     ServingFusion.saveCombined(built, dir, frozen, tdf)
-    val (loaded0, frozenL, tdfL) = ServingFusion.loadCombined(spark, dir,
-      numShards = 3)
-    val loaded = loaded0.cache()
+    val snap = ServingFusion.loadCombined(spark, dir, numShards = 3)
+    val (frozenL, tdfL) = (snap.frozenStats, snap.tokenDf)
+    val loaded = snap.index.cache()
     loaded.count()
     assert(frozenL === frozen, "frozen corpus scalars must round-trip")
+    assert(snap.maxId === 10L, "the snapshot must record its id watermark")
     assert(tdfL.orderBy("token").collect().toSeq ===
       tdf.select(col("token"), col("df").cast("long").as("df"))
         .orderBy("token").collect().toSeq,
@@ -770,9 +771,10 @@ class CombinedServingSpec extends SparkSpec {
     val dir8 = java.nio.file.Files.createTempDirectory("combined-snap8")
       .toString
     ServingFusion.saveCombinedInt8(built8, dir8, absMax = 1.0, frozen, tdf)
-    val (loaded8, absMaxL, frozen8, _) = ServingFusion.loadCombinedInt8(
-      spark, dir8, numShards = 3)
-    assert(absMaxL === 1.0 && frozen8 === frozen)
+    val snap8 = ServingFusion.loadCombinedInt8(spark, dir8, numShards = 3)
+    val loaded8 = snap8.index
+    assert(snap8.absMax === 1.0 && snap8.frozenStats === frozen &&
+      snap8.maxId === 10L)
     def serve8(ix: org.apache.spark.rdd.RDD[ServingFusion.CombinedShardInt8]) =
       ServingFusion.fusedTopKCombinedInt8(ix, cents, sq, absMax = 1.0,
           params.alpha, params.k, nProbe = 2, kVec = 3)
