@@ -633,27 +633,84 @@ object Streams {
       numShardsPerSegment: Int = 1,
       segmentLog: Option[String] = None,
       idWatermark: Option[java.util.concurrent.atomic.AtomicLong] = None)
-      : Unit = {
+      : Unit =
+    ingestSegmentBatch(batch, batchId, idCol, textCol, vecCol, segmentLog,
+      idWatermark, ref) { b =>
+      val (ids, post, assigned) = segmentFrames(b, idCol, textCol, vecCol,
+        cents)
+      graft.search.ServingFusion.buildCombined(
+        ids, post, idCol, assigned, dec = None,
+        numShards = numShardsPerSegment,
+        prebuiltTokenDf = Some(frozenTokenDf),
+        frozenStats = Some(frozenStats))
+    }
+
+  /** [[ingestCombinedBatch]]'s compressed twin: the segment quantizes
+    * against the base build's frozen `absMax`
+    * ([[graft.search.ServingFusion.appendCombinedInt8]]'s contract) —
+    * int8 combined serving has the SAME streaming story as f32 (same
+    * batchId-keyed log, same exactly-once discipline, same watermark
+    * guard; one shared core, [[ingestSegmentBatch]]).
+    */
+  def ingestCombinedBatchInt8(
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      textCol: String,
+      vecCol: String,
+      cents: Array[Array[Float]],
+      absMax: Double,
+      frozenStats: (Long, Double),
+      frozenTokenDf: DataFrame,
+      ref: java.util.concurrent.atomic.AtomicReference[
+        org.apache.spark.rdd.RDD[graft.search.ServingFusion.CombinedShardInt8]],
+      numShardsPerSegment: Int = 1,
+      segmentLog: Option[String] = None,
+      idWatermark: Option[java.util.concurrent.atomic.AtomicLong] = None)
+      : Unit =
+    ingestSegmentBatch(batch, batchId, idCol, textCol, vecCol, segmentLog,
+      idWatermark, ref) { b =>
+      val (ids, post, assigned) = segmentFrames(b, idCol, textCol, vecCol,
+        cents)
+      graft.search.ServingFusion.buildCombinedInt8(
+        ids, post, idCol, assigned, absMax, dec = None,
+        numShards = numShardsPerSegment,
+        prebuiltTokenDf = Some(frozenTokenDf),
+        frozenStats = Some(frozenStats))
+    }
+
+  /** The one copy of the micro-batch exactly-once discipline, shared by
+    * both combined layouts: re-delivery detection (a COMPLETE
+    * `batch=<id>/` log directory means the docs are already served —
+    * skip everything, INCLUDING the watermark guard: a re-delivered
+    * batch's ids are legitimately at or below the watermark, a restart
+    * derives it from `maxLoggedId` which covers this very batch), then
+    * the append-only id guard (VERDICT r16 #3 — fail loudly instead of
+    * double-scoring), the batchId-keyed log overwrite, and the
+    * cache-segment-then-swap append (cache ONLY the segment — caching
+    * the union would re-store every base partition per micro-batch).
+    */
+  private def ingestSegmentBatch[T](
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      textCol: String,
+      vecCol: String,
+      segmentLog: Option[String],
+      idWatermark: Option[java.util.concurrent.atomic.AtomicLong],
+      ref: java.util.concurrent.atomic.AtomicReference[
+        org.apache.spark.rdd.RDD[T]])(
+      buildSegment: DataFrame => org.apache.spark.rdd.RDD[T]): Unit = {
     val spark = batch.sparkSession
     val b = batch.persist()
     try {
       if (b.count() > 0) {
-        // Re-delivery detection FIRST: a COMPLETE log directory for this
-        // batchId means the docs are already in the served ref (recovery
-        // reads the whole log) — skip the rewrite, the in-memory append
-        // AND the watermark guard. A re-delivered batch's ids are
-        // legitimately at or below the watermark (a restart derives it
-        // from maxLoggedId, which covers this very batch); guarding
-        // before detecting re-delivery would crash the recovering stream
-        // on its first replayed batch.
         val redelivered = segmentLog.exists { path =>
           val dir = new org.apache.hadoop.fs.Path(s"$path/batch=$batchId")
           val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
           fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))
         }
         if (!redelivered) {
-          // Append-only id guard (VERDICT r16 #3): ids at or below the
-          // watermark are already served — fail the batch loudly.
           idWatermark.foreach { w =>
             val mm = b.agg(min(col(idCol).cast("long")),
               max(col(idCol).cast("long"))).head()
@@ -668,26 +725,132 @@ object Streams {
             b.select(col(idCol), col(textCol), col(vecCol))
               .write.mode("overwrite").parquet(s"$path/batch=$batchId")
           }
-          val ids = b.select(col(idCol))
-          val post = graft.text.Bm25.postings(b, idCol, textCol)
-          val assigned = graft.search.Ivf.assignFast(
-            b.select(col(idCol).cast("long").as("id"),
-              col(vecCol).cast("array<float>").as("vector")), cents)
-            .select(col("id").as(idCol), col("vector"), col("bucket"))
-          // Cache and materialize ONLY the segment, then swap in a lazy
-          // union of cached parents — caching the union itself would
-          // re-store every base partition per micro-batch (the storage
-          // doubling a segment architecture exists to avoid).
-          val seg = graft.search.ServingFusion.buildCombined(
-            ids, post, idCol, assigned, dec = None,
-            numShards = numShardsPerSegment,
-            prebuiltTokenDf = Some(frozenTokenDf),
-            frozenStats = Some(frozenStats)).cache()
+          val seg = buildSegment(b).cache()
           seg.count() // materialize BEFORE the atomic swap
           ref.set(ref.get().union(seg))
         }
       }
     } finally b.unpersist()
+  }
+
+  /** A micro-batch's (ids, postings, IVF assignment) — the three frames
+    * every combined segment build starts from.
+    */
+  private def segmentFrames(b: DataFrame, idCol: String, textCol: String,
+      vecCol: String, cents: Array[Array[Float]])
+      : (DataFrame, DataFrame, DataFrame) = {
+    val ids = b.select(col(idCol))
+    val post = graft.text.Bm25.postings(b, idCol, textCol)
+    val assigned = graft.search.Ivf.assignFast(
+      b.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("vector")), cents)
+      .select(col("id").as(idCol), col("vector"), col("bucket"))
+    (ids, post, assigned)
+  }
+
+  /** [[combinedIngest]]'s compressed twin — streaming micro-batch ingest
+    * into the int8 combined serving index, same checkpoint binding, same
+    * durable-log and compaction-trigger contracts, with the batch
+    * quantized against the base build's frozen `absMax`.
+    */
+  def combinedIngestInt8(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      vecCol: String,
+      cents: Array[Array[Float]],
+      absMax: Double,
+      frozenStats: (Long, Double),
+      frozenTokenDf: DataFrame,
+      ref: java.util.concurrent.atomic.AtomicReference[
+        org.apache.spark.rdd.RDD[graft.search.ServingFusion.CombinedShardInt8]],
+      checkpoint: String,
+      numShardsPerSegment: Int = 1,
+      segmentLog: Option[String] = None,
+      baseBuildId: Option[String] = None,
+      idWatermark: Option[Long] = None,
+      compactionThreshold: Int = 0,
+      onCompactionNeeded: () => Unit = () => ())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    baseBuildId.foreach(id => bindCheckpointToBase(
+      docs.sparkSession, checkpoint, id))
+    val wm = idWatermark.map(w => new java.util.concurrent.atomic.AtomicLong(w))
+    val segCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val before = ref.get()
+        ingestCombinedBatchInt8(batch, batchId, idCol, textCol, vecCol,
+          cents, absMax, frozenStats, frozenTokenDf, ref,
+          numShardsPerSegment, segmentLog, wm)
+        if ((ref.get() ne before) && compactionThreshold > 0 &&
+            segCount.incrementAndGet() % compactionThreshold == 0)
+          onCompactionNeeded()
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
+  /** [[recoverCombinedSegments]]' compressed twin: rebuild the log's docs
+    * as one int8 segment under the SAME frozen artifacts (absMax
+    * included) and union it onto the fresh base; `minIdExclusive` filters
+    * batches a snapshot superseded, exactly as for f32.
+    */
+  def recoverCombinedSegmentsInt8(
+      spark: SparkSession,
+      segmentLog: String,
+      idCol: String,
+      textCol: String,
+      vecCol: String,
+      cents: Array[Array[Float]],
+      absMax: Double,
+      frozenStats: (Long, Double),
+      frozenTokenDf: DataFrame,
+      base: org.apache.spark.rdd.RDD[graft.search.ServingFusion.CombinedShardInt8],
+      numShards: Int = 1,
+      minIdExclusive: Option[Long] = None)
+      : org.apache.spark.rdd.RDD[graft.search.ServingFusion.CombinedShardInt8] = {
+    val dirs = completedLogBatches(spark, segmentLog)
+    if (dirs.isEmpty) return base
+    val loggedAll = spark.read.parquet(dirs: _*)
+    val logged = minIdExclusive match {
+      case Some(wm) => loggedAll.filter(col(idCol).cast("long") > wm)
+      case None => loggedAll
+    }
+    if (logged.isEmpty) return base
+    val (ids, post, assigned) = segmentFrames(logged, idCol, textCol,
+      vecCol, cents)
+    val seg = graft.search.ServingFusion.buildCombinedInt8(
+      ids, post, idCol, assigned, absMax, dec = None, numShards = numShards,
+      prebuiltTokenDf = Some(frozenTokenDf),
+      frozenStats = Some(frozenStats)).cache()
+    seg.count()
+    base.union(seg)
+  }
+
+  /** [[compactCombinedServing]]'s compressed twin — same snapshot → fold
+    * → swap → keyed-clear discipline over the int8 kernels.
+    */
+  def compactCombinedServingInt8(
+      ref: java.util.concurrent.atomic.AtomicReference[
+        org.apache.spark.rdd.RDD[graft.search.ServingFusion.CombinedShardInt8]],
+      tombRef: java.util.concurrent.atomic.AtomicReference[Array[Long]],
+      ovRef: java.util.concurrent.atomic.AtomicReference[Map[Long, (Double, Long)]],
+      numPartitions: Int)
+      : org.apache.spark.rdd.RDD[graft.search.ServingFusion.CombinedShardInt8] = {
+    val tomb = tombRef.get()
+    val ov = ovRef.get()
+    val compacted = graft.search.ServingFusion.compactCombinedInt8(
+      ref.get(), tomb, overridesArray(ov), numPartitions).cache()
+    compacted.count() // materialize BEFORE the swap
+    ref.set(compacted)
+    val tombSnap = tomb.toSet
+    tombRef.updateAndGet(cur => cur.filterNot(tombSnap))
+    ovRef.updateAndGet(cur => cur.filterNot { case (id, fv) =>
+      ov.get(id).contains(fv)
+    })
+    compacted
   }
 
   /** Streaming DELETE ingest for combined serving (VERDICT r16 #2): each
@@ -1029,14 +1192,10 @@ object Streams {
       case None => loggedAll
     }
     if (logged.isEmpty) return base
-    val assigned = graft.search.Ivf.assignFast(
-      logged.select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<float>").as("vector")), cents)
-      .select(col("id").as(idCol), col("vector"), col("bucket"))
+    val (ids, post, assigned) = segmentFrames(logged, idCol, textCol,
+      vecCol, cents)
     val seg = graft.search.ServingFusion.buildCombined(
-      logged.select(col(idCol)),
-      graft.text.Bm25.postings(logged, idCol, textCol),
-      idCol, assigned, dec = None, numShards = numShards,
+      ids, post, idCol, assigned, dec = None, numShards = numShards,
       prebuiltTokenDf = Some(frozenTokenDf),
       frozenStats = Some(frozenStats)).cache()
     seg.count()

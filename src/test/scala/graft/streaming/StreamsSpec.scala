@@ -1285,6 +1285,110 @@ class StreamsSpec extends SparkSpec {
     base.unpersist(); tdf.unpersist()
   }
 
+  test("int8 combined serving has full streaming parity with f32") {
+    import graft.search.{Ivf, ServingFusion}
+    import graft.text.{Analyzer, Bm25}
+    import spark.implicits._
+    val words = Array("spark", "join", "plan", "scan", "filter", "window",
+      "stream", "state", "hash", "probe")
+    def doc(i: Long): (Long, String, Array[Float]) = {
+      val text = (0 until 5).map(j => words(((i + j * 3) % 10).toInt))
+        .mkString(" ")
+      val raw = Array.tabulate(4)(j => (math.sin(i * (j + 1)) + 1.5).toFloat)
+      val n = math.sqrt(raw.map(x => x.toDouble * x).sum)
+      (i, text, raw.map(x => (x / n).toFloat))
+    }
+    val baseDocs = (0L until 10L).map(doc).toDF("doc_id", "text", "embedding")
+    val newDocs = (10L until 14L).map(doc).toDF("doc_id", "text", "embedding")
+    val allDocs = baseDocs.unionByName(newDocs)
+    def vecs(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id").cast("long").as("id"),
+        col("embedding").cast("array<float>").as("vector"))
+    val cents = Ivf.trainKMeansArrays(vecs(baseDocs), 3, iters = 2)
+    val postBase = Bm25.postings(baseDocs, "doc_id", "text")
+    val frozen = Bm25.corpusStats(Bm25.docLengthsFromPostings(
+      baseDocs.select(col("doc_id")), postBase, "doc_id"))
+    val tdf = Bm25.tokenDf(postBase).cache()
+    tdf.count()
+    def asg(df: org.apache.spark.sql.DataFrame) =
+      Ivf.assignFast(vecs(df), cents)
+        .select(col("id").as("doc_id"), col("vector"), col("bucket"))
+    val base8 = ServingFusion.buildCombinedInt8(
+      baseDocs.select(col("doc_id")), postBase, "doc_id", asg(baseDocs),
+      absMax = 1.0, numShards = 2, prebuiltTokenDf = Some(tdf),
+      frozenStats = Some(frozen)).cache()
+    base8.count()
+
+    // Streaming ingest (two micro-batches through the durable log) ==
+    // frozen-stats rebuild over the full corpus.
+    val src = tempDir("int8-ingest-src")
+    newDocs.filter(col("doc_id") < 12).coalesce(1)
+      .write.mode("append").parquet(src)
+    newDocs.filter(col("doc_id") >= 12).coalesce(1)
+      .write.mode("append").parquet(src)
+    val log = tempDir("int8-ingest-log")
+    val ref = new java.util.concurrent.atomic.AtomicReference(base8)
+    val q = Streams.combinedIngestInt8(
+      spark.readStream.schema(allDocs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src),
+      "doc_id", "text", "embedding", cents, absMax = 1.0, frozen, tdf,
+      ref, tempDir("int8-ingest-cp"), numShardsPerSegment = 1,
+      segmentLog = Some(log), baseBuildId = Some("base-I8"),
+      idWatermark = Some(9L))
+    q.awaitTermination(120000)
+    val sq = Seq(0L, 1L).map { qid =>
+      val qtext = if (qid == 0) "spark join plan" else "filter window stream"
+      val toks = Analyzer.analyze(qtext, "english")
+        .groupBy(identity).map { case (t, g) => (t, g.size) }
+        .toArray.sortBy(_._1)
+      ServingFusion.ServedQuery(qid, doc(qid + 50)._3, toks)
+    }
+    def serve8(ix: org.apache.spark.rdd.RDD[ServingFusion.CombinedShardInt8]) =
+      ServingFusion.fusedTopKCombinedInt8(ix, cents, sq, absMax = 1.0,
+          alpha0 = 0.6, k = 5, nProbe = 2, kVec = 3)
+        .sortBy(r => (r._1, -r._3, r._2)).toSeq
+    val rebuilt8 = ServingFusion.buildCombinedInt8(
+      allDocs.select(col("doc_id")),
+      Bm25.postings(allDocs, "doc_id", "text"), "doc_id", asg(allDocs),
+      absMax = 1.0, numShards = 2, prebuiltTokenDf = Some(tdf),
+      frozenStats = Some(frozen))
+    val served = serve8(ref.get())
+    assert(served === serve8(rebuilt8),
+      "int8 streaming ingest must serve like the frozen-stats rebuild")
+    assert(served.exists(_._2 >= 10L))
+
+    // Restart recovery from the log == the live unioned index; a
+    // re-delivered batch changes nothing (shared exactly-once core).
+    val recovered = Streams.recoverCombinedSegmentsInt8(spark, log,
+      "doc_id", "text", "embedding", cents, absMax = 1.0, frozen, tdf,
+      base8)
+    assert(serve8(recovered) === served)
+    val refBefore = ref.get()
+    Streams.ingestCombinedBatchInt8(newDocs.filter(col("doc_id") < 12),
+      batchId = 0L, "doc_id", "text", "embedding", cents, absMax = 1.0,
+      frozen, tdf, ref, numShardsPerSegment = 1, segmentLog = Some(log))
+    assert(ref.get() eq refBefore,
+      "a re-delivered int8 batch must not append a duplicate segment")
+
+    // Compaction orchestration: fold + tombstone drop, swap, keyed clear.
+    val tombRef = new java.util.concurrent.atomic.AtomicReference(
+      Array(11L))
+    val ovRef = new java.util.concurrent.atomic.AtomicReference(
+      Map.empty[Long, (Double, Long)])
+    val beforeCompact = ServingFusion.fusedTopKCombinedInt8(ref.get(),
+        cents, sq, absMax = 1.0, alpha0 = 0.6, k = 5, nProbe = 2,
+        kVec = 3, tombstones = Array(11L))
+      .sortBy(r => (r._1, -r._3, r._2)).toSeq
+    val compacted = Streams.compactCombinedServingInt8(ref, tombRef, ovRef,
+      numPartitions = 2)
+    assert(ref.get() eq compacted)
+    assert(compacted.getNumPartitions === 2)
+    assert(tombRef.get().isEmpty)
+    assert(serve8(compacted) === beforeCompact)
+
+    base8.unpersist(); tdf.unpersist()
+  }
+
   test("combined ingest checkpoint binds to one base build") {
     val cp = tempDir("combined-ingest-bind")
     Streams.bindCheckpointToBase(spark, cp, "base-build-7")
