@@ -1157,7 +1157,13 @@ object Bench {
             s""""qps_compacted":${c1(compQps)}"""))
             .mkString(s""","segments":{"docs_per_segment":$segDocs,""",
               ",", "}")
-        } catch { case _: Throwable => "" }
+        } catch {
+          // A broken curve must be VISIBLE in the committed artifact
+          // (ADVICE r16, same rule as ScaleCheck): an absent key reads
+          // as 'not run', hiding regressions.
+          case e: Throwable =>
+            s""","segments":{"error":"${e.getClass.getSimpleName}"}"""
+        }
         combined.unpersist()
         q1.unpersist(); qt1.unpersist()
         assigned.unpersist(); serving.unpersist(); qsN.unpersist()

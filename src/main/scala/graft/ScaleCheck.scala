@@ -268,6 +268,11 @@ object ScaleCheck {
       loadedC.count()
       val loadSec = (System.nanoTime() - tl) / 1e9
       loadedC.unpersist()
+      // The snapshot is a full serialized index; leaking one per measure()
+      // per run accumulates real disk on the bench host.
+      val snapPath = new org.apache.hadoop.fs.Path(snap)
+      snapPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(snapPath, true)
       Seq[DataFrame](corpus, post, assigned, dls, tdf).foreach(_.unpersist())
       combined.unpersist()
       (ing, buildSec, compactSec, saveSec, loadSec)

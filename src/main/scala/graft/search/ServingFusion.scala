@@ -170,6 +170,86 @@ object ServingFusion {
     * partition pass accumulated — shared by [[buildShards]] (per-posting
     * rows) and [[buildCombined]] (per-doc aggregated posting lists).
     */
+  /** Finalize a partition's bucket-major f32 vector blocks from the
+    * per-bucket (local-doc builder, row buffer) accumulators — the ONE
+    * copy of the (buckets sorted ascending, CSR offsets, row copy) layout
+    * logic, shared by [[assembleF32]] and [[compactCombined]] so the
+    * build/load/compact paths cannot drift.
+    * Returns (buckets, bOff, vecLocal, flat, dim).
+    */
+  private def finishVecBlocksF32(
+      byBucket: scala.collection.mutable.LongMap[
+        (scala.collection.mutable.ArrayBuilder.ofInt,
+         scala.collection.mutable.ArrayBuffer[Array[Float]])])
+      : (Array[Long], Array[Int], Array[Int], Array[Float], Int) = {
+    val bs = byBucket.keys.toArray.sorted
+    val locals = bs.map(b => byBucket(b)._1.result())
+    val rows = bs.map(b => byBucket(b)._2)
+    val nVec = locals.map(_.length).sum
+    val dim = rows.collectFirst {
+      case v if v.nonEmpty => v(0).length
+    }.getOrElse(0)
+    val bOff = new Array[Int](bs.length + 1)
+    val vecLocal = new Array[Int](nVec)
+    val flat = new Array[Float](nVec * dim)
+    var b = 0
+    var off = 0
+    while (b < bs.length) {
+      bOff(b) = off
+      System.arraycopy(locals(b), 0, vecLocal, off, locals(b).length)
+      var r = 0
+      while (r < rows(b).length) {
+        System.arraycopy(rows(b)(r), 0, flat, (off + r) * dim, dim)
+        r += 1
+      }
+      off += locals(b).length
+      b += 1
+    }
+    bOff(bs.length) = off
+    (bs, bOff, vecLocal, flat, dim)
+  }
+
+  /** [[finishVecBlocksF32]]'s int8 twin over (codes row, stored norm)
+    * buffers — shared by [[buildCombinedInt8]] (which pairs each
+    * quantized row with [[Ivf.int8Norm]] at accumulation),
+    * [[compactCombinedInt8]] and [[loadCombinedInt8]] (which carry
+    * stored norms verbatim).
+    * Returns (buckets, bOff, vecLocal, codes, norms, dim).
+    */
+  private def finishVecBlocksInt8(
+      byBucket: scala.collection.mutable.LongMap[
+        (scala.collection.mutable.ArrayBuilder.ofInt,
+         scala.collection.mutable.ArrayBuffer[(Array[Byte], Float)])])
+      : (Array[Long], Array[Int], Array[Int], Array[Byte], Array[Float], Int) = {
+    val bs = byBucket.keys.toArray.sorted
+    val locals = bs.map(b => byBucket(b)._1.result())
+    val rows = bs.map(b => byBucket(b)._2)
+    val nVec = locals.map(_.length).sum
+    val dim = rows.collectFirst {
+      case v if v.nonEmpty => v(0)._1.length
+    }.getOrElse(0)
+    val bOff = new Array[Int](bs.length + 1)
+    val vecLocal = new Array[Int](nVec)
+    val codes = new Array[Byte](nVec * dim)
+    val norms = new Array[Float](nVec)
+    var b = 0
+    var off = 0
+    while (b < bs.length) {
+      bOff(b) = off
+      System.arraycopy(locals(b), 0, vecLocal, off, locals(b).length)
+      var r = 0
+      while (r < rows(b).length) {
+        System.arraycopy(rows(b)(r)._1, 0, codes, (off + r) * dim, dim)
+        norms(off + r) = rows(b)(r)._2
+        r += 1
+      }
+      off += locals(b).length
+      b += 1
+    }
+    bOff(bs.length) = off
+    (bs, bOff, vecLocal, codes, norms, dim)
+  }
+
   private def finishShard(
       ids: Array[Long],
       dec: Array[Double],
@@ -706,30 +786,7 @@ object ServingFusion {
       // Bucket blocks in ascending bucket order (deterministic layout;
       // scan results don't depend on it — the (distance, id) total
       // order handles ties).
-      val bs = byBucket.keys.toArray.sorted
-      val locals = bs.map(b => byBucket(b)._1.result())
-      val vecs = bs.map(b => byBucket(b)._2)
-      val nVec = locals.map(_.length).sum
-      val dim = vecs.collectFirst {
-        case v if v.nonEmpty => v(0).length
-      }.getOrElse(0)
-      val bOff = new Array[Int](bs.length + 1)
-      val vecLocal = new Array[Int](nVec)
-      val flat = new Array[Float](nVec * dim)
-      var b = 0
-      var off = 0
-      while (b < bs.length) {
-        bOff(b) = off
-        System.arraycopy(locals(b), 0, vecLocal, off, locals(b).length)
-        var r = 0
-        while (r < vecs(b).length) {
-          System.arraycopy(vecs(b)(r), 0, flat, (off + r) * dim, dim)
-          r += 1
-        }
-        off += locals(b).length
-        b += 1
-      }
-      bOff(bs.length) = off
+      val (bs, bOff, vecLocal, flat, dim) = finishVecBlocksF32(byBucket)
       Iterator.single(CombinedShard(shard, bs, bOff, vecLocal, flat, dim))
     }
   }
@@ -758,7 +815,7 @@ object ServingFusion {
          scala.collection.mutable.ArrayBuilder.ofDouble)]()
       val byBucket = scala.collection.mutable.LongMap
         .empty[(scala.collection.mutable.ArrayBuilder.ofInt,
-                scala.collection.mutable.ArrayBuffer[Array[Byte]])]
+                scala.collection.mutable.ArrayBuffer[(Array[Byte], Float)])]
       it.foreach { r =>
         ids += r.getLong(0)
         decB += r.getDouble(1)
@@ -766,9 +823,10 @@ object ServingFusion {
         if (!r.isNullAt(2) && !r.isNullAt(3)) {
           val e = byBucket.getOrElseUpdate(r.getLong(3),
             (new scala.collection.mutable.ArrayBuilder.ofInt,
-             scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]))
+             scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Float)]))
           e._1 += li
-          e._2 += Ivf.quantizeArray(r.getSeq[Float](2).toArray, absMax)
+          val q = Ivf.quantizeArray(r.getSeq[Float](2).toArray, absMax)
+          e._2 += ((q, Ivf.int8Norm(q)))
         }
         if (!r.isNullAt(4)) {
           r.getSeq[org.apache.spark.sql.Row](4).foreach { p =>
@@ -786,32 +844,8 @@ object ServingFusion {
       if (ids.isEmpty) Iterator.empty
       else {
         val shard = finishShard(ids.toArray, decB.toArray, byTok)
-        val bs = byBucket.keys.toArray.sorted
-        val locals = bs.map(b => byBucket(b)._1.result())
-        val codeBufs = bs.map(b => byBucket(b)._2)
-        val nVec = locals.map(_.length).sum
-        val dim = codeBufs.collectFirst {
-          case v if v.nonEmpty => v(0).length
-        }.getOrElse(0)
-        val bOff = new Array[Int](bs.length + 1)
-        val vecLocal = new Array[Int](nVec)
-        val codes = new Array[Byte](nVec * dim)
-        val norms = new Array[Float](nVec)
-        var b = 0
-        var off = 0
-        while (b < bs.length) {
-          bOff(b) = off
-          System.arraycopy(locals(b), 0, vecLocal, off, locals(b).length)
-          var r = 0
-          while (r < codeBufs(b).length) {
-            System.arraycopy(codeBufs(b)(r), 0, codes, (off + r) * dim, dim)
-            norms(off + r) = Ivf.int8Norm(codeBufs(b)(r))
-            r += 1
-          }
-          off += locals(b).length
-          b += 1
-        }
-        bOff(bs.length) = off
+        val (bs, bOff, vecLocal, codes, norms, dim) =
+          finishVecBlocksInt8(byBucket)
         Iterator.single(CombinedShardInt8(shard, bs, bOff, vecLocal, codes,
           norms, dim))
       }
@@ -1002,28 +1036,9 @@ object ServingFusion {
         if (ids.isEmpty) Iterator.empty
         else {
           val shard = finishShard(ids.toArray, decB.toArray, byTok)
-          val bs = byBucket.keys.toArray.sorted
-          val locals = bs.map(b => byBucket(b)._1.result())
-          val rowBufs = bs.map(b => byBucket(b)._2)
-          val nVec = locals.map(_.length).sum
-          val bOff = new Array[Int](bs.length + 1)
-          val vecLocal = new Array[Int](nVec)
-          val flat = new Array[Float](nVec * dim)
-          var b = 0
-          var off = 0
-          while (b < bs.length) {
-            bOff(b) = off
-            System.arraycopy(locals(b), 0, vecLocal, off, locals(b).length)
-            var r = 0
-            while (r < rowBufs(b).length) {
-              System.arraycopy(rowBufs(b)(r), 0, flat, (off + r) * dim, dim)
-              r += 1
-            }
-            off += locals(b).length
-            b += 1
-          }
-          bOff(bs.length) = off
-          Iterator.single(CombinedShard(shard, bs, bOff, vecLocal, flat, dim))
+          val (bs, bOff, vecLocal, flat, fDim) = finishVecBlocksF32(byBucket)
+          Iterator.single(CombinedShard(shard, bs, bOff, vecLocal, flat,
+            if (fDim > 0) fDim else dim))
         }
       }
     }
@@ -1080,31 +1095,10 @@ object ServingFusion {
         if (ids.isEmpty) Iterator.empty
         else {
           val shard = finishShard(ids.toArray, decB.toArray, byTok)
-          val bs = byBucket.keys.toArray.sorted
-          val locals = bs.map(b => byBucket(b)._1.result())
-          val rowBufs = bs.map(b => byBucket(b)._2)
-          val nVec = locals.map(_.length).sum
-          val bOff = new Array[Int](bs.length + 1)
-          val vecLocal = new Array[Int](nVec)
-          val codes = new Array[Byte](nVec * dim)
-          val norms = new Array[Float](nVec)
-          var b = 0
-          var off = 0
-          while (b < bs.length) {
-            bOff(b) = off
-            System.arraycopy(locals(b), 0, vecLocal, off, locals(b).length)
-            var r = 0
-            while (r < rowBufs(b).length) {
-              System.arraycopy(rowBufs(b)(r)._1, 0, codes, (off + r) * dim, dim)
-              norms(off + r) = rowBufs(b)(r)._2
-              r += 1
-            }
-            off += locals(b).length
-            b += 1
-          }
-          bOff(bs.length) = off
+          val (bs, bOff, vecLocal, codes, norms, iDim) =
+            finishVecBlocksInt8(byBucket)
           Iterator.single(CombinedShardInt8(shard, bs, bOff, vecLocal, codes,
-            norms, dim))
+            norms, if (iDim > 0) iDim else dim))
         }
       }
     }
@@ -1327,7 +1321,7 @@ object ServingFusion {
       index: org.apache.spark.rdd.RDD[CombinedShard],
       path: String,
       frozenStats: (Long, Double),
-      tokenDf: DataFrame): Unit = {
+      tokenDf: DataFrame): Long = {
     val spark = org.apache.spark.sql.SparkSession.active
     val maxId = maxIdOf(index.map(csh =>
       if (csh.text.ids.isEmpty) Long.MinValue else csh.text.ids.max))
@@ -1339,14 +1333,15 @@ object ServingFusion {
     spark.createDataFrame(Seq((frozenStats._1, frozenStats._2, maxId)))
       .toDF("total_docs", "avgdl", "max_id")
       .write.mode("overwrite").parquet(s"$path/meta")
+    maxId
   }
 
-  /** The snapshot's id watermark: max doc id across shards (MinValue for
-    * an empty index — every id is above it, so recovery filters nothing).
+  /** The snapshot's id watermark: max doc id across shards in ONE job
+    * (fold handles the empty index — MinValue, above which every id
+    * sits, so recovery filters nothing).
     */
   private def maxIdOf(perShard: org.apache.spark.rdd.RDD[Long]): Long =
-    if (perShard.isEmpty()) Long.MinValue
-    else perShard.reduce(math.max)
+    perShard.fold(Long.MinValue)(math.max)
 
   /** A restored [[saveCombined]] snapshot: the index plus every frozen
     * artifact appends need, and the snapshot's id watermark `maxId` — the
@@ -1398,7 +1393,7 @@ object ServingFusion {
       path: String,
       absMax: Double,
       frozenStats: (Long, Double),
-      tokenDf: DataFrame): Unit = {
+      tokenDf: DataFrame): Long = {
     val spark = org.apache.spark.sql.SparkSession.active
     val maxId = maxIdOf(index.map(csh =>
       if (csh.text.ids.isEmpty) Long.MinValue else csh.text.ids.max))
@@ -1411,6 +1406,7 @@ object ServingFusion {
         maxId)))
       .toDF("total_docs", "avgdl", "abs_max", "max_id")
       .write.mode("overwrite").parquet(s"$path/meta")
+    maxId
   }
 
   /** Restore a [[saveCombinedInt8]] snapshot. */
@@ -1425,75 +1421,60 @@ object ServingFusion {
     val docs = spark.read.parquet(s"$path/docs")
       .select(col("_id"), col("_dec"), col("_codes"), col("_norm"),
         col("_bucket"), col("_post"))
-    val ix = docMajor(docs, numShards).rdd.mapPartitions { it =>
-      val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
-      val decB = scala.collection.mutable.ArrayBuffer.empty[Double]
-      val byTok = new java.util.HashMap[String,
-        (scala.collection.mutable.ArrayBuilder.ofInt,
-         scala.collection.mutable.ArrayBuilder.ofDouble)]()
-      val byBucket = scala.collection.mutable.LongMap
-        .empty[(scala.collection.mutable.ArrayBuilder.ofInt,
-                scala.collection.mutable.ArrayBuffer[(Array[Byte], Float)])]
-      it.foreach { r =>
-        ids += r.getLong(0)
-        decB += r.getDouble(1)
-        val li = ids.length - 1
-        if (!r.isNullAt(2) && !r.isNullAt(4)) {
-          val e = byBucket.getOrElseUpdate(r.getLong(4),
-            (new scala.collection.mutable.ArrayBuilder.ofInt,
-             scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Float)]))
-          e._1 += li
-          e._2 += ((r.getAs[Array[Byte]](2), r.getFloat(3)))
-        }
-        if (!r.isNullAt(5)) {
-          r.getSeq[org.apache.spark.sql.Row](5).foreach { p =>
-            var e = byTok.get(p.getString(0))
-            if (e == null) {
-              e = (new scala.collection.mutable.ArrayBuilder.ofInt,
-                new scala.collection.mutable.ArrayBuilder.ofDouble)
-              byTok.put(p.getString(0), e)
-            }
-            e._1 += li
-            e._2 += p.getDouble(1)
-          }
-        }
+    LoadedCombinedInt8(
+      docMajor(docs, numShards).rdd.mapPartitions(assembleInt8Stored),
+      meta.getDouble(2), (meta.getLong(0), meta.getDouble(1)),
+      spark.read.parquet(s"$path/tokendf"), meta.getLong(3))
+  }
+
+  /** Assemble one partition of
+    * `(_id, _dec, _codes, _norm, _bucket, _post)` rows — the persisted
+    * int8 layout, positionally — into one [[CombinedShardInt8]]: codes
+    * and norms carried VERBATIM (never re-quantized), the int8 analogue
+    * of [[assembleF32]].
+    */
+  private def assembleInt8Stored(
+      it: Iterator[org.apache.spark.sql.Row]): Iterator[CombinedShardInt8] = {
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val decB = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val byTok = new java.util.HashMap[String,
+      (scala.collection.mutable.ArrayBuilder.ofInt,
+       scala.collection.mutable.ArrayBuilder.ofDouble)]()
+    val byBucket = scala.collection.mutable.LongMap
+      .empty[(scala.collection.mutable.ArrayBuilder.ofInt,
+              scala.collection.mutable.ArrayBuffer[(Array[Byte], Float)])]
+    it.foreach { r =>
+      ids += r.getLong(0)
+      decB += r.getDouble(1)
+      val li = ids.length - 1
+      if (!r.isNullAt(2) && !r.isNullAt(4)) {
+        val e = byBucket.getOrElseUpdate(r.getLong(4),
+          (new scala.collection.mutable.ArrayBuilder.ofInt,
+           scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Float)]))
+        e._1 += li
+        e._2 += ((r.getAs[Array[Byte]](2), r.getFloat(3)))
       }
-      if (ids.isEmpty) Iterator.empty
-      else {
-        val shard = finishShard(ids.toArray, decB.toArray, byTok)
-        val bs = byBucket.keys.toArray.sorted
-        val locals = bs.map(b => byBucket(b)._1.result())
-        val rowBufs = bs.map(b => byBucket(b)._2)
-        val nVec = locals.map(_.length).sum
-        val dim = rowBufs.collectFirst {
-          case v if v.nonEmpty => v(0)._1.length
-        }.getOrElse(0)
-        val bOff = new Array[Int](bs.length + 1)
-        val vecLocal = new Array[Int](nVec)
-        val codes = new Array[Byte](nVec * dim)
-        val norms = new Array[Float](nVec)
-        var b = 0
-        var off = 0
-        while (b < bs.length) {
-          bOff(b) = off
-          System.arraycopy(locals(b), 0, vecLocal, off, locals(b).length)
-          var r = 0
-          while (r < rowBufs(b).length) {
-            System.arraycopy(rowBufs(b)(r)._1, 0, codes, (off + r) * dim, dim)
-            norms(off + r) = rowBufs(b)(r)._2
-            r += 1
+      if (!r.isNullAt(5)) {
+        r.getSeq[org.apache.spark.sql.Row](5).foreach { p =>
+          var e = byTok.get(p.getString(0))
+          if (e == null) {
+            e = (new scala.collection.mutable.ArrayBuilder.ofInt,
+              new scala.collection.mutable.ArrayBuilder.ofDouble)
+            byTok.put(p.getString(0), e)
           }
-          off += locals(b).length
-          b += 1
+          e._1 += li
+          e._2 += p.getDouble(1)
         }
-        bOff(bs.length) = off
-        Iterator.single(CombinedShardInt8(shard, bs, bOff, vecLocal, codes,
-          norms, dim))
       }
     }
-    LoadedCombinedInt8(ix, meta.getDouble(2),
-      (meta.getLong(0), meta.getDouble(1)),
-      spark.read.parquet(s"$path/tokendf"), meta.getLong(3))
+    if (ids.isEmpty) Iterator.empty
+    else {
+      val shard = finishShard(ids.toArray, decB.toArray, byTok)
+      val (bs, bOff, vecLocal, codes, norms, dim) =
+        finishVecBlocksInt8(byBucket)
+      Iterator.single(CombinedShardInt8(shard, bs, bOff, vecLocal, codes,
+        norms, dim))
+    }
   }
 
   /** Per-partition partial for the combined pass: the text-leg

@@ -712,13 +712,23 @@ object Streams {
         }
         if (!redelivered) {
           idWatermark.foreach { w =>
-            val mm = b.agg(min(col(idCol).cast("long")),
-              max(col(idCol).cast("long"))).head()
+            val idL = col(idCol).cast("long")
+            val mm = b.agg(min(idL), max(idL), count(idL),
+              countDistinct(idL)).head()
+            require(!mm.isNullAt(0),
+              s"combinedIngest batch $batchId: every row's $idCol is null")
             require(mm.getLong(0) > w.get(),
               s"combinedIngest batch $batchId: id ${mm.getLong(0)} is <= the " +
                 s"served index's id watermark ${w.get()} — an id present in " +
                 "both would be scored twice (append-only segments; route " +
                 "updates through compaction)")
+            // The min-above-watermark check can't see a duplicate WITHIN
+            // the batch (an upstream producer retry) — that doc would be
+            // built into the segment twice and double-scored, the exact
+            // failure the guard exists for.
+            require(mm.getLong(2) == mm.getLong(3),
+              s"combinedIngest batch $batchId: duplicate ids within the " +
+                s"batch (${mm.getLong(2)} rows, ${mm.getLong(3)} distinct)")
             w.set(math.max(w.get(), mm.getLong(1)))
           }
           segmentLog.foreach { path =>
@@ -841,10 +851,11 @@ object Streams {
       : org.apache.spark.rdd.RDD[graft.search.ServingFusion.CombinedShardInt8] = {
     val tomb = tombRef.get()
     val ov = ovRef.get()
+    val old = ref.get()
     val compacted = graft.search.ServingFusion.compactCombinedInt8(
-      ref.get(), tomb, overridesArray(ov), numPartitions).cache()
+      old, tomb, overridesArray(ov), numPartitions).cache()
     compacted.count() // materialize BEFORE the swap
-    ref.set(compacted)
+    ref.updateAndGet(cur => rebaseUnion(cur, old, compacted))
     val tombSnap = tomb.toSet
     tombRef.updateAndGet(cur => cur.filterNot(tombSnap))
     ovRef.updateAndGet(cur => cur.filterNot { case (id, fv) =>
@@ -886,16 +897,29 @@ object Streams {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val ids = batch.select(col(idCol).cast("long")).distinct()
           .collect().map(_.getLong(0))
-        if (ids.nonEmpty) {
-          val merged = (ref.get().toSet ++ ids).toArray
-          java.util.Arrays.sort(merged)
-          ref.set(merged)
-        }
+        if (ids.nonEmpty) mergeTombstones(ref, ids)
         ()
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+
+  /** Atomic sorted-set union into a shared tombstone ref. The delete and
+    * upsert streams run on SEPARATE foreachBatch threads against ONE set
+    * (serving consults a single array), so a get-then-set merge would
+    * lose whichever write raced — `updateAndGet` retries the pure merge
+    * under CAS instead.
+    */
+  private def mergeTombstones(
+      ref: java.util.concurrent.atomic.AtomicReference[Array[Long]],
+      ids: Array[Long]): Unit = {
+    ref.updateAndGet { cur =>
+      val merged = (cur.toSet ++ ids).toArray
+      java.util.Arrays.sort(merged)
+      merged
+    }
+    ()
+  }
 
   /** Streaming METADATA-UPDATE ingest for combined serving — the decay
     * half of the reference's `VReinforce`/`VMETA` live mutation
@@ -936,14 +960,17 @@ object Streams {
           .collect()
           .map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2))))
         if (rows.nonEmpty) {
-          val merged = rows.foldLeft(ref.get()) { case (m, (id, fv)) =>
-            m.get(id) match {
-              case Some((f0, v0)) if v0 > fv._2 ||
-                  (v0 == fv._2 && f0 >= fv._1) => m
-              case _ => m.updated(id, fv)
+          // updateAndGet, not get-then-set: the override stream may share
+          // this ref with compaction's keyed clear on another thread.
+          ref.updateAndGet { cur =>
+            rows.foldLeft(cur) { case (m, (id, fv)) =>
+              m.get(id) match {
+                case Some((f0, v0)) if v0 > fv._2 ||
+                    (v0 == fv._2 && f0 >= fv._1) => m
+                case _ => m.updated(id, fv)
+              }
             }
           }
-          ref.set(merged)
         }
         ()
       }
@@ -1038,11 +1065,7 @@ object Streams {
       val replaced = b.filter(col(replacesCol).isNotNull)
         .select(col(replacesCol).cast("long")).distinct()
         .collect().map(_.getLong(0))
-      if (replaced.nonEmpty) {
-        val merged = (tombRef.get().toSet ++ replaced).toArray
-        java.util.Arrays.sort(merged)
-        tombRef.set(merged)
-      }
+      if (replaced.nonEmpty) mergeTombstones(tombRef, replaced)
       ingestCombinedBatch(b.drop(replacesCol), batchId, idCol, textCol,
         vecCol, cents, frozenStats, frozenTokenDf, ref,
         numShardsPerSegment, segmentLog, idWatermark)
@@ -1071,10 +1094,17 @@ object Streams {
       : org.apache.spark.rdd.RDD[graft.search.ServingFusion.CombinedShard] = {
     val tomb = tombRef.get()
     val ov = ovRef.get()
+    val old = ref.get()
     val compacted = graft.search.ServingFusion.compactCombined(
-      ref.get(), tomb, overridesArray(ov), numPartitions).cache()
+      old, tomb, overridesArray(ov), numPartitions).cache()
     compacted.count() // materialize BEFORE the swap
-    ref.set(compacted)
+    // Rebase, don't blindly set: ingest may have appended segments while
+    // the compact+materialize ran (the hook schedules compaction OFF the
+    // micro-batch thread) — a plain ref.set(compacted) would drop them
+    // from serving until a restart. rebaseUnion splices `compacted` in
+    // place of the snapshotted `old` inside whatever union chain ingest
+    // built on top of it, and updateAndGet retries under CAS.
+    ref.updateAndGet(cur => rebaseUnion(cur, old, compacted))
     val tombSnap = tomb.toSet
     tombRef.updateAndGet(cur => cur.filterNot(tombSnap))
     ovRef.updateAndGet(cur => cur.filterNot { case (id, fv) =>
@@ -1082,6 +1112,31 @@ object Streams {
     })
     compacted
   }
+
+  /** Replace `old` inside `cur`'s append-built union chain with `repl`,
+    * keeping every segment unioned on AFTER `old` was snapshotted. The
+    * chain shape is the ingest contract — `ref.set(ref.get().union(seg))`
+    * — i.e. a left-leaning chain of two-parent unions rooted at `old`;
+    * anything else means the ref was mutated by something other than
+    * segment appends while a compaction ran, which is a caller bug worth
+    * failing loudly over (quiesce non-append mutations during compaction).
+    */
+  private[streaming] def rebaseUnion[T](
+      cur: org.apache.spark.rdd.RDD[T],
+      old: org.apache.spark.rdd.RDD[T],
+      repl: org.apache.spark.rdd.RDD[T]): org.apache.spark.rdd.RDD[T] =
+    if (cur eq old) repl
+    else {
+      val parents = cur.dependencies.map(_.rdd)
+      require(parents.length == 2,
+        "compactCombinedServing: the served ref changed during compaction " +
+          "in a non-append way (expected a union chain rooted at the " +
+          "snapshotted index) — quiesce non-append mutations while a " +
+          "compaction runs")
+      rebaseUnion(parents(0).asInstanceOf[org.apache.spark.rdd.RDD[T]],
+        old, repl)
+        .union(parents(1).asInstanceOf[org.apache.spark.rdd.RDD[T]])
+    }
 
   /** Snapshot-then-truncate — the serving layer's AOF rewrite (SURVEY §2
     * S2+S3, reference `pkg/persistence/`: write the snapshot, THEN
@@ -1105,25 +1160,40 @@ object Streams {
       path: String,
       frozenStats: (Long, Double),
       tokenDf: DataFrame,
+      idCol: String,
       segmentLog: Option[String] = None): Int = {
-    graft.search.ServingFusion.saveCombined(index, path, frozenStats,
-      tokenDf)
-    segmentLog.map(truncateSegmentLog(tokenDf.sparkSession, _)).getOrElse(0)
+    val savedMaxId = graft.search.ServingFusion.saveCombined(index, path,
+      frozenStats, tokenDf)
+    segmentLog.map(truncateSegmentLog(tokenDf.sparkSession, _, idCol,
+      savedMaxId)).getOrElse(0)
   }
 
-  /** Drop every `batch=<id>/` directory of a segment log — ONLY valid
-    * once a snapshot carries their docs ([[snapshotCombined]] orders the
-    * two; calling this alone forfeits those batches on restart). Returns
-    * the number of batch directories removed.
+  /** Drop the segment log's COMPLETE batch directories whose docs the
+    * snapshot carries — every id in the batch at or below `upToId`, the
+    * value [[graft.search.ServingFusion.saveCombined]] just returned.
+    * The watermark condition matters under live ingest: a batch that
+    * landed AFTER the snapshotted index was captured has ids above the
+    * watermark and is NOT in the snapshot — deleting it (with its
+    * checkpoint entry already committed) would lose its docs forever.
+    * In-flight directories (no `_SUCCESS`) are never touched — deleting
+    * one would race its writer. Returns the number of batch directories
+    * removed; only valid through [[snapshotCombined]]'s ordering
+    * (snapshot first), calling it alone forfeits the batches on restart.
     */
-  def truncateSegmentLog(spark: SparkSession, segmentLog: String): Int = {
+  def truncateSegmentLog(spark: SparkSession, segmentLog: String,
+      idCol: String, upToId: Long): Int = {
     val root = new org.apache.hadoop.fs.Path(segmentLog)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return 0
-    val dirs = fs.listStatus(root).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
-    dirs.foreach(st => fs.delete(st.getPath, true))
-    dirs.size
+    var n = 0
+    completedLogBatches(spark, segmentLog).foreach { dir =>
+      val mx = spark.read.parquet(dir)
+        .agg(max(col(idCol).cast("long"))).head()
+      if (mx.isNullAt(0) || mx.getLong(0) <= upToId) {
+        fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+        n += 1
+      }
+    }
+    n
   }
 
   /** Pin `checkpoint` to one base build (ADVICE r16): writes

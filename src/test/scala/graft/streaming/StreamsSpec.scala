@@ -1263,24 +1263,77 @@ class StreamsSpec extends SparkSpec {
     val guardedIds = halfRewrite.flatMap(_.text.ids).collect()
     assert(guardedIds.length === guardedIds.distinct.length)
 
-    // Completed rewrite: truncate, restart = load + empty log + resumed
-    // ingest above the snapshot watermark.
+    // A batch lands AFTER the snapshot was captured (ids above its
+    // watermark): the truncate must SKIP it — its docs are not in the
+    // snapshot, and deleting it (checkpoint already committed) would
+    // lose them forever.
+    val lateDocs = (20L until 22L).map(doc).toDF("doc_id", "text", "embedding")
+    Streams.ingestCombinedBatch(lateDocs, batchId = 2L, "doc_id", "text",
+      "embedding", cents, frozen, tdf, ref,
+      numShardsPerSegment = 1, segmentLog = Some(log))
     assert(Streams.snapshotCombined(compacted, snapDir, frozen, tdf,
-      segmentLog = Some(log)) === 2)
-    assert(Streams.completedLogBatches(spark, log).isEmpty)
+      "doc_id", segmentLog = Some(log)) === 2,
+      "truncate must drop exactly the two snapshotted batches")
+    assert(Streams.completedLogBatches(spark, log).size === 1,
+      "the post-snapshot batch must survive the truncate")
+
+    // Restart = load + surviving log above the watermark + resumed ingest.
     val restarted = ServingFusion.loadCombined(spark, snapDir, numShards = 2)
-    val ref2 = new java.util.concurrent.atomic.AtomicReference(
-      Streams.recoverCombinedSegments(spark, log, "doc_id", "text",
-        "embedding", cents, restarted.frozenStats, restarted.tokenDf,
-        restarted.index, minIdExclusive = Some(restarted.maxId)))
-    assert(serve(ref2.get()) === served)
-    val moreDocs = (14L until 16L).map(doc).toDF("doc_id", "text", "embedding")
-    val wm = new java.util.concurrent.atomic.AtomicLong(restarted.maxId)
-    Streams.ingestCombinedBatch(moreDocs, batchId = 0L, "doc_id", "text",
+    val recoveredRestart = Streams.recoverCombinedSegments(spark, log,
+      "doc_id", "text", "embedding", cents, restarted.frozenStats,
+      restarted.tokenDf, restarted.index,
+      minIdExclusive = Some(restarted.maxId))
+    val restartIds = recoveredRestart.flatMap(_.text.ids).collect().sorted
+    assert(restartIds.toSeq ===
+      ((0L to 13L).filterNot(_ == 4L) ++ Seq(20L, 21L)),
+      "restart must serve snapshot docs + the surviving late batch, once each")
+    val ref2 = new java.util.concurrent.atomic.AtomicReference(recoveredRestart)
+    val moreDocs = (24L until 26L).map(doc).toDF("doc_id", "text", "embedding")
+    val wm = new java.util.concurrent.atomic.AtomicLong(21L)
+    Streams.ingestCombinedBatch(moreDocs, batchId = 3L, "doc_id", "text",
       "embedding", cents, restarted.frozenStats, restarted.tokenDf, ref2,
       numShardsPerSegment = 1, segmentLog = Some(log), idWatermark = Some(wm))
-    assert(wm.get() === 15L)
+    assert(wm.get() === 25L)
     assert(serve(ref2.get()).nonEmpty)
+
+    // rebaseUnion (the compaction swap under live ingest): segments
+    // appended AFTER the compaction snapshotted its input must survive
+    // the swap — the splice keeps them on top of the compacted base.
+    locally {
+      val old = ref2.get()
+      val seg = ServingFusion.buildCombined(
+        Seq(30L).toDF("doc_id"),
+        Bm25.postings(Seq((30L, "probe hash")).toDF("doc_id", "text"),
+          "doc_id", "text"),
+        "doc_id",
+        asg((30L until 31L).map(doc).toDF("doc_id", "text", "embedding")),
+        dec = None, numShards = 1, prebuiltTokenDf = Some(tdf),
+        frozenStats = Some(frozen))
+      val raced = old.union(seg) // ingest appended during the compact
+      val compacted2 = ServingFusion.compactCombined(old, numPartitions = 2)
+      val spliced = Streams.rebaseUnion(raced, old, compacted2)
+      assert(spliced.flatMap(_.text.ids).collect().sorted.toSeq ===
+        (old.flatMap(_.text.ids).collect() :+ 30L).sorted.toSeq,
+        "the raced segment must survive the compaction swap")
+      // A ref mutated in a non-append way fails loudly instead of
+      // silently dropping state.
+      val ex = intercept[IllegalArgumentException] {
+        Streams.rebaseUnion(compacted2, old, compacted2)
+      }
+      assert(ex.getMessage.contains("non-append"))
+    }
+
+    // Intra-batch duplicate ids fail the watermark guard loudly (a
+    // producer retry inside one micro-batch double-scores otherwise).
+    val dupDocs = Seq(doc(40L), doc(41L), doc(41L))
+      .toDF("doc_id", "text", "embedding")
+    val exDup = intercept[IllegalArgumentException] {
+      Streams.ingestCombinedBatch(dupDocs, batchId = 9L, "doc_id", "text",
+        "embedding", cents, frozen, tdf, ref2, numShardsPerSegment = 1,
+        segmentLog = None,
+        idWatermark = Some(new java.util.concurrent.atomic.AtomicLong(25L)))
+    }
+    assert(exDup.getMessage.contains("duplicate ids within"))
 
     base.unpersist(); tdf.unpersist()
   }
