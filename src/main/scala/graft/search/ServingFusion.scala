@@ -998,7 +998,7 @@ object ServingFusion {
       numPartitions: Int = 1): org.apache.spark.rdd.RDD[CombinedShard] = {
     val tomb = sortedTombstones(tombstones)
     val (ovI, ovD) = sortedOverrides(decOverrides)
-    index.coalesce(math.max(1, numPartitions)).mapPartitions { it =>
+    regroupShards(index, numPartitions).mapPartitions { it =>
       val shards = it.toArray
       if (shards.isEmpty) Iterator.empty
       else {
@@ -1056,7 +1056,7 @@ object ServingFusion {
       numPartitions: Int = 1): org.apache.spark.rdd.RDD[CombinedShardInt8] = {
     val tomb = sortedTombstones(tombstones)
     val (ovI, ovD) = sortedOverrides(decOverrides)
-    index.coalesce(math.max(1, numPartitions)).mapPartitions { it =>
+    regroupShards(index, numPartitions).mapPartitions { it =>
       val shards = it.toArray
       if (shards.isEmpty) Iterator.empty
       else {
@@ -1102,6 +1102,21 @@ object ServingFusion {
         }
       }
     }
+  }
+
+  /** Regroup whole shards into `numPartitions` partitions for the two
+    * compaction kernels. `coalesce` alone can only REDUCE partition count
+    * (ADVICE r17: asking for more shards than the union currently has
+    * silently yielded fewer) — growing needs the shuffle. Whole shard
+    * OBJECTS move, never doc rows, so the output shard count is
+    * min(numPartitions, input shards): a compaction cannot split one
+    * resident shard, only a fresh build chooses finer granularity.
+    */
+  private def regroupShards[S: scala.reflect.ClassTag](
+      index: org.apache.spark.rdd.RDD[S],
+      numPartitions: Int): org.apache.spark.rdd.RDD[S] = {
+    val n = math.max(1, numPartitions)
+    index.coalesce(n, shuffle = n > index.getNumPartitions)
   }
 
   /** Shared text-side vacuum+merge step for the two compaction kernels:
