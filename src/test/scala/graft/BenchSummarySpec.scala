@@ -77,7 +77,9 @@ class BenchSummarySpec extends AnyFunSuite {
     assert(picks.contains("glove100_int8") && picks.contains("sift1m_f16"))
     // The pick is the max-QPS point MEETING the bar, not the sweep's max-
     // recall point: check against the detail line's own glove100 sweep.
-    val pt = """\{"n_probe":(\d+),"qps":([0-9.]+),"recall_at_10":([0-9.]+)\}""".r
+    // `qps_min` (r18) is optional so both pre- and post-r18 artifacts parse.
+    val pt = ("""\{"n_probe":(\d+),"qps":([0-9.]+)(?:,"qps_min":[0-9.]+)?""" +
+      ""","recall_at_10":([0-9.]+)\}""").r
     val annIdx = detail.indexOf(""""ann":{"n"""")
     val sweepStart = detail.indexOf("\"ivf\":[", annIdx)
     val sweep = detail.substring(sweepStart, detail.indexOf("]", sweepStart))
