@@ -117,6 +117,30 @@ object Dedup {
       .select("id1", "id2").distinct()
   }
 
+  /** The full MinHash-LSH → exact-Jaccard chain with its two hot
+    * intermediates materialized ONCE (r19, guide §2.3/§2.4): the shingle
+    * set feeds the signature aggregation AND three consumers inside
+    * [[jaccardOnPairs]] (per-doc sizes + both sides of the intersection
+    * join), and the candidate-pair set feeds the intersection AND the
+    * final scoring join — without a checkpoint Catalyst re-evaluates the
+    * corpus scan + shingle kernel + explode per consumer (measured 4×
+    * on d11: four ~3 s scan stages in one query). Eager localCheckpoint,
+    * deliberately: AQE submits the independent consumer leaf stages
+    * concurrently, so a lazy checkpoint would still compute the shingle
+    * scan once per racing stage; one dedicated fully-parallel pass is
+    * strictly cheaper. At cluster scale swap for reliable checkpoints —
+    * the trade (one materialized shingle pass vs four recomputed corpus
+    * scans) only grows with corpus size.
+    */
+  def lshJaccard(df: DataFrame, idCol: String, textCol: String,
+      rowsPerBand: Int = 2, maxBucket: Int = Int.MaxValue,
+      numPerms: Int = 12): DataFrame = {
+    val sh = shingles(df, idCol, textCol).localCheckpoint()
+    val pairs = lshCandidatePairs(minhashSigs(sh, numPerms), rowsPerBand,
+      maxBucket).localCheckpoint()
+    jaccardOnPairs(pairs, sh)
+  }
+
   /** Exact n-gram Jaccard over a pair list: |A∩B| / |A∪B| via a shingle
     * join — only the candidate pairs are scored.
     */
@@ -256,10 +280,16 @@ object Dedup {
     * component = min id of the node's component. Nodes in no pair are not
     * emitted (callers left-join and coalesce to self).
     *
-    * Per round the new edge set is localCheckpoint'ed (eager): iterative
-    * plans otherwise nest lineage until analysis itself dominates. On a
-    * real cluster prefer `spark.sparkContext.setCheckpointDir` + reliable
-    * checkpoints every few rounds if executor loss matters mid-job.
+    * Per round the new edge set is localCheckpoint'ed LAZILY and the
+    * convergence checksum is the materializing action (r19, guide §1.2):
+    * the eager checkpoint ran one job to persist and the checksum a second
+    * over the same blocks — one full pass per round was pure overhead.
+    * Lineage truncation is unchanged (iterative plans otherwise nest until
+    * analysis itself dominates). Each round releases the previous round's
+    * checkpoint blocks — at corpus scale every round pins an edge-set-sized
+    * block set, and only the newest is ever read again. On a real cluster
+    * prefer `spark.sparkContext.setCheckpointDir` + reliable checkpoints
+    * every few rounds if executor loss matters mid-job.
     * Convergence is detected by an order-insensitive edge-set checksum
     * (count, xor of xxhash64(u,v), xor of xxhash64(v,u)) — xor commutes
     * and cannot overflow under ANSI arithmetic; a collision would need two
@@ -293,17 +323,34 @@ object Dedup {
       (r.getLong(0), r.getLong(1), r.getLong(2))
     }
 
-    var edges = dedupEdges(
+    // Lazy checkpoint + release handle: the checksum is the action that
+    // materializes the persisted blocks (RDD.localCheckpoint persists at
+    // mark time, so every later consumer reads the cache), and the handle
+    // releases exactly the RDDs this checkpoint registered — the same
+    // bookkeeping GraphOps.materializeLevel uses.
+    def ckpt(df: DataFrame): (DataFrame, () => Unit) = {
+      val sc = df.sparkSession.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val m = df.localCheckpoint(eager = false)
+      val added = sc.getPersistentRDDs.keySet -- before
+      (m, () => added.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(false))))
+    }
+    val init = ckpt(dedupEdges(
       pairs.select(col("id1").cast("long").as("u"),
-        col("id2").cast("long").as("v"))).localCheckpoint()
+        col("id2").cast("long").as("v"))))
+    var edges = init._1
+    var release = init._2
     var curSum = checksum(edges)
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val (next, nextRelease) = ckpt(smallStar(largeStar(edges)))
       val nextSum = checksum(next)
+      release() // previous round's blocks: no consumer left
       converged = nextSum == curSum
       edges = next
+      release = nextRelease
       curSum = nextSum
       it += 1
     }
@@ -393,8 +440,13 @@ object Dedup {
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, planes: Int = 8,
       maxBucket: Int = Int.MaxValue): DataFrame = {
+    // Materialized once (r19): the bucketed frame feeds both sides of the
+    // pair self-join, the centroid aggregation AND the member-similarity
+    // join — four evaluations of the embedding scan + bucket kernel
+    // without a checkpoint (same rationale as [[lshJaccard]]).
     val b = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .withColumn("bucket", hyperplaneBucket(col("v"), planes))
+      .localCheckpoint()
     val pairs = cosineNearDupsFromBuckets(b, threshold, maxBucket)
     val comp = connectedComponents(pairs.select(col("id1"), col("id2")))
     // Per-cluster centroid over ALL cluster members (not just duplicates),
@@ -505,10 +557,15 @@ object Dedup {
   def semDedupClustered(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, centroids: DataFrame,
       maxBucket: Int = Int.MaxValue): DataFrame = {
+    // Materialized once (r19): the assignment is a full corpus × centroid
+    // argmin — by far the chain's hottest subtree — and it feeds both
+    // sides of the pair self-join plus the member-similarity join (same
+    // rationale as [[lshJaccard]]).
     val b = graft.search.Ivf.assign(
         emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")),
         centroids, "id", "v")
       .select(col("id"), col("v"), col("bucket"))
+      .localCheckpoint()
     val pairs = cosineNearDupsFromBuckets(b, threshold, maxBucket)
     val comp = connectedComponents(pairs.select(col("id1"), col("id2")))
     val members = b.join(comp, Seq("id"))

@@ -100,9 +100,7 @@ object DedupQueries {
     // MinHash-LSH near-dup: 12 perms, 6 bands × 2 rows; candidates from
     // band-signature buckets only, then exact 3-gram Jaccard ≥ 0.5.
     "d2_minhash_lsh" -> ((s, dir) => {
-      val sh = Dedup.shingles(corpus(s, dir), "doc_id", "text")
-      val pairs = Dedup.lshCandidatePairs(Dedup.minhashSigs(sh))
-      Dedup.jaccardOnPairs(pairs, sh)
+      Dedup.lshJaccard(corpus(s, dir), "doc_id", "text")
         .filter(col("jaccard") >= 0.5)
         .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id1"), col("id2"))
@@ -118,9 +116,7 @@ object DedupQueries {
     // unique). Planted twins (+100000/+200000) inherit their original's
     // source via id % 100000.
     "d10_dup_matrix" -> ((s, dir) => {
-      val sh = Dedup.shingles(corpus(s, dir), "doc_id", "text")
-      val pairs = Dedup.lshCandidatePairs(Dedup.minhashSigs(sh))
-      val dup = Dedup.jaccardOnPairs(pairs, sh)
+      val dup = Dedup.lshJaccard(corpus(s, dir), "doc_id", "text")
         .filter(col("jaccard") >= 0.5)
         .select(col("id1"), col("id2"))
       val srcs = Tables.documents(s, dir)
@@ -192,9 +188,7 @@ object DedupQueries {
           lit("standard legal boilerplate footer appended to every page")
             .as("text"))
       val c = corpus(s, dir).unionByName(boiler)
-      val sh = Dedup.shingles(c, "doc_id", "text")
-      val pairs = Dedup.lshCandidatePairs(Dedup.minhashSigs(sh), maxBucket = 10)
-      Dedup.jaccardOnPairs(pairs, sh)
+      Dedup.lshJaccard(c, "doc_id", "text", maxBucket = 10)
         .filter(col("jaccard") >= 0.5)
         .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id1"), col("id2"))
@@ -287,9 +281,7 @@ object DedupQueries {
     // closure matters because A~B and B~C does not put A and C in the
     // same LSH bucket.
     "d8_dedup_components" -> ((s, dir) => {
-      val sh = Dedup.shingles(corpus(s, dir), "doc_id", "text")
-      val pairs = Dedup
-        .jaccardOnPairs(Dedup.lshCandidatePairs(Dedup.minhashSigs(sh)), sh)
+      val pairs = Dedup.lshJaccard(corpus(s, dir), "doc_id", "text")
         .filter(col("jaccard") >= 0.5)
         .select(col("id1"), col("id2"))
       Dedup.connectedComponents(pairs)
@@ -306,9 +298,7 @@ object DedupQueries {
     // keep-choice adds one map-side-partial aggregation.
     "d11_keep_best" -> ((s, dir) => {
       val c = corpus(s, dir)
-      val sh = Dedup.shingles(c, "doc_id", "text")
-      val pairs = Dedup
-        .jaccardOnPairs(Dedup.lshCandidatePairs(Dedup.minhashSigs(sh)), sh)
+      val pairs = Dedup.lshJaccard(c, "doc_id", "text")
         .filter(col("jaccard") >= 0.5)
         .select(col("id1"), col("id2"))
       val quality = c.select(col("doc_id"),
