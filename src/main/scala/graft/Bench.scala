@@ -206,8 +206,25 @@ object Bench {
       else if (args.isEmpty) qs0
       else qs0.filter { case (n, _) => args.contains(n) }
 
+    // Cross-query block hygiene (r19, guide §5): queries that checkpoint
+    // intermediates (CC rounds, the LSH chain, graph traversals) leave
+    // persisted blocks behind once their result is consumed; across 171
+    // queries × 3 passes the leftovers pile into heap pressure that
+    // inflates LATER queries (measured: s1_replay 11.4 s task-time in a
+    // fresh session vs 65.4 s late in a long one — same plan, same data).
+    // Dropping leftovers between timed runs keeps measurements
+    // independent; nothing here is reusable state (every rep builds new
+    // RDDs and recomputes from parquet). Runs OUTSIDE every timer, and
+    // only during the query section — the serving/ANN sections that
+    // follow own deliberately-resident caches.
+    def sweepBlocks(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+
     // Warmup: full pass, untimed (codegen + parquet footer caches + JIT).
-    qs.foreach { case (_, fn) => try execute(fn) catch { case _: Throwable => () } }
+    qs.foreach { case (_, fn) =>
+      try execute(fn) catch { case _: Throwable => () }
+      sweepBlocks()
+    }
 
     // Timed: min of SPARK_GRAFT_QUERY_REPS (default 2) full rounds,
     // INTERLEAVED (round-robin over all queries, then again) — same
@@ -226,6 +243,7 @@ object Bench {
       val ok = try { execute(fn); true } catch { case _: Throwable => false }
       if (ok) best(name) = math.min(best(name), (System.nanoTime() - t0) / 1e9)
       else crashed += name
+      sweepBlocks()
     }
     // Query-section implausibility re-measure (VERDICT r14 #4): min-of-2
     // survives a slow-host epoch covering both reps; the prior-round
@@ -238,7 +256,9 @@ object Bench {
         val t0 = System.nanoTime()
         try execute(fn)
         catch { case e: Throwable => crashed += name; throw e }
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        sweepBlocks()
+        t
       }
     // Slowest-in-artifact extra rep (VERDICT r15 #2, the d10 cosmetic):
     // a transient that is both > 2× its prior AND the slowest query lands
@@ -258,6 +278,7 @@ object Bench {
                      catch { case _: Throwable => crashed += slowName; false }
             if (ok) best(slowName) =
               math.min(best(slowName), (System.nanoTime() - t0) / 1e9)
+            sweepBlocks()
           }
       }
     }

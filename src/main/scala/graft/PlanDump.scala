@@ -87,16 +87,24 @@ object Profile {
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
+    // Same cross-query block hygiene as the bench's query section: drop
+    // leftover persisted blocks between queries so each profile is
+    // independent of how much state earlier queries leaked.
+    def sweepBlocks(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+
     args.foreach { name =>
       SparkEntry.queries.get(name) match {
         case None => System.err.println(s"[profile] unknown query $name")
         case Some(fn) =>
           run(fn) // warm: codegen + parquet footers
+          sweepBlocks()
           Thread.sleep(200)
           stages.clear(); jobs = 0
           val t0 = System.nanoTime()
           run(fn)
           val sec = (System.nanoTime() - t0) / 1e9
+          sweepBlocks()
           Thread.sleep(200)
           val snap = stages.toSeq
           println(f"== $name%s: $sec%.3f s, $jobs%d jobs, ${snap.size}%d stages, " +
