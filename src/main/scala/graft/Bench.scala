@@ -200,10 +200,14 @@ object Bench {
     val binaryOnly = args.sameElements(Array("binary"))
     // "l2" = ONLY the SIFT-1M squared-L2 section (family-tuning iteration).
     val l2Only = args.sameElements(Array("l2"))
+    // "queries" = the full 171-query section with the serving/ANN sections
+    // skipped — the optimization-round A/B iteration mode (a full run
+    // spends ~80% of its wall on the ANN sweeps).
+    val queriesOnly = args.sameElements(Array("queries"))
     val qs0 = SparkEntry.queries.toSeq.sortBy(_._1)
     val qs =
       if (annOnly || fusionOnly || binaryOnly || l2Only) Seq.empty
-      else if (args.isEmpty) qs0
+      else if (args.isEmpty || queriesOnly) qs0
       else qs0.filter { case (n, _) => args.contains(n) }
 
     // Cross-query block hygiene (r19, guide §5): queries that checkpoint

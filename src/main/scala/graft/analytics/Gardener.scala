@@ -365,19 +365,33 @@ object Gardener {
       .orderBy(col("in_degree").desc, col("root")).limit(maxEntities)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     val roots = rootRows.toDF("root", "in_degree")
-    val sym = edges.select(col("src").as("f"), col("dst").as("t"),
+    // Static prune (r19, guide §6/§2.3): every hop predicate demands
+    // created_at <= ts and every ts is at most now - min(offset), so edges
+    // newer than the latest snapshot can never join — drop them at the
+    // scan, before the symmetric doubling and the h2 shuffle.
+    val maxTs = now - offsets.map(_._2).min
+    val sym = edges.filter(col("created_at") <= maxTs)
+      .select(col("src").as("f"), col("dst").as("t"),
         col("created_at"), col("deleted_at"))
-      .unionByName(edges.select(col("dst").as("f"), col("src").as("t"),
-        col("created_at"), col("deleted_at")))
+      .unionByName(edges.filter(col("created_at") <= maxTs)
+        .select(col("dst").as("f"), col("src").as("t"),
+          col("created_at"), col("deleted_at")))
     val tsdim = offsets.map { case (lbl, off) => (lbl, now - off) }
       .toDF("snap", "ts")
     val rootsTs = broadcast(roots.crossJoin(tsdim))
     def hopActive(a: String): Column =
       col(s"$a.created_at") <= col("ts") &&
         (col(s"$a.deleted_at").isNull || col(s"$a.deleted_at") > col("ts"))
+    // h1 deduplicated per (root, snap, n) BEFORE the second hop (r19,
+    // guide §3.3): parallel edges (one per lineitem on this view) would
+    // otherwise multiply the h2 join fan-out edge-count × duplicate-count;
+    // the final count is over DISTINCT neighbors anyway, so the dedup is
+    // semantics-free and the h2 probe side shrinks to unique frontier
+    // nodes. ts rides along (functionally determined by snap).
     val h1 = rootsTs.join(sym.alias("s1"),
         col("s1.f") === col("root") && hopActive("s1"))
       .select(col("root"), col("snap"), col("ts"), col("s1.t").as("n"))
+      .distinct()
     val h2 = h1.join(sym.alias("s2"),
         col("s2.f") === col("n") && hopActive("s2"))
       .select(col("root"), col("snap"), col("ts"), col("s2.t").as("n"))

@@ -325,24 +325,27 @@ object GraphOps {
     }.persist()
 
     // Inline regime (see [[bfs]]): the frontier is a driver-side
-    // node → best-path-string map, looked up through a map literal; each
-    // level is one scan of the cached active projection. A single-source
-    // shortest-path always starts here (frontier = 1 node).
+    // node → best-path-string map; each level expands through a BROADCAST
+    // HASH JOIN against the (tiny, driver-resident) frontier. The r19
+    // rewrite: the previous shape looked paths up via element_at over an
+    // N-entry literal map, and Catalyst's GetMapValue scans map keys
+    // LINEARLY per row — a level with hundreds of frontier nodes cost
+    // O(frontier × edges) string compares over the cached active set
+    // (measured 9.6 s task time on g9). The hash join is the same lookup
+    // at O(1) per row and stays inside whole-stage codegen; no shuffle —
+    // the frontier side broadcasts, the active side streams from cache.
     def inlineExpand(frontier: Map[String, String]): DataFrame = {
-      val keys = frontier.keys.toSeq.sorted
-      def inF(c: Column) = c.isin(keys: _*)
-      val pmap = map(frontier.toSeq.sortBy(_._1)
-        .flatMap { case (n, p) => Seq(lit(n), lit(p)) }: _*)
-      def pick(hit: Column, emit: Column) =
-        when(inF(hit), struct(emit.as("node"),
-          concat(element_at(pmap, hit), lit("\t"), emit).as("pstr")))
-      val picks = direction match {
-        case "out" => array(pick(col("src"), col("dst")))
-        case "in"  => array(pick(col("dst"), col("src")))
-        case _     => array(pick(col("src"), col("dst")), pick(col("dst"), col("src")))
+      val f = broadcast(frontier.toSeq.sortBy(_._1).toDF("fnode", "fpstr"))
+      def hop(hit: Column, emit: Column): DataFrame =
+        active.join(f, hit === col("fnode"))
+          .select(emit.as("node"),
+            concat(col("fpstr"), lit("\t"), emit).as("pstr"))
+      direction match {
+        case "out" => hop(col("src"), col("dst"))
+        case "in"  => hop(col("dst"), col("src"))
+        case _     => hop(col("src"), col("dst"))
+          .unionAll(hop(col("dst"), col("src")))
       }
-      active.select(explode(filter(picks, x => x.isNotNull)).as("e"))
-        .select(col("e.node").as("node"), col("e.pstr").as("pstr"))
     }
 
     var inlineLevels = List.empty[(Seq[(String, String)], Int)]

@@ -114,9 +114,17 @@ object Fusion {
       allowList.fold(df)(a => df.join(a.select(col(idCol)), Seq(idCol), "left_semi"))
 
     def textScored(): DataFrame = {
+      // Ad-hoc postings materialized ONCE (r19, guide §2.4): searchPostings
+      // consumes its postings three ways (doc lengths, query-token df, the
+      // scoring join) and maxNormalized doubles the whole text subtree —
+      // without a checkpoint the analyze/stem corpus scan was re-inlined
+      // up to 6× per query (measured: 58 parquet scans in one h1 plan,
+      // zero ReusedExchange). Deployments pass prebuiltPostings and skip
+      // this entirely.
       val scored = Bm25.searchPostings(
         table.select(col(idCol)),
-        prebuiltPostings.getOrElse(Bm25.postings(table, idCol, textCol, params.lang)),
+        prebuiltPostings.getOrElse(
+          Bm25.postings(table, idCol, textCol, params.lang).localCheckpoint()),
         idCol, qTokens)
       val metaFiltered = filter match {
         case Some(pred) =>
@@ -190,7 +198,12 @@ object Fusion {
       else if (qTokens.isEmpty)
         vecScores.withColumn("fused", lit(alpha) * col("vscore"))
       else {
-        val textScores = Bm25.maxNormalized(textScored()).withColumnRenamed("score", "tscore")
+        // Raw hit-set scores materialized before max-normalization: the
+        // normalizer's max-aggregate and the fused join would otherwise
+        // each re-run the whole text branch (the batch path's
+        // prebuiltTextScores contract, applied to the single-query path).
+        val textScores = Bm25.maxNormalized(textScored().localCheckpoint())
+          .withColumnRenamed("score", "tscore")
         vecScores.join(textScores, Seq(idCol), "full_outer")
           .withColumn("fused",
             lit(alpha) * coalesce(col("vscore"), lit(0.0)) +
@@ -321,9 +334,16 @@ object Fusion {
       val qTokens = graft.text.Analyzer
         .tokensDF(queries.select(col("qid"), col("qtext")), "qtext", params.lang)
         .groupBy(col("qid"), col("token")).agg(count(lit(1)).as("qn"))
+      // Ad-hoc postings + batch scores materialized ONCE (r19): the fused
+      // plan consumes the hit set several times (per-query max, top-k
+      // prune, fused join) and searchPostingsBatch consumes its postings
+      // three ways — this is exactly the prebuiltTextScores persistence
+      // the docstring asks serving callers for, applied to the ad-hoc
+      // path (measured: 140 parquet scans in the h1_fusion_batch plan).
       val post = prebuiltPostings.getOrElse(
-        Bm25.postings(table, idCol, textCol, params.lang))
+        Bm25.postings(table, idCol, textCol, params.lang).localCheckpoint())
       Bm25.searchPostingsBatch(table.select(col(idCol)), post, idCol, qTokens)
+        .localCheckpoint()
     }))
     // Per-query max-normalization (normalizeTextScores, search_utils.go:55)
     // via groupBy + broadcast join back: the partial aggregation collapses

@@ -79,23 +79,53 @@ object Mmr {
       .select(col("qid"), explode(col("_tk")).as("_e"))
       .select(col("qid"), col("_e.id").as("id"),
         (-col("_e.distance")).as("score"))
-    var selected = pick(candC.withColumn("score", lam * col("rel")))
-      .withColumn("rank", lit(1L))
-      .localCheckpoint(true)
+    // The selection state (one row per query per round, ids + scores only)
+    // lives on the DRIVER between rounds (r19): a per-round eager
+    // checkpoint of the growing `selected` union cost one materialization
+    // job per round plus re-shuffled anti-joins, and v25/v26 ran 53-57
+    // driver-latency-bound jobs for a 4-query batch. The pool contract
+    // already bounds this state (per-query pools are argmax-reduced to ONE
+    // row per round; the batch is driver-bounded like every serving
+    // batch), so each round is now one collect of the per-query argmax,
+    // and the anti-join/sim joins probe a BROADCAST local relation — no
+    // shuffle, no checkpoint, no lineage growth. Scores are unchanged:
+    // the distributed aggregations (pick, per-round max-sim) are the same
+    // expressions over the same checkpointed pool.
+    val spark = candC.sparkSession
+    val qidField = candC.schema("qid")
+    val selSchema = org.apache.spark.sql.types.StructType(Seq(
+      qidField.copy(name = "qid"),
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    def collectRound(df: DataFrame): Array[org.apache.spark.sql.Row] =
+      df.select(col("qid"), col("id"), col("score")).collect()
+    def localDF(rows: Seq[org.apache.spark.sql.Row]): DataFrame =
+      spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), selSchema)
+    val rounds = scala.collection.mutable.ArrayBuffer(
+      collectRound(pick(candC.withColumn("score", lam * col("rel")))))
     for (j <- 2 to k) {
-      val prev = selected.select(col("qid"), col("id"))
+      val prev = broadcast(localDF(rounds.flatten.toSeq))
       val ms = candC
-        .join(prev, Seq("qid", "id"), "left_anti")
+        .join(prev.select(col("qid"), col("id")), Seq("qid", "id"), "left_anti")
         .join(sims, Seq("qid", "id"))
         .join(prev.select(col("qid"), col("id").as("sid")), Seq("qid", "sid"))
         .groupBy(col("qid"), col("id"))
         .agg(first(col("rel")).as("rel"), max(col("sim")).as("ms"))
-      val nxt = pick(ms.withColumn("score",
-          lam * col("rel") - oneMinusLam * col("ms")))
-        .withColumn("rank", lit(j.toLong))
-      selected = selected.unionByName(nxt).localCheckpoint(true)
+      rounds += collectRound(pick(ms.withColumn("score",
+        lam * col("rel") - oneMinusLam * col("ms"))))
     }
-    selected.select(col("qid"), col("rank"), col("id"), col("score"))
+    val out = rounds.zipWithIndex.flatMap { case (rows, i) =>
+      rows.map(r => org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2),
+        i + 1L))
+    }
+    spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(out.toSeq: _*)),
+        selSchema.add("rank", org.apache.spark.sql.types.LongType,
+          nullable = false))
+      .select(col("qid"), col("rank"), col("id"), col("score"))
   }
 
   /** The greedy chain of [[select]] as plain driver math over ONE query's

@@ -58,8 +58,11 @@ object Bm25 {
     */
   def search(docs: DataFrame, idCol: String, textCol: String, queryText: String,
              lang: String = "english", limit: Int = Int.MaxValue): DataFrame =
+    // Postings materialized once (r19): [[searchPostings]] consumes them
+    // three ways (doc lengths, query-token df, the scoring join) — without
+    // a checkpoint the analyze/stem corpus scan re-inlines per consumer.
     searchPostings(docs.select(col(idCol)),
-      postings(docs, idCol, textCol, lang), idCol,
+      postings(docs, idCol, textCol, lang).localCheckpoint(), idCol,
       Analyzer.analyze(queryText, lang), limit)
 
   /** BM25 over pre-built postings — the deployment entry point (postings
