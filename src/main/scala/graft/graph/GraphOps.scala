@@ -173,25 +173,36 @@ object GraphOps {
     require(maxDepth <= 10, "depth cap")
     val spark = edges.sparkSession
     import spark.implicits._
-    // Cache the (src, dst) projection once — NOT a both-directions union:
-    // doubling a 100 TB table to avoid a second join is the wrong trade.
+    // The (src, dst) projection — NOT a both-directions union: doubling a
+    // 100 TB table to avoid a second join is the wrong trade. NOT cached
+    // for the inline regime (r19): a shallow traversal touches it ≤
+    // 2·maxDepth times, and building + reading the columnar cache
+    // measured SLOWER per level than re-scanning the column-pruned
+    // parquet (~1.6 s vs ~0.25 s per pass on the sf0.1 edge view); the
+    // distributed regime below persists it before its join-per-level
+    // loop, where executor-local reuse does pay.
     val active = {
       val a = edges.filter(activeAt(atTime))
       (if (rels.isEmpty) a else a.filter(col("rel").isin(rels: _*)))
         .select(col("src"), col("dst"))
-    }.persist()
+    }
 
-    // One-scan inline expansion: a row emits dst when src is in the
-    // frontier set and/or src when dst is (direction-dependent).
+    // Inline expansion through a BROADCAST HASH JOIN against the (tiny,
+    // driver-resident) frontier (r19): the previous when/isin/explode
+    // shape evaluated two InSet probes plus an array build per cached
+    // edge row per level — the join is one hash probe per row, stays in
+    // whole-stage codegen, and needs no explode. No shuffle: the frontier
+    // broadcasts, the active side streams from cache.
     def inlineExpand(frontier: Seq[String]): DataFrame = {
-      def inF(c: Column) = c.isin(frontier: _*)
-      val picks = direction match {
-        case "out" => array(when(inF(col("src")), col("dst")))
-        case "in"  => array(when(inF(col("dst")), col("src")))
-        case _     => array(when(inF(col("src")), col("dst")),
-          when(inF(col("dst")), col("src")))
+      val f = broadcast(frontier.toDF("fnode"))
+      def hop(hit: Column, emit: Column): DataFrame =
+        active.join(f, hit === col("fnode")).select(emit.as("node"))
+      direction match {
+        case "out" => hop(col("src"), col("dst"))
+        case "in"  => hop(col("dst"), col("src"))
+        case _     => hop(col("src"), col("dst"))
+          .unionAll(hop(col("dst"), col("src")))
       }
-      active.select(explode(filter(picks, x => x.isNotNull)).as("node"))
     }
 
     // Inline regime. Roots beyond the limit go straight to distributed.
@@ -223,8 +234,9 @@ object GraphOps {
       .map { case (ns, dep) => ns.toDF("node").select(col("node"), lit(dep).as("depth")) }
       .reduce(_ unionAll _)
     if (!overflow)
-      return Traversal(inlineVisited, () => active.unpersist(blocking = false))
+      return Traversal(inlineVisited, () => ())
 
+    active.persist()
     // Distributed regime, seeded with whatever the inline phase covered
     // (re-expands the level that overflowed). Broadcasts auto-degrade:
     // a side is only broadcast while its known row count stays under
@@ -318,11 +330,13 @@ object GraphOps {
     require(maxDepth <= 6, "depth cap")
     val spark = edges.sparkSession
     import spark.implicits._
+    // Uncached for the inline regime, persisted on overflow — same
+    // rationale as [[bfsT]] (r19).
     val active = {
       val a = edges.filter(activeAt(atTime))
       (if (rels.isEmpty) a else a.filter(col("rel").isin(rels: _*)))
         .select(col("src"), col("dst"))
-    }.persist()
+    }
 
     // Inline regime (see [[bfs]]): the frontier is a driver-side
     // node → best-path-string map; each level expands through a BROADCAST
@@ -379,8 +393,9 @@ object GraphOps {
       Traversal(bestDF.withColumn("path", split(col("pstr"), "\t")).drop("pstr"),
         release)
     if (!overflow)
-      return finish(inlineBest, () => active.unpersist(blocking = false))
+      return finish(inlineBest, () => ())
 
+    active.persist()
     // Distributed regime, seeded with the inline-covered prefix; re-expands
     // the level that overflowed. Tie-break stays a map-side min over path
     // strings (see Scaladoc).

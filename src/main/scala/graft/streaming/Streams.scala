@@ -960,34 +960,40 @@ object Streams {
       compactionThreshold: Int = 0,
       onCompactionNeeded: () => Unit = () => (),
       maxTombstones: Int = 0)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // Hook arming (r19, ADVICE r18): the old crossing test
+    // (`before < threshold && merged >= threshold`) never fired when the
+    // set entered the over-threshold state through another path — the
+    // upsert stream's mergeTombstones or recovery's foldLoggedReplaces —
+    // leaving only the hard cap's batch failure. The armed flag fires
+    // once whenever a merge lands at/above the threshold and re-arms when
+    // the set drops below it (compaction clears the set).
+    val hookArmed = new java.util.concurrent.atomic.AtomicBoolean(true)
     deletes.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val ids = batch.select(col(idCol).cast("long")).distinct()
           .collect().map(_.getLong(0))
         if (ids.nonEmpty) {
-          val before = ref.get().length
-          if (maxTombstones > 0) {
-            // Exact union size, so an idempotent re-delivery of already-
-            // merged ids never trips the cap after a compaction.
-            val after = (ref.get().toSet ++ ids).size
-            require(after <= maxTombstones,
-              s"tombstoneIngest: merging ${ids.length} deletes into $before " +
-                s"live tombstones would grow the set to $after, over the " +
-                s"cap $maxTombstones — compact the served index " +
-                "(compactCombinedServing) to flush the set, then resume " +
-                "the delete stream")
+          // Cap enforced INSIDE the CAS merge (r19, ADVICE r18): the old
+          // get-then-require raced the upsert stream's merges (two writers
+          // could both pass the check and jointly overshoot) and a
+          // concurrent compaction clear could spuriously fail a batch
+          // against a stale pre-clear size. Throwing from the update
+          // function aborts updateAndGet with nothing committed, so the
+          // cap is an invariant of the set, not a guard around it.
+          val merged = mergeTombstones(ref, ids, maxTombstones)
+          if (compactionThreshold > 0) {
+            if (merged.length >= compactionThreshold) {
+              if (hookArmed.compareAndSet(true, false)) onCompactionNeeded()
+            } else hookArmed.set(true)
           }
-          val merged = mergeTombstones(ref, ids)
-          if (compactionThreshold > 0 && before < compactionThreshold &&
-              merged.length >= compactionThreshold)
-            onCompactionNeeded()
         }
         ()
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+  }
 
   /** Atomic sorted-set union into a shared tombstone ref. The delete and
     * upsert streams run on SEPARATE foreachBatch threads against ONE set
@@ -995,11 +1001,20 @@ object Streams {
     * lose whichever write raced — `updateAndGet` retries the pure merge
     * under CAS instead.
     */
+  /** @param cap fail the merge (no mutation committed) when the EXACT
+    *   union size would exceed it — an idempotent re-delivery of already-
+    *   merged ids never trips it. 0 = uncapped.
+    */
   private[streaming] def mergeTombstones(
       ref: java.util.concurrent.atomic.AtomicReference[Array[Long]],
-      ids: Array[Long]): Array[Long] =
+      ids: Array[Long], cap: Int = 0): Array[Long] =
     ref.updateAndGet { cur =>
       val merged = (cur.toSet ++ ids).toArray
+      require(cap <= 0 || merged.length <= cap,
+        s"tombstone merge would grow the set from ${cur.length} to " +
+          s"${merged.length}, over the cap $cap — compact the served index " +
+          "(compactCombinedServing) to flush the set, then resume the " +
+          "delete stream")
       java.util.Arrays.sort(merged)
       merged
     }
@@ -1042,7 +1057,10 @@ object Streams {
       compactionThreshold: Int = 0,
       onCompactionNeeded: () => Unit = () => (),
       maxOverrides: Int = 0)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // Armed hook + cap-inside-CAS, mirrored from [[tombstoneIngest]]
+    // (r19, ADVICE r18 — same two races, same fixes).
+    val hookArmed = new java.util.concurrent.atomic.AtomicBoolean(true)
     updates.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val rows = batch.select(col(idCol).cast("long"),
@@ -1050,35 +1068,39 @@ object Streams {
           .collect()
           .map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2))))
         if (rows.nonEmpty) {
-          val before = ref.get().size
-          if (maxOverrides > 0) {
-            val after = (ref.get().keySet ++ rows.iterator.map(_._1)).size
-            require(after <= maxOverrides,
-              s"decayOverrideIngest: merging ${rows.length} updates into " +
-                s"$before live overrides would grow the map to $after, over " +
-                s"the cap $maxOverrides — compact the served index to bake " +
-                "the factors in, then resume the update stream")
-          }
           // updateAndGet, not get-then-set: the override stream may share
-          // this ref with compaction's keyed clear on another thread.
+          // this ref with compaction's keyed clear on another thread. The
+          // cap check lives INSIDE the update function so check and
+          // mutation see one snapshot; a violating merge aborts with
+          // nothing committed.
           val merged = ref.updateAndGet { cur =>
-            rows.foldLeft(cur) { case (m, (id, fv)) =>
-              m.get(id) match {
+            val m = rows.foldLeft(cur) { case (m0, (id, fv)) =>
+              m0.get(id) match {
                 case Some((f0, v0)) if v0 > fv._2 ||
-                    (v0 == fv._2 && f0 >= fv._1) => m
-                case _ => m.updated(id, fv)
+                    (v0 == fv._2 && f0 >= fv._1) => m0
+                case _ => m0.updated(id, fv)
               }
             }
+            require(maxOverrides <= 0 || m.size <= maxOverrides,
+              s"decayOverrideIngest: merging ${rows.length} updates into " +
+                s"${cur.size} live overrides would grow the map to " +
+                s"${m.size}, over the cap $maxOverrides — compact the " +
+                "served index to bake the factors in, then resume the " +
+                "update stream")
+            m
           }
-          if (compactionThreshold > 0 && before < compactionThreshold &&
-              merged.size >= compactionThreshold)
-            onCompactionNeeded()
+          if (compactionThreshold > 0) {
+            if (merged.size >= compactionThreshold) {
+              if (hookArmed.compareAndSet(true, false)) onCompactionNeeded()
+            } else hookArmed.set(true)
+          }
         }
         ()
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+  }
 
   /** The serving kernels' `decOverrides` view of an override map —
     * versions stripped, one (id, factor) per entry.
@@ -1398,9 +1420,16 @@ object Streams {
     if (dirs.isEmpty) return 0
     val root = new org.apache.hadoop.fs.Path(segmentLog)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val maxByBatch = spark.read.parquet(dirs: _*)
+    // Batch id from the LAST `batch=` path component (the file's parent
+    // dir), matching the directory side's lastIndexOf parse — anchoring
+    // on the first match mis-bucketed every file when the log ROOT path
+    // itself contained a `batch=<n>` component (ADVICE r18). mergeSchema
+    // mirrors loggedAboveWatermark: the same mixed-schema logs flow
+    // through both readers (only idCol is read today; the symmetry keeps
+    // a wider future read safe).
+    val maxByBatch = spark.read.option("mergeSchema", "true").parquet(dirs: _*)
       .select(
-        regexp_extract(input_file_name(), "batch=(\\d+)", 1)
+        regexp_extract(input_file_name(), "batch=(\\d+)/[^/]*$", 1)
           .cast("long").as("_batch"),
         col(idCol).cast("long").as("_id"))
       .groupBy(col("_batch")).agg(max(col("_id")).as("_mx"))
@@ -1414,11 +1443,17 @@ object Streams {
     dirs.foreach { dir =>
       val bid = dir.substring(dir.lastIndexOf("batch=") + "batch=".length)
         .toLong
-      maxByBatch.get(bid).flatten match {
-        case Some(mx) if mx <= upToId =>
+      maxByBatch.get(bid) match {
+        case Some(Some(mx)) if mx <= upToId =>
           fs.delete(new org.apache.hadoop.fs.Path(dir), true)
           n += 1
-        case _ => () // null/absent max id, or ids above the watermark
+        // A COMPLETE batch dir with zero rows contributes no docs and is
+        // deletable — the grouped scan yields it no row, and the old
+        // match skipped it forever (ADVICE r18).
+        case None =>
+          fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+          n += 1
+        case _ => () // null max id, or ids above the watermark — keep
       }
     }
     n
@@ -1484,13 +1519,14 @@ object Streams {
       numShards: Int = 1,
       minIdExclusive: Option[Long] = None,
       tombRef: Option[java.util.concurrent.atomic.AtomicReference[Array[Long]]]
-        = None)
+        = None,
+      maxReplaces: Int = 0)
       : org.apache.spark.rdd.RDD[graft.search.ServingFusion.CombinedShard] = {
     val loggedOpt = loggedAboveWatermark(spark, segmentLog, idCol,
       minIdExclusive)
     if (loggedOpt.isEmpty) return base
     val logged = loggedOpt.get
-    foldLoggedReplaces(logged, tombRef)
+    foldLoggedReplaces(logged, tombRef, maxReplaces)
     if (logged.isEmpty) return base
     val (ids, post, assigned) = segmentFrames(logged, idCol, textCol,
       vecCol, cents)
@@ -1531,14 +1567,26 @@ object Streams {
     * (pre-upsert logs) = nothing to fold.
     */
   private def foldLoggedReplaces(logged: DataFrame,
-      tombRef: Option[java.util.concurrent.atomic.AtomicReference[Array[Long]]])
-      : Unit =
+      tombRef: Option[java.util.concurrent.atomic.AtomicReference[Array[Long]]],
+      cap: Int = 0): Unit =
     tombRef.foreach { tr =>
       if (logged.columns.contains("graft_replaces")) {
-        val rep = logged.filter(col("graft_replaces").isNotNull)
+        val repDf = logged.filter(col("graft_replaces").isNotNull)
           .select(col("graft_replaces").cast("long")).distinct()
-          .collect().map(_.getLong(0))
-        if (rep.nonEmpty) { mergeTombstones(tr, rep); () }
+        // Bounded recovery (r19, VERDICT r18 #4): a caller that never
+        // snapshots accumulates replaced ids without bound, and this
+        // collect would OOM the driver silently. Count first and fail
+        // loudly over the same cap the live delete path enforces.
+        if (cap > 0) {
+          val n = repDf.count()
+          require(n <= cap,
+            s"recovery would fold $n replaced ids into the tombstone set, " +
+              s"over the cap $cap — snapshot/compact the served index " +
+              "before restarting (snapshotCombined's compact-first " +
+              "contract applies the log's replaces and truncates it)")
+        }
+        val rep = repDf.collect().map(_.getLong(0))
+        if (rep.nonEmpty) { mergeTombstones(tr, rep, cap); () }
       }
     }
 

@@ -1717,4 +1717,121 @@ class StreamsSpec extends SparkSpec {
       "null-max and above-watermark batches must survive — their rows " +
         "are not carried by the snapshot")
   }
+
+  test("tombstone cap is a CAS invariant under two concurrent writers (r19)") {
+    // Two writers race disjoint merges into one capped set: whatever the
+    // interleaving, the set must NEVER exceed the cap — exactly one merge
+    // commits and the other fails loudly with nothing committed (the old
+    // get-then-require outside the CAS let both pass and jointly
+    // overshoot). 50 rounds of real threads through a start barrier.
+    for (round <- 1 to 50) {
+      val ref = new java.util.concurrent.atomic.AtomicReference(Array(1L, 2L))
+      val cap = 3
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+      val ts = Seq(Array(10L + round), Array(20L + round)).map { ids =>
+        new Thread(() => {
+          barrier.await()
+          try { Streams.mergeTombstones(ref, ids, cap); () }
+          catch { case _: IllegalArgumentException =>
+            failures.incrementAndGet(); () }
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+      assert(ref.get().length <= cap,
+        s"round $round: the set exceeded the cap under a two-writer race")
+      assert(failures.get() === 1,
+        s"round $round: exactly one of the two over-cap merges must fail")
+      assert(ref.get().length === cap)
+    }
+  }
+
+  test("compaction hook fires when the set entered over-threshold through " +
+      "another path (r19, ADVICE r18)") {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType)))
+    val src = tempDir("tomb-armed-src")
+    Seq(100L).toDF("doc_id").coalesce(1).write.mode("append").parquet(src)
+    // The set is ALREADY past the threshold at stream start (an upsert
+    // stream or recovery fold put it there): the old crossing test
+    // (`before < threshold`) never fired; the armed hook fires on the
+    // first merge that observes the state.
+    val ref = new java.util.concurrent.atomic.AtomicReference(
+      Array(1L, 2L, 3L, 4L))
+    val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = Streams.tombstoneIngest(
+      spark.readStream.schema(schema).parquet(src),
+      "doc_id", ref, tempDir("tomb-armed-cp"),
+      compactionThreshold = 3, onCompactionNeeded = () => {
+        fired.incrementAndGet(); ()
+      })
+    q.awaitTermination(120000)
+    assert(ref.get().length === 5)
+    assert(fired.get() === 1,
+      "a merge observing an already-over-threshold set must fire the hook")
+  }
+
+  test("truncateSegmentLog deletes a complete-but-empty batch (r19)") {
+    import spark.implicits._
+    val log = tempDir("trunc-empty-log")
+    Seq.empty[Long].toDF("doc_id")
+      .withColumn("text", lit("x")).withColumn("embedding", array(lit(0.1f)))
+      .write.parquet(s"$log/batch=0")
+    Seq(50L).toDF("doc_id")
+      .withColumn("text", lit("x")).withColumn("embedding", array(lit(0.1f)))
+      .write.parquet(s"$log/batch=1")
+    assert(Streams.truncateSegmentLog(spark, log, "doc_id", upToId = 10L)
+      === 1, "the zero-row complete batch contributes no docs and must go")
+    assert(Streams.completedLogBatches(spark, log)
+      .map(_.split('/').last) === Seq("batch=1"))
+  }
+
+  test("recovery fails loudly when folded replaces exceed the cap (r19)") {
+    import graft.search.{Ivf, ServingFusion}
+    import graft.text.Bm25
+    import spark.implicits._
+    val baseDocs = (0L until 6L).map(i =>
+        (i, s"alpha beta w$i", Array.tabulate(4)(j =>
+          (math.sin(i * (j + 1)) + 1.5).toFloat)))
+      .toDF("doc_id", "text", "embedding")
+    def vecs(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id").cast("long").as("id"),
+        col("embedding").cast("array<float>").as("vector"))
+    val cents = Ivf.trainKMeansArrays(vecs(baseDocs), 2, iters = 1)
+    val post = Bm25.postings(baseDocs, "doc_id", "text")
+    val frozen = Bm25.corpusStats(Bm25.docLengthsFromPostings(
+      baseDocs.select(col("doc_id")), post, "doc_id"))
+    val tdf = Bm25.tokenDf(post)
+    val base = ServingFusion.buildCombined(
+      baseDocs.select(col("doc_id")), post, "doc_id",
+      Ivf.assignFast(vecs(baseDocs), cents)
+        .select(col("id").as("doc_id"), col("vector"), col("bucket")),
+      numShards = 1, prebuiltTokenDf = Some(tdf), frozenStats = Some(frozen))
+    // A logged batch whose upserts superseded 3 docs; cap 2 must fail the
+    // recovery BEFORE collecting the fold onto the driver.
+    val log = tempDir("recover-capped-log")
+    Seq((10L, Some(0L)), (11L, Some(1L)), (12L, Some(2L)))
+      .toDF("doc_id", "graft_replaces")
+      .withColumn("text", lit("alpha beta"))
+      .withColumn("embedding", array(lit(0.1f), lit(0.2f), lit(0.3f),
+        lit(0.4f)))
+      .write.parquet(s"$log/batch=0")
+    val tombRef = new java.util.concurrent.atomic.AtomicReference(
+      Array.emptyLongArray)
+    val ex = intercept[IllegalArgumentException] {
+      Streams.recoverCombinedSegments(spark, log, "doc_id", "text",
+        "embedding", cents, frozen, tdf, base, numShards = 1,
+        tombRef = Some(tombRef), maxReplaces = 2)
+    }
+    assert(ex.getMessage.contains("cap"))
+    assert(tombRef.get().isEmpty, "a failed recovery must not mutate the set")
+    // At/under the cap the same recovery folds and succeeds.
+    val recovered = Streams.recoverCombinedSegments(spark, log, "doc_id",
+      "text", "embedding", cents, frozen, tdf, base, numShards = 1,
+      tombRef = Some(tombRef), maxReplaces = 3)
+    assert(tombRef.get().toSeq === Seq(0L, 1L, 2L))
+    assert(recovered.count() > 0)
+  }
 }
