@@ -279,8 +279,14 @@ object Epistemic {
       lit(0L).as("pos"))
     var acc = frontier
     for (d <- 1 to maxDepth) {
+      // Each level is cached (r19): level d is consumed by level d+1's
+      // join AND the final union, so without a mark the unrolled plan
+      // re-evaluates every prefix per union branch — the edges scan
+      // appeared 1+2+…+maxDepth = 15 times in h8's physical plan. The
+      // mark is lazy (no extra job); frontiers are root-bounded.
       frontier = frontier.join(sb, frontier("node") === sb("src"))
         .select(col("root"), col("dst").as("node"), lit(d.toLong).as("pos"))
+        .persist()
       acc = acc.unionByName(frontier)
     }
     acc
