@@ -91,6 +91,27 @@ class BenchSummarySpec extends AnyFunSuite {
     assert(line.contains(""""glove100_build_sec":"""))
   }
 
+  test("guarded points with >2x same-run spread bought reps or are flagged " +
+      "(r19, VERDICT r18 #2)") {
+    // The r18 artifact committed a 16.7x same-run spread with
+    // extra_reps: 0 — under the guard's own trigger that state must be
+    // impossible, so the artifact now self-diagnoses: every qps_guard
+    // entry either stayed tight, bought extra reps, or carries
+    // "suspect":true so a reader can't take its median at face value.
+    val entry =
+      """"([A-Za-z0-9_.]+)":\{"min_sec":([0-9.eE+-]+),"max_sec":([0-9.eE+-]+),"extra_reps":(\d+)([^}]*)\}""".r
+    val guard = """"qps_guard":\{""".r.findFirstMatchIn(detail)
+    for (m <- guard.toSeq; e <- entry.findAllMatchIn(detail.drop(m.start))) {
+      val (k, mn, mx, ex, rest) =
+        (e.group(1), e.group(2).toDouble, e.group(3).toDouble,
+          e.group(4).toInt, e.group(5))
+      if (mx > 2.0 * mn)
+        assert(ex > 0 || rest.contains(""""suspect":true"""),
+          s"guard entry $k: spread ${mx / mn}x with extra_reps 0 and no " +
+            "suspect flag")
+    }
+  }
+
   test("summary degrades gracefully when ANN sections are absent") {
     val bare = """{"metric":"total","unit":"sec","cpus":32,"failed":[],""" +
       """"flaky":[],"queries":{"q1":0.5},"value":0.5,"sf":"x"}"""
