@@ -17,8 +17,34 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** JVM-lifetime parquet SCHEMA cache keyed by path + content fingerprint
+    * (size + mtime): a bare `spark.read.parquet` runs a schema-inference
+    * job per call, and at 1-3 table reads per query that job was a
+    * measured 40-140 ms of every query's latency floor (guide §1.2). A
+    * deployment keeps table schemas in a catalog/metastore; this cache is
+    * the bare-path equivalent. Only METADATA is cached — every query still
+    * scans the parquet for data, and a rewritten file (new size/mtime) gets
+    * a fresh inference.
+    */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]
+
+  private[graft] def readCached(spark: SparkSession, path: String): DataFrame = {
+    val key = try {
+      val p = java.nio.file.Paths.get(path)
+      s"$path:${java.nio.file.Files.size(p)}:" +
+        s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+    } catch { case _: Throwable => null } // non-local path: no safe fingerprint
+    if (key == null) spark.read.parquet(path)
+    else {
+      val schema = schemaCache.computeIfAbsent(key,
+        _ => spark.read.parquet(path).schema)
+      spark.read.schema(schema).parquet(path)
+    }
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    readCached(spark, s"$sfDir/$name.parquet")
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")

@@ -77,7 +77,9 @@ object CoreQueries {
           round(sum(col("l_extendedprice").cast(dec) *
             (lit(1).cast(dec) - col("l_discount").cast(dec))), 2).cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
-        .orderBy(col("l_returnflag"), col("l_linestatus"))
+        // Bounded group count (flag x status): single-partition sort, no
+        // range exchange (guide 2.4; see Ordered.small).
+        .transform(Ordered.small(_)(col("l_returnflag"), col("l_linestatus")))
     }),
 
     // F1: filter-DSL compiled to a Catalyst Column (OR of AND-blocks, no
@@ -121,7 +123,8 @@ object CoreQueries {
       val ids = emb.select(col("vec_id")).filter(col("vec_id") % 97 === 0)
       emb.join(broadcast(ids), Seq("vec_id"))
         .select(col("vec_id"), col("label"), size(col("embedding")).cast("long").as("dim"))
-        .orderBy(col("vec_id"))
+        // Result bounded by the broadcast id-list contract.
+        .transform(Ordered.small(_)(col("vec_id")))
     }),
 
     // V2: batched exact k-NN, euclidean. dist = sqrt of the squared-L2 the
@@ -135,7 +138,7 @@ object CoreQueries {
         .select(col("qid"), col("vec_id").as("id"),
           round(sqrt(col("distance")), 6).as("dist"),
           col("rank").cast("long").as("rank"))
-        .orderBy(col("qid"), col("rank"))
+        .transform(Ordered.small(_)(col("qid"), col("rank"))) // nq x k rows
     }),
 
     // V2 cosine: 1 - cosine similarity, double precision (oracle formula).
@@ -148,7 +151,7 @@ object CoreQueries {
         .select(col("qid"), col("vec_id").as("id"),
           round(col("distance"), 6).as("dist"),
           col("rank").cast("long").as("rank"))
-        .orderBy(col("qid"), col("rank"))
+        .transform(Ordered.small(_)(col("qid"), col("rank"))) // nq x k rows
     }),
 
     // V2 + F1: filtered k-NN — the allow-list path (bitmap pushed into
@@ -163,7 +166,7 @@ object CoreQueries {
         .select(col("qid"), col("vec_id").as("id"),
           round(col("distance"), 6).as("dist"),
           col("rank").cast("long").as("rank"))
-        .orderBy(col("qid"), col("rank"))
+        .transform(Ordered.small(_)(col("qid"), col("rank"))) // nq x k rows
     }),
 
     // V22: hard-negative mining for contrastive embedding training — for
@@ -184,7 +187,7 @@ object CoreQueries {
         .select(col("qid"), col("vec_id").as("neg_id"),
           round(col("distance"), 6).as("dist"),
           col("rank").cast("long").as("rank"))
-        .orderBy(col("qid"), col("rank"))
+        .transform(Ordered.small(_)(col("qid"), col("rank"))) // nq x k rows
     }),
 
     // V25: MMR diversity re-ranking (Carbonell & Goldstein 1998) — the
@@ -217,7 +220,7 @@ object CoreQueries {
           k = 5, lam = lit(0.7), oneMinusLam = lit(0.3))
         .select(col("qid"), col("rank"), col("id"),
           round(col("score"), 6).as("score"))
-        .orderBy(col("qid"), col("rank"))
+        .transform(Ordered.small(_)(col("qid"), col("rank"))) // nq x k rows
     }),
 
     // H5: search-with-scores — 1/(1+d) absolute normalization
@@ -231,7 +234,7 @@ object CoreQueries {
         .select(col("qid"), col("vec_id").as("id"),
           round(lit(1.0) / (lit(1.0) + col("distance")), 6).as("score"),
           col("rank").cast("long").as("rank"))
-        .orderBy(col("qid"), col("rank"))
+        .transform(Ordered.small(_)(col("qid"), col("rank"))) // nq x k rows
     })
   )
 

@@ -106,7 +106,7 @@ object FusionQueries {
           Fusion.FusionParams(alpha = 0.6, k = 15, metric = "cosine",
             memory = memCfg, now = Now, wide = true))
         .select(col("doc_id"), round(col("score"), 6).as("score"))
-        .orderBy(col("score").desc, col("doc_id"))
+        .transform(Ordered.small(_)(col("score").desc, col("doc_id"))) // k rows
     }),
 
     // H1-stored: same fusion, text branch served from the materialized
@@ -126,7 +126,7 @@ object FusionQueries {
             memory = memCfg, now = Now, wide = true),
           prebuiltPostings = Some(post))
         .select(col("doc_id"), round(col("score"), 6).as("score"))
-        .orderBy(col("score").desc, col("doc_id"))
+        .transform(Ordered.small(_)(col("score").desc, col("doc_id"))) // k rows
     }),
 
     // H1-IVF: the 100 TB hybrid shape — the vector branch rides the IVF
@@ -160,7 +160,7 @@ object FusionQueries {
             memory = memCfg, now = Now, wide = true),
           prebuiltVecTopK = Some(vecTop))
         .select(col("doc_id"), round(col("score"), 6).as("score"))
-        .orderBy(col("score").desc, col("doc_id"))
+        .transform(Ordered.small(_)(col("score").desc, col("doc_id"))) // k rows
     }),
 
     // H1-batch: MANY hybrid queries in ONE plan (the serving shape — one
@@ -180,7 +180,8 @@ object FusionQueries {
           Fusion.FusionParams(alpha = 0.6, k = 15, metric = "cosine",
             memory = memCfg, now = Now, wide = true))
         .select(col("qid"), col("doc_id"), round(col("score"), 6).as("score"))
-        .orderBy(col("qid"), col("score").desc, col("doc_id"))
+        .transform(Ordered.small(_)( // nq x k rows
+          col("qid"), col("score").desc, col("doc_id")))
     }),
 
     // H4: reinforcement — bump _last_accessed/_access_count for a hit set.

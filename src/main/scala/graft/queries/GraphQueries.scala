@@ -90,10 +90,11 @@ object GraphQueries {
     // G3: per-relation active-edge counts now vs as-of T0.
     "g3_time_travel" -> ((s, dir) => {
       val e = edgeView(s, dir)
-      e.groupBy(col("rel")).agg(
+      // Bounded result (one row per rel): single-partition sort, no range
+      // exchange (guide §2.4 — see [[Ordered.small]]).
+      Ordered.small(e.groupBy(col("rel")).agg(
           sum(GraphOps.activeAt(0L).cast("long")).as("active_now"),
-          sum(GraphOps.activeAt(T0).cast("long")).as("active_at_t"))
-        .orderBy(col("rel"))
+          sum(GraphOps.activeAt(T0).cast("long")).as("active_at_t")))(col("rel"))
     }),
 
     // G4: reverse lookup — who contains part:<k>? (count + total quantity)
@@ -104,7 +105,7 @@ object GraphQueries {
         .groupBy(col("dst"))
         .agg(count(lit(1)).as("n_orders"),
           round(sum(col("weight")), 2).as("total_qty"))
-        .orderBy(col("dst"))
+        .transform(Ordered.small(_)(col("dst"))) // ≤ 10 groups by construction
     }),
 
     // G6: dot-path traversal placed.contains from 5 customers (distinct
@@ -115,7 +116,8 @@ object GraphQueries {
       val roots = (1 to 5).map(i => s"cust:$i").toDF("root")
       GraphOps.traverse(e, roots, Seq("placed", "contains"))
         .distinct()
-        .orderBy(col("root"), col("node"))
+        // 5-root bounded reachable set: no range exchange needed.
+        .transform(Ordered.small(_)(col("root"), col("node")))
     }),
 
     // G9: shortest paths from cust:1 (out), depth ≤ 3 — suppliers reached
@@ -126,7 +128,10 @@ object GraphQueries {
         .filter(col("node").startsWith("supp:"))
         .select(col("node"), col("hops").cast("long").as("hops"),
           concat_ws(" ", col("path")).as("path"))
-        .orderBy(col("node"))
+        // drained ⇒ already a driver-local relation; sorting it needs no
+        // range exchange (the r19 verdict's g9 Exchange+Sort-over-
+        // LocalTableScan finding).
+        .transform(Ordered.small(_)(col("node")))
     }),
 
     // G8: subgraph membership around cust:3, both directions, depth 2.
@@ -135,7 +140,7 @@ object GraphQueries {
       val (t, _) = GraphOps.subgraphT(e, "cust:3", depth = 2)
       GraphOps.drained(t)
         .select(col("node"), col("depth").cast("long").as("depth"))
-        .orderBy(col("node"))
+        .transform(Ordered.small(_)(col("node"))) // drained ⇒ driver-local
     }),
 
     // G10: auto-link derivation from the documents.source field.
@@ -154,7 +159,7 @@ object GraphQueries {
       val cutoff = 820454400L
       GraphOps.vacuum(e, cutoff)
         .groupBy(col("rel")).agg(count(lit(1)).as("n_kept"))
-        .orderBy(col("rel"))
+        .transform(Ordered.small(_)(col("rel"))) // one row per rel
     })
   )
 

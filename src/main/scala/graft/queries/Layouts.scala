@@ -51,7 +51,12 @@ object Layouts {
         .parquet(path)
       if (partitionCols.isEmpty) compactSmallFiles(s, path)
     }
-    s.read.parquet(path)
+    // Partitioned layouts keep plain reads (partition-column discovery IS
+    // directory inference); flat layouts go through the schema cache — the
+    // layout path is already content-fingerprinted, and the per-read
+    // schema-inference job was part of every stored query's latency floor.
+    if (partitionCols.nonEmpty) s.read.parquet(path)
+    else graft.core.Tables.readCached(s, path)
   }
 
   /** Small-file compaction on layout build (guide §6): a layout written

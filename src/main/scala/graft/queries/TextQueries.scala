@@ -81,7 +81,8 @@ object TextQueries {
       Bm25.postings(docs, "doc_id", "text")
         .groupBy(col("token"))
         .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
-        .orderBy(col("token"))
+        // Fixed 31-word documents vocabulary: bounded group count.
+        .transform(Ordered.small(_)(col("token")))
     }),
 
     // T6: BM25 ranking (k1=1.2 b=0.75, reference IDF) for a fixed query.
@@ -89,7 +90,7 @@ object TextQueries {
       val docs = Tables.documents(s, dir)
       Bm25.search(docs, "doc_id", "text", "table merge query", limit = 25)
         .select(col("doc_id"), round(col("score"), 6).as("score"))
-        .orderBy(col("score").desc, col("doc_id"))
+        .transform(Ordered.small(_)(col("score").desc, col("doc_id"))) // <= 25 rows
     }),
 
     // T6-stored: same ranking, served from the materialized token-clustered
@@ -106,7 +107,7 @@ object TextQueries {
       Bm25.searchPostings(ids, post, "doc_id",
           Analyzer.analyze("table merge query", "english"), limit = 25)
         .select(col("doc_id"), round(col("score"), 6).as("score"))
-        .orderBy(col("score").desc, col("doc_id"))
+        .transform(Ordered.small(_)(col("score").desc, col("doc_id"))) // <= 25 rows
     }),
 
     // T8: context compression — safe-stopword removal, negations preserved.

@@ -113,6 +113,37 @@ object Fusion {
     def allowed(df: DataFrame): DataFrame =
       allowList.fold(df)(a => df.join(a.select(col(idCol)), Seq(idCol), "left_semi"))
 
+    // Memory-view shared slim materialization (r20, VERDICT r19 #7): the
+    // plan otherwise consumes `table` once for the doc-length id list and
+    // once more for the decay metadata — for a memory view that is itself
+    // a join, each consumer re-runs the join + both scans. When both
+    // consumers are live, ONE narrow (id + metadata) projection is
+    // checkpointed and feeds them. The vector branch keeps its own scan
+    // (it needs the vectors; materializing the wide columns would copy the
+    // corpus — guide §8: move the heavy bytes once, decide on slim rows).
+    val metaCols = Seq("_created_at", "_last_accessed", "_pinned",
+      "memory_layer", "_decay_model", "_access_count")
+    def slimProjected(df: DataFrame): DataFrame = {
+      val present = df.columns.toSet
+      def c(name: String, default: Column): Column =
+        if (present(name)) col(name) else default
+      df.select(
+        col(idCol),
+        c("_created_at", lit(null).cast("double")).as("_created_at"),
+        c("_last_accessed", lit(null).cast("double")).as("_last_accessed"),
+        c("_pinned", lit(false)).as("_pinned"),
+        c("memory_layer", lit(null).cast("string")).as("memory_layer"),
+        c("_decay_model", lit(null).cast("string")).as("_decay_model"),
+        c("_access_count", lit(0)).as("_access_count"))
+    }
+    val slim: Option[DataFrame] =
+      if (qTokens.nonEmpty && textQuery.nonEmpty && params.memory.enabled &&
+        (queryVecDF.nonEmpty || prebuiltVecTopK.nonEmpty))
+        Some(slimProjected(table).localCheckpoint())
+      else None
+    def tableIds: DataFrame =
+      slim.map(_.select(col(idCol))).getOrElse(table.select(col(idCol)))
+
     def textScored(): DataFrame = {
       // Ad-hoc postings materialized ONCE (r19, guide §2.4): searchPostings
       // consumes its postings three ways (doc lengths, query-token df, the
@@ -122,7 +153,7 @@ object Fusion {
       // zero ReusedExchange). Deployments pass prebuiltPostings and skip
       // this entirely.
       val scored = Bm25.searchPostings(
-        table.select(col(idCol)),
+        tableIds,
         prebuiltPostings.getOrElse(
           Bm25.postings(table, idCol, textCol, params.lang).localCheckpoint()),
         idCol, qTokens)
@@ -213,19 +244,7 @@ object Fusion {
     val withDecay =
       if (!params.memory.enabled) fusedBase.withColumn("score", col("fused"))
       else {
-        val metaCols = Seq("_created_at", "_last_accessed", "_pinned",
-          "memory_layer", "_decay_model", "_access_count")
-        val present = table.columns.toSet
-        def c(name: String, default: Column): Column =
-          if (present(name)) col(name) else default
-        val meta = table.select(
-          col(idCol),
-          c("_created_at", lit(null).cast("double")).as("_created_at"),
-          c("_last_accessed", lit(null).cast("double")).as("_last_accessed"),
-          c("_pinned", lit(false)).as("_pinned"),
-          c("memory_layer", lit(null).cast("string")).as("memory_layer"),
-          c("_decay_model", lit(null).cast("string")).as("_decay_model"),
-          c("_access_count", lit(0)).as("_access_count"))
+        val meta = slim.getOrElse(slimProjected(table))
         fusedBase.join(meta, Seq(idCol), "left")
           .withColumn("score", col("fused") * Decay.factor(
             params.memory, lit(params.now.toDouble),

@@ -99,7 +99,7 @@ object Bm25 {
     val tfPart = (col("tf") * lit(k1 + 1.0)) /
       (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avg_dl")))
 
-    post
+    val scored = post
       .join(broadcast(q), Seq("token"))
       .join(broadcast(dfreq), Seq("token"))
       .join(dls, Seq(idCol))
@@ -107,8 +107,14 @@ object Bm25 {
       .withColumn("term_score", col("qn") * idf * tfPart)
       .groupBy(col(idCol))
       .agg(sum(col("term_score")).as("score"))
-      .orderBy(col("score").desc, col(idCol))
-      .limit(limit)
+    // An unlimited call wants the full hit set, not a presentation order —
+    // the fusion paths re-rank/normalize downstream, so sorting here was a
+    // range exchange (sampling job + shuffle + sort) in the middle of every
+    // ad-hoc text branch for nothing (guide §2.4: an orderBy that only
+    // makes output deterministic). Ranked callers (a real `limit`) keep the
+    // top-k contract via TakeOrderedAndProject.
+    if (limit == Int.MaxValue) scored
+    else scored.orderBy(col("score").desc, col(idCol)).limit(limit)
   }
 
   /** Batched BM25: score every query in `queryTokens` `(qid, token, qn)`
